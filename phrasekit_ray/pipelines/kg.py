@@ -1,0 +1,101 @@
+"""North-star KG-construction pipeline: pages → triples → node/edge tables.
+
+Composition (BASELINE.json north_star; SURVEY.md §3.4):
+  read pages → extract/tokenize (stateless map_batches, html dropped
+  immediately) → [branch A: mine (combiner + groupby shuffle) → score
+  (broadcast background) → sort + enumerate → build artifact (single task)
+  → ray.put] → [branch B: tag via actor pool] → triple lift (stateless)
+  → union-find canonicalization (edge set is model-sized: collected to the
+  driver, mapping broadcast back) → node/edge aggregates (combiner +
+  groupby) → resumable partitioned Parquet with lineage manifests.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from phrasekit_ray.config import (
+    BuildConfig,
+    KGConfig,
+    MineConfig,
+    ScoreConfig,
+    TagConfig,
+)
+from phrasekit_ray.pipelines.phrase import run_phrase_pipeline
+from phrasekit_ray.stages import kg as kgmod
+from phrasekit_ray.state import lineage
+
+
+@dataclass
+class KGResult:
+    artifact: object
+    mapping: dict  # phrase_id -> canonical entity_id
+    mentions: object  # lazy Dataset
+    triples: object  # lazy Dataset
+    nodes: object  # lazy Dataset
+    edges: object  # lazy Dataset
+    write_summary: dict | None = None
+
+
+def run_kg_pipeline(
+    pages_ds,
+    background,
+    mine_config: MineConfig | None = None,
+    score_config: ScoreConfig | None = None,
+    build_config: BuildConfig | None = None,
+    tag_config: TagConfig | None = None,
+    kg_config: KGConfig | None = None,
+    lang_allow: tuple[str, ...] | None = None,
+    output_root: str | None = None,
+    num_partitions: int = 16,
+    tag_concurrency=(1, 8),
+) -> KGResult:
+    kg_config = kg_config or KGConfig()
+    phase = run_phrase_pipeline(
+        pages_ds,
+        background,
+        mine_config,
+        score_config,
+        build_config,
+        tag_config,
+        lang_allow=lang_allow,
+        tag_concurrency=tag_concurrency,
+    )
+    artifact = phase.artifact
+    edges_alias = kgmod.alias_edges_from_artifact(artifact)
+    mapping = kgmod.canonical_mapping(artifact.phrase_ids, edges_alias)
+    names = kgmod.canonical_names_from_artifact(artifact, mapping)
+
+    tagged = phase.tagged
+    mentions = kgmod.mentions_from_tagged(tagged)
+    triples = kgmod.triples_from_tagged(tagged, mapping, kg_config)
+    nodes = kgmod.node_table(mentions, mapping, names)
+    edges = kgmod.edge_table(triples)
+
+    summary = None
+    if output_root is not None:
+        cfg_desc = {
+            "mine": str(mine_config),
+            "score": str(score_config),
+            "build": str(build_config),
+            "tag": str(tag_config),
+            "kg": str(kg_config),
+        }
+        s1 = lineage.write_dataset_resumable(
+            nodes, output_root, "nodes", cfg_desc, "entity_id", num_partitions
+        )
+        s2 = lineage.write_dataset_resumable(
+            edges, output_root, "edges", cfg_desc, "subj", num_partitions
+        )
+        artifact.save(f"{output_root}/artifact")
+        summary = {"nodes": s1, "edges": s2}
+
+    return KGResult(
+        artifact=artifact,
+        mapping=mapping,
+        mentions=mentions,
+        triples=triples,
+        nodes=nodes,
+        edges=edges,
+        write_summary=summary,
+    )

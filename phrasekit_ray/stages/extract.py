@@ -1,0 +1,91 @@
+"""Extract stage: pages → tokenized documents (stateless map_batches).
+
+Reference analog: the corpus reader + per-boundary lowercase
+(phrasekit_mine.rs:109-153, phrasekit_tag.rs:128-155); the reference takes
+pre-tokenized JSONL, we take Common-Crawl-style pages and define the
+text→tokens mapping (SURVEY.md §1.4, M1/M2). The per-row invariant —
+byte-identical extracted/normalized text per url — lives here.
+
+Scale notes: batch_format="pyarrow" end to end (zero-copy from the object
+store); the `html` binary column is dropped in the FIRST transform so wide
+binary blocks never flow past this stage; html parsing only runs for rows
+whose `text` is null.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from phrasekit_ray.core import normalize
+
+
+def _extract_batch(
+    batch: pa.Table, id_col: str, lang_allow: tuple[str, ...] | None
+) -> pa.Table:
+    if lang_allow is not None and "lang" in batch.column_names:
+        mask = pc.is_in(batch["lang"], value_set=pa.array(lang_allow))
+        batch = batch.filter(mask)
+    text = batch["text"].combine_chunks() if "text" in batch.column_names else None
+    if text is None or (text.null_count and "html" in batch.column_names):
+        # fill missing text from html (deterministic extraction)
+        html = batch["html"].combine_chunks()
+        texts = text.to_pylist() if text is not None else [None] * len(batch)
+        htmls = html.to_pylist()
+        filled = [
+            t if t is not None else normalize.extract_text_from_html(h or b"")
+            for t, h in zip(texts, htmls)
+        ]
+        text = pa.array(filled, type=pa.string())
+    tokens = normalize.tokenize_string_array(text)
+    out = {
+        "doc_id": batch[id_col],
+        "text": text,
+        "tokens": tokens,
+    }
+    if "lang" in batch.column_names:
+        out["lang"] = batch["lang"]
+    return pa.table(out)
+
+
+def extract_tokens(
+    ds,
+    id_col: str = "url",
+    lang_allow: tuple[str, ...] | None = None,
+    keep_text: bool = False,
+    **map_kwargs,
+):
+    """pages Dataset → Dataset(doc_id, [text], tokens, [lang]).
+
+    ``lang_allow``: optional language whitelist filter applied inside the
+    same batch pass (vectorized predicate beats ds.filter(row_fn)).
+    ``keep_text`` retains the extracted text column (needed when asserting
+    the byte-identical-per-url invariant downstream).
+    """
+    def fn(batch: pa.Table) -> pa.Table:
+        out = _extract_batch(batch, id_col, lang_allow)
+        if not keep_text:
+            out = out.drop_columns(["text"])
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow", **map_kwargs)
+
+
+def tokenize_documents(ds, text_col: str = "text", id_col: str = "doc_id", **map_kwargs):
+    """documents-table variant: (doc_id, text, ...) → (doc_id, tokens).
+
+    Tokenization = lowercase whitespace split (TESTDATA.md / FIXTURES.md §9)
+    — this is the mapping the DuckDB oracle mirrors in SQL.
+    """
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch[id_col],
+                "tokens": normalize.tokenize_string_array(
+                    batch[text_col].combine_chunks()
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", **map_kwargs)

@@ -1,0 +1,275 @@
+"""KG extension: mentions → triples → canonicalization → node/edge tables.
+
+North-rule additions beyond the reference (BASELINE.json north_star;
+FIXTURES.md §8). The reference stops at tagged spans; this stage lifts
+them into a knowledge graph:
+
+1. **Mentions**: tagged docs → flat mention rows (stateless flat-map).
+2. **Triple lift**: ADJACENT mention pairing within a document — each pair
+   of consecutive resolved spans (subject = earlier mention's entity,
+   object = next mention's entity) becomes (subj, pred, obj) with the
+   configured constant predicate (documented lift rule, FIXTURES.md §8).
+3. **Canonicalization**: union-find connected components over alias-match
+   edges. Alias rule: phrase A aliases phrase B when A's token sequence is
+   a proper prefix of B's (e.g. "rat cdk10" ← "rat cdk10 oligo"). The edge
+   set is ≤ #phrases (model-side, small), so edges are collected to one
+   task for union-find and the resulting phrase_id→entity_id mapping is
+   broadcast back — no iterative shuffle (SURVEY.md §7.3).
+   Canonical entity_id of a component = min phrase_id in it.
+4. **Materialize**: nodes/edges as partitioned Parquet with per-partition
+   lineage manifests (state.lineage) for resumable runs.
+
+Partitioning assumption (documented per the custom-operator rule): triple
+lift is per-document (embarrassingly parallel); only the final node/edge
+aggregates shuffle, keyed by entity id — hot entities are pre-combined
+in-block by the same combiner pattern as mining.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from phrasekit_ray.config import KGConfig
+from phrasekit_ray.core.artifact import MatcherArtifact
+
+
+# --- union-find (driver/single-task; edge set is model-sized) --------------
+
+class UnionFind:
+    def __init__(self):
+        self.parent: dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        p = self.parent.setdefault(x, x)
+        while p != x:
+            self.parent[x] = p = self.parent.setdefault(p, p)
+            x, p = p, self.parent.setdefault(p, p)
+        return x
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # deterministic: smaller id becomes the root
+            if rb < ra:
+                ra, rb = rb, ra
+            self.parent[rb] = ra
+
+
+def alias_edges_from_artifact(artifact: MatcherArtifact) -> list[tuple[int, int]]:
+    """Token-prefix alias rule over the phrase table: (shorter_id, longer_id)
+    for every pattern that is a proper token-prefix of another."""
+    by_tokens = {
+        tuple(toks): int(pid)
+        for toks, pid in zip(artifact.pattern_tokens, artifact.phrase_ids)
+    }
+    edges: list[tuple[int, int]] = []
+    for toks, pid in by_tokens.items():
+        for cut in range(1, len(toks)):
+            prefix = toks[:cut]
+            other = by_tokens.get(prefix)
+            if other is not None:
+                edges.append((other, pid))
+    return edges
+
+
+def canonical_mapping(
+    phrase_ids, edges: list[tuple[int, int]]
+) -> dict[int, int]:
+    """phrase_id → canonical entity_id (min phrase_id of its component)."""
+    uf = UnionFind()
+    for pid in phrase_ids:
+        uf.find(int(pid))
+    for a, b in edges:
+        uf.union(a, b)
+    # min-id per root
+    root_min: dict[int, int] = {}
+    for pid in phrase_ids:
+        r = uf.find(int(pid))
+        root_min[r] = min(root_min.get(r, int(pid)), int(pid))
+    return {int(pid): root_min[uf.find(int(pid))] for pid in phrase_ids}
+
+
+def entity_lut(artifact: MatcherArtifact, mapping: dict[int, int]) -> np.ndarray:
+    """Dense lookup: pattern index → canonical entity id."""
+    return np.fromiter(
+        (mapping[int(p)] for p in artifact.phrase_ids),
+        dtype=np.uint32,
+        count=artifact.num_patterns,
+    )
+
+
+# --- mention + triple stages (stateless map_batches) -----------------------
+
+def mentions_from_tagged(tagged_ds, id_col: str = "doc_id", **map_kwargs):
+    """tagged docs → flat mentions(doc_id, start, end, phrase_id)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        spans = batch["spans"].combine_chunks()
+        offsets = spans.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        base = offsets[0]
+        offsets = offsets - base
+        vals = spans.values.slice(base, int(offsets[-1]))
+        sizes = np.diff(offsets)
+        parent = np.repeat(np.arange(len(sizes)), sizes)
+        doc_ids = batch[id_col].combine_chunks().take(pa.array(parent))
+        return pa.table(
+            {
+                "doc_id": doc_ids,
+                "start": vals.field("start"),
+                "end": vals.field("end"),
+                "phrase_id": vals.field("phrase_id"),
+            }
+        )
+
+    return tagged_ds.map_batches(fn, batch_format="pyarrow", **map_kwargs)
+
+
+def triples_from_tagged(
+    tagged_ds,
+    entity_lut_by_phrase: dict[int, int],
+    config: KGConfig | None = None,
+    id_col: str = "doc_id",
+    **map_kwargs,
+):
+    """tagged docs → triples(subj, pred, obj, doc_id, subj_start, obj_start).
+
+    Adjacent-mention pairing: spans within a doc are already ordered by
+    start (policy output order); consecutive pairs with token gap ≤
+    max_pair_distance become triples. Entities are the canonicalized ids.
+    """
+    import ray
+
+    config = config or KGConfig()
+    lut_ref = ray.put(entity_lut_by_phrase)
+    pred = config.predicate
+    max_gap = config.max_pair_distance
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from phrasekit_ray.stages.score import _get_broadcast
+
+        lut = _get_broadcast(lut_ref)
+        spans = batch["spans"].combine_chunks()
+        offsets = spans.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        base = offsets[0]
+        offsets = offsets - base
+        vals = spans.values.slice(base, int(offsets[-1]))
+        starts = vals.field("start").to_numpy(zero_copy_only=False)
+        ends = vals.field("end").to_numpy(zero_copy_only=False)
+        pids = vals.field("phrase_id").to_numpy(zero_copy_only=False)
+        sizes = np.diff(offsets)
+        parent = np.repeat(np.arange(len(sizes)), sizes)
+
+        n = len(starts)
+        if n >= 2:
+            # pair i with i+1 when same doc and within gap
+            same_doc = parent[:-1] == parent[1:]
+            gap_ok = (starts[1:] - ends[:-1]) <= max_gap
+            pair = same_doc & gap_ok
+            idx = np.flatnonzero(pair)
+        else:
+            idx = np.zeros(0, dtype=np.int64)
+
+        subj = np.fromiter(
+            (lut.get(int(p), int(p)) for p in pids[idx]),
+            dtype=np.uint32,
+            count=len(idx),
+        )
+        obj = np.fromiter(
+            (lut.get(int(p), int(p)) for p in pids[idx + 1]),
+            dtype=np.uint32,
+            count=len(idx),
+        )
+        doc_ids = batch[id_col].combine_chunks().take(pa.array(parent[idx]))
+        return pa.table(
+            {
+                "subj": pa.array(subj, pa.uint32()),
+                "pred": pa.array([pred] * len(idx), pa.string()),
+                "obj": pa.array(obj, pa.uint32()),
+                "doc_id": doc_ids,
+                "subj_start": pa.array(starts[idx], pa.int32()),
+                "obj_start": pa.array(starts[idx + 1], pa.int32()),
+            }
+        )
+
+    return tagged_ds.map_batches(fn, batch_format="pyarrow", **map_kwargs)
+
+
+# --- node / edge aggregates ------------------------------------------------
+
+def node_table(mentions_ds, entity_lut_by_phrase: dict[int, int], canonical_names: dict[int, str]):
+    """mentions → nodes(entity_id, canonical, n_mentions).
+
+    In-block partial count (combiner) before the groupby shuffle, same
+    hot-key treatment as mining.
+    """
+    import ray
+
+    lut_ref = ray.put(entity_lut_by_phrase)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from phrasekit_ray.stages.score import _get_broadcast
+
+        lut = _get_broadcast(lut_ref)
+        pids = batch["phrase_id"].to_numpy(zero_copy_only=False)
+        ents = np.fromiter(
+            (lut.get(int(p), int(p)) for p in pids), dtype=np.uint64, count=len(pids)
+        )
+        uniq, counts = np.unique(ents, return_counts=True)
+        return pa.table(
+            {
+                "entity_id": pa.array(uniq, pa.uint64()),
+                "n_mentions": pa.array(counts.astype(np.uint64), pa.uint64()),
+            }
+        )
+
+    agg = (
+        mentions_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("entity_id")
+        .sum("n_mentions")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ents = batch["entity_id"].to_pylist()
+        return pa.table(
+            {
+                "entity_id": batch["entity_id"],
+                "canonical": pa.array(
+                    [canonical_names.get(int(e), str(e)) for e in ents], pa.string()
+                ),
+                "n_mentions": batch["sum(n_mentions)"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def edge_table(triples_ds):
+    """triples → edges(subj, pred, obj, weight) with in-block combine."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["subj", "pred", "obj"]).aggregate([("subj", "count")])
+        return t.rename_columns(["subj", "pred", "obj", "weight"])
+
+    agg = (
+        triples_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["subj", "pred", "obj"])
+        .sum("weight")
+    )
+    return agg.map_batches(
+        lambda b: b.rename_columns(["subj", "pred", "obj", "weight"]),
+        batch_format="pyarrow",
+    )
+
+
+def canonical_names_from_artifact(
+    artifact: MatcherArtifact, mapping: dict[int, int]
+) -> dict[int, str]:
+    """entity_id → canonical surface form = pattern string of the canonical
+    phrase (the component's min phrase_id member)."""
+    by_pid = {
+        int(pid): " ".join(toks)
+        for pid, toks in zip(artifact.phrase_ids, artifact.pattern_tokens)
+    }
+    return {ent: by_pid[ent] for ent in set(mapping.values()) if ent in by_pid}

@@ -1,0 +1,159 @@
+"""Score stage: salience of domain n-grams vs a background corpus.
+
+Reference analog: phrasekit_score.rs — both corpora fully loaded into
+HashMaps, a left lookup (missing background ⇒ 0), per-phrase salience,
+filters, sort desc, sequential phrase_id assignment (SURVEY.md J1, F1-F3,
+F6, O2-O3).
+
+Ray-native shape: the background table is the SMALL side (a phrase list,
+not a corpus) — it is collected to a dict once, `ray.put` into the object
+store, and read zero-copy-ish inside every scoring batch (broadcast join;
+no shuffle). The domain side streams. Global totals for PMI/TF-IDF are two
+scalar Dataset aggregates broadcast as plain numbers. The salience sort is
+the one range-partition shuffle; phrase_id enumeration rides on it via
+``state.rowindex.with_row_index``.
+
+f32 parity: salience math and the min_salience comparison run in float32
+exactly as the reference does (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from phrasekit_ray.config import ScoreConfig
+from phrasekit_ray.core import salience as saliencemod
+from phrasekit_ray.state.rowindex import with_row_index
+
+# Per-worker-process cache of the broadcast background dict: `ray.get` of
+# the same ref re-deserializes a Python dict on every call, so the first
+# batch in each worker pays it once and later batches hit this cache.
+_BG_CACHE: dict[str, dict] = {}
+
+
+def _get_broadcast(ref) -> dict:
+    import ray
+
+    key = ref.hex()
+    hit = _BG_CACHE.get(key)
+    if hit is None:
+        _BG_CACHE.clear()  # at most one live broadcast per worker
+        hit = _BG_CACHE[key] = ray.get(ref)
+    return hit
+
+
+def background_to_dict(background) -> dict[str, int]:
+    """Accept a Dataset / pyarrow Table / mapping / iterable of
+    (ngram, count) or reference-style {tokens, count} rows; lowercase keys;
+    duplicate keys last-wins (reference phrasekit_score.rs:160-161)."""
+    if isinstance(background, Mapping):
+        items = background.items()
+    elif isinstance(background, pa.Table):
+        items = zip(
+            background["ngram"].to_pylist(), background["count"].to_pylist()
+        )
+    elif hasattr(background, "iter_batches"):  # ray Dataset
+        out: dict[str, int] = {}
+        for b in background.iter_batches(batch_format="pyarrow"):
+            for ng, c in zip(b["ngram"].to_pylist(), b["count"].to_pylist()):
+                out[" ".join(ng.split()).lower()] = int(c)
+        return out
+    else:
+        items = (
+            (
+                " ".join(r["tokens"]) if isinstance(r, dict) else r[0],
+                r["count"] if isinstance(r, dict) else r[1],
+            )
+            for r in background
+        )
+    return {str(k).lower(): int(v) for k, v in items}
+
+
+def score_ngrams(
+    domain_ds,
+    background,
+    config: ScoreConfig | None = None,
+    total_domain: int | None = None,
+    **map_kwargs,
+):
+    """Dataset(ngram, count) → sorted Dataset(ngram, salience, [phrase_id],
+    domain_count, background_count).
+
+    ``total_domain`` may be passed to skip the extra aggregate pass when
+    the caller already knows it (e.g. from mine stats). Totals are over ALL
+    domain/background phrases BEFORE the min_domain_count filter, as in the
+    reference (phrasekit_score.rs:179-181).
+    """
+    import ray
+
+    config = config or ScoreConfig()
+    bg = background_to_dict(background)
+    total_background = sum(bg.values())
+    if total_domain is None:
+        total_domain = int(domain_ds.sum("count") or 0)
+    bg_ref = ray.put(bg)
+
+    method = config.method
+    min_domain = np.uint64(config.min_domain_count)
+    min_sal = np.float32(config.min_salience)
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        bg_map = _get_broadcast(bg_ref)
+        counts = batch["count"].to_numpy().astype(np.uint64)
+        keep = counts >= min_domain
+        batch = batch.filter(pa.array(keep))
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "ngram": pa.array([], pa.string()),
+                    "salience": pa.array([], pa.float32()),
+                    "domain_count": pa.array([], pa.uint32()),
+                    "background_count": pa.array([], pa.uint32()),
+                }
+            )
+        d = batch["count"].to_numpy().astype(np.uint64)
+        ngrams = batch["ngram"].to_pylist()
+        b = np.fromiter(
+            (bg_map.get(ng, 0) for ng in ngrams), dtype=np.uint64, count=len(ngrams)
+        )
+        sal = saliencemod.compute_salience(method, d, b, total_domain, total_background)
+        keep2 = sal >= min_sal
+        return pa.table(
+            {
+                "ngram": pa.array(ngrams, pa.string()),
+                "salience": pa.array(sal, pa.float32()),
+                "domain_count": pa.array(d.astype(np.uint32), pa.uint32()),
+                "background_count": pa.array(b.astype(np.uint32), pa.uint32()),
+            }
+        ).filter(pa.array(keep2))
+
+    scored = domain_ds.map_batches(score_batch, batch_format="pyarrow", **map_kwargs)
+    # deterministic total order where the reference is tie-nondeterministic
+    # (SURVEY.md O2): salience desc, ngram asc
+    scored = scored.sort(["salience", "ngram"], descending=[True, False])
+    if config.assign_phrase_ids:
+        scored = with_row_index(
+            scored, col="phrase_id", start=config.starting_phrase_id
+        )
+    return scored
+
+
+def scored_table_to_rows(table: pa.Table) -> list[dict]:
+    """Arrow scored-phrase table → reference-style build-input rows."""
+    has_id = "phrase_id" in table.column_names
+    rows = []
+    for i in range(table.num_rows):
+        rows.append(
+            {
+                "tokens": table["ngram"][i].as_py().split(" "),
+                "salience": table["salience"][i].as_py(),
+                "phrase_id": table["phrase_id"][i].as_py() if has_id else None,
+                "count": table["domain_count"][i].as_py(),
+                "background_count": table["background_count"][i].as_py(),
+            }
+        )
+    return rows

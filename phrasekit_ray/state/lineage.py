@@ -1,0 +1,194 @@
+"""Lineage manifests + resumable partitioned Parquet writes.
+
+North-rule requirement: "checkpoints per-partition with lineage metadata
+for resumable runs". The reference has no checkpoint/resume at all
+(SURVEY.md §4); this module defines ours:
+
+- Output is a directory per logical partition:
+      {root}/{stage}/part={key}/data.parquet
+      {root}/{stage}/part={key}/_manifest.json
+- The manifest records the stage name, a fingerprint of the stage config,
+  the row count, and completion; it is written LAST (atomic rename), so a
+  crash mid-write leaves an incomplete partition that re-runs.
+- On re-run with the same fingerprint, complete partitions are skipped:
+  their rows are filtered out BEFORE the shuffle, so a resumed 100-TB job
+  only moves the missing partitions' data.
+
+The write itself is distributed: rows are hash-partitioned by key with a
+``groupby(pkey).map_groups`` and each partition is written inside the
+worker that owns it — no data funnels through the driver; the driver only
+collects the per-partition manifest rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+MANIFEST_NAME = "_manifest.json"
+PKEY = "__pkey"
+
+
+def fingerprint(obj: Any) -> str:
+    """Deterministic fingerprint of a JSON-able config/input descriptor."""
+    return hashlib.sha256(
+        json.dumps(obj, sort_keys=True, default=str).encode()
+    ).hexdigest()[:16]
+
+
+def partition_dir(root: str, stage: str, key: int | str) -> str:
+    if isinstance(key, int):
+        key = f"{key:05d}"
+    return os.path.join(root, stage, f"part={key}")
+
+
+def manifest_path(root: str, stage: str, key: int | str) -> str:
+    return os.path.join(partition_dir(root, stage, key), MANIFEST_NAME)
+
+
+def partition_complete(root: str, stage: str, key: int | str, fp: str) -> bool:
+    """True when this partition was already written under the same
+    fingerprint (the resume skip-check)."""
+    try:
+        with open(manifest_path(root, stage, key)) as f:
+            m = json.load(f)
+        return m.get("fingerprint") == fp and m.get("complete") is True
+    except (OSError, json.JSONDecodeError):
+        return False
+
+
+def write_partition(
+    root: str,
+    stage: str,
+    key: int | str,
+    table: pa.Table,
+    fp: str,
+    extra: dict | None = None,
+) -> dict:
+    """Write one partition's data then its manifest (manifest last)."""
+    d = partition_dir(root, stage, key)
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(table, os.path.join(d, "data.parquet"))
+    manifest = {
+        "stage": stage,
+        "partition": key if isinstance(key, str) else f"{key:05d}",
+        "fingerprint": fp,
+        "num_rows": table.num_rows,
+        "schema": [f.name for f in table.schema],
+        "complete": True,
+    }
+    if extra:
+        manifest.update(extra)
+    mp = manifest_path(root, stage, key)
+    tmp = mp + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, mp)
+    return manifest
+
+
+def _hash_partition_ids(col: pa.ChunkedArray | pa.Array, num_partitions: int) -> np.ndarray:
+    """Stable partition assignment from a key column (any type → hash)."""
+    if pa.types.is_integer(col.type):
+        v = np.asarray(col.to_numpy(zero_copy_only=False), dtype=np.uint64)
+        # splitmix64-style scramble so sequential ids spread evenly
+        v = (v ^ (v >> 30)) * np.uint64(0xBF58476D1CE4E5B9)
+        v = (v ^ (v >> 27)) * np.uint64(0x94D049BB133111EB)
+        v = v ^ (v >> 31)
+        return (v % np.uint64(num_partitions)).astype(np.int64)
+    # string/other: use Arrow-independent stable python hash (md5 prefix)
+    vals = col.to_pylist()
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(str(s).encode()).digest()[:8], "little")
+            % num_partitions
+            for s in vals
+        ),
+        dtype=np.int64,
+        count=len(vals),
+    )
+
+
+def write_dataset_resumable(
+    ds,
+    root: str,
+    stage: str,
+    config_desc: Any,
+    partition_col: str,
+    num_partitions: int = 16,
+) -> dict:
+    """Materialize a Dataset to resumable hash-partitioned Parquet.
+
+    Returns a summary dict; per-partition manifests land next to the data.
+    """
+    fp = fingerprint({"stage": stage, "config": config_desc, "np": num_partitions})
+    done = {
+        i for i in range(num_partitions) if partition_complete(root, stage, i, fp)
+    }
+    if len(done) == num_partitions:
+        return {
+            "stage": stage,
+            "skipped": len(done),
+            "written": 0,
+            "partitions": num_partitions,
+            "fingerprint": fp,
+        }
+
+    done_arr = np.zeros(num_partitions, dtype=bool)
+    for i in done:
+        done_arr[i] = True
+
+    def assign(batch: pa.Table) -> pa.Table:
+        pk = _hash_partition_ids(batch[partition_col].combine_chunks(), num_partitions)
+        batch = batch.append_column(PKEY, pa.array(pk, pa.int64()))
+        # resume: drop rows belonging to already-complete partitions
+        if done_arr.any():
+            batch = batch.filter(pa.array(~done_arr[pk]))
+        return batch
+
+    def write_group(group: pa.Table) -> pa.Table:
+        key = int(group[PKEY][0].as_py())
+        table = group.drop_columns([PKEY])
+        m = write_partition(root, stage, key, table, fp)
+        return pa.table(
+            {"partition": pa.array([key], pa.int64()),
+             "num_rows": pa.array([m["num_rows"]], pa.int64())}
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    manifests = assigned.groupby(PKEY).map_groups(
+        write_group, batch_format="pyarrow"
+    )
+    rows = manifests.take_all()  # small: one row per partition
+    written = {int(r["partition"]) for r in rows}
+    # partitions with zero rows still need (empty) manifests for resume
+    for i in range(num_partitions):
+        if i not in written and i not in done:
+            write_partition(root, stage, i, pa.table({}), fp)
+    return {
+        "stage": stage,
+        "skipped": len(done),
+        "written": num_partitions - len(done),
+        "partitions": num_partitions,
+        "fingerprint": fp,
+    }
+
+
+def read_partitioned(root: str, stage: str):
+    """Read a resumable-partitioned stage output back as a Dataset."""
+    import ray
+
+    paths = []
+    stage_dir = os.path.join(root, stage)
+    for part in sorted(os.listdir(stage_dir)):
+        p = os.path.join(stage_dir, part, "data.parquet")
+        if os.path.exists(p) and pq.ParquetFile(p).metadata.num_rows > 0:
+            paths.append(p)
+    return ray.data.read_parquet(paths)

@@ -1,0 +1,172 @@
+"""KG extension tests: triple lift, union-find canonicalization,
+node/edge aggregates, resumable lineage writes (FIXTURES.md §8)."""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from phrasekit_ray.config import BuildConfig, KGConfig, TagConfig
+from phrasekit_ray.core.artifact import build_artifact
+from phrasekit_ray.stages import kg as kgmod
+from phrasekit_ray.stages.build import put_artifact
+from phrasekit_ray.stages.tag import tag_corpus
+from phrasekit_ray.state import lineage
+
+
+PHRASES = [
+    {"tokens": ["rat", "cdk10"], "phrase_id": 1000, "salience": 5.0, "count": 30},
+    {"tokens": ["rat", "cdk10", "oligo"], "phrase_id": 1001, "salience": 6.0, "count": 10},
+    {"tokens": ["rat", "cdk10", "protein"], "phrase_id": 1002, "salience": 6.0, "count": 10},
+    {"tokens": ["lysis", "buffer"], "phrase_id": 1003, "salience": 4.0, "count": 20},
+    {"tokens": ["master", "mix"], "phrase_id": 1004, "salience": 4.0, "count": 20},
+]
+
+
+@pytest.fixture(scope="module")
+def artifact():
+    art, _ = build_artifact(PHRASES, BuildConfig())
+    return art
+
+
+def test_alias_edges_prefix_rule(artifact):
+    edges = set(kgmod.alias_edges_from_artifact(artifact))
+    # "rat cdk10" is a proper prefix of both longer phrases
+    assert edges == {(1000, 1001), (1000, 1002)}
+
+
+def test_canonical_mapping_min_id(artifact):
+    edges = kgmod.alias_edges_from_artifact(artifact)
+    mapping = kgmod.canonical_mapping(artifact.phrase_ids, edges)
+    assert mapping[1000] == mapping[1001] == mapping[1002] == 1000
+    assert mapping[1003] == 1003
+    assert mapping[1004] == 1004
+
+
+def test_union_find_chain_and_determinism():
+    uf = kgmod.UnionFind()
+    uf.union(5, 3)
+    uf.union(3, 9)
+    uf.union(1, 9)
+    assert len({uf.find(x) for x in (1, 3, 5, 9)}) == 1
+    assert uf.find(5) == 1  # smallest id is root
+    mapping = kgmod.canonical_mapping([1, 3, 5, 9, 20], [(5, 3), (3, 9), (1, 9)])
+    assert mapping == {1: 1, 3: 1, 5: 1, 9: 1, 20: 20}
+
+
+def tagged_ds(artifact, docs):
+    import ray
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [d for d, _ in docs],
+                "tokens": pa.array([t for _, t in docs], pa.list_(pa.string())),
+            }
+        )
+    )
+    return tag_corpus(ds, put_artifact(artifact), TagConfig(), concurrency=1)
+
+
+DOCS = [
+    ("doc_1", ["the", "rat", "cdk10", "oligo", "was", "in", "lysis", "buffer"]),
+    ("doc_2", ["master", "mix", "and", "rat", "cdk10", "protein"]),
+    ("doc_3", ["nothing", "here"]),
+]
+
+
+def test_mentions_flatten(ray_session, artifact):
+    m = kgmod.mentions_from_tagged(tagged_ds(artifact, DOCS))
+    rows = sorted(m.iter_rows(), key=lambda r: (r["doc_id"], r["start"]))
+    assert [(r["doc_id"], r["start"], r["end"], r["phrase_id"]) for r in rows] == [
+        ("doc_1", 1, 4, 1001),
+        ("doc_1", 6, 8, 1003),
+        ("doc_2", 0, 2, 1004),
+        ("doc_2", 3, 6, 1002),
+    ]
+
+
+def test_triples_adjacent_pairing_canonicalized(ray_session, artifact):
+    edges = kgmod.alias_edges_from_artifact(artifact)
+    mapping = kgmod.canonical_mapping(artifact.phrase_ids, edges)
+    t = kgmod.triples_from_tagged(tagged_ds(artifact, DOCS), mapping, KGConfig())
+    rows = sorted(t.iter_rows(), key=lambda r: r["doc_id"])
+    # doc_1: (rat cdk10 oligo → 1000, lysis buffer 1003)
+    # doc_2: (master mix 1004, rat cdk10 protein → 1000)
+    assert [(r["doc_id"], r["subj"], r["pred"], r["obj"]) for r in rows] == [
+        ("doc_1", 1000, "co_mentioned_with", 1003),
+        ("doc_2", 1004, "co_mentioned_with", 1000),
+    ]
+
+
+def test_triples_gap_cap(ray_session, artifact):
+    mapping = {int(p): int(p) for p in artifact.phrase_ids}
+    doc = (
+        "x1",
+        ["rat", "cdk10"] + ["pad"] * 60 + ["lysis", "buffer"],
+    )
+    t = kgmod.triples_from_tagged(
+        tagged_ds(artifact, [doc]), mapping, KGConfig(max_pair_distance=50)
+    )
+    assert t.count() == 0
+
+
+def test_node_and_edge_tables(ray_session, artifact):
+    edges_a = kgmod.alias_edges_from_artifact(artifact)
+    mapping = kgmod.canonical_mapping(artifact.phrase_ids, edges_a)
+    names = kgmod.canonical_names_from_artifact(artifact, mapping)
+    tg = tagged_ds(artifact, DOCS)
+    mentions = kgmod.mentions_from_tagged(tg)
+    nodes = {r["entity_id"]: r for r in kgmod.node_table(mentions, mapping, names).iter_rows()}
+    assert nodes[1000]["n_mentions"] == 2  # oligo + protein variants
+    assert nodes[1000]["canonical"] == "rat cdk10"
+    assert nodes[1003]["n_mentions"] == 1
+    triples = kgmod.triples_from_tagged(tg, mapping, KGConfig())
+    edges = list(kgmod.edge_table(triples).iter_rows())
+    assert {(e["subj"], e["obj"], e["weight"]) for e in edges} == {
+        (1000, 1003, 1),
+        (1004, 1000, 1),
+    }
+
+
+def test_resumable_write_skips_complete(ray_session, tmp_path, artifact):
+    import ray
+
+    root = str(tmp_path / "kg_out")
+    t = pa.table(
+        {
+            "entity_id": pa.array(range(100), pa.uint64()),
+            "n": pa.array([1] * 100, pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    s1 = lineage.write_dataset_resumable(ds, root, "nodes", {"v": 1}, "entity_id", 4)
+    assert s1["written"] == 4 and s1["skipped"] == 0
+    back = lineage.read_partitioned(root, "nodes")
+    assert back.count() == 100
+    assert sorted(r["entity_id"] for r in back.iter_rows()) == list(range(100))
+    # second run with identical fingerprint: all partitions skipped
+    s2 = lineage.write_dataset_resumable(ds, root, "nodes", {"v": 1}, "entity_id", 4)
+    assert s2["skipped"] == 4 and s2["written"] == 0
+    # config change → new fingerprint → rewrite
+    s3 = lineage.write_dataset_resumable(ds, root, "nodes", {"v": 2}, "entity_id", 4)
+    assert s3["written"] == 4
+
+
+def test_resumable_write_partial_resume(ray_session, tmp_path):
+    import ray
+
+    root = str(tmp_path / "kg_out2")
+    t = pa.table(
+        {
+            "entity_id": pa.array(range(64), pa.uint64()),
+            "n": pa.array([1] * 64, pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    lineage.write_dataset_resumable(ds, root, "nodes", {"v": 1}, "entity_id", 4)
+    # corrupt one partition: delete its manifest → incomplete
+    os.remove(lineage.manifest_path(root, "nodes", 2))
+    s = lineage.write_dataset_resumable(ds, root, "nodes", {"v": 1}, "entity_id", 4)
+    assert s["skipped"] == 3 and s["written"] == 1
+    assert lineage.read_partitioned(root, "nodes").count() == 64
