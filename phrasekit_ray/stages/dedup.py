@@ -1,0 +1,371 @@
+"""Deduplication operators over a documents corpus.
+
+No reference analog (phrasekit has only key-dedup in aggregation —
+SURVEY.md §2.7); these are the large-scale training-data operators the
+north rule adds: exact dedup, MinHash+LSH near-dup, SimHash, and n-gram
+Jaccard verification.
+
+Scale shapes:
+- exact: md5(text) computed in-block → groupby(hash).min(doc_id) — the
+  shuffle moves 16-byte keys, never the documents.
+- minhash-LSH: per-block vectorized shingle→minhash signatures
+  (np.minimum.reduceat over permuted hashes), banded; the shuffle key is
+  (band, 8-byte band digest). Groups >1 emit candidate pairs; pairs are
+  ≪ corpus and are union-found on the driver.
+- simhash: 64-bit weighted fingerprint per doc, fully in-block.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from phrasekit_ray.core import normalize
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _text_md5_u64(texts: list[str]) -> np.ndarray:
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+            for t in texts
+        ),
+        dtype=np.uint64,
+        count=len(texts),
+    )
+
+
+# --- exact dedup -----------------------------------------------------------
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Dataset → Dataset(doc_id) of kept representatives (min id per
+    identical text). Hash-partition + per-group first (SURVEY.md/task)."""
+
+    def to_hash(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        return pa.table(
+            {
+                "text_hash": pa.array(_text_md5_u64(texts), pa.uint64()),
+                id_col: batch[id_col],
+            }
+        )
+
+    hashed = ds.map_batches(to_hash, batch_format="pyarrow")
+    kept = hashed.groupby("text_hash").min(id_col)
+    return kept.map_batches(
+        lambda b: pa.table({id_col: b[f"min({id_col})"]}),
+        batch_format="pyarrow",
+    )
+
+
+# --- minhash + LSH ---------------------------------------------------------
+
+def _minhash_params(num_perm: int, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _shingle_hashes(tokens_list: pa.ListArray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Flat k-shingle hashes + per-doc offsets (docs with < k tokens get one
+    sentinel shingle so they never collide)."""
+    offsets = tokens_list.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    base = offsets[0]
+    offsets = offsets - base
+    flat = tokens_list.values.slice(base, int(offsets[-1]))
+    toks = flat.to_pylist()
+    tok_h = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+            for t in toks
+        ),
+        dtype=np.uint64,
+        count=len(toks),
+    )
+    sizes = np.diff(offsets)
+    out_h: list[np.ndarray] = []
+    out_off = [0]
+    pos = 0
+    for m in sizes:
+        m = int(m)
+        seg = tok_h[pos : pos + m]
+        if m >= k:
+            # rolling combine of k token hashes (order-sensitive)
+            sh = seg[: m - k + 1].copy()
+            for j in range(1, k):
+                sh = sh * np.uint64(1099511628211) ^ seg[j : m - k + 1 + j]
+        else:
+            sh = np.array([np.uint64(m)], dtype=np.uint64) if m else np.array(
+                [np.uint64(0)], dtype=np.uint64
+            )
+        out_h.append(sh)
+        out_off.append(out_off[-1] + len(sh))
+        pos += m
+    return np.concatenate(out_h) if out_h else np.zeros(0, np.uint64), np.asarray(
+        out_off, dtype=np.int64
+    )
+
+
+def minhash_signatures(
+    tokens_list: pa.ListArray, num_perm: int = 64, shingle_k: int = 3, seed: int = 7
+) -> np.ndarray:
+    """(num_docs, num_perm) uint64 MinHash signature matrix, vectorized via
+    np.minimum.reduceat per permutation."""
+    a, b = _minhash_params(num_perm, seed)
+    flat, offsets = _shingle_hashes(tokens_list, shingle_k)
+    n_docs = len(offsets) - 1
+    sig = np.empty((n_docs, num_perm), dtype=np.uint64)
+    if n_docs == 0:
+        return sig
+    starts = offsets[:-1]
+    for p in range(num_perm):
+        vals = (a[p] * flat + b[p]) % _MERSENNE
+        sig[:, p] = np.minimum.reduceat(vals, starts) if len(flat) else 0
+    return sig
+
+
+def minhash_band_rows(
+    batch: pa.Table,
+    id_col: str,
+    tokens_col: str,
+    num_perm: int,
+    bands: int,
+    shingle_k: int,
+) -> pa.Table:
+    """Per-batch: docs → (band, digest, doc_id) rows for the LSH groupby."""
+    tokens = batch[tokens_col].combine_chunks()
+    sig = minhash_signatures(tokens, num_perm, shingle_k)
+    n_docs = sig.shape[0]
+    r = num_perm // bands
+    band_ids = np.repeat(np.arange(bands, dtype=np.int32), n_docs)
+    digests = np.empty(bands * n_docs, dtype=np.uint64)
+    for bd in range(bands):
+        seg = np.ascontiguousarray(sig[:, bd * r : (bd + 1) * r])
+        # fold the r 64-bit values into one digest
+        d = seg[:, 0].copy()
+        for j in range(1, r):
+            d = d * np.uint64(1099511628211) ^ seg[:, j]
+        digests[bd * n_docs : (bd + 1) * n_docs] = d
+    ids = batch[id_col].combine_chunks()
+    id_rep = pa.concat_arrays([ids] * bands) if bands > 1 else ids
+    return pa.table(
+        {
+            "band": pa.array(band_ids, pa.int32()),
+            "digest": pa.array(digests, pa.uint64()),
+            id_col: id_rep,
+        }
+    )
+
+
+def minhash_candidate_pairs(
+    ds,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+):
+    """Dataset(doc_id, tokens) → Dataset(left, right) candidate near-dup
+    pairs (docs sharing ≥1 LSH band bucket). Pair emission happens inside
+    map_groups, so only buckets with >1 doc produce rows."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return minhash_band_rows(batch, id_col, tokens_col, num_perm, bands, shingle_k)
+
+    rows = ds.map_batches(fn, batch_format="pyarrow")
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(group[id_col].to_pylist())
+        if len(ids) < 2:
+            return pa.table(
+                {"left": pa.array([], pa.int64()), "right": pa.array([], pa.int64())}
+            )
+        # star from the min id keeps pair count linear in bucket size
+        left = [ids[0]] * (len(ids) - 1)
+        return pa.table(
+            {"left": pa.array(left, pa.int64()), "right": pa.array(ids[1:], pa.int64())}
+        )
+
+    cand = rows.groupby(["band", "digest"]).map_groups(pairs, batch_format="pyarrow")
+    return cand
+
+
+def near_dedup_minhash(
+    ds,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> dict[int, int]:
+    """Full near-dedup: candidate pairs → union-find → {doc_id: rep_id}
+    mapping for docs that belong to a duplicate cluster. Pairs are
+    model-sized (≪ corpus), so the union-find runs on the driver."""
+    from phrasekit_ray.stages.kg import UnionFind
+
+    cand = minhash_candidate_pairs(ds, id_col, tokens_col, num_perm, bands, shingle_k)
+    uf = UnionFind()
+    members: set[int] = set()
+    for b in cand.iter_batches(batch_format="pyarrow"):
+        for l, r in zip(b["left"].to_pylist(), b["right"].to_pylist()):
+            uf.union(int(l), int(r))
+            members.add(int(l))
+            members.add(int(r))
+    return {m: uf.find(m) for m in members}
+
+
+# --- simhash ---------------------------------------------------------------
+
+def simhash_fingerprints(ds, id_col: str = "doc_id", tokens_col: str = "tokens"):
+    """Dataset(doc_id, tokens) → Dataset(doc_id, simhash: uint64).
+
+    Classic 64-bit SimHash: per-token 64-bit hash, bit-votes weighted by
+    term frequency, sign → bits. Fully in-block (no shuffle)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        tokens = batch[tokens_col].combine_chunks()
+        offsets = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        base = offsets[0]
+        offsets = offsets - base
+        flat = tokens.values.slice(base, int(offsets[-1]))
+        toks = flat.to_pylist()
+        th = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+                for t in toks
+            ),
+            dtype=np.uint64,
+            count=len(toks),
+        )
+        bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+            np.int64
+        ) * 2 - 1
+        starts = offsets[:-1]
+        n_docs = len(starts)
+        fp = np.zeros(n_docs, dtype=np.uint64)
+        if len(th):
+            votes = np.add.reduceat(bits, starts, axis=0)
+            # docs with zero tokens: reduceat duplicates next row; mask below
+            sizes = np.diff(offsets)
+            fpbits = (votes > 0).astype(np.uint64)
+            fp = (fpbits << np.arange(64, dtype=np.uint64)[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+            fp[sizes == 0] = 0
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "simhash": pa.array(fp, pa.uint64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def hamming_distance(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+# --- n-gram jaccard (verification kernel) ----------------------------------
+
+def ngram_jaccard(tokens_a: list[str], tokens_b: list[str], k: int = 3) -> float:
+    """Exact k-shingle Jaccard similarity of two token sequences (the
+    verification step after LSH candidate generation)."""
+    sa = {tuple(tokens_a[i : i + k]) for i in range(max(0, len(tokens_a) - k + 1))}
+    sb = {tuple(tokens_b[i : i + k]) for i in range(max(0, len(tokens_b) - k + 1))}
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+# --- embedding cosine near-dup ---------------------------------------------
+
+def embedding_near_dup_pairs(
+    ds,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 16,
+    seed: int = 11,
+):
+    """Dataset(vec_id, embedding) → Dataset(left, right, cosine) near-dup
+    pairs. Scale path: random-hyperplane LSH buckets (sign bits of
+    `num_planes` projections) so only same-bucket vectors are compared;
+    exact cosine verification inside each bucket group."""
+
+    def buckets(batch: pa.Table) -> pa.Table:
+        emb = batch[vec_col].combine_chunks()
+        offsets = emb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        base = offsets[0]
+        dim = int(offsets[1] - offsets[0]) if len(offsets) > 1 else 0
+        mat = (
+            emb.values.slice(base, int(offsets[-1] - offsets[0]))
+            .to_numpy(zero_copy_only=False)
+            .reshape(len(batch), dim)
+            .astype(np.float32)
+        )
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((dim, num_planes)).astype(np.float32)
+        signs = (mat @ planes) > 0
+        key = (signs.astype(np.uint64) << np.arange(num_planes, dtype=np.uint64)).sum(
+            axis=1, dtype=np.uint64
+        )
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        return pa.table(
+            {
+                "bucket": pa.array(key, pa.uint64()),
+                id_col: batch[id_col],
+                "unit": pa.array(list(unit), pa.list_(pa.float32())),
+            }
+        )
+
+    def verify(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2:
+            return pa.table(
+                {
+                    "left": pa.array([], pa.int64()),
+                    "right": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float32()),
+                }
+            )
+        ids = np.asarray(group[id_col].to_pylist())
+        emb = group["unit"].combine_chunks()
+        offs = emb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        dim = int(offs[1] - offs[0])
+        mat = (
+            emb.values.slice(offs[0], int(offs[-1] - offs[0]))
+            .to_numpy(zero_copy_only=False)
+            .reshape(n, dim)
+        )
+        sim = mat @ mat.T
+        iu, ju = np.triu_indices(n, k=1)
+        keep = sim[iu, ju] >= threshold
+        order = np.argsort(ids)
+        inv_ids = ids  # already raw ids
+        return pa.table(
+            {
+                "left": pa.array(
+                    np.minimum(inv_ids[iu[keep]], inv_ids[ju[keep]]), pa.int64()
+                ),
+                "right": pa.array(
+                    np.maximum(inv_ids[iu[keep]], inv_ids[ju[keep]]), pa.int64()
+                ),
+                "cosine": pa.array(sim[iu, ju][keep].astype(np.float32), pa.float32()),
+            }
+        )
+
+    return (
+        ds.map_batches(buckets, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pyarrow")
+    )

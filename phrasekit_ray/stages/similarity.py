@@ -1,0 +1,165 @@
+"""Similarity search over an embedding column (list<float>).
+
+Training-data extension: brute-force cosine top-k as the exact baseline
+(per-batch numpy matmul against a broadcast query matrix — the corpus
+streams, queries are the small side), plus an LSH-bucketed approximate
+variant as the scale path (shares the random-hyperplane bucketing with
+dedup.embedding_near_dup_pairs).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+
+def _matrix(emb_col: pa.ListArray) -> np.ndarray:
+    offsets = emb_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    base = offsets[0]
+    dim = int(offsets[1] - offsets[0]) if len(offsets) > 1 else 0
+    return (
+        emb_col.values.slice(base, int(offsets[-1] - base))
+        .to_numpy(zero_copy_only=False)
+        .reshape(len(emb_col), dim)
+        .astype(np.float32)
+    )
+
+
+def _normalize_rows(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return mat / norms[:, None]
+
+
+def brute_force_topk(
+    ds,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+):
+    """Exact cosine top-k: Dataset(vec_id, embedding) × query matrix →
+    pyarrow Table(query_id, vec_id, cosine, rank).
+
+    The corpus streams through map_batches emitting per-batch top-k
+    (k·|queries| rows per batch); the driver merges the per-batch heaps —
+    driver traffic is O(batches · q · k), never the corpus.
+    """
+    import ray
+
+    qmat = _normalize_rows(np.asarray(queries, dtype=np.float32))
+    q_ref = ray.put(qmat)
+    qids = list(query_ids)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from phrasekit_ray.stages.score import _get_broadcast
+
+        q = _get_broadcast(q_ref)
+        mat = _normalize_rows(_matrix(batch[vec_col].combine_chunks()))
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        sims = q @ mat.T  # (nq, nb)
+        nq, nb = sims.shape
+        kk = min(k + (1 if exclude_self else 0), nb)
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows_q, rows_v, rows_s = [], [], []
+        for qi in range(nq):
+            rows_q.append(np.full(kk, qi, dtype=np.int64))
+            rows_v.append(ids[idx[qi]])
+            rows_s.append(sims[qi, idx[qi]])
+        return pa.table(
+            {
+                "qi": pa.array(np.concatenate(rows_q), pa.int64()),
+                id_col: pa.array(np.concatenate(rows_v), pa.int64()),
+                "cosine": pa.array(
+                    np.concatenate(rows_s).astype(np.float32), pa.float32()
+                ),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    heaps: dict[int, list] = {i: [] for i in range(len(qids))}
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for qi, vid, cs in zip(
+            b["qi"].to_pylist(), b[id_col].to_pylist(), b["cosine"].to_pylist()
+        ):
+            if exclude_self and vid == qids[qi]:
+                continue
+            h = heaps[qi]
+            item = (cs, -vid)  # tie-break: smaller vec_id wins
+            if len(h) < k:
+                heapq.heappush(h, item)
+            elif item > h[0]:
+                heapq.heapreplace(h, item)
+    out_q, out_v, out_s, out_r = [], [], [], []
+    for qi, h in heaps.items():
+        ranked = sorted(h, key=lambda x: (-x[0], -x[1]))
+        for rank, (cs, negv) in enumerate(ranked, 1):
+            out_q.append(qids[qi])
+            out_v.append(-negv)
+            out_s.append(cs)
+            out_r.append(rank)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            id_col: pa.array(out_v, pa.int64()),
+            "cosine": pa.array(np.asarray(out_s, dtype=np.float32), pa.float32()),
+            "rank": pa.array(out_r, pa.int32()),
+        }
+    )
+
+
+def lsh_topk(
+    ds,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    probes: int = 1,
+    seed: int = 11,
+):
+    """Approximate top-k: candidates limited to vectors whose
+    random-hyperplane sign-bucket matches the query's (plus optional
+    multi-probe buckets at Hamming distance 1). Same output schema as
+    brute_force_topk; recall < 1 by construction (scale path)."""
+    import ray
+
+    qmat = _normalize_rows(np.asarray(queries, dtype=np.float32))
+    dim = qmat.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, num_planes)).astype(np.float32)
+
+    def bucket_of(mat: np.ndarray) -> np.ndarray:
+        signs = (mat @ planes) > 0
+        return (signs.astype(np.uint64) << np.arange(num_planes, dtype=np.uint64)).sum(
+            axis=1, dtype=np.uint64
+        )
+
+    qbuckets = bucket_of(qmat)
+    allowed: set[int] = set()
+    for qb in qbuckets:
+        allowed.add(int(qb))
+        if probes > 0:
+            for bit in range(num_planes):
+                allowed.add(int(qb) ^ (1 << bit))
+    allowed_arr = np.asarray(sorted(allowed), dtype=np.uint64)
+    a_ref = ray.put(allowed_arr)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        from phrasekit_ray.stages.score import _get_broadcast
+
+        allow = _get_broadcast(a_ref)
+        mat = _normalize_rows(_matrix(batch[vec_col].combine_chunks()))
+        bk = bucket_of(mat)
+        pos = np.searchsorted(allow, bk)
+        pos = np.minimum(pos, len(allow) - 1)
+        keep = allow[pos] == bk
+        return batch.filter(pa.array(keep))
+
+    cand = ds.map_batches(prefilter, batch_format="pyarrow")
+    return brute_force_topk(cand, qmat, query_ids, k, id_col, vec_col)

@@ -1,0 +1,176 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. Training-data extensions (no reference analog);
+all stateless, fully in-block map_batches over Arrow.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from phrasekit_ray.core import normalize
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": {"the", "and", "of", "to", "in", "a", "is", "for", "was", "with", "on"},
+    "de": {"der", "die", "das", "und", "ist", "zu", "den", "von", "mit", "für"},
+    "es": {"el", "la", "de", "que", "y", "en", "los", "del", "se", "las", "por"},
+    "fr": {"le", "la", "de", "et", "les", "des", "en", "un", "du", "une", "est"},
+}
+
+
+def token_counts(ds, text_col: str = "text", id_col: str = "doc_id", **kw):
+    """Dataset → (doc_id, n_tokens) — whitespace tokenizer count
+    (SQL-oracle-expressible)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = normalize.tokenize_string_array(
+            batch[text_col].combine_chunks(), lowercase=False
+        )
+        sizes = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": pa.array(sizes.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", **kw)
+
+
+def bpe_ish_token_counts(ds, text_col: str = "text", id_col: str = "doc_id", **kw):
+    """Sub-word-ish token count: whitespace pieces plus punctuation splits
+    (a BPE-ish regex proxy for tokenizer budgeting)."""
+    import re
+
+    pat = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        n = np.fromiter(
+            (len(pat.findall(t or "")) for t in texts), dtype=np.int64, count=len(texts)
+        )
+        return pa.table({id_col: batch[id_col], "n_bpe_tokens": pa.array(n, pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow", **kw)
+
+
+def language_id(ds, text_col: str = "text", id_col: str = "doc_id", **kw):
+    """Stopword-profile language heuristic → (doc_id, lang_pred, lang_score).
+
+    lang_score = stopword hit ratio of the winning language; "und" when no
+    profile scores > 0."""
+    profiles = {k: frozenset(v) for k, v in STOPWORDS.items()}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks_arr = normalize.tokenize_string_array(batch[text_col].combine_chunks())
+        langs, scores = [], []
+        for toks in toks_arr.to_pylist():
+            if not toks:
+                langs.append("und")
+                scores.append(0.0)
+                continue
+            ts = toks
+            best, best_score = "und", 0.0
+            for lang, sw in profiles.items():
+                hits = sum(1 for t in ts if t in sw)
+                score = hits / len(ts)
+                if score > best_score:
+                    best, best_score = lang, score
+            langs.append(best if best_score > 0 else "und")
+            scores.append(best_score)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "lang_pred": pa.array(langs, pa.string()),
+                "lang_score": pa.array(
+                    np.asarray(scores, dtype=np.float32), pa.float32()
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", **kw)
+
+
+def quality_scores(ds, text_col: str = "text", id_col: str = "doc_id", **kw):
+    """Heuristic quality features per doc:
+       n_chars, n_tokens, mean_token_len, alpha_ratio (alphabetic tokens /
+       tokens), stopword_ratio (en), quality flag (simple gate).
+    Vectorized with Arrow kernels where possible."""
+    en_sw = STOPWORDS["en"]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch[text_col].combine_chunks()
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = normalize.tokenize_string_array(text)
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        base = offsets[0]
+        offsets = offsets - base
+        flat = toks.values.slice(base, int(offsets[-1]))
+        sizes = np.diff(offsets)
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        is_alpha = pc.utf8_is_alpha(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = offsets[:-1]
+        n_tok = sizes.astype(np.int64)
+        safe = np.maximum(n_tok, 1)
+        sum_len = (
+            np.add.reduceat(tok_len, starts) if len(flat) else np.zeros_like(n_tok)
+        )
+        sum_alpha = (
+            np.add.reduceat(is_alpha, starts) if len(flat) else np.zeros_like(n_tok)
+        )
+        sum_len = np.where(n_tok > 0, sum_len, 0)
+        sum_alpha = np.where(n_tok > 0, sum_alpha, 0)
+        sw_hits = np.fromiter(
+            (
+                sum(1 for t in doc if t in en_sw)
+                for doc in toks.to_pylist()
+            ),
+            dtype=np.int64,
+            count=len(n_tok),
+        )
+        mean_len = (sum_len / safe).astype(np.float32)
+        alpha_ratio = (sum_alpha / safe).astype(np.float32)
+        sw_ratio = (sw_hits / safe).astype(np.float32)
+        ok = (n_tok >= 5) & (alpha_ratio >= 0.5) & (mean_len >= 2) & (mean_len <= 15)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_chars": pa.array(n_chars, pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "mean_token_len": pa.array(mean_len, pa.float32()),
+                "alpha_ratio": pa.array(alpha_ratio, pa.float32()),
+                "stopword_ratio": pa.array(sw_ratio, pa.float32()),
+                "quality_ok": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", **kw)
+
+
+def fingerprints(ds, text_col: str = "text", id_col: str = "doc_id", **kw):
+    """Polynomial rolling-hash 64-bit document fingerprint over lowercased
+    UTF-8 bytes: h = Σ b_i · P^(n-1-i) (mod 2^64), P = FNV prime.
+    Vectorized: one shared power table per batch, per-doc dot products."""
+
+    prime = np.uint64(1099511628211)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = [(t or "").lower().encode("utf-8") for t in batch[text_col].to_pylist()]
+        max_len = max((len(t) for t in texts), default=0)
+        pows = np.ones(max(max_len, 1), dtype=np.uint64)
+        if max_len > 1:
+            pows[1:] = prime
+            np.cumprod(pows, out=pows)  # uint64 wraps silently
+        out = np.zeros(len(texts), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            n = len(t)
+            if n:
+                b = np.frombuffer(t, dtype=np.uint8).astype(np.uint64)
+                out[i] = np.sum(b * pows[:n][::-1], dtype=np.uint64)
+        return pa.table(
+            {id_col: batch[id_col], "fingerprint": pa.array(out, pa.uint64())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", **kw)

@@ -1,0 +1,118 @@
+"""Dedup operator tests (exact, minhash-LSH, simhash, jaccard, embedding)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from phrasekit_ray.stages import dedup
+
+
+def docs_ds(rows):
+    import ray
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def tokens_ds(rows):
+    import ray
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "tokens": pa.array([r[1] for r in rows], pa.list_(pa.string())),
+            }
+        )
+    )
+
+
+def test_exact_dedup_keeps_min_id(ray_session):
+    ds = docs_ds([(3, "aaa"), (1, "aaa"), (2, "bbb"), (5, "aaa"), (4, "ccc")])
+    kept = sorted(r["doc_id"] for r in dedup.exact_dedup(ds).iter_rows())
+    assert kept == [1, 2, 4]
+
+
+def test_exact_dedup_no_dups_is_identity(ray_session):
+    ds = docs_ds([(i, f"text {i}") for i in range(20)])
+    kept = sorted(r["doc_id"] for r in dedup.exact_dedup(ds).iter_rows())
+    assert kept == list(range(20))
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm windowsill in the afternoon sun"
+).split()
+
+
+def _mutate(tokens, n_swap, seed):
+    rng = np.random.default_rng(seed)
+    out = list(tokens)
+    for _ in range(n_swap):
+        i = int(rng.integers(0, len(out)))
+        out[i] = f"xx{int(rng.integers(0, 100))}"
+    return out
+
+
+def test_minhash_near_dup_clusters(ray_session):
+    rows = [
+        (0, BASE),
+        (1, _mutate(BASE, 1, 1)),  # near-dup of 0
+        (2, _mutate(BASE, 1, 2)),  # near-dup of 0
+        (3, "completely different content about ray data pipelines and arrow".split()),
+        (4, "another unrelated document mentioning knowledge graphs".split()),
+    ]
+    mapping = dedup.near_dedup_minhash(tokens_ds(rows), num_perm=64, bands=16)
+    assert mapping.get(1) == 0 and mapping.get(2) == 0
+    assert 3 not in mapping and 4 not in mapping
+
+
+def test_minhash_signature_identical_docs_equal(ray_session):
+    t = pa.array([BASE, BASE], pa.list_(pa.string()))
+    sig = dedup.minhash_signatures(t.combine_chunks() if hasattr(t, "combine_chunks") else t)
+    assert np.array_equal(sig[0], sig[1])
+
+
+def test_simhash_close_for_near_dups(ray_session):
+    rows = [(0, BASE), (1, _mutate(BASE, 1, 1)), (2, "totally different words entirely".split())]
+    out = {r["doc_id"]: r["simhash"] for r in dedup.simhash_fingerprints(tokens_ds(rows)).iter_rows()}
+    d01 = dedup.hamming_distance(out[0], out[1])
+    d02 = dedup.hamming_distance(out[0], out[2])
+    assert d01 < d02
+    assert d01 <= 12
+
+
+def test_ngram_jaccard():
+    assert dedup.ngram_jaccard(BASE, BASE) == 1.0
+    assert dedup.ngram_jaccard(BASE, ["x"] * 30) == 0.0
+    j = dedup.ngram_jaccard(BASE, _mutate(BASE, 1, 1))
+    assert 0.5 < j < 1.0
+    assert dedup.ngram_jaccard([], []) == 1.0
+
+
+def test_embedding_near_dup_pairs(ray_session):
+    import ray
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((8, 16)).astype(np.float32)
+    # vec 8 = near-copy of vec 0
+    vecs = np.vstack([base, base[0] + 0.01 * rng.standard_normal(16).astype(np.float32)])
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(9), pa.int64()),
+                "embedding": pa.array([list(v) for v in vecs], pa.list_(pa.float32())),
+            }
+        )
+    )
+    pairs = list(
+        dedup.embedding_near_dup_pairs(ds, threshold=0.95).iter_rows()
+    )
+    assert {(p["left"], p["right"]) for p in pairs} == {(0, 8)}
+    assert pairs[0]["cosine"] > 0.99

@@ -1,0 +1,79 @@
+"""Similarity search tests: exact brute-force cosine top-k + LSH variant."""
+
+import numpy as np
+import pyarrow as pa
+
+from phrasekit_ray.stages import similarity
+
+
+def emb_ds(vecs):
+    import ray
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array([list(v) for v in vecs], pa.list_(pa.float32())),
+            }
+        )
+    )
+
+
+def brute_oracle(vecs, qids, k):
+    mat = np.asarray(vecs, dtype=np.float32)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    out = {}
+    for q in qids:
+        sims = mat @ mat[q]
+        order = sorted(
+            (i for i in range(len(vecs)) if i != q),
+            key=lambda i: (-sims[i], i),
+        )
+        out[q] = order[:k]
+    return out
+
+
+def test_brute_force_topk_matches_oracle(ray_session):
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((100, 24)).astype(np.float32)
+    qids = [0, 5, 9]
+    got = similarity.brute_force_topk(
+        emb_ds(vecs), vecs[qids], qids, k=10
+    )
+    want = brute_oracle(vecs, qids, 10)
+    by_q = {}
+    for q, v, r in zip(
+        got["query_id"].to_pylist(), got["vec_id"].to_pylist(), got["rank"].to_pylist()
+    ):
+        by_q.setdefault(q, []).append((r, v))
+    for q in qids:
+        ranked = [v for _, v in sorted(by_q[q])]
+        assert ranked == want[q]
+
+
+def test_brute_force_topk_across_many_blocks(ray_session):
+    import ray
+
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((300, 16)).astype(np.float32)
+    ds = emb_ds(vecs).repartition(7)
+    got = similarity.brute_force_topk(ds, vecs[[3]], [3], k=5)
+    want = brute_oracle(vecs, [3], 5)
+    ranked = [
+        v
+        for _, v in sorted(
+            zip(got["rank"].to_pylist(), got["vec_id"].to_pylist())
+        )
+    ]
+    assert ranked == want[3]
+
+
+def test_lsh_topk_finds_planted_neighbors(ray_session):
+    rng = np.random.default_rng(2)
+    vecs = rng.standard_normal((200, 32)).astype(np.float32)
+    # plant 3 near-copies of vec 0
+    for j, eps in ((150, 0.01), (151, 0.02), (152, 0.03)):
+        vecs[j] = vecs[0] + eps * rng.standard_normal(32).astype(np.float32)
+    got = similarity.lsh_topk(emb_ds(vecs), vecs[[0]], [0], k=3, num_planes=8, probes=1)
+    found = set(got["vec_id"].to_pylist())
+    assert {150, 151, 152} <= found

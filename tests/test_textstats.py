@@ -1,0 +1,77 @@
+"""Text analysis operator tests."""
+
+import numpy as np
+import pyarrow as pa
+
+from phrasekit_ray.stages import textstats
+
+
+def ds_of(rows):
+    import ray
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def test_token_counts(ray_session):
+    ds = ds_of([(1, "a b c"), (2, ""), (3, "  x   y  ")])
+    out = {r["doc_id"]: r["n_tokens"] for r in textstats.token_counts(ds).iter_rows()}
+    assert out == {1: 3, 2: 0, 3: 2}
+
+
+def test_bpe_ish_counts(ray_session):
+    ds = ds_of([(1, "hello, world!"), (2, "a1b2")])
+    out = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in textstats.bpe_ish_token_counts(ds).iter_rows()
+    }
+    assert out[1] == 4  # hello , world !
+    assert out[2] == 4  # a 1 b 2
+
+
+def test_language_id(ray_session):
+    ds = ds_of(
+        [
+            (1, "the cat is in the house and the dog is on the mat"),
+            (2, "der hund ist in der küche und die katze ist da"),
+            (3, "el perro y el gato en la casa de los vecinos"),
+            (4, "zzz qqq www"),
+        ]
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in textstats.language_id(ds).iter_rows()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "es"
+    assert out[4] == "und"
+
+
+def test_quality_scores(ray_session):
+    ds = ds_of(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "!!! ??? ### $$$ %%%"),
+            (3, "ok"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in textstats.quality_scores(ds).iter_rows()}
+    assert out[1]["quality_ok"] is True or out[1]["quality_ok"] == True  # noqa: E712
+    assert not out[2]["quality_ok"]  # zero alpha ratio
+    assert not out[3]["quality_ok"]  # too short
+    assert out[1]["n_tokens"] == 9
+    assert abs(out[1]["alpha_ratio"] - 1.0) < 1e-6
+
+
+def test_fingerprints_deterministic_and_distinct(ray_session):
+    ds = ds_of([(1, "Hello World"), (2, "hello world"), (3, "other text")])
+    out = {r["doc_id"]: r["fingerprint"] for r in textstats.fingerprints(ds).iter_rows()}
+    # case-insensitive: 1 == 2, distinct from 3
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+    out2 = {r["doc_id"]: r["fingerprint"] for r in textstats.fingerprints(ds).iter_rows()}
+    assert out == out2
