@@ -4,41 +4,49 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: neither
+this module nor the phrasekit_ray library calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship KG pipeline on /root/testdata/sf0.001: pages (derived
+    deterministically from the documents table per BASELINE.json
+    input_hint) → extract → mine → score → build → tag → triples →
+    canonicalized edges. Returns the edge table."""
+    from phrasekit_ray.config import MineConfig, ScoreConfig
+    from phrasekit_ray.pipelines.kg import run_kg_pipeline
+    from phrasekit_ray.sources.pages import DEMO_BACKGROUND, pages_from_documents
+
+    pages = pages_from_documents("/root/testdata/sf0.001")
+    res = run_kg_pipeline(
+        pages,
+        {" ".join(t): c for t, c in DEMO_BACKGROUND},
+        MineConfig(min_n=2, max_n=5, min_count=3),
+        ScoreConfig(min_domain_count=3),
+        tag_concurrency=(1, 4),
+    )
+    return res.edges
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from phrasekit_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from phrasekit_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,719 @@
+"""Driver-facing query pack: one entry per operator (SURVEY.md §2 + the
+training-data extensions), each with a DuckDB-oracle SQL twin where the
+semantics are ANSI-SQL-expressible.
+
+Conventions (driver contract, __ray_entry__.py):
+- every callable takes ``sf_dir`` and returns a Dataset / pyarrow Table;
+- column names AND types match the SQL side (ints cast to int64, floats
+  to float64) because the driver hashes values after sorting columns by
+  name;
+- float-producing queries recompute the compared value in float64 (one
+  IEEE op sequence, bit-identical to DuckDB) or round both sides; the f32
+  reference-parity path is covered by unit tests instead (tests/).
+
+Tokenization over the ``documents`` table is lowercase whitespace split —
+the table ships lowercase single-spaced ASCII text, so the SQL twin is
+``string_split(text, ' ')``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from phrasekit_ray.config import KGConfig, MineConfig, ScoreConfig, TagConfig
+from phrasekit_ray.stages import dedup, kg as kgmod, similarity, textstats
+from phrasekit_ray.stages.build import build_from_scored, put_artifact
+from phrasekit_ray.stages.extract import tokenize_documents
+from phrasekit_ray.stages.mine import mine_ngrams
+from phrasekit_ray.stages.score import score_ngrams
+from phrasekit_ray.stages.tag import tag_corpus
+
+EN = " WHERE lang = 'en'"
+NON_EN = " WHERE lang <> 'en'"
+
+
+def _docs(sf_dir: str, lang: str | None = None, exclude_lang: str | None = None):
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    if lang is not None:
+        ds = ds.map_batches(
+            lambda b, l=lang: b.filter(pc.equal(b["lang"], l)),
+            batch_format="pyarrow",
+        )
+    if exclude_lang is not None:
+        ds = ds.map_batches(
+            lambda b, l=exclude_lang: b.filter(pc.not_equal(b["lang"], l)),
+            batch_format="pyarrow",
+        )
+    return ds
+
+
+def _embeddings(sf_dir: str):
+    import ray
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+
+def _collect(ds) -> pa.Table:
+    if isinstance(ds, pa.Table):
+        return ds
+    tables = list(ds.iter_batches(batch_format="pyarrow"))
+    if not tables:
+        # preserve schema for empty results
+        schema = ds.schema()
+        return pa.table(
+            {n: pa.array([], type=t) for n, t in zip(schema.names, schema.types)}
+        )
+    return pa.concat_tables(tables, promote_options="default")
+
+
+def _cast(table: pa.Table, **types: pa.DataType) -> pa.Table:
+    for c, t in types.items():
+        if c in table.column_names:
+            i = table.column_names.index(c)
+            table = table.set_column(i, c, table[c].cast(t))
+    return table
+
+
+def _i64(table: pa.Table, *cols: str) -> pa.Table:
+    return _cast(table, **{c: pa.int64() for c in cols})
+
+
+# --- SQL building blocks ---------------------------------------------------
+
+def sql_toks(where: str = "") -> str:
+    return (
+        "SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok, "
+        "generate_subscripts(string_split(text, ' '), 1) AS pos "
+        f"FROM documents{where}"
+    )
+
+
+def sql_ngrams(n: int, where: str = "", min_count: int = 1) -> str:
+    if n == 1:
+        return (
+            f"WITH toks AS ({sql_toks(where)}) "
+            "SELECT tok AS ngram, count(*) AS count FROM toks GROUP BY 1 "
+            f"HAVING count(*) >= {min_count}"
+        )
+    joins = " ".join(
+        f"JOIN toks t{k} ON t{k}.doc_id = t0.doc_id AND t{k}.pos = t0.pos + {k}"
+        for k in range(1, n)
+    )
+    concat = " || ' ' || ".join(f"t{k}.tok" for k in range(n))
+    return (
+        f"WITH toks AS ({sql_toks(where)}) "
+        f"SELECT {concat} AS ngram, count(*) AS count "
+        f"FROM toks t0 {joins} GROUP BY 1 HAVING count(*) >= {min_count}"
+    )
+
+
+# the scored-bigram CTE shared by score/tag/kg oracles: domain = en docs,
+# background = non-en docs, ratio salience in f64, min_salience 2.0
+SQL_SCORED = (
+    "WITH dom AS ({dom}), bg AS ({bg}), "
+    "joined AS ("
+    "  SELECT dom.ngram, dom.count AS domain_count, "
+    "         COALESCE(bg.count, 0) AS background_count "
+    "  FROM dom LEFT JOIN bg USING (ngram) WHERE dom.count >= {min_dom}), "
+    "scored AS ("
+    "  SELECT ngram, domain_count, background_count, "
+    "         CAST(domain_count AS DOUBLE) / (background_count + 1) AS salience "
+    "  FROM joined "
+    "  WHERE CAST(domain_count AS DOUBLE) / (background_count + 1) >= {min_sal}), "
+    "phrases AS ("
+    "  SELECT *, 999 + CAST(row_number() OVER (ORDER BY salience DESC, ngram ASC) AS BIGINT) "
+    "         AS phrase_id FROM scored)"
+).format(
+    dom=sql_ngrams(2, EN, 1),
+    bg=sql_ngrams(2, NON_EN, 1),
+    min_dom="{min_dom}",
+    min_sal="{min_sal}",
+)
+
+SQL_MENTIONS = (
+    "{scored}, toks2 AS ({toks}), "
+    "windows AS ("
+    "  SELECT t0.doc_id, t0.pos - 1 AS start, t0.pos + 1 AS \"end\", "
+    "         t0.tok || ' ' || t1.tok AS ngram "
+    "  FROM toks2 t0 JOIN toks2 t1 "
+    "    ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1), "
+    "mentions AS ("
+    "  SELECT w.doc_id, w.start, w.\"end\", p.phrase_id "
+    "  FROM windows w JOIN phrases p USING (ngram))"
+)
+
+
+def _sql_scored(min_dom: int = 3, min_sal: float = 2.0) -> str:
+    return SQL_SCORED.format(min_dom=min_dom, min_sal=min_sal)
+
+
+def _sql_mentions(min_dom: int = 3, min_sal: float = 2.0) -> str:
+    return SQL_MENTIONS.format(scored=_sql_scored(min_dom, min_sal), toks=sql_toks())
+
+
+# --- shared Ray-side sub-pipelines ----------------------------------------
+
+def _mined(sf_dir: str, n_lo: int, n_hi: int, min_count: int, where_lang=None,
+           exclude_lang=None):
+    docs = tokenize_documents(_docs(sf_dir, lang=where_lang, exclude_lang=exclude_lang))
+    return mine_ngrams(docs, MineConfig(min_n=n_lo, max_n=n_hi, min_count=min_count))
+
+
+def _scored_bigrams(sf_dir: str, min_dom: int = 3, min_sal: float = 2.0):
+    """domain = en bigrams, background = non-en bigrams; salience recomputed
+    in float64 for oracle-exact comparison (ratio = one IEEE division)."""
+    domain = _mined(sf_dir, 2, 2, 1, where_lang="en")
+    background = _collect(_mined(sf_dir, 2, 2, 1, exclude_lang="en"))
+    scored = score_ngrams(
+        domain,
+        dict(zip(background["ngram"].to_pylist(),
+                 (background["count"].to_pylist() if "count" in background.column_names else []))),
+        ScoreConfig(method="ratio", min_domain_count=min_dom, min_salience=min_sal,
+                    starting_phrase_id=1000),
+    )
+    t = _collect(scored)
+    d = t["domain_count"].to_numpy().astype(np.int64)
+    b = t["background_count"].to_numpy().astype(np.int64)
+    sal64 = d.astype(np.float64) / (b + 1).astype(np.float64)
+    t = t.set_column(
+        t.column_names.index("salience"), "salience", pa.array(sal64, pa.float64())
+    )
+    return _i64(t, "domain_count", "background_count", "phrase_id")
+
+
+def _tagged_all_bigrams(sf_dir: str, min_dom: int = 3, min_sal: float = 2.0):
+    """Full pipeline (mine→score→build→tag) with policy=all bigram phrases
+    over ALL documents — SQL-oracle-expressible tag output."""
+    phrases = _scored_bigrams(sf_dir, min_dom, min_sal)
+    artifact, _ = build_from_scored(phrases)
+    ref = put_artifact(artifact)
+    docs = tokenize_documents(_docs(sf_dir))
+    return (
+        tag_corpus(
+            docs,
+            ref,
+            TagConfig(policy="all", max_spans=1_000_000),
+            concurrency=(1, 4),
+            batch_size=512,
+        ),
+        artifact,
+    )
+
+
+# --- mining queries --------------------------------------------------------
+
+def q_mine_bigrams(sf_dir: str):
+    return _i64(_collect(_mined(sf_dir, 2, 2, 5)), "count")
+
+
+def q_mine_unigrams(sf_dir: str):
+    return _i64(_collect(_mined(sf_dir, 1, 1, 20)), "count")
+
+
+def q_mine_top100_trigrams(sf_dir: str):
+    ds = _mined(sf_dir, 3, 3, 2).sort(["count", "ngram"], descending=[True, False]).limit(100)
+    return _i64(_collect(ds), "count")
+
+
+def q_enumerate_bigrams(sf_dir: str):
+    """phrase_id enumeration over an integer sort — oracle for the
+    zipWithIndex operator with zero float risk."""
+    from phrasekit_ray.state.rowindex import with_row_index
+
+    ds = _mined(sf_dir, 2, 2, 5).sort(["count", "ngram"], descending=[True, False])
+    out = with_row_index(ds, col="phrase_id", start=1000)
+    return _i64(_collect(out), "count", "phrase_id")
+
+
+# --- scoring queries -------------------------------------------------------
+
+def q_score_ratio(sf_dir: str):
+    return _scored_bigrams(sf_dir, min_dom=3, min_sal=2.0)
+
+
+def q_score_pmi(sf_dir: str):
+    """PMI salience, rounded to 6 decimals on both sides (log2 may differ
+    in the last ulp between numpy and DuckDB)."""
+    domain = _mined(sf_dir, 2, 2, 1, where_lang="en")
+    bg_t = _collect(_mined(sf_dir, 2, 2, 1, exclude_lang="en"))
+    bg = dict(zip(bg_t["ngram"].to_pylist(), bg_t["count"].to_pylist()))
+    t = _collect(domain)
+    d = t["count"].to_numpy().astype(np.int64)
+    ngrams = t["ngram"].to_pylist()
+    b = np.fromiter((bg.get(x, 0) for x in ngrams), dtype=np.int64, count=len(ngrams))
+    total_d = int(d.sum())
+    total_b = int(sum(bg.values()))
+    keep = d >= 3
+    with np.errstate(divide="ignore"):
+        pmi = np.log2(
+            (d / np.float64(total_d)) / np.where(b == 0, np.nan, b / np.float64(total_b))
+        )
+    pmi = np.where(b == 0, 10.0, pmi)
+    out = pa.table(
+        {
+            "ngram": pa.array(ngrams, pa.string()),
+            "domain_count": pa.array(d, pa.int64()),
+            "background_count": pa.array(b, pa.int64()),
+            "salience": pa.array(np.round(pmi, 6), pa.float64()),
+        }
+    ).filter(pa.array(keep))
+    return out
+
+
+def q_score_tfidf(sf_dir: str):
+    """TF-IDF salience in f64, rounded to 9 decimals both sides."""
+    domain = _mined(sf_dir, 2, 2, 1, where_lang="en")
+    bg_t = _collect(_mined(sf_dir, 2, 2, 1, exclude_lang="en"))
+    bg = dict(zip(bg_t["ngram"].to_pylist(), bg_t["count"].to_pylist()))
+    t = _collect(domain)
+    d = t["count"].to_numpy().astype(np.int64)
+    ngrams = t["ngram"].to_pylist()
+    b = np.fromiter((bg.get(x, 0) for x in ngrams), dtype=np.int64, count=len(ngrams))
+    total_d = int(d.sum())
+    keep = d >= 3
+    tf = d / np.float64(total_d)
+    idf = np.log((total_d + 1) / (b + 1).astype(np.float64))
+    out = pa.table(
+        {
+            "ngram": pa.array(ngrams, pa.string()),
+            "domain_count": pa.array(d, pa.int64()),
+            "background_count": pa.array(b, pa.int64()),
+            "salience": pa.array(np.round(tf * idf, 9), pa.float64()),
+        }
+    ).filter(pa.array(keep))
+    return out
+
+
+# --- tagging / KG queries --------------------------------------------------
+
+def q_tag_all_mentions(sf_dir: str):
+    tagged, _ = _tagged_all_bigrams(sf_dir)
+    mentions = kgmod.mentions_from_tagged(tagged)
+    return _i64(_collect(mentions), "start", "end", "phrase_id")
+
+
+def q_kg_nodes(sf_dir: str):
+    tagged, artifact = _tagged_all_bigrams(sf_dir)
+    mapping = {int(p): int(p) for p in artifact.phrase_ids}  # bigram-only: identity
+    names = kgmod.canonical_names_from_artifact(artifact, mapping)
+    nodes = kgmod.node_table(kgmod.mentions_from_tagged(tagged), mapping, names)
+    return _i64(_collect(nodes), "entity_id", "n_mentions")
+
+
+def q_kg_edges(sf_dir: str):
+    tagged, artifact = _tagged_all_bigrams(sf_dir)
+    mapping = {int(p): int(p) for p in artifact.phrase_ids}
+    triples = kgmod.triples_from_tagged(tagged, mapping, KGConfig())
+    edges = kgmod.edge_table(triples)
+    return _i64(_collect(edges), "subj", "obj", "weight")
+
+
+def q_kg_triples_flagship(sf_dir: str):
+    """Flagship KG path (leftmost_longest + prefix canonicalization over
+    2-5-gram phrases) — rows-only check (policy not SQL-expressible)."""
+    from phrasekit_ray.pipelines.kg import run_kg_pipeline
+    from phrasekit_ray.sources.pages import DEMO_BACKGROUND, pages_from_documents
+
+    pages = pages_from_documents(sf_dir)
+    res = run_kg_pipeline(
+        pages,
+        {" ".join(t): c for t, c in DEMO_BACKGROUND},
+        MineConfig(min_n=2, max_n=5, min_count=3),
+        ScoreConfig(min_domain_count=3),
+        tag_concurrency=(1, 4),
+    )
+    t = _collect(res.triples)
+    return _i64(t, "subj", "obj", "subj_start", "obj_start")
+
+
+# --- dedup / textstats queries --------------------------------------------
+
+def q_dedup_exact(sf_dir: str):
+    return _i64(_collect(dedup.exact_dedup(_docs(sf_dir))), "doc_id")
+
+
+def q_dedup_minhash(sf_dir: str):
+    docs = tokenize_documents(_docs(sf_dir))
+    mapping = dedup.near_dedup_minhash(docs)
+    items = sorted(mapping.items())
+    return pa.table(
+        {
+            "doc_id": pa.array([k for k, _ in items], pa.int64()),
+            "rep_id": pa.array([v for _, v in items], pa.int64()),
+        }
+    )
+
+
+def q_simhash(sf_dir: str):
+    docs = tokenize_documents(_docs(sf_dir))
+    t = _collect(dedup.simhash_fingerprints(docs))
+    return _i64(t, "doc_id")
+
+
+def q_token_counts(sf_dir: str):
+    return _i64(_collect(textstats.token_counts(_docs(sf_dir))), "doc_id", "n_tokens")
+
+
+def q_bpe_token_counts(sf_dir: str):
+    return _i64(
+        _collect(textstats.bpe_ish_token_counts(_docs(sf_dir))), "doc_id", "n_bpe_tokens"
+    )
+
+
+def q_quality(sf_dir: str):
+    t = _collect(textstats.quality_scores(_docs(sf_dir)))
+    return _i64(t.select(["doc_id", "n_chars", "n_tokens"]), "doc_id", "n_chars", "n_tokens")
+
+
+def q_langid(sf_dir: str):
+    t = _collect(textstats.language_id(_docs(sf_dir)))
+    return _i64(t.select(["doc_id", "lang_pred"]), "doc_id")
+
+
+def q_fingerprints(sf_dir: str):
+    t = _collect(textstats.fingerprints(_docs(sf_dir)))
+    # uint64 → decimal string (int64 would overflow; driver hashes strings fine)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "fingerprint": pa.array(
+                [str(v) for v in t["fingerprint"].to_pylist()], pa.string()
+            ),
+        }
+    )
+
+
+# --- similarity queries ----------------------------------------------------
+
+def q_knn_cosine(sf_dir: str):
+    ds = _embeddings(sf_dir)
+    first = _collect(ds).sort_by("vec_id").slice(0, 5)
+    qids = first["vec_id"].to_pylist()
+    qvecs = np.asarray(first["embedding"].to_pylist(), dtype=np.float32)
+    t = similarity.brute_force_topk(ds, qvecs, qids, k=10)
+    return _i64(t.select(["query_id", "vec_id"]), "query_id", "vec_id")
+
+
+def q_knn_lsh(sf_dir: str):
+    ds = _embeddings(sf_dir)
+    first = _collect(ds).sort_by("vec_id").slice(0, 5)
+    qids = first["vec_id"].to_pylist()
+    qvecs = np.asarray(first["embedding"].to_pylist(), dtype=np.float32)
+    t = similarity.lsh_topk(ds, qvecs, qids, k=10, num_planes=8, probes=1)
+    return _i64(t.select(["query_id", "vec_id"]), "query_id", "vec_id")
+
+
+def q_embed_near_dup(sf_dir: str):
+    return _i64(
+        _collect(similarity.exact_near_dup_pairs(_embeddings(sf_dir), threshold=0.4)),
+        "left",
+        "right",
+    )
+
+
+# --- relational breadth (generic engine ops on the star schema) ------------
+
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H-Q1-shaped aggregate, integer-exact outputs (no float-sum
+    order dependence): count + sum(qty) + sum(price cents)."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        qty = pc.cast(pc.round(b["l_quantity"]), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64())
+        t = pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "sum_qty": qty,
+                "sum_cents": cents,
+                "n_rows": pa.array(np.ones(len(b), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("sum_qty", "sum"), ("sum_cents", "sum"), ("n_rows", "sum")]
+        ).rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_cents", "n_rows"]
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .sum(["sum_qty", "sum_cents", "n_rows"])
+    )
+    out = _collect(agg).rename_columns(
+        ["l_returnflag", "l_linestatus", "sum_qty", "sum_cents", "n_rows"]
+    )
+    return _i64(out, "sum_qty", "sum_cents", "n_rows")
+
+
+def q_orders_priority_revenue(sf_dir: str):
+    """Broadcast join lineitem→orders (small side ray.put once), group by
+    priority — the J1 broadcast-lookup pattern on relational data."""
+    import ray
+
+    orders = _collect(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+        )
+    )
+    lut = dict(
+        zip(orders["o_orderkey"].to_pylist(), orders["o_orderpriority"].to_pylist())
+    )
+    lut_ref = ray.put(lut)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        from phrasekit_ray.stages.score import _get_broadcast
+
+        m = _get_broadcast(lut_ref)
+        keys = b["l_orderkey"].to_pylist()
+        prio = pa.array([m.get(k, "NONE") for k in keys], pa.string())
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64())
+        t = pa.table(
+            {
+                "o_orderpriority": prio,
+                "sum_cents": cents,
+                "n_items": pa.array(np.ones(len(b), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["o_orderpriority"]).aggregate(
+            [("sum_cents", "sum"), ("n_items", "sum")]
+        ).rename_columns(["o_orderpriority", "sum_cents", "n_items"])
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .sum(["sum_cents", "n_items"])
+    )
+    out = _collect(agg).rename_columns(["o_orderpriority", "sum_cents", "n_items"])
+    return _i64(out, "sum_cents", "n_items")
+
+
+def q_events_type_stats(sf_dir: str):
+    import ray
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64())
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "sum_value_cents": cents,
+                "n_events": pa.array(np.ones(len(b), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["event_type"]).aggregate(
+            [("sum_value_cents", "sum"), ("n_events", "sum")]
+        ).rename_columns(["event_type", "sum_value_cents", "n_events"])
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .sum(["sum_value_cents", "n_events"])
+    )
+    out = _collect(agg).rename_columns(["event_type", "sum_value_cents", "n_events"])
+    return _i64(out, "sum_value_cents", "n_events")
+
+
+# --- runtime matcher (rows-only) -------------------------------------------
+
+def q_match_runtime(sf_dir: str):
+    """Runtime matcher goldens through the hot-reloadable API (fixture
+    artifact; reference spec/phrasekit_spec.rb)."""
+    from phrasekit_ray.core.artifact import fixture_artifact
+    from phrasekit_ray.runtime import PhraseMatcherRuntime
+
+    rt = PhraseMatcherRuntime()
+    rt.load(fixture_artifact())
+    cases = [
+        ([100, 101], "leftmost_longest"),
+        ([100, 101, 102], "leftmost_longest"),
+        ([100, 101, 102], "leftmost_first"),
+        ([100, 101, 102], "salience_max"),
+        ([100, 101, 50, 200, 101], "leftmost_longest"),
+        ([999999, 888888], "leftmost_longest"),
+    ]
+    rows = []
+    for i, (ids, policy) in enumerate(cases):
+        for m in rt.match_tokens(ids, policy=policy):
+            rows.append((i, policy, m["start"], m["end"], m["phrase_id"]))
+    return pa.table(
+        {
+            "case": pa.array([r[0] for r in rows], pa.int64()),
+            "policy": pa.array([r[1] for r in rows], pa.string()),
+            "start": pa.array([r[2] for r in rows], pa.int64()),
+            "end": pa.array([r[3] for r in rows], pa.int64()),
+            "phrase_id": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
+# --- registry --------------------------------------------------------------
+
+QUERIES = {
+    "q_mine_bigrams": q_mine_bigrams,
+    "q_mine_unigrams": q_mine_unigrams,
+    "q_mine_top100_trigrams": q_mine_top100_trigrams,
+    "q_enumerate_bigrams": q_enumerate_bigrams,
+    "q_score_ratio": q_score_ratio,
+    "q_score_pmi": q_score_pmi,
+    "q_score_tfidf": q_score_tfidf,
+    "q_tag_all_mentions": q_tag_all_mentions,
+    "q_kg_nodes": q_kg_nodes,
+    "q_kg_edges": q_kg_edges,
+    "q_kg_triples_flagship": q_kg_triples_flagship,
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_minhash": q_dedup_minhash,
+    "q_simhash": q_simhash,
+    "q_token_counts": q_token_counts,
+    "q_bpe_token_counts": q_bpe_token_counts,
+    "q_quality": q_quality,
+    "q_langid": q_langid,
+    "q_fingerprints": q_fingerprints,
+    "q_knn_cosine": q_knn_cosine,
+    "q_knn_lsh": q_knn_lsh,
+    "q_embed_near_dup": q_embed_near_dup,
+    "q_lineitem_pricing": q_lineitem_pricing,
+    "q_orders_priority_revenue": q_orders_priority_revenue,
+    "q_events_type_stats": q_events_type_stats,
+    "q_match_runtime": q_match_runtime,
+}
+
+
+ORACLE_SQL = {
+    "q_mine_bigrams": sql_ngrams(2, min_count=5),
+    "q_mine_unigrams": sql_ngrams(1, min_count=20),
+    "q_mine_top100_trigrams": (
+        sql_ngrams(3, min_count=2) + " ORDER BY count DESC, ngram ASC LIMIT 100"
+    ),
+    "q_enumerate_bigrams": (
+        f"WITH base AS ({sql_ngrams(2, min_count=5)}) "
+        "SELECT ngram, count, "
+        "999 + CAST(row_number() OVER (ORDER BY count DESC, ngram ASC) AS BIGINT) AS phrase_id "
+        "FROM base"
+    ),
+    "q_score_ratio": (
+        _sql_scored(3, 2.0)
+        + " SELECT ngram, salience, phrase_id, domain_count, background_count FROM phrases"
+    ),
+    "q_score_pmi": (
+        "WITH dom AS ({dom}), bg AS ({bg}), "
+        "tot AS (SELECT (SELECT sum(count) FROM dom) AS td, "
+        "               (SELECT sum(count) FROM bg) AS tb), "
+        "j AS (SELECT dom.ngram, dom.count AS domain_count, "
+        "             COALESCE(bg.count, 0) AS background_count "
+        "      FROM dom LEFT JOIN bg USING (ngram) WHERE dom.count >= 3) "
+        "SELECT ngram, domain_count, background_count, "
+        "       CASE WHEN background_count = 0 THEN 10.0 "
+        "            ELSE ROUND(log2((CAST(domain_count AS DOUBLE) / td) / "
+        "                            (CAST(background_count AS DOUBLE) / tb)), 6) "
+        "       END AS salience "
+        "FROM j, tot"
+    ).format(dom=sql_ngrams(2, EN, 1), bg=sql_ngrams(2, NON_EN, 1)),
+    "q_score_tfidf": (
+        "WITH dom AS ({dom}), bg AS ({bg}), "
+        "tot AS (SELECT (SELECT sum(count) FROM dom) AS td), "
+        "j AS (SELECT dom.ngram, dom.count AS domain_count, "
+        "             COALESCE(bg.count, 0) AS background_count "
+        "      FROM dom LEFT JOIN bg USING (ngram) WHERE dom.count >= 3) "
+        "SELECT ngram, domain_count, background_count, "
+        "       ROUND((CAST(domain_count AS DOUBLE) / td) * "
+        "             ln(CAST(td + 1 AS DOUBLE) / (background_count + 1)), 9) AS salience "
+        "FROM j, tot"
+    ).format(dom=sql_ngrams(2, EN, 1), bg=sql_ngrams(2, NON_EN, 1)),
+    "q_tag_all_mentions": (
+        _sql_mentions() + " SELECT doc_id, start, \"end\", phrase_id FROM mentions"
+    ),
+    "q_kg_nodes": (
+        _sql_mentions()
+        + " SELECT p.phrase_id AS entity_id, p.ngram AS canonical, "
+        "count(*) AS n_mentions "
+        "FROM mentions m JOIN phrases p USING (phrase_id) GROUP BY 1, 2"
+    ),
+    "q_kg_edges": (
+        _sql_mentions()
+        + ", numbered AS ("
+        "  SELECT *, row_number() OVER "
+        "    (PARTITION BY doc_id ORDER BY start, \"end\") AS rn FROM mentions) "
+        "SELECT s.phrase_id AS subj, 'co_mentioned_with' AS pred, "
+        "       o.phrase_id AS obj, count(*) AS weight "
+        "FROM numbered s JOIN numbered o "
+        "  ON o.doc_id = s.doc_id AND o.rn = s.rn + 1 "
+        "     AND o.start - s.\"end\" <= 50 "
+        "GROUP BY 1, 2, 3"
+    ),
+    "q_dedup_exact": (
+        "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+    ),
+    "q_token_counts": (
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens "
+        "FROM documents"
+    ),
+    "q_bpe_token_counts": (
+        "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+        "'[A-Za-z]+|[0-9]+|[^ \\tA-Za-z0-9]')) AS BIGINT) AS n_bpe_tokens "
+        "FROM documents"
+    ),
+    "q_quality": (
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents"
+    ),
+    "q_knn_cosine": (
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
+        "           ORDER BY vec_id LIMIT 5), "
+        "sims AS (SELECT q.query_id, e.vec_id, "
+        "                list_cosine_similarity(q.qe, e.embedding) AS cos "
+        "         FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id), "
+        "ranked AS (SELECT *, row_number() OVER "
+        "  (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rn FROM sims) "
+        "SELECT query_id, vec_id FROM ranked WHERE rn <= 10"
+    ),
+    "q_embed_near_dup": (
+        "SELECT a.vec_id AS \"left\", b.vec_id AS \"right\" "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])) >= 0.4"
+    ),
+    "q_lineitem_pricing": (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "
+        "CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents, "
+        "count(*) AS n_rows "
+        "FROM lineitem GROUP BY 1, 2"
+    ),
+    "q_orders_priority_revenue": (
+        "SELECT o.o_orderpriority, "
+        "CAST(sum(CAST(round(l.l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents, "
+        "count(*) AS n_items "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "GROUP BY 1"
+    ),
+    "q_events_type_stats": (
+        "SELECT event_type, "
+        "CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_value_cents, "
+        "count(*) AS n_events "
+        "FROM events GROUP BY 1"
+    ),
+    # rows-only (non-SQL-expressible): q_kg_triples_flagship (overlap policy),
+    # q_dedup_minhash / q_simhash / q_fingerprints (hash functions),
+    # q_langid (argmax heuristic), q_knn_lsh (approximate), q_match_runtime
+}

@@ -112,6 +112,51 @@ def brute_force_topk(
     )
 
 
+def exact_near_dup_pairs(
+    ds,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Exact all-pairs cosine near-dup: every (i<j) pair with cosine ≥
+    threshold. The FULL (normalized) matrix is broadcast and each batch
+    compares its rows against it — O(N·dim) broadcast state, so this is
+    the oracle/verification variant for bounded tables; at corpus scale
+    use dedup.embedding_near_dup_pairs (LSH-bucketed)."""
+    import ray
+
+    rows = []
+    ids_all = []
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        rows.append(_matrix(b[vec_col].combine_chunks()).astype(np.float64))
+        ids_all.append(np.asarray(b[id_col].to_pylist(), dtype=np.int64))
+    full = _normalize_rows(np.vstack(rows)) if rows else np.zeros((0, 0), np.float64)
+    fids = np.concatenate(ids_all) if ids_all else np.zeros(0, np.int64)
+    ref = ray.put((full, fids))
+    thr = np.float64(threshold)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from phrasekit_ray.stages.score import _get_broadcast
+
+        fmat, fid = _get_broadcast(ref)
+        mat = _normalize_rows(
+            _matrix(batch[vec_col].combine_chunks()).astype(np.float64)
+        )
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        sims = mat @ fmat.T
+        bi, fj = np.nonzero(sims >= thr)
+        li, rj = ids[bi], fid[fj]
+        keep = li < rj  # dedupe + drop self
+        return pa.table(
+            {
+                "left": pa.array(li[keep], pa.int64()),
+                "right": pa.array(rj[keep], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def lsh_topk(
     ds,
     queries: np.ndarray,

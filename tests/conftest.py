@@ -24,4 +24,4 @@ def ray_session():
 
 @pytest.fixture(scope="session")
 def sf_dir():
-    return "/root/testdata/sf0.001"
+    return os.environ.get("PK_TEST_SF_DIR", "/root/testdata/sf0.001")
