@@ -1,0 +1,181 @@
+"""Benchmark harness (driver contract).
+
+Default mode: one fresh local Ray session, runs the headline KG pipeline
+plus the headline per-operator queries over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N,
+     "pages": N, "pages_per_sec": ...}
+
+``--scaling``: runs the headline pipeline twice in FRESH subprocesses
+(num_cpus=8 then num_cpus=32, same input) and reports throughput at both
+plus scaling efficiency = (thr_hi / thr_lo) / (cpus_hi / cpus_lo).
+This is the sandbox proxy for the N- vs 4N-node cluster rule
+(BASELINE.md "Target metric").
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+
+def _sf_dir() -> str:
+    return os.environ.get("GRAFT_SF_DIR", DEFAULT_SF_DIR)
+
+
+def _num_cpus() -> int:
+    return int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _sf_label(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return base[2:] if base.startswith("sf") else base
+
+
+def run_headline(sf_dir: str) -> dict:
+    """Flagship KG pipeline: pages → extract → mine → score → build →
+    tag (actor pool) → triples → canonicalize → edge aggregate.
+    Consumed streaming (count of edge rows), never fully materialized."""
+    from phrasekit_ray.config import MineConfig, ScoreConfig
+    from phrasekit_ray.pipelines.kg import run_kg_pipeline
+    from phrasekit_ray.sources.pages import DEMO_BACKGROUND, pages_from_documents
+
+    import pyarrow.parquet as pq
+
+    pages_n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    t0 = time.perf_counter()
+    res = run_kg_pipeline(
+        pages_from_documents(sf_dir),
+        {" ".join(t): c for t, c in DEMO_BACKGROUND},
+        MineConfig(min_n=2, max_n=5, min_count=3),
+        ScoreConfig(min_domain_count=3),
+        tag_concurrency=(1, 8),
+    )
+    n_edges = res.edges.count()
+    dt = time.perf_counter() - t0
+    return {
+        "sec": dt,
+        "pages": pages_n,
+        "pages_per_sec": pages_n / dt if dt > 0 else 0.0,
+        "edges": n_edges,
+    }
+
+
+def bench_queries(sf_dir: str) -> dict:
+    """Per-operator wall times for the headline query pack."""
+    from phrasekit_ray.pipelines.queries import QUERIES
+
+    names = [
+        "q_mine_bigrams",
+        "q_score_ratio",
+        "q_tag_all_mentions",
+        "q_kg_edges",
+        "q_dedup_exact",
+        "q_dedup_minhash",
+        "q_token_counts",
+        "q_langid",
+        "q_fingerprints",
+        "q_knn_cosine",
+        "q_lineitem_pricing",
+        "q_orders_priority_revenue",
+        "q_events_type_stats",
+    ]
+    out = {}
+    for name in names:
+        t0 = time.perf_counter()
+        res = QUERIES[name](sf_dir)
+        # force lazy datasets to execute
+        if hasattr(res, "count") and not hasattr(res, "column_names"):
+            res.count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def run_once(headline_only: bool = False) -> dict:
+    import ray
+
+    sf_dir = _sf_dir()
+    cpus = _num_cpus()
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=cpus, include_dashboard=False)
+    t0 = time.perf_counter()
+    head = run_headline(sf_dir)
+    queries = {} if headline_only else bench_queries(sf_dir)
+    total = time.perf_counter() - t0
+    result = {
+        "metric": "pages/sec end-to-end triple extraction (KG pipeline) + operator pack",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {"kg_headline": round(head["sec"], 3), **queries},
+        "sf": _sf_label(sf_dir),
+        "num_cpus": cpus,
+        "pages": head["pages"],
+        "pages_per_sec": round(head["pages_per_sec"], 2),
+        "edges": head["edges"],
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same headline job in two fresh processes at low/high parallelism."""
+    lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
+    runs = {}
+    for cpus in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker"],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        runs[cpus] = json.loads(line)
+    thr_lo = runs[lo]["pages_per_sec"]
+    thr_hi = runs[hi]["pages_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo) if thr_lo > 0 else 0.0
+    return {
+        "metric": "scaling efficiency (fresh ray.init at num_cpus=%d vs %d)" % (lo, hi),
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": runs[hi]["sf"],
+        "num_cpus": hi,
+        "queries": {
+            f"kg_headline_cpus{lo}": runs[lo]["queries"]["kg_headline"],
+            f"kg_headline_cpus{hi}": runs[hi]["queries"]["kg_headline"],
+        },
+        "pages_per_sec": {str(lo): thr_lo, str(hi): thr_hi},
+        "efficiency": round(eff, 3),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true", help="two-parallelism scaling run")
+    ap.add_argument(
+        "--worker", action="store_true", help="internal: single headline-only run"
+    )
+    args = ap.parse_args()
+    if args.scaling:
+        out = run_scaling()
+    elif args.worker:
+        out = run_once(headline_only=True)
+    else:
+        out = run_once()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
