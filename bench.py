@@ -45,21 +45,30 @@ def _sf_label(sf_dir: str) -> str:
 def run_headline(sf_dir: str) -> dict:
     """Flagship KG pipeline: pages → extract → mine → score → build →
     tag (actor pool) → triples → canonicalize → edge aggregate.
-    Consumed streaming (count of edge rows), never fully materialized."""
+    Consumed streaming (count of edge rows), never fully materialized.
+
+    ``GRAFT_BENCH_REPEAT`` replicates pages in-stream ×R (deterministic;
+    count thresholds scale ×R to keep the phrase set comparable) so the
+    job is compute-bound rather than fixed-overhead-bound — used by the
+    scaling run."""
+    import ray
+
     from phrasekit_ray.config import MineConfig, ScoreConfig
     from phrasekit_ray.pipelines.kg import run_kg_pipeline
     from phrasekit_ray.sources.pages import DEMO_BACKGROUND, pages_from_documents
 
     import pyarrow.parquet as pq
 
-    pages_n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    repeat = int(os.environ.get("GRAFT_BENCH_REPEAT", "1"))
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    pages_n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows * repeat
     t0 = time.perf_counter()
     res = run_kg_pipeline(
-        pages_from_documents(sf_dir),
+        pages_from_documents(sf_dir, repeat=repeat),
         {" ".join(t): c for t, c in DEMO_BACKGROUND},
-        MineConfig(min_n=2, max_n=5, min_count=3),
-        ScoreConfig(min_domain_count=3),
-        tag_concurrency=(1, 8),
+        MineConfig(min_n=2, max_n=5, min_count=3 * repeat),
+        ScoreConfig(min_domain_count=3 * repeat),
+        tag_concurrency=(1, cpus),
     )
     n_edges = res.edges.count()
     dt = time.perf_counter() - t0
@@ -131,9 +140,10 @@ def run_scaling() -> dict:
     """Same headline job in two fresh processes at low/high parallelism."""
     lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
     hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
+    repeat = os.environ.get("GRAFT_BENCH_REPEAT", "20")
     runs = {}
     for cpus in (lo, hi):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_BENCH_REPEAT=repeat)
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker"],
             env=env,

@@ -49,11 +49,30 @@ class BuildStats:
 
 @dataclass
 class _PatternTable:
-    """All patterns of one length n, sorted for binary search."""
+    """All patterns of one length n, sorted for binary search.
+
+    ``keys`` are uint64 rolling-polynomial hashes of the n token ids
+    (salted if a hash collision between distinct patterns ever occurs);
+    ``mat`` holds the exact token-id rows in key order so candidate hits
+    are verified with vectorized uint32 comparisons — hashing is a fast
+    path, never a correctness assumption."""
 
     n: int
-    keys: np.ndarray  # void dtype (4*n bytes per row), sorted ascending
+    keys: np.ndarray  # uint64 hashes, sorted ascending
     pattern_idx: np.ndarray  # int64, same order as keys → payload index
+    mat: np.ndarray  # (len(keys), n) uint32 token ids, key order
+    salt: np.uint64
+
+
+_HASH_C = np.uint64(0x100000001B3)  # FNV-ish odd multiplier
+
+
+def _poly_hash_columns(cols: list[np.ndarray], salt: np.uint64) -> np.ndarray:
+    """uint64 polynomial hash over n aligned uint32 columns (mod 2^64)."""
+    acc = np.full(len(cols[0]), salt, dtype=np.uint64)
+    for c in cols:
+        acc = acc * _HASH_C + c.astype(np.uint64)
+    return acc
 
 
 class MatcherArtifact:
@@ -93,12 +112,24 @@ class MatcherArtifact:
             mat = np.empty((len(idxs), n), dtype=np.uint32)
             for row, i in enumerate(idxs):
                 mat[row] = self.encode_tokens(pattern_tokens[i])
-            keys = np.ascontiguousarray(mat).view(f"V{4 * n}").ravel()
+            # salted hash keys: bump the salt in the (astronomically rare)
+            # event two DISTINCT patterns collide, so lookups stay 1:1
+            salt = np.uint64(0)
+            while True:
+                keys = _poly_hash_columns(
+                    [mat[:, k] for k in range(n)], salt
+                )
+                uniq = np.unique(keys)
+                if len(uniq) == len(keys):
+                    break
+                salt = salt + np.uint64(1)
             order = np.argsort(keys)
             self._tables[n] = _PatternTable(
                 n=n,
                 keys=keys[order],
                 pattern_idx=np.asarray(idxs, dtype=np.int64)[order],
+                mat=np.ascontiguousarray(mat[order]),
+                salt=salt,
             )
 
     # -- encode ---------------------------------------------------------
@@ -131,20 +162,31 @@ class MatcherArtifact:
         for n, table in self._tables.items():
             if L < n:
                 continue
-            win = np.lib.stride_tricks.sliding_window_view(ids, n)
-            keys = np.ascontiguousarray(win).view(f"V{4 * n}").ravel()
+            m = L - n + 1
+            keys = _poly_hash_columns(
+                [ids[k : k + m] for k in range(n)], table.salt
+            )
             pos = np.searchsorted(table.keys, keys)
             pos_c = np.minimum(pos, len(table.keys) - 1)
             hit = table.keys[pos_c] == keys
             if n > 1:
-                hit &= doc_index[: L - n + 1] == doc_index[n - 1 :]
-            starts = np.flatnonzero(hit)
+                hit &= doc_index[:m] == doc_index[n - 1 :]
+            cand = np.flatnonzero(hit)
+            if len(cand) == 0:
+                continue
+            # exact verification of hash candidates (no window copies):
+            # compare each of the n id columns against the pattern row
+            rows = pos_c[cand]
+            ok = np.ones(len(cand), dtype=bool)
+            for k in range(n):
+                ok &= ids[cand + k] == table.mat[rows, k]
+            starts = cand[ok]
             if len(starts) == 0:
                 continue
             docs_out.append(doc_index[starts])
             starts_out.append(starts)
             ends_out.append(starts + n)
-            pidx_out.append(table.pattern_idx[pos_c[starts]])
+            pidx_out.append(table.pattern_idx[rows[ok]])
         if not docs_out:
             e = np.empty(0, dtype=np.int64)
             return e, e, e, e

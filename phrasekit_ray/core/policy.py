@@ -144,3 +144,107 @@ def truncate(ms: list[Match], max_matches: int) -> list[Match]:
     """Truncation happens AFTER resolution (reference matcher.rs:100-104,
     phrasekit_tag.rs:209-211; runtime default 32, tag default 100)."""
     return ms[:max_matches] if len(ms) > max_matches else ms
+
+
+def resolve_overlaps_batch(
+    docs: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    pidx: np.ndarray,
+    policy: str,
+    salience_scores: np.ndarray | None = None,
+    max_spans: int = 100,
+) -> np.ndarray:
+    """Batch formulation of ``resolve_overlaps`` + ``truncate`` over raw
+    hits from MANY documents at once (the tagger hot path — SURVEY.md M6-
+    M10). Semantically identical to running the per-list functions per doc
+    (property-tested in tests/test_policy.py); avoids per-match Python
+    object construction.
+
+    Inputs are parallel arrays in any order; returns indices into them of
+    the kept matches, ordered (doc asc, per-policy output order), with
+    per-doc ``max_spans`` truncation applied after resolution.
+    """
+    n = len(starts)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    # processing order: doc, then stable-sort-by-start over emission order
+    # (end asc) — equals each policy's entry order (policy.rs:54)
+    order = np.lexsort((ends, starts, docs))
+    d = docs[order]
+    s = starts[order].tolist()
+    e = ends[order].tolist()
+    doc_change = np.empty(n, dtype=bool)
+    doc_change[0] = True
+    np.not_equal(d[1:], d[:-1], out=doc_change[1:])
+
+    keep: list[int] = []
+    if policy == "all":
+        # raw pass-through in (start, end) order; truncation still per doc
+        cnt = 0
+        for i in range(n):
+            if doc_change[i]:
+                cnt = 0
+            if cnt < max_spans:
+                keep.append(i)
+                cnt += 1
+    elif policy in ("leftmost_longest", "leftmost_first"):
+        # equal-(doc,start) groups: leftmost_longest accepts the LAST of a
+        # run (max end — length ties impossible, duplicate patterns are
+        # rejected at build); leftmost_first accepts the FIRST
+        take_last = policy == "leftmost_longest"
+        i = 0
+        while i < n:
+            if doc_change[i]:
+                cur_end = 0
+                cnt = 0
+            j = i + 1
+            while j < n and not doc_change[j] and s[j] == s[i]:
+                j += 1
+            if s[i] >= cur_end:
+                c = (j - 1) if take_last else i
+                cur_end = e[c]
+                if cnt < max_spans:
+                    keep.append(c)
+                    cnt += 1
+            i = j
+    elif policy == "salience_max":
+        if salience_scores is None:
+            raise ValueError("salience_max requires salience_scores")
+        sc = salience_scores[pidx[order]].tolist()
+        i = 0
+        while i < n:
+            if doc_change[i]:
+                cnt = 0
+            # chain: run of matches overlapping ms[i] (start_j < end_i)
+            j = i + 1
+            while j < n and not doc_change[j] and s[j] < e[i]:
+                j += 1
+            best = i
+            best_score = sc[i]
+            for k in range(i + 1, j):
+                if sc[k] >= best_score:  # Rust max_by keeps last maximal
+                    best = k
+                    best_score = sc[k]
+            if cnt < max_spans:
+                keep.append(best)
+                cnt += 1
+            # resume at first match (from i) with start >= best.end
+            nxt = None
+            k = i
+            while k < n and not (k > i and doc_change[k]):
+                if s[k] >= e[best]:
+                    nxt = k
+                    break
+                k += 1
+            if nxt is None:
+                # skip to next doc
+                k = i + 1
+                while k < n and not doc_change[k]:
+                    k += 1
+                nxt = k
+            i = nxt
+    else:
+        raise ValueError(f"Unknown policy: {policy!r}")
+
+    return order[np.asarray(keep, dtype=np.int64)]

@@ -66,8 +66,10 @@ def _collect(ds) -> pa.Table:
         return ds
     tables = list(ds.iter_batches(batch_format="pyarrow"))
     if not tables:
-        # preserve schema for empty results
-        schema = ds.schema()
+        # preserve schema for empty results (None when zero blocks survive)
+        schema = ds.schema(fetch_if_missing=True)
+        if schema is None:
+            return pa.table({})
         return pa.table(
             {n: pa.array([], type=t) for n, t in zip(schema.names, schema.types)}
         )

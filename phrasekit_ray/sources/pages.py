@@ -157,13 +157,17 @@ def read_pages(path: str, columns: list[str] | None = None, **kwargs):
     return ray.data.read_parquet(path, columns=columns, **kwargs)
 
 
-def pages_from_documents(sf_dir: str, with_html: bool = False):
+def pages_from_documents(sf_dir: str, with_html: bool = False, repeat: int = 1):
     """Derive a pages Dataset of the hinted shape from the driver's
     ``documents`` testdata table, deterministically (doc_id → url/warc_ts).
 
     ``with_html=False`` skips materializing the html column (the text
     column is authoritative for these rows) — at 100 TB you never carry
     a binary column you don't read.
+
+    ``repeat`` > 1 replicates every row in-stream with distinct urls
+    (suffix ``#r{i}``) — a deterministic scale-up knob for benchmarks; no
+    extra storage reads, counts scale exactly ×repeat.
     """
     import ray
 
@@ -194,4 +198,17 @@ def pages_from_documents(sf_dir: str, with_html: bool = False):
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang", "source"],
     )
-    return ds.map_batches(to_pages, batch_format="pyarrow")
+    pages = ds.map_batches(to_pages, batch_format="pyarrow")
+    if repeat > 1:
+
+        def replicate(batch: pa.Table) -> pa.Table:
+            out = [batch]
+            for r in range(1, repeat):
+                urls = pa.array(
+                    [f"{u}#r{r}" for u in batch["url"].to_pylist()], pa.string()
+                )
+                out.append(batch.set_column(0, "url", urls))
+            return pa.concat_tables(out)
+
+        pages = pages.map_batches(replicate, batch_format="pyarrow")
+    return pages

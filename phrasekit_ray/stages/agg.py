@@ -1,0 +1,118 @@
+"""Vectorized distributed aggregation primitives.
+
+Ray Data's native ``groupby(key).sum()`` sort-shuffle aggregate combines
+rows on a slow per-row path for string keys (~100 µs/row measured at
+sf0.1 — it dominated the mine stage wall time). This module implements
+the same semantics as a two-phase hash aggregate where every per-row
+operation is a pyarrow C++ kernel:
+
+  phase 1 (map_batches, stateless): ``Table.group_by`` partial combine
+      within the block, plus an int32 ``_part = crc32(key) % P`` column —
+      the only thing the shuffle ever sorts is a small-int column.
+  phase 2 (groupby(_part).map_groups): per partition, one vectorized
+      ``Table.group_by`` finalize.
+
+Skew note (SURVEY.md §4): phase 1 collapses hot keys to ≤1 row per block
+per key, so a Zipfian key distribution reaches phase 2 with at most
+``num_blocks`` rows per key — the classic salted/partial-agg treatment.
+``num_partitions`` bounds the shuffle width; at cluster scale set it to a
+small multiple of total cores.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+_AGG_FUNCS = {"sum", "min", "max"}
+
+
+def _part_column(tbl: pa.Table, keys: list[str], num_partitions: int) -> pa.Array:
+    """int32 partition id from crc32 of the concatenated key columns
+    (runs once per combined row, post partial-combine)."""
+    n = tbl.num_rows
+    if n == 0:
+        return pa.array([], pa.int32())
+    acc = np.zeros(n, dtype=np.uint32)
+    for k in keys:
+        col = tbl[k]
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            h = np.fromiter(
+                (zlib.crc32(s.encode()) for s in col.to_pylist()),
+                dtype=np.uint32,
+                count=n,
+            )
+        else:
+            h = (
+                col.cast(pa.int64(), safe=False)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+            )
+            h = ((h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)).astype(
+                np.uint32
+            )
+        acc = acc * np.uint32(31) + h
+    return pa.array((acc % np.uint32(num_partitions)).astype(np.int32))
+
+
+def _arrow_aggregate(
+    tbl: pa.Table, keys: list[str], aggs: list[tuple[str, str]]
+) -> pa.Table:
+    """Table.group_by wrapper that restores plain output column names."""
+    out = tbl.group_by(keys).aggregate(aggs)
+    # arrow names results "<col>_<fn>" and keys keep their names; rename
+    # aggregates back to the input column names (our aggs never collide)
+    names = list(out.column_names)
+    rename = {f"{c}_{fn}": c for c, fn in aggs}
+    return out.rename_columns([rename.get(n, n) for n in names])
+
+
+def hash_aggregate(
+    ds,
+    keys: str | list[str],
+    aggs: list[tuple[str, str]],
+    num_partitions: int = 32,
+    **map_kwargs,
+):
+    """Dataset → Dataset grouped by ``keys`` with ``aggs`` = list of
+    (column, fn) where fn ∈ {sum, min, max}. count(*) is expressible as
+    sum over a ones column created upstream.
+
+    Semantics match ``ds.groupby(keys).sum/min/max`` but every per-row op
+    is a pyarrow kernel; the all-to-all shuffle key is an int32.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    for _, fn in aggs:
+        if fn not in _AGG_FUNCS:
+            raise ValueError(f"unsupported aggregate fn: {fn}")
+    out_cols = keys + [c for c, _ in aggs]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.select(out_cols)
+        combined = _arrow_aggregate(batch, keys, aggs)
+        return combined.append_column(
+            "_part", _part_column(combined, keys, num_partitions)
+        )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        return _arrow_aggregate(group.drop_columns(["_part"]), keys, aggs).select(
+            out_cols
+        )
+
+    partial_ds = ds.map_batches(partial, batch_format="pyarrow", **map_kwargs)
+    return partial_ds.groupby("_part").map_groups(finalize, batch_format="pyarrow")
+
+
+def grouped_count(ds, keys, count_col: str = "count", num_partitions: int = 32):
+    """count(*) per key group, vectorized (ones column + sum)."""
+    keys_l = [keys] if isinstance(keys, str) else list(keys)
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return batch.select(keys_l).append_column(
+            count_col, pa.array(np.ones(batch.num_rows, dtype=np.int64))
+        )
+
+    with_ones = ds.map_batches(ones, batch_format="pyarrow")
+    return hash_aggregate(with_ones, keys_l, [(count_col, "sum")], num_partitions)

@@ -24,6 +24,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from phrasekit_ray.core import normalize
+from phrasekit_ray.stages.agg import hash_aggregate
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -55,9 +56,9 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         )
 
     hashed = ds.map_batches(to_hash, batch_format="pyarrow")
-    kept = hashed.groupby("text_hash").min(id_col)
+    kept = hash_aggregate(hashed, "text_hash", [(id_col, "min")])
     return kept.map_batches(
-        lambda b: pa.table({id_col: b[f"min({id_col})"]}),
+        lambda b: pa.table({id_col: b[id_col]}),
         batch_format="pyarrow",
     )
 

@@ -33,6 +33,7 @@ import pyarrow.compute as pc
 
 from phrasekit_ray.config import KGConfig
 from phrasekit_ray.core.artifact import MatcherArtifact
+from phrasekit_ray.stages.agg import hash_aggregate
 
 
 # --- union-find (driver/single-task; edge set is model-sized) --------------
@@ -224,10 +225,10 @@ def node_table(mentions_ds, entity_lut_by_phrase: dict[int, int], canonical_name
             }
         )
 
-    agg = (
-        mentions_ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("entity_id")
-        .sum("n_mentions")
+    agg = hash_aggregate(
+        mentions_ds.map_batches(partial, batch_format="pyarrow"),
+        "entity_id",
+        [("n_mentions", "sum")],
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -238,7 +239,7 @@ def node_table(mentions_ds, entity_lut_by_phrase: dict[int, int], canonical_name
                 "canonical": pa.array(
                     [canonical_names.get(int(e), str(e)) for e in ents], pa.string()
                 ),
-                "n_mentions": batch["sum(n_mentions)"],
+                "n_mentions": batch["n_mentions"],
             }
         )
 
@@ -252,14 +253,10 @@ def edge_table(triples_ds):
         t = batch.group_by(["subj", "pred", "obj"]).aggregate([("subj", "count")])
         return t.rename_columns(["subj", "pred", "obj", "weight"])
 
-    agg = (
-        triples_ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["subj", "pred", "obj"])
-        .sum("weight")
-    )
-    return agg.map_batches(
-        lambda b: b.rename_columns(["subj", "pred", "obj", "weight"]),
-        batch_format="pyarrow",
+    return hash_aggregate(
+        triples_ds.map_batches(partial, batch_format="pyarrow"),
+        ["subj", "pred", "obj"],
+        [("weight", "sum")],
     )
 
 

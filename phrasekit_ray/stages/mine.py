@@ -26,6 +26,7 @@ import pyarrow.compute as pc
 
 from phrasekit_ray.config import MineConfig
 from phrasekit_ray.core import normalize
+from phrasekit_ray.stages.agg import hash_aggregate
 
 COUNT_TYPE = pa.uint64()
 
@@ -88,6 +89,7 @@ def mine_ngrams(
     tokens_col: str = "tokens",
     lowercase: bool = False,
     sort_output: bool = False,
+    shuffle_partitions: int = 32,
     **map_kwargs,
 ):
     """Dataset(tokens: list<string>) → Dataset(ngram: string, count: uint64).
@@ -105,11 +107,11 @@ def mine_ngrams(
         return _batch_ngram_counts(batch, config, tokens_col, lowercase)
 
     partial = ds.map_batches(fn, batch_format="pyarrow", **map_kwargs)
-    agg = partial.groupby("ngram").sum("count")
+    agg = hash_aggregate(
+        partial, "ngram", [("count", "sum")], num_partitions=shuffle_partitions
+    )
     agg = agg.map_batches(
-        lambda b: b.rename_columns(["ngram", "count"]).filter(
-            pc.greater_equal(b["sum(count)"], config.min_count)
-        ),
+        lambda b: b.filter(pc.greater_equal(b["count"], config.min_count)),
         batch_format="pyarrow",
     )
     if sort_output:

@@ -94,7 +94,12 @@ def score_ngrams(
     bg = background_to_dict(background)
     total_background = sum(bg.values())
     if total_domain is None:
-        total_domain = int(domain_ds.sum("count") or 0)
+        if config.method == "ratio":
+            # ratio = d/(b+1) uses no corpus totals (phrasekit_score.rs:
+            # 227-229) — skip the extra full-pipeline aggregate pass
+            total_domain = 0
+        else:
+            total_domain = int(domain_ds.sum("count") or 0)
     bg_ref = ray.put(bg)
 
     method = config.method

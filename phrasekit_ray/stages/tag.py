@@ -23,7 +23,7 @@ import pyarrow.compute as pc
 from phrasekit_ray.config import TagConfig, UNK_ID
 from phrasekit_ray.core import normalize
 from phrasekit_ray.core.artifact import MatcherArtifact
-from phrasekit_ray.core.policy import Match, resolve_overlaps, truncate
+from phrasekit_ray.core.policy import resolve_overlaps_batch
 
 SPAN_TYPE = pa.struct(
     [
@@ -92,46 +92,39 @@ class TaggerActor:
         ids = self._encode_flat(flat) if len(flat) else np.zeros(0, np.uint32)
         docs, starts, ends, pidx = self.artifact.find_matches_flat(ids, doc_index)
 
-        # per-doc resolution in emission order (end asc, start asc)
-        spans_per_doc: list[list[tuple[int, int, int]]] = [[] for _ in range(n_docs)]
         if len(docs):
-            order = np.lexsort((starts, ends, docs))
-            docs, starts, ends, pidx = (
-                docs[order],
-                starts[order],
-                ends[order],
-                pidx[order],
+            kept = resolve_overlaps_batch(
+                docs,
+                starts,
+                ends,
+                pidx,
+                self.config.policy,
+                self.artifact.salience_scores,
+                self.config.max_spans,
             )
-            scores = self.artifact.salience_scores
-            policy = self.config.policy
-            max_spans = self.config.max_spans
-            phrase_ids = self.artifact.phrase_ids
-            bounds = np.searchsorted(docs, np.arange(n_docs + 1))
-            for d in np.unique(docs):
-                lo, hi = bounds[d], bounds[d + 1]
-                off = offsets[d]
-                ms = [
-                    Match(int(s - off), int(e - off), int(p))
-                    for s, e, p in zip(starts[lo:hi], ends[lo:hi], pidx[lo:hi])
-                ]
-                resolved = truncate(resolve_overlaps(ms, policy, scores), max_spans)
-                spans_per_doc[d] = [
-                    (m.start, m.end, int(phrase_ids[m.idx])) for m in resolved
-                ]
+            kdocs = docs[kept]
+            kstarts = (starts[kept] - offsets[kdocs]).astype(np.int32)
+            kends = (ends[kept] - offsets[kdocs]).astype(np.int32)
+            kphrase = self.artifact.phrase_ids[pidx[kept]]
+        else:
+            kdocs = np.zeros(0, dtype=np.int64)
+            kstarts = np.zeros(0, dtype=np.int32)
+            kends = np.zeros(0, dtype=np.int32)
+            kphrase = np.zeros(0, dtype=np.uint32)
 
         label = self.config.label
+        span_counts = np.bincount(kdocs, minlength=n_docs) if n_docs else np.zeros(0)
         span_offsets = np.zeros(n_docs + 1, dtype=np.int32)
         if n_docs:
-            span_offsets[1:] = np.cumsum(
-                np.fromiter((len(s) for s in spans_per_doc), dtype=np.int32, count=n_docs)
-            )
-        flat_spans = [s for doc in spans_per_doc for s in doc]
-        struct_arr = pa.array(
+            span_offsets[1:] = np.cumsum(span_counts).astype(np.int32)
+        struct_arr = pa.StructArray.from_arrays(
             [
-                {"start": s, "end": e, "phrase_id": p, "label": label}
-                for s, e, p in flat_spans
+                pa.array(kstarts, pa.int32()),
+                pa.array(kends, pa.int32()),
+                pa.array(kphrase, pa.uint32()),
+                pa.array([label] * len(kstarts), pa.string()),
             ],
-            type=SPAN_TYPE,
+            fields=list(SPAN_TYPE),
         )
         spans_col = pa.ListArray.from_arrays(pa.array(span_offsets, pa.int32()), struct_arr)
 

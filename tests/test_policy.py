@@ -137,3 +137,61 @@ def test_leftmost_first_formulations_agree(ms):
     a = resolve_overlaps(list(ms), "leftmost_first")
     b = tag_formulation(list(ms), "leftmost_first")
     assert [(m.start, m.end) for m in a] == [(m.start, m.end) for m in b]
+
+
+# --- batch formulation equivalence (tagger hot path) -----------------------
+
+import numpy as np
+
+from phrasekit_ray.core.policy import resolve_overlaps_batch, truncate
+
+
+@st.composite
+def multi_doc_matches(draw):
+    n_docs = draw(st.integers(1, 4))
+    docs, starts, ends, idxs = [], [], [], []
+    seen = set()
+    for d in range(n_docs):
+        for i in range(draw(st.integers(0, 10))):
+            s = draw(st.integers(0, 15))
+            e = s + draw(st.integers(1, 5))
+            if (d, s, e) in seen:
+                continue
+            seen.add((d, s, e))
+            docs.append(d)
+            starts.append(s)
+            ends.append(e)
+            idxs.append(len(idxs))
+    return (
+        np.asarray(docs, dtype=np.int64),
+        np.asarray(starts, dtype=np.int64),
+        np.asarray(ends, dtype=np.int64),
+        np.asarray(idxs, dtype=np.int64),
+    )
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    multi_doc_matches(),
+    st.sampled_from(["leftmost_longest", "leftmost_first", "salience_max", "all"]),
+    st.integers(1, 6),
+)
+def test_batch_resolution_matches_list_formulation(data, policy, max_spans):
+    docs, starts, ends, idxs = data
+    rng = np.random.default_rng(0)
+    scores = rng.random(max(len(idxs), 1)).astype(np.float32)
+    kept = resolve_overlaps_batch(
+        docs, starts, ends, idxs, policy, scores, max_spans
+    )
+    got = [
+        (int(docs[k]), int(starts[k]), int(ends[k]), int(idxs[k])) for k in kept
+    ]
+    want = []
+    for d in sorted(set(docs.tolist())):
+        sel = [i for i in range(len(docs)) if docs[i] == d]
+        ms = emission_sort(
+            [Match(int(starts[i]), int(ends[i]), int(idxs[i])) for i in sel]
+        )
+        resolved = truncate(resolve_overlaps(ms, policy, scores), max_spans)
+        want.extend((d, m.start, m.end, m.idx) for m in resolved)
+    assert got == want
