@@ -63,12 +63,31 @@ def run_headline(sf_dir: str) -> dict:
     cpus = int(ray.cluster_resources().get("CPU", 8))
     pages_n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows * repeat
     t0 = time.perf_counter()
+    # fixed-size actor pool sized to leave CPU headroom for the task-pool
+    # stages feeding/draining it; small target block size so the expanded
+    # stream splits into enough blocks (= actor tasks) to saturate it
+    from ray.data.context import DataContext
+
+    # block size targets ~4 tag tasks per actor: too small floods the
+    # scheduler with micro-tasks, too large starves the pool
+    est_bytes = pages_n * 350
+    DataContext.get_current().target_max_block_size = max(
+        2 * 1024 * 1024, min(64 * 1024 * 1024, est_bytes // (cpus * 4))
+    )
     res = run_kg_pipeline(
         pages_from_documents(sf_dir, repeat=repeat),
         {" ".join(t): c for t, c in DEMO_BACKGROUND},
         MineConfig(min_n=2, max_n=5, min_count=3 * repeat),
         ScoreConfig(min_domain_count=3 * repeat),
-        tag_concurrency=(1, cpus),
+        # full-width pool at half a CPU per actor: tagging shares cores
+        # with the task stages feeding it instead of pinning idle CPUs
+        tag_concurrency=(cpus, cpus),
+        tag_num_cpus=0.5,
+        tag_batch_size=2048,
+        tag_saturate_pool=True,
+        # tokenized corpus ≪ object store at bench scale; avoids running
+        # the extract chain twice (mine + tag both consume it)
+        materialize_docs=True,
     )
     n_edges = res.edges.count()
     dt = time.perf_counter() - t0

@@ -49,6 +49,10 @@ def run_kg_pipeline(
     output_root: str | None = None,
     num_partitions: int = 16,
     tag_concurrency=(1, 8),
+    tag_batch_size: int = 1024,
+    tag_saturate_pool: bool = False,
+    tag_num_cpus: float = 1,
+    materialize_docs: bool = False,
 ) -> KGResult:
     kg_config = kg_config or KGConfig()
     phase = run_phrase_pipeline(
@@ -60,6 +64,10 @@ def run_kg_pipeline(
         tag_config,
         lang_allow=lang_allow,
         tag_concurrency=tag_concurrency,
+        tag_batch_size=tag_batch_size,
+        tag_saturate_pool=tag_saturate_pool,
+        tag_num_cpus=tag_num_cpus,
+        materialize_docs=materialize_docs,
     )
     artifact = phase.artifact
     edges_alias = kgmod.alias_edges_from_artifact(artifact)

@@ -41,6 +41,9 @@ def run_phrase_pipeline(
     lang_allow: tuple[str, ...] | None = None,
     tag_concurrency=(1, 8),
     tag_batch_size: int = 1024,
+    tag_saturate_pool: bool = False,
+    tag_num_cpus: float = 1,
+    materialize_docs: bool = False,
 ) -> PhrasePipelineResult:
     """pages → tokenized docs → mine → score → build → tag.
 
@@ -51,6 +54,12 @@ def run_phrase_pipeline(
     materializing.)
     """
     docs = extract_tokens(pages_ds, id_col=id_col, lang_allow=lang_allow)
+    if materialize_docs:
+        # the tokenized corpus is consumed twice (mine + tag); pin it in
+        # the object store when it fits (bench scale) instead of
+        # re-executing the extract chain — at 100 TB keep False and let
+        # the lazy graph re-read (or checkpoint to parquet between runs)
+        docs = docs.materialize()
     mined = mine_ngrams(docs, mine_config)
     scored = score_ngrams(mined, background, score_config)
     artifact, build_stats = build_from_scored(scored, build_config)
@@ -61,6 +70,8 @@ def run_phrase_pipeline(
         tag_config,
         concurrency=tag_concurrency,
         batch_size=tag_batch_size,
+        saturate_pool=tag_saturate_pool,
+        num_cpus=tag_num_cpus,
         # extract_tokens always emits the id under "doc_id"
         id_col="doc_id",
     )

@@ -536,6 +536,109 @@ def q_events_type_stats(sf_dir: str):
     return _i64(out, "sum_value_cents", "n_events")
 
 
+# --- near-dup: distributed exact k-shingle Jaccard -------------------------
+
+def q_jaccard_pairs(sf_dir: str):
+    docs = tokenize_documents(_docs(sf_dir))
+    t = _collect(dedup.jaccard_pairs(docs, k=3, threshold=0.5))
+    return _i64(t, "left", "right")
+
+
+# --- windowed / time-ordered operators over events --------------------------
+
+def q_events_sessions(sf_dir: str):
+    import ray
+
+    from phrasekit_ray.stages import windows
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return _i64(
+        _collect(windows.sessionize(ev, gap_minutes=30.0)),
+        "user_id",
+        "n_sessions",
+        "n_events",
+    )
+
+
+def q_events_asof(sf_dir: str):
+    import ray
+
+    from phrasekit_ray.stages import windows
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return _i64(
+        _collect(windows.asof_last_event(ev, mark_type="purchase")),
+        "event_id",
+        "last_purchase_us",
+    )
+
+
+# --- native hash join -------------------------------------------------------
+
+def q_join_customer_orders(sf_dir: str):
+    """Ray Data's native hash join (orders ⋈ customer) → per-mktsegment
+    aggregate; the shuffle-join counterpart to the broadcast join in
+    q_orders_priority_revenue."""
+    import ray
+
+    from phrasekit_ray.stages.agg import hash_aggregate
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0)), pa.int64())
+        return pa.table(
+            {
+                "c_mktsegment": b["c_mktsegment"],
+                "sum_total_cents": cents,
+                "n_orders": pa.array(np.ones(len(b), dtype=np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        "c_mktsegment",
+        [("sum_total_cents", "sum"), ("n_orders", "sum")],
+    )
+    return _i64(_collect(agg), "sum_total_cents", "n_orders")
+
+
+# --- spell correction (M12) -------------------------------------------------
+
+def q_spell_correct(sf_dir: str):
+    from phrasekit_ray.stages import spell
+
+    return _i64(_collect(spell.correct_documents(_docs(sf_dir))), "doc_id")
+
+
+# --- IVF approximate nearest neighbor (rows-only; brute force = oracle) -----
+
+def q_knn_ivf(sf_dir: str):
+    ds = _embeddings(sf_dir)
+    first = _collect(ds).sort_by("vec_id").slice(0, 5)
+    qids = first["vec_id"].to_pylist()
+    qvecs = np.asarray(first["embedding"].to_pylist(), dtype=np.float32)
+    t = similarity.ivf_topk(ds, qvecs, qids, k=10, num_centroids=8, nprobe=4)
+    return _i64(t.select(["query_id", "vec_id"]), "query_id", "vec_id")
+
+
 # --- runtime matcher (rows-only) -------------------------------------------
 
 def q_match_runtime(sf_dir: str):
@@ -598,6 +701,12 @@ QUERIES = {
     "q_orders_priority_revenue": q_orders_priority_revenue,
     "q_events_type_stats": q_events_type_stats,
     "q_match_runtime": q_match_runtime,
+    "q_jaccard_pairs": q_jaccard_pairs,
+    "q_events_sessions": q_events_sessions,
+    "q_events_asof": q_events_asof,
+    "q_join_customer_orders": q_join_customer_orders,
+    "q_spell_correct": q_spell_correct,
+    "q_knn_ivf": q_knn_ivf,
 }
 
 
@@ -715,7 +824,56 @@ ORACLE_SQL = {
         "count(*) AS n_events "
         "FROM events GROUP BY 1"
     ),
+    "q_jaccard_pairs": (
+        "WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok, "
+        "generate_subscripts(string_split(text,' '),1) AS pos FROM documents), "
+        "sh AS (SELECT DISTINCT t0.doc_id, "
+        "t0.tok || ' ' || t1.tok || ' ' || t2.tok AS shingle "
+        "FROM toks t0 JOIN toks t1 ON t1.doc_id=t0.doc_id AND t1.pos=t0.pos+1 "
+        "JOIN toks t2 ON t2.doc_id=t0.doc_id AND t2.pos=t0.pos+2), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1), "
+        "inter AS (SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS c "
+        "FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id<b.doc_id "
+        "GROUP BY 1,2) "
+        "SELECT l AS \"left\", r AS \"right\", "
+        "CAST(c AS DOUBLE)/(sa.n+sb.n-c) AS jaccard FROM inter "
+        "JOIN sizes sa ON sa.doc_id=inter.l JOIN sizes sb ON sb.doc_id=inter.r "
+        "WHERE CAST(c AS DOUBLE)/(sa.n+sb.n-c) >= 0.5"
+    ),
+    "q_events_sessions": (
+        "WITH o AS (SELECT user_id, "
+        "CASE WHEN lag(ts) OVER w IS NULL "
+        "     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+        "SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions, "
+        "count(*) AS n_events FROM o GROUP BY 1"
+    ),
+    "q_events_asof": (
+        "SELECT event_id, CAST(epoch_us(max(CASE WHEN event_type='purchase' "
+        "THEN ts END) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS BIGINT) "
+        "AS last_purchase_us FROM events"
+    ),
+    "q_join_customer_orders": (
+        "SELECT c.c_mktsegment, "
+        "CAST(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT) "
+        "AS sum_total_cents, count(*) AS n_orders "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1"
+    ),
+    "q_spell_correct": (
+        "WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok, "
+        "generate_subscripts(string_split(text,' '),1) AS pos FROM documents), "
+        "corr AS (SELECT * FROM (VALUES ('oligoo','oligo'),('profein','protein'),"
+        "('bufer','buffer')) AS t(wrong, corrected)), "
+        "fixed AS (SELECT toks.doc_id, toks.pos, "
+        "CASE WHEN lower(toks.tok) = 'cdk10' THEN toks.tok "
+        "     ELSE COALESCE(corr.corrected, toks.tok) END AS tok2 "
+        "FROM toks LEFT JOIN corr ON lower(toks.tok) = corr.wrong) "
+        "SELECT doc_id, string_agg(tok2, ' ' ORDER BY pos) AS corrected_text "
+        "FROM fixed GROUP BY doc_id"
+    ),
     # rows-only (non-SQL-expressible): q_kg_triples_flagship (overlap policy),
     # q_dedup_minhash / q_simhash / q_fingerprints (hash functions),
-    # q_langid (argmax heuristic), q_knn_lsh (approximate), q_match_runtime
+    # q_langid (argmax heuristic), q_knn_lsh / q_knn_ivf (approximate),
+    # q_match_runtime
 }

@@ -157,7 +157,12 @@ def read_pages(path: str, columns: list[str] | None = None, **kwargs):
     return ray.data.read_parquet(path, columns=columns, **kwargs)
 
 
-def pages_from_documents(sf_dir: str, with_html: bool = False, repeat: int = 1):
+def pages_from_documents(
+    sf_dir: str,
+    with_html: bool = False,
+    repeat: int = 1,
+    override_num_blocks: int | None = None,
+):
     """Derive a pages Dataset of the hinted shape from the driver's
     ``documents`` testdata table, deterministically (doc_id → url/warc_ts).
 
@@ -197,6 +202,9 @@ def pages_from_documents(sf_dir: str, with_html: bool = False, repeat: int = 1):
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang", "source"],
+        # task parallelism downstream is one task per block: a small input
+        # file must be split into enough blocks to saturate the cluster
+        override_num_blocks=override_num_blocks,
     )
     pages = ds.map_batches(to_pages, batch_format="pyarrow")
     if repeat > 1:

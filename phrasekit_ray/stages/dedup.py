@@ -286,6 +286,174 @@ def ngram_jaccard(tokens_a: list[str], tokens_b: list[str], k: int = 3) -> float
     return len(sa & sb) / len(sa | sb)
 
 
+def jaccard_pairs(
+    ds,
+    k: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    max_docs_per_shingle: int | None = None,
+    num_partitions: int = 32,
+):
+    """Distributed EXACT k-shingle Jaccard near-dup pairs over a corpus:
+    Dataset(doc_id, tokens) → Dataset(left, right, jaccard ≥ threshold).
+
+    Shape (all-pairs via inverted index, the classic set-similarity join):
+      1. per-doc DISTINCT shingles (stateless map_batches; shingle = the
+         space-joined k-gram string, same windowing as the miner);
+      2. per-doc shingle-set sizes — model-sized (one row per doc...
+         collected and broadcast via ray.put);
+      3. groupby(shingle).map_groups emitting co-occurring (left, right)
+         pairs — ``max_docs_per_shingle`` drops hotter-than-bound shingles
+         (a standard prefix-filter-style cap: at web scale a shingle shared
+         by thousands of docs contributes no discriminative signal but
+         quadratic pairs; None = exact, keep everything);
+      4. hash_aggregate pair intersection counts → vectorized Jaccard =
+         |A∩B| / (|A|+|B|−|A∩B|) filter.
+
+    At 100 TB step 2's per-doc sizes must become a join instead of a
+    broadcast dict; the pair generation and counting already shuffle by
+    shingle / pair key and stay fully distributed.
+    """
+    import ray
+
+    def shingles(batch: pa.Table) -> pa.Table:
+        tokens = batch[tokens_col].combine_chunks()
+        offsets = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        base = offsets[0]
+        offsets = offsets - base
+        flat = tokens.values.slice(base, int(offsets[-1]))
+        sizes = np.diff(offsets)
+        L = int(offsets[-1])
+        m = L - k + 1
+        doc_ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if m <= 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "shingle": pa.array([], pa.string()),
+                }
+            )
+        doc_index = np.repeat(np.arange(len(sizes)), sizes)
+        parts = [flat.slice(j, m) for j in range(k)]
+        joined = pc.binary_join_element_wise(*parts, " ")
+        valid = doc_index[:m] == doc_index[k - 1 :]
+        win_doc = doc_index[:m][valid]
+        joined = joined.filter(pa.array(valid))
+        t = pa.table(
+            {
+                "doc_id": pa.array(doc_ids[win_doc], pa.int64()),
+                "shingle": joined.cast(pa.string()),
+            }
+        )
+        # distinct within the block (cross-block dups are removed by the
+        # shingle groupby, which sees each (doc, shingle) at most once per
+        # block)
+        return t.group_by(["doc_id", "shingle"]).aggregate([])
+
+    sh = ds.map_batches(shingles, batch_format="pyarrow")
+    # docs never split across blocks upstream of here (one doc, one row),
+    # so in-block distinct == global distinct
+    from phrasekit_ray.stages.agg import grouped_count
+
+    sizes_t = pa.concat_tables(
+        list(
+            grouped_count(sh, "doc_id", count_col="n_shingles").iter_batches(
+                batch_format="pyarrow"
+            )
+        ),
+        promote_options="default",
+    )
+    size_by_doc = dict(
+        zip(sizes_t["doc_id"].to_pylist(), sizes_t["n_shingles"].to_pylist())
+    )
+    sizes_ref = ray.put(size_by_doc)
+
+    # co-locate equal shingles by hash partition; one vectorized UDF call
+    # per PARTITION (not per shingle) finds equal-shingle runs and emits
+    # all co-occurrence pairs
+    import zlib
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        p = np.fromiter(
+            (zlib.crc32(s.encode()) for s in batch["shingle"].to_pylist()),
+            dtype=np.uint32,
+            count=batch.num_rows,
+        )
+        return batch.append_column(
+            "_part", pa.array((p % np.uint32(num_partitions)).astype(np.int32))
+        )
+
+    def partition_pairs(group: pa.Table) -> pa.Table:
+        codes_arr = group["shingle"].combine_chunks().dictionary_encode()
+        codes = codes_arr.indices.to_numpy(zero_copy_only=False)
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, codes))
+        codes, ids = codes[order], ids[order]
+        boundaries = np.flatnonzero(np.diff(codes)) + 1
+        runs = np.concatenate(([0], boundaries, [len(codes)]))
+        lefts, rights = [], []
+        for a, b in zip(runs[:-1], runs[1:]):
+            d = b - a
+            if d < 2 or (
+                max_docs_per_shingle is not None and d > max_docs_per_shingle
+            ):
+                continue
+            iu = np.triu_indices(d, 1)
+            lefts.append(ids[a:b][iu[0]])
+            rights.append(ids[a:b][iu[1]])
+        if not lefts:
+            return pa.table(
+                {
+                    "left": pa.array([], pa.int64()),
+                    "right": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        left = np.concatenate(lefts)
+        right = np.concatenate(rights)
+        return pa.table(
+            {
+                "left": pa.array(left, pa.int64()),
+                "right": pa.array(right, pa.int64()),
+                "n": pa.array(np.ones(len(left), dtype=np.int64)),
+            }
+        )
+
+    raw_pairs = (
+        sh.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(
+            lambda g: partition_pairs(g.drop_columns(["_part"])),
+            batch_format="pyarrow",
+        )
+    )
+    pair_counts = hash_aggregate(
+        raw_pairs, ["left", "right"], [("n", "sum")], num_partitions=num_partitions
+    )
+
+    def jaccard_filter(batch: pa.Table) -> pa.Table:
+        from phrasekit_ray.stages.score import _get_broadcast
+
+        sizes = _get_broadcast(sizes_ref)
+        inter = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        left = batch["left"].to_pylist()
+        right = batch["right"].to_pylist()
+        na = np.fromiter((sizes[x] for x in left), dtype=np.float64, count=len(left))
+        nb = np.fromiter((sizes[x] for x in right), dtype=np.float64, count=len(right))
+        j = inter / (na + nb - inter)
+        keep = j >= threshold
+        return pa.table(
+            {
+                "left": pa.array(left, pa.int64()),
+                "right": pa.array(right, pa.int64()),
+                "jaccard": pa.array(j, pa.float64()),
+            }
+        ).filter(pa.array(keep))
+
+    return pair_counts.map_batches(jaccard_filter, batch_format="pyarrow")
+
+
 # --- embedding cosine near-dup ---------------------------------------------
 
 def embedding_near_dup_pairs(

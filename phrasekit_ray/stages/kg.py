@@ -103,6 +103,19 @@ def entity_lut(artifact: MatcherArtifact, mapping: dict[int, int]) -> np.ndarray
 
 # --- mention + triple stages (stateless map_batches) -----------------------
 
+def _dense_lut(lut: dict, pmax: int) -> np.ndarray:
+    """phrase_id → entity_id mapping as a dense uint32 array (identity for
+    unmapped ids) so batch lookups are numpy indexing, not dict.get loops.
+    Phrase-id space is artifact-sized (≤1M), never corpus-sized."""
+    size = (max(int(pmax), int(max(lut.keys())) if lut else 0)) + 1
+    arr = np.arange(size, dtype=np.uint32)
+    if lut:
+        k = np.fromiter(lut.keys(), dtype=np.int64, count=len(lut))
+        v = np.fromiter(lut.values(), dtype=np.int64, count=len(lut))
+        arr[k] = v.astype(np.uint32)
+    return arr
+
+
 def mentions_from_tagged(tagged_ds, id_col: str = "doc_id", **map_kwargs):
     """tagged docs → flat mentions(doc_id, start, end, phrase_id)."""
 
@@ -172,21 +185,18 @@ def triples_from_tagged(
         else:
             idx = np.zeros(0, dtype=np.int64)
 
-        subj = np.fromiter(
-            (lut.get(int(p), int(p)) for p in pids[idx]),
-            dtype=np.uint32,
-            count=len(idx),
-        )
-        obj = np.fromiter(
-            (lut.get(int(p), int(p)) for p in pids[idx + 1]),
-            dtype=np.uint32,
-            count=len(idx),
-        )
+        # dense-array canonicalization lookup (identity where unmapped)
+        arr_lut = _dense_lut(lut, int(pids.max()) if len(pids) else 0)
+        subj = arr_lut[pids[idx]]
+        obj = arr_lut[pids[idx + 1]]
         doc_ids = batch[id_col].combine_chunks().take(pa.array(parent[idx]))
+        pred_col = pa.DictionaryArray.from_arrays(
+            pa.array(np.zeros(len(idx), dtype=np.int32)), pa.array([pred])
+        )
         return pa.table(
             {
                 "subj": pa.array(subj, pa.uint32()),
-                "pred": pa.array([pred] * len(idx), pa.string()),
+                "pred": pred_col,
                 "obj": pa.array(obj, pa.uint32()),
                 "doc_id": doc_ids,
                 "subj_start": pa.array(starts[idx], pa.int32()),
@@ -214,9 +224,8 @@ def node_table(mentions_ds, entity_lut_by_phrase: dict[int, int], canonical_name
 
         lut = _get_broadcast(lut_ref)
         pids = batch["phrase_id"].to_numpy(zero_copy_only=False)
-        ents = np.fromiter(
-            (lut.get(int(p), int(p)) for p in pids), dtype=np.uint64, count=len(pids)
-        )
+        arr_lut = _dense_lut(lut, int(pids.max()) if len(pids) else 0)
+        ents = arr_lut[pids].astype(np.uint64)
         uniq, counts = np.unique(ents, return_counts=True)
         return pa.table(
             {
@@ -246,18 +255,43 @@ def node_table(mentions_ds, entity_lut_by_phrase: dict[int, int], canonical_name
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
-def edge_table(triples_ds):
-    """triples → edges(subj, pred, obj, weight) with in-block combine."""
+def edge_table(triples_ds, pred: str | None = None):
+    """triples → edges(subj, pred, obj, weight) with in-block combine.
+
+    The predicate is constant within a pipeline run (KGConfig.predicate),
+    so the combine/shuffle key is (subj, obj) only; the pred column is
+    re-attached to the (small) aggregated edge table."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        t = batch.group_by(["subj", "pred", "obj"]).aggregate([("subj", "count")])
-        return t.rename_columns(["subj", "pred", "obj", "weight"])
+        if pred is None and batch.num_rows:
+            pred_val = batch["pred"][0].as_py()
+        else:
+            pred_val = pred or "co_mentioned_with"
+        t = (
+            batch.select(["subj", "obj"])
+            .group_by(["subj", "obj"])
+            .aggregate([("subj", "count")])
+            .rename_columns(["subj", "obj", "weight"])
+        )
+        return t.append_column("_pred", pa.array([pred_val] * t.num_rows, pa.string()))
 
-    return hash_aggregate(
+    agg = hash_aggregate(
         triples_ds.map_batches(partial, batch_format="pyarrow"),
-        ["subj", "pred", "obj"],
+        ["subj", "obj", "_pred"],
         [("weight", "sum")],
     )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subj": batch["subj"],
+                "pred": batch["_pred"],
+                "obj": batch["obj"],
+                "weight": batch["weight"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def canonical_names_from_artifact(

@@ -78,6 +78,7 @@ def score_ngrams(
     background,
     config: ScoreConfig | None = None,
     total_domain: int | None = None,
+    driver_finalize_threshold: int = 2_000_000,
     **map_kwargs,
 ):
     """Dataset(ngram, count) → sorted Dataset(ngram, salience, [phrase_id],
@@ -138,7 +139,42 @@ def score_ngrams(
 
     scored = domain_ds.map_batches(score_batch, batch_format="pyarrow", **map_kwargs)
     # deterministic total order where the reference is tie-nondeterministic
-    # (SURVEY.md O2): salience desc, ngram asc
+    # (SURVEY.md O2): salience desc, ngram asc.
+    #
+    # The scored-phrase table is model-sized (10K–1M rows per reference
+    # docs/BUILDER.md:136-142) regardless of corpus size, so the default
+    # finalize streams it to the driver and sorts/enumerates locally — one
+    # pipeline execution, no range-partition shuffle, no materialize
+    # barrier. Above ``driver_finalize_threshold`` rows it falls back to
+    # the distributed sort + block-offset enumeration path.
+    import pyarrow as pa_mod
+
+    tables = list(scored.iter_batches(batch_format="pyarrow"))
+    n_rows = sum(t.num_rows for t in tables)
+    if n_rows <= driver_finalize_threshold:
+        tbl = (
+            pa_mod.concat_tables(tables, promote_options="default")
+            if tables
+            else pa_mod.table(
+                {
+                    "ngram": pa_mod.array([], pa_mod.string()),
+                    "salience": pa_mod.array([], pa_mod.float32()),
+                    "domain_count": pa_mod.array([], pa_mod.uint32()),
+                    "background_count": pa_mod.array([], pa_mod.uint32()),
+                }
+            )
+        )
+        tbl = tbl.sort_by(
+            [("salience", "descending"), ("ngram", "ascending")]
+        )
+        if config.assign_phrase_ids:
+            ids = np.arange(
+                config.starting_phrase_id,
+                config.starting_phrase_id + tbl.num_rows,
+                dtype=np.uint32,
+            )
+            tbl = tbl.append_column("phrase_id", pa.array(ids, pa.uint32()))
+        return ray.data.from_arrow(tbl)
     scored = scored.sort(["salience", "ngram"], descending=[True, False])
     if config.assign_phrase_ids:
         scored = with_row_index(

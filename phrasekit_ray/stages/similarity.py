@@ -208,3 +208,135 @@ def lsh_topk(
 
     cand = ds.map_batches(prefilter, batch_format="pyarrow")
     return brute_force_topk(cand, qmat, query_ids, k, id_col, vec_col)
+
+
+def ivf_topk(
+    ds,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    kmeans_iters: int = 5,
+    sample_size: int = 4096,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+):
+    """IVF (inverted-file) approximate top-k — the scale path for ANN:
+
+      1. train: k-means centroids on a bounded sample (deterministic seed,
+         cosine space — vectors L2-normalized, centroids renormalized);
+      2. assign: one map_batches pass tags every vector with its nearest
+         centroid (cell id);
+      3. probe: each query searches only its ``nprobe`` closest cells —
+         per-batch the scan masks rows to probed cells, so compute drops
+         by ~num_centroids/nprobe vs brute force while recall stays high.
+
+    Returns pyarrow Table(query_id, vec_id, cosine, rank) like
+    ``brute_force_topk`` (which is the recall oracle for this operator).
+    """
+    import ray
+
+    qmat = _normalize_rows(np.asarray(queries, dtype=np.float32))
+    qids = list(query_ids)
+
+    # 1. train on a sample (bounded driver memory)
+    sample = []
+    seen = 0
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        sample.append(_normalize_rows(_matrix(b[vec_col].combine_chunks())))
+        seen += len(b)
+        if seen >= sample_size:
+            break
+    X = np.concatenate(sample)[:sample_size]
+    rng = np.random.default_rng(seed)
+    ncent = min(num_centroids, len(X))
+    cents = X[rng.choice(len(X), size=ncent, replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(X @ cents.T, axis=1)
+        for c in range(ncent):
+            members = X[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    cents_ref = ray.put(cents)
+
+    # which cells each query probes
+    probe_cells = np.argsort(-(qmat @ cents.T), axis=1)[:, : min(nprobe, ncent)]
+    probed_ref = ray.put(probe_cells)
+    q_ref = ray.put(qmat)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from phrasekit_ray.stages.score import _get_broadcast
+
+        cmat = _get_broadcast(cents_ref)
+        q = _get_broadcast(q_ref)
+        probes = _get_broadcast(probed_ref)
+        mat = _normalize_rows(_matrix(batch[vec_col].combine_chunks()))
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        cells = np.argmax(mat @ cmat.T, axis=1)  # 2. assign
+        rows_q, rows_v, rows_s = [], [], []
+        for qi in range(len(q)):  # 3. probe
+            mask = np.isin(cells, probes[qi])
+            if not mask.any():
+                continue
+            sub = mat[mask]
+            sub_ids = ids[mask]
+            sims = sub @ q[qi]
+            kk = min(k + 1, len(sims))
+            idx = np.argpartition(-sims, kk - 1)[:kk]
+            rows_q.append(np.full(kk, qi, dtype=np.int64))
+            rows_v.append(sub_ids[idx])
+            rows_s.append(sims[idx])
+        if not rows_q:
+            return pa.table(
+                {
+                    "qi": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float32()),
+                }
+            )
+        return pa.table(
+            {
+                "qi": pa.array(np.concatenate(rows_q), pa.int64()),
+                id_col: pa.array(np.concatenate(rows_v), pa.int64()),
+                "cosine": pa.array(
+                    np.concatenate(rows_s).astype(np.float32), pa.float32()
+                ),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    heaps: dict[int, list] = {i: [] for i in range(len(qids))}
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for qi, vid, cs in zip(
+            b["qi"].to_pylist(), b[id_col].to_pylist(), b["cosine"].to_pylist()
+        ):
+            if exclude_self and vid == qids[qi]:
+                continue
+            h = heaps[qi]
+            item = (cs, -vid)
+            if len(h) < k:
+                heapq.heappush(h, item)
+            elif item > h[0]:
+                heapq.heapreplace(h, item)
+    out_q, out_v, out_s, out_r = [], [], [], []
+    for qi, h in heaps.items():
+        ranked = sorted(h, key=lambda x: (-x[0], -x[1]))
+        for rank, (cs, negv) in enumerate(ranked, 1):
+            out_q.append(qids[qi])
+            out_v.append(-negv)
+            out_s.append(cs)
+            out_r.append(rank)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            id_col: pa.array(out_v, pa.int64()),
+            "cosine": pa.array(np.asarray(out_s, dtype=np.float32), pa.float32()),
+            "rank": pa.array(out_r, pa.int32()),
+        }
+    )

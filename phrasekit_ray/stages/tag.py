@@ -142,11 +142,50 @@ def tag_corpus(
     concurrency=(1, 8),
     batch_size: int = 1024,
     num_cpus: float = 1,
+    saturate_pool: bool = False,
+    mode: str = "actors",
     **actor_kwargs,
 ):
     """Dataset(doc_id, tokens) → Dataset(doc_id, tokens, spans) via an
     actor pool. ``concurrency=(min,max)`` autoscaling; `batch_size` sized
-    so an automaton scan amortizes per batch (SURVEY.md §4)."""
+    so an automaton scan amortizes per batch (SURVEY.md §4).
+
+    ``saturate_pool``: the streaming executor fuses compatible upstream
+    task stages INTO the actor pool, making one actor task per SOURCE
+    block — which starves a large pool when the source has few blocks
+    (e.g. one small parquet file expanded in-stream). Inserting a
+    pass-through hop with a different resource request breaks that fusion
+    so actor task granularity follows the upstream OUTPUT blocks instead.
+    """
+    if mode == "tasks":
+        # Stateful TASK pool: the compiled artifact is still loaded once
+        # per worker process (module-level cache keyed by the object ref),
+        # but scheduling is ordinary tasks — no fixed CPU partition between
+        # the pool and the task stages feeding it, no per-execution actor
+        # ramp. Same load-once semantics as the actor pool; prefer it when
+        # a job's stages contend for the same small CPU pool. The actor
+        # pool remains the default (explicit placement, per-actor
+        # resources, GPU pinning).
+        cfg = config or TagConfig()
+
+        def tag_batch(batch: pa.Table) -> pa.Table:
+            tagger = _cached_tagger(artifact_ref, cfg, **actor_kwargs)
+            return tagger(batch)
+
+        if saturate_pool:
+            # same fusion hazard as the actor pool: fused with an
+            # expanding upstream, batch_size would count PRE-expansion rows
+            ds = ds.map_batches(lambda b: b, batch_format="pyarrow", num_cpus=0.5)
+        return ds.map_batches(
+            tag_batch,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            num_cpus=num_cpus,
+        )
+    if saturate_pool:
+        ds = ds.map_batches(
+            lambda b: b, batch_format="pyarrow", num_cpus=0.5
+        )
     return ds.map_batches(
         TaggerActor,
         fn_constructor_kwargs=dict(
@@ -157,3 +196,20 @@ def tag_corpus(
         concurrency=concurrency,
         num_cpus=num_cpus,
     )
+
+
+_TAGGER_CACHE: dict = {}
+
+
+def _cached_tagger(artifact_ref, config, **kwargs):
+    key = (
+        artifact_ref.hex() if hasattr(artifact_ref, "hex") else id(artifact_ref),
+        repr(config),
+        tuple(sorted(kwargs.items())),
+    )
+    inst = _TAGGER_CACHE.get(key)
+    if inst is None:
+        inst = TaggerActor(artifact_ref=artifact_ref, config=config, **kwargs)
+        _TAGGER_CACHE.clear()  # one live artifact per worker is the norm
+        _TAGGER_CACHE[key] = inst
+    return inst

@@ -116,3 +116,59 @@ def test_embedding_near_dup_pairs(ray_session):
     )
     assert {(p["left"], p["right"]) for p in pairs} == {(0, 8)}
     assert pairs[0]["cosine"] > 0.99
+
+
+def test_jaccard_pairs_matches_pairwise_kernel(ray_session):
+    """Distributed inverted-index Jaccard == the pairwise kernel."""
+    import itertools
+
+    import ray
+
+    from phrasekit_ray.stages.dedup import jaccard_pairs, ngram_jaccard
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumps over a lazy dog",   # near-dup of 1
+        3: "protein assay buffer preparation is critical today",
+        4: "protein assay buffer preparation is critical today",  # exact dup of 3
+        5: "completely unrelated content with different words entirely",
+    }
+    toks = {k: v.split() for k, v in texts.items()}
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(texts), pa.int64()),
+            "tokens": pa.array(list(toks.values())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    got = {
+        (r["left"], r["right"]): r["jaccard"]
+        for r in jaccard_pairs(ds, k=3, threshold=0.3).iter_rows()
+    }
+    want = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        j = ngram_jaccard(toks[a], toks[b], k=3)
+        if j >= 0.3:
+            want[(a, b)] = j
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_jaccard_hot_shingle_cap(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.dedup import jaccard_pairs
+
+    # all three docs share one hot shingle; cap of 2 drops it entirely
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "tokens": pa.array([["a", "b", "c"]] * 3),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    out = list(
+        jaccard_pairs(ds, k=3, threshold=0.1, max_docs_per_shingle=2).iter_rows()
+    )
+    assert out == []

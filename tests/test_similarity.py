@@ -77,3 +77,52 @@ def test_lsh_topk_finds_planted_neighbors(ray_session):
     got = similarity.lsh_topk(emb_ds(vecs), vecs[[0]], [0], k=3, num_planes=8, probes=1)
     found = set(got["vec_id"].to_pylist())
     assert {150, 151, 152} <= found
+
+
+def test_ivf_topk_high_recall_vs_brute_force(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(3)
+    n, d = 400, 16
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(mat.tolist()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    qids = [0, 1, 2]
+    qv = mat[:3]
+    exact = brute_force_topk(ds, qv, qids, k=10)
+    approx = ivf_topk(ds, qv, qids, k=10, num_centroids=8, nprobe=4)
+    rec = []
+    for q in qids:
+        e = {v for qq, v in zip(exact["query_id"].to_pylist(), exact["vec_id"].to_pylist()) if qq == q}
+        a = {v for qq, v in zip(approx["query_id"].to_pylist(), approx["vec_id"].to_pylist()) if qq == q}
+        rec.append(len(e & a) / len(e))
+    assert sum(rec) / len(rec) >= 0.5  # nprobe=4/8 cells: recall well above chance
+
+
+def test_ivf_full_probe_equals_brute_force(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(4)
+    n, d = 120, 8
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(mat.tolist()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    qids = [0, 5]
+    qv = mat[[0, 5]]
+    exact = brute_force_topk(ds, qv, qids, k=5)
+    full = ivf_topk(ds, qv, qids, k=5, num_centroids=4, nprobe=4)  # probe all
+    assert exact["vec_id"].to_pylist() == full["vec_id"].to_pylist()

@@ -1,0 +1,60 @@
+"""Windowed/time-ordered operators (sessionize, as-of lookup)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _events_table():
+    # user 1: events at 0, 10m, 50m, 51m  → sessions: {0,10}, {50,51} = 2
+    # user 2: single event → 1 session
+    # user 2 purchase at t=5m; user 1 purchases at 10m and 50m
+    us = 60_000_000  # 1 minute in µs
+    rows = [
+        # (event_id, user_id, minutes, type)
+        (1, 1, 0, "view"),
+        (2, 1, 10, "purchase"),
+        (3, 1, 50, "purchase"),
+        (4, 1, 51, "click"),
+        (5, 2, 5, "purchase"),
+    ]
+    return pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] * us for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+
+
+def test_sessionize(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.windows import sessionize
+
+    ds = ray.data.from_arrow(_events_table())
+    out = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in sessionize(ds, gap_minutes=30).iter_rows()
+    }
+    assert out == {1: (2, 4), 2: (1, 1)}
+
+
+def test_asof_last_purchase(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.windows import asof_last_event
+
+    us = 60_000_000
+    ds = ray.data.from_arrow(_events_table())
+    out = {
+        r["event_id"]: r["last_purchase_us"]
+        for r in asof_last_event(ds, mark_type="purchase").iter_rows()
+    }
+    # strictly-earlier semantics: the purchase at its own row not counted
+    assert out[1] is None
+    assert out[2] is None  # first purchase sees nothing earlier
+    assert out[3] == 10 * us
+    assert out[4] == 50 * us
+    assert out[5] is None
