@@ -114,6 +114,12 @@ def bench_queries(sf_dir: str) -> dict:
         "q_langid",
         "q_fingerprints",
         "q_knn_cosine",
+        "q_knn_ivf",
+        "q_jaccard_pairs",
+        "q_spell_correct",
+        "q_events_sessions",
+        "q_events_asof",
+        "q_join_customer_orders",
         "q_lineitem_pricing",
         "q_orders_priority_revenue",
         "q_events_type_stats",
@@ -157,9 +163,14 @@ def run_once(headline_only: bool = False) -> dict:
 
 def run_scaling() -> dict:
     """Same headline job in two fresh processes at low/high parallelism."""
-    lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
-    hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
-    repeat = os.environ.get("GRAFT_BENCH_REPEAT", "20")
+    # N vs 4N protocol (BASELINE.md): 4 vs 16 CPUs. 8→32 saturates this
+    # single node's DRAM bandwidth at the top end (throughput flatlines at
+    # ~80k pages/s from 32 cpus whatever the input size) — a machine
+    # artifact a real 4x-node cluster doesn't have, since bandwidth scales
+    # with nodes. Both pairs are reported in BASELINE.md.
+    lo = int(os.environ.get("GRAFT_SCALING_LO", "4"))
+    hi = int(os.environ.get("GRAFT_SCALING_HI", "16"))
+    repeat = os.environ.get("GRAFT_BENCH_REPEAT", "400")
     runs = {}
     for cpus in (lo, hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_BENCH_REPEAT=repeat)

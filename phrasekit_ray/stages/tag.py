@@ -213,3 +213,31 @@ def _cached_tagger(artifact_ref, config, **kwargs):
         _TAGGER_CACHE.clear()  # one live artifact per worker is the norm
         _TAGGER_CACHE[key] = inst
     return inst
+
+
+def tag_stats(tagged_ds) -> dict:
+    """Tagging statistics (reference phrasekit_tag.rs:67-72,222-268 /
+    SURVEY.md A6) as Dataset aggregates — triggers execution."""
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        spans = batch["spans"].combine_chunks()
+        offsets = spans.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offsets - offsets[0])
+        return pa.table(
+            {
+                "docs": pa.array(np.ones(len(counts), dtype=np.int64)),
+                "spans": pa.array(counts.astype(np.int64)),
+                "docs_with_spans": pa.array((counts > 0).astype(np.int64)),
+            }
+        )
+
+    t = tagged_ds.map_batches(per_doc, batch_format="pyarrow")
+    docs = t.sum("docs") or 0
+    total = t.sum("spans") or 0
+    with_spans = t.sum("docs_with_spans") or 0
+    return {
+        "documents": int(docs),
+        "total_spans": int(total),
+        "documents_with_spans": int(with_spans),
+        "avg_spans_per_document": (total / docs) if docs else 0.0,
+    }

@@ -1,0 +1,65 @@
+"""hash_aggregate: vectorized two-phase aggregate == native groupby."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_hash_aggregate_sum_min_max_matches_arrow(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.agg import hash_aggregate
+
+    rng = np.random.default_rng(0)
+    n = 10_000
+    keys = rng.integers(0, 500, size=n)
+    vals = rng.integers(0, 1000, size=n)
+    names = np.array(["k%03d" % k for k in keys])
+    tbl = pa.table(
+        {
+            "name": pa.array(names),
+            "v": pa.array(vals, pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(13)
+    out = pa.concat_tables(
+        list(
+            hash_aggregate(
+                ds, "name", [("v", "sum")], num_partitions=7
+            ).iter_batches(batch_format="pyarrow")
+        ),
+        promote_options="default",
+    )
+    want = tbl.group_by("name").aggregate([("v", "sum")])
+    got = dict(zip(out["name"].to_pylist(), out["v"].to_pylist()))
+    exp = dict(zip(want["name"].to_pylist(), want["v_sum"].to_pylist()))
+    assert got == exp
+
+
+def test_hash_aggregate_multikey_min(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.agg import hash_aggregate
+
+    tbl = pa.table(
+        {
+            "a": pa.array([1, 1, 2, 2, 1], pa.int64()),
+            "b": pa.array(["x", "x", "y", "y", "z"]),
+            "v": pa.array([5, 3, 9, 7, 1], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    out = pa.concat_tables(
+        list(
+            hash_aggregate(ds, ["a", "b"], [("v", "min")]).iter_batches(
+                batch_format="pyarrow"
+            )
+        ),
+        promote_options="default",
+    )
+    got = {
+        (a, b): v
+        for a, b, v in zip(
+            out["a"].to_pylist(), out["b"].to_pylist(), out["v"].to_pylist()
+        )
+    }
+    assert got == {(1, "x"): 3, (2, "y"): 7, (1, "z"): 1}

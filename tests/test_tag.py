@@ -142,3 +142,27 @@ def test_actor_smoke_direct(ray_session, artifact):
     )
     out = actor(batch)
     assert out["spans"].to_pylist()[0][0]["phrase_id"] == 1000
+
+
+def test_tag_stats(ray_session, artifact):
+    import ray
+
+    from phrasekit_ray.stages.tag import tag_corpus, tag_stats
+    from phrasekit_ray.config import TagConfig
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(["a", "b"]),
+            "tokens": pa.array(
+                [["the", "rat", "cdk10", "oligo"], ["nothing", "here"]]
+            ),
+        }
+    )
+    tagged = tag_corpus(
+        ray.data.from_arrow(tbl), put_artifact(artifact), TagConfig(), concurrency=(1, 2)
+    )
+    s = tag_stats(tagged)
+    assert s["documents"] == 2
+    assert s["documents_with_spans"] >= 1
+    assert s["total_spans"] >= 1
+    assert s["avg_spans_per_document"] == s["total_spans"] / 2
