@@ -1,0 +1,207 @@
+"""CLI entry points mirroring the reference's four stage binaries.
+
+Reference analog: `phrasekit_mine` / `phrasekit_score` / `phrasekit_build`
+/ `phrasekit_tag` (ext/phrasekit/src/bin/*.rs) — each `main(argv) → load
+config JSON → stream input → write output → print stats` (SURVEY.md §3.2).
+Here each subcommand is a Ray Data pipeline suitable for `ray job submit`:
+
+    ray job submit -- python -m phrasekit_ray.cli kg \
+        --pages /data/pages --output /data/kg
+
+Config JSONs carry over from the reference unchanged (field names and
+defaults match — phrasekit_ray/config.py). Inputs/outputs are Parquet
+(the engine's inter-stage format; JSONL readers/writers live in
+sources/jsonl.py for reference-format compatibility).
+
+Owns the Ray session only when run as a script (guarded init — the
+driver/test harness owns it otherwise).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+
+
+def _load_config(path: str | None, cls):
+    if path is None:
+        return cls()
+    with open(path) as f:
+        return cls(**json.load(f))
+
+
+def cmd_mine(args) -> int:
+    import ray
+
+    from phrasekit_ray.config import MineConfig
+    from phrasekit_ray.stages.extract import tokenize_documents
+    from phrasekit_ray.stages.mine import mine_ngrams, mine_stats
+
+    _init_ray()
+    cfg = _load_config(args.config, MineConfig)
+    ds = ray.data.read_parquet(args.input)
+    docs = tokenize_documents(ds, text_col=args.text_col, id_col=args.id_col)
+    mined = mine_ngrams(docs, cfg, sort_output=True)
+    mined.write_parquet(args.output)
+    stats = mine_stats(docs, cfg)
+    print(json.dumps({"stage": "mine", **stats}))
+    return 0
+
+
+def cmd_score(args) -> int:
+    import ray
+
+    from phrasekit_ray.config import ScoreConfig
+    from phrasekit_ray.stages.score import background_to_dict, score_ngrams
+
+    _init_ray()
+    cfg = _load_config(args.config, ScoreConfig)
+    domain = ray.data.read_parquet(args.domain)
+    background = background_to_dict(ray.data.read_parquet(args.background))
+    scored = score_ngrams(domain, background, cfg)
+    scored.write_parquet(args.output)
+    print(json.dumps({"stage": "score", "background_phrases": len(background)}))
+    return 0
+
+
+def cmd_build(args) -> int:
+    import ray
+
+    from phrasekit_ray.config import BuildConfig
+    from phrasekit_ray.stages.build import build_from_scored
+
+    _init_ray()
+    cfg = _load_config(args.config, BuildConfig)
+    scored = ray.data.read_parquet(args.phrases)
+    artifact, stats = build_from_scored(scored, cfg)
+    artifact.save(args.output)
+    print(json.dumps({"stage": "build", **stats.__dict__}))
+    return 0
+
+
+def cmd_tag(args) -> int:
+    import ray
+
+    from phrasekit_ray.config import TagConfig
+    from phrasekit_ray.core.artifact import MatcherArtifact
+    from phrasekit_ray.stages.extract import tokenize_documents
+    from phrasekit_ray.stages.tag import tag_corpus, tag_stats
+
+    _init_ray()
+    cfg = _load_config(args.config, TagConfig)
+    artifact = MatcherArtifact.load(args.artifact)
+    ref = ray.put(artifact)
+    ds = ray.data.read_parquet(args.input)
+    docs = tokenize_documents(ds, text_col=args.text_col, id_col=args.id_col)
+    tagged = tag_corpus(
+        docs,
+        ref,
+        cfg,
+        concurrency=(args.concurrency, args.concurrency),
+        batch_size=args.batch_size,
+    )
+    tagged.drop_columns(["tokens"]).write_parquet(args.output)
+    print(json.dumps({"stage": "tag", **tag_stats(tagged)}))
+    return 0
+
+
+def cmd_kg(args) -> int:
+    import ray
+
+    from phrasekit_ray.config import KGConfig, MineConfig, ScoreConfig
+    from phrasekit_ray.pipelines.kg import run_kg_pipeline
+    from phrasekit_ray.sources.pages import read_pages
+    from phrasekit_ray.stages.score import background_to_dict
+
+    _init_ray()
+    pages = read_pages(args.pages)
+    background = (
+        background_to_dict(ray.data.read_parquet(args.background))
+        if args.background
+        else {}
+    )
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    res = run_kg_pipeline(
+        pages,
+        background,
+        _load_config(args.mine_config, MineConfig),
+        _load_config(args.score_config, ScoreConfig),
+        kg_config=KGConfig(),
+        output_root=args.output,
+        num_partitions=args.num_partitions,
+        tag_concurrency=(cpus, cpus),
+        tag_num_cpus=0.5,
+        tag_saturate_pool=True,
+    )
+    print(
+        json.dumps(
+            {
+                "stage": "kg",
+                "phrases": int(res.artifact.num_patterns),
+                "write": res.write_summary,
+            },
+            default=str,
+        )
+    )
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="phrasekit_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    m = sub.add_parser("mine", help="n-gram mining (reference phrasekit_mine)")
+    m.add_argument("--input", required=True)
+    m.add_argument("--output", required=True)
+    m.add_argument("--config")
+    m.add_argument("--text-col", default="text")
+    m.add_argument("--id-col", default="doc_id")
+    m.set_defaults(fn=cmd_mine)
+
+    s = sub.add_parser("score", help="salience scoring (reference phrasekit_score)")
+    s.add_argument("--domain", required=True)
+    s.add_argument("--background", required=True)
+    s.add_argument("--output", required=True)
+    s.add_argument("--config")
+    s.set_defaults(fn=cmd_score)
+
+    b = sub.add_parser("build", help="matcher artifact build (reference phrasekit_build)")
+    b.add_argument("--phrases", required=True)
+    b.add_argument("--output", required=True)
+    b.add_argument("--config")
+    b.set_defaults(fn=cmd_build)
+
+    t = sub.add_parser("tag", help="corpus tagging (reference phrasekit_tag)")
+    t.add_argument("--input", required=True)
+    t.add_argument("--artifact", required=True)
+    t.add_argument("--output", required=True)
+    t.add_argument("--config")
+    t.add_argument("--text-col", default="text")
+    t.add_argument("--id-col", default="doc_id")
+    t.add_argument("--concurrency", type=int, default=4)
+    t.add_argument("--batch-size", type=int, default=1024)
+    t.set_defaults(fn=cmd_tag)
+
+    k = sub.add_parser("kg", help="end-to-end KG construction over pages parquet")
+    k.add_argument("--pages", required=True)
+    k.add_argument("--output", required=True)
+    k.add_argument("--background")
+    k.add_argument("--mine-config")
+    k.add_argument("--score-config")
+    k.add_argument("--num-partitions", type=int, default=16)
+    k.set_defaults(fn=cmd_kg)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

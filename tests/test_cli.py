@@ -1,0 +1,50 @@
+"""CLI subcommands (reference binaries phrasekit_mine/score/build/tag)."""
+
+import json
+
+import pyarrow.parquet as pq
+
+
+def test_cli_mine_score_build_tag_chain(ray_session, tmp_path, capsys):
+    from phrasekit_ray.cli import main
+    from phrasekit_ray.sources.pages import background_table
+
+    pq.write_table(background_table(), str(tmp_path / "bg.parquet"))
+    mine_cfg = tmp_path / "mine.json"
+    mine_cfg.write_text(json.dumps({"min_n": 2, "max_n": 3, "min_count": 5}))
+    score_cfg = tmp_path / "score.json"
+    score_cfg.write_text(json.dumps({"min_domain_count": 5}))
+
+    assert main([
+        "mine",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", str(tmp_path / "ngrams"),
+        "--config", str(mine_cfg),
+    ]) == 0
+    assert main([
+        "score",
+        "--domain", str(tmp_path / "ngrams"),
+        "--background", str(tmp_path / "bg.parquet"),
+        "--output", str(tmp_path / "scored"),
+        "--config", str(score_cfg),
+    ]) == 0
+    assert main([
+        "build",
+        "--phrases", str(tmp_path / "scored"),
+        "--output", str(tmp_path / "artifact"),
+    ]) == 0
+    assert main([
+        "tag",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--artifact", str(tmp_path / "artifact"),
+        "--output", str(tmp_path / "tagged"),
+        "--concurrency", "2",
+    ]) == 0
+
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    stages = [l["stage"] for l in lines]
+    assert stages == ["mine", "score", "build", "tag"]
+    assert lines[3]["documents"] == 500
+    tagged = pq.read_table(str(tmp_path / "tagged"))
+    assert {"doc_id", "spans"} <= set(tagged.column_names)
+    assert tagged.num_rows == 500
