@@ -115,6 +115,55 @@ class AudioFrameSampleActor:
         )
 
 
+class VideoFrameSampleActor:
+    """media rows → uniformly sampled frame features (actor pool stage).
+
+    backend="real" is the ffmpeg/pyav integration point — stubbed. Frame
+    timestamps are derived from ``duration_ms`` (uniform sampling), so the
+    output layout (per-frame ts + feature vector) is real even with the
+    fake decoder.
+    """
+
+    def __init__(
+        self, backend: str = "fake", frames: int = 8, feature_dim: int = 32
+    ):
+        if backend not in ("fake", "real"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.backend = backend
+        self.frames = frames
+        self.feature_dim = feature_dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.backend == "real":
+            raise NotImplementedError(
+                "real video decode requires ffmpeg/pyav (not in container)"
+            )
+        payloads = batch["payload"].to_pylist()
+        durations = batch["duration_ms"].to_pylist()
+        feats = _fake_features(payloads, self.frames * self.feature_dim)
+        ts = [
+            [
+                int((d if d and d > 0 else 0) * (i + 0.5) / self.frames)
+                for i in range(self.frames)
+            ]
+            for d in durations
+        ]
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "decoded_ok": pa.array([bool(p) for p in payloads], pa.bool_()),
+                "frame_ts_ms": pa.array(ts, pa.list_(pa.int32())),
+                "frame_features": pa.array(
+                    [
+                        f.reshape(self.frames, self.feature_dim).tolist()
+                        for f in feats
+                    ],
+                    pa.list_(pa.list_(pa.float32())),
+                ),
+            }
+        )
+
+
 def decode_images(ds, concurrency=(1, 4), batch_size: int = 64, **actor_kwargs):
     """Actor-pool image decode over a media Dataset (small batch_size: the
     payload column is heavy)."""
@@ -137,18 +186,43 @@ def sample_audio_frames(ds, concurrency=(1, 4), batch_size: int = 64, **actor_kw
     )
 
 
+def sample_video_frames(ds, concurrency=(1, 4), batch_size: int = 32, **actor_kwargs):
+    """Actor-pool video frame sampling (smallest batch_size of the three:
+    video payloads are the heaviest)."""
+    return ds.map_batches(
+        VideoFrameSampleActor,
+        fn_constructor_kwargs=actor_kwargs,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def synth_media_table(n: int = 32, seed: int = 5) -> pa.Table:
-    """Deterministic fake media table for plumbing tests."""
+    """Deterministic fake media table for plumbing tests (mixed types:
+    image rows have dimensions, audio/video rows have durations)."""
     rng = np.random.default_rng(seed)
+    kinds = ["image", "audio", "video"]
     payloads = [rng.integers(0, 256, size=128, dtype=np.uint8).tobytes() for _ in range(n)]
+    types = [kinds[i % 3] for i in range(n)]
     return pa.table(
         {
             "media_id": pa.array([f"m{i:04d}" for i in range(n)], pa.string()),
-            "media_type": pa.array(["image"] * n, pa.string()),
+            "media_type": pa.array(types, pa.string()),
             "payload": pa.array(payloads, pa.binary()),
-            "width": pa.array([640] * n, pa.int32()),
-            "height": pa.array([480] * n, pa.int32()),
-            "duration_ms": pa.array([-1] * n, pa.int32()),
+            "width": pa.array(
+                [640 if t == "image" else -1 for t in types], pa.int32()
+            ),
+            "height": pa.array(
+                [480 if t == "image" else -1 for t in types], pa.int32()
+            ),
+            "duration_ms": pa.array(
+                [
+                    -1 if t == "image" else int(1000 + 500 * (i % 7))
+                    for i, t in enumerate(types)
+                ],
+                pa.int32(),
+            ),
         },
         schema=MEDIA_SCHEMA,
     )

@@ -170,3 +170,18 @@ def test_resumable_write_partial_resume(ray_session, tmp_path):
     s = lineage.write_dataset_resumable(ds, root, "nodes", {"v": 1}, "entity_id", 4)
     assert s["skipped"] == 3 and s["written"] == 1
     assert lineage.read_partitioned(root, "nodes").count() == 64
+
+
+def test_dataset_metrics_structured(ray_session):
+    import ray
+
+    from phrasekit_ray.state.metrics import dataset_metrics
+
+    ds = ray.data.range(1000, override_num_blocks=4).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    )
+    mat = ds.materialize()
+    ms = dataset_metrics(mat)
+    assert len(ms) >= 1
+    assert all("operator" in m for m in ms)
+    assert any(m["tasks"] for m in ms)

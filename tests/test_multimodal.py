@@ -49,3 +49,36 @@ def test_audio_frame_sample(ray_session):
     assert len(rows) == 6
     ff = rows[0]["frame_features"]
     assert len(ff) == 8 and len(ff[0]) == 4
+
+
+def test_video_frame_sample_actor_pool(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.multimodal import (
+        VideoFrameSampleActor,
+        sample_video_frames,
+        synth_media_table,
+    )
+
+    tbl = synth_media_table(n=12)
+    out = list(
+        sample_video_frames(
+            ray.data.from_arrow(tbl), concurrency=(1, 2), frames=4, feature_dim=8
+        ).iter_rows()
+    )
+    assert len(out) == 12
+    for r in out:
+        assert len(r["frame_ts_ms"]) == 4
+        assert len(r["frame_features"]) == 4
+        assert len(r["frame_features"][0]) == 8
+    # timestamps monotonically increase for rows with duration
+    with_dur = [r for r in out if r["frame_ts_ms"][-1] > 0]
+    assert with_dur
+    for r in with_dur:
+        assert r["frame_ts_ms"] == sorted(r["frame_ts_ms"])
+
+    import pytest as _pytest
+
+    actor = VideoFrameSampleActor(backend="real")
+    with _pytest.raises(NotImplementedError):
+        actor(tbl)
