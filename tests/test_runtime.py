@@ -1,0 +1,93 @@
+"""Runtime matcher service: load / hot reload / threads / latency.
+
+Ported expectations: reference spec/phrasekit_spec.rb:216-263 (perf +
+thread safety + hot reload) and lib/phrasekit.rb:61-79 (stats /
+healthcheck surface).
+"""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from phrasekit_ray.config import BuildConfig
+from phrasekit_ray.core.artifact import build_artifact, fixture_artifact
+from phrasekit_ray.runtime import PhraseMatcherRuntime
+
+
+@pytest.fixture()
+def rt():
+    r = PhraseMatcherRuntime()
+    r.load(fixture_artifact())
+    return r
+
+
+def test_match_before_load_raises():
+    r = PhraseMatcherRuntime()
+    with pytest.raises(Exception):
+        r.match_tokens([100, 101])
+
+
+def test_hot_reload_swaps_artifact(rt):
+    assert rt.match_tokens([100, 101])  # fixture pattern
+    art2, _ = build_artifact(
+        [{"tokens": ["new", "phrase"], "phrase_id": 7, "salience": 1.0, "count": 1}],
+        BuildConfig(),
+    )
+    rt.load(art2)
+    assert rt.match_tokens([100, 101]) == []  # old patterns gone
+    assert rt.match_text_tokens(["new", "phrase"])[0]["phrase_id"] == 7
+
+
+def test_thread_safety_under_concurrent_reload(rt):
+    """Reference phrasekit_spec.rb:229-263: concurrent matches while a
+    reload swaps the artifact — no errors, every result well-formed."""
+    art2, _ = build_artifact(
+        [{"tokens": ["a", "b"], "phrase_id": 1, "salience": 1.0, "count": 1}],
+        BuildConfig(),
+    )
+    errors = []
+    stop = threading.Event()
+
+    def matcher():
+        while not stop.is_set():
+            try:
+                for m in rt.match_tokens([100, 101, 102]):
+                    assert set(m) == {"start", "end", "phrase_id", "salience", "count", "n"}
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+    threads = [threading.Thread(target=matcher) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for _ in range(10):
+        rt.load(art2)
+        rt.load(fixture_artifact())
+    stop.set()
+    for t in threads:
+        t.join()
+    assert errors == []
+
+
+def test_match_latency_p95(rt):
+    """Reference asserts p95 < 500µs for a 20-token query × 100 iters
+    (spec/phrasekit_spec.rb:216-227). Assert a noise-tolerant 2 ms bound
+    and that the median clears the reference target."""
+    query = [100, 101, 102, 50] * 5  # 20 tokens
+    rt.match_tokens(query)  # warm
+    times = []
+    for _ in range(100):
+        t0 = time.perf_counter()
+        rt.match_tokens(query)
+        times.append(time.perf_counter() - t0)
+    p50, p95 = np.percentile(times, [50, 95])
+    assert p95 < 0.002, f"p95 {p95*1e6:.0f}µs"
+    assert p50 < 0.0005, f"p50 {p50*1e6:.0f}µs"
+
+
+def test_stats_and_healthcheck(rt):
+    s = rt.stats()
+    assert s["patterns"] == 3
+    h = rt.healthcheck()
+    assert h.get("loaded") or h.get("status") in ("ok", "healthy", True)
