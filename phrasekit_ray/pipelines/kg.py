@@ -53,6 +53,7 @@ def run_kg_pipeline(
     tag_saturate_pool: bool = False,
     tag_num_cpus: float = 1,
     materialize_docs: bool = False,
+    canonicalize: str = "driver",
 ) -> KGResult:
     kg_config = kg_config or KGConfig()
     phase = run_phrase_pipeline(
@@ -71,7 +72,30 @@ def run_kg_pipeline(
     )
     artifact = phase.artifact
     edges_alias = kgmod.alias_edges_from_artifact(artifact)
-    mapping = kgmod.canonical_mapping(artifact.phrase_ids, edges_alias)
+    if canonicalize == "distributed" and edges_alias:
+        # hash-min label propagation over the alias edges (the scale path
+        # for corpus-derived edge sets; alias edges are artifact-sized so
+        # "driver" union-find is the default)
+        import pyarrow as pa
+        import ray as _ray
+
+        edge_tbl = pa.table(
+            {
+                "src": pa.array([a for a, _ in edges_alias], pa.int64()),
+                "dst": pa.array([b for _, b in edges_alias], pa.int64()),
+            }
+        )
+        labels = {
+            r["node"]: r["label"]
+            for r in kgmod.connected_components_distributed(
+                _ray.data.from_arrow(edge_tbl)
+            ).iter_rows()
+        }
+        mapping = {
+            int(p): int(labels.get(int(p), int(p))) for p in artifact.phrase_ids
+        }
+    else:
+        mapping = kgmod.canonical_mapping(artifact.phrase_ids, edges_alias)
     names = kgmod.canonical_names_from_artifact(artifact, mapping)
 
     tagged = phase.tagged

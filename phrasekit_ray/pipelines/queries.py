@@ -639,6 +639,35 @@ def q_knn_ivf(sf_dir: str):
     return _i64(t.select(["query_id", "vec_id"]), "query_id", "vec_id")
 
 
+# --- grouped top-k ----------------------------------------------------------
+
+def q_top_terms_per_lang(sf_dir: str):
+    """Top-5 terms per language by frequency — grouped top-k via per-group
+    vectorized map_groups after a two-phase count aggregate."""
+    from phrasekit_ray.stages.agg import grouped_count
+
+    docs = _docs(sf_dir)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        sizes = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        langs = batch["lang"].combine_chunks().take(
+            pa.array(np.repeat(np.arange(len(sizes)), sizes))
+        )
+        return pa.table({"lang": langs, "tok": toks.values})
+
+    counts = grouped_count(
+        docs.map_batches(explode, batch_format="pyarrow"), ["lang", "tok"]
+    )
+
+    def topk(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("count", "descending"), ("tok", "ascending")])
+        return t.slice(0, 5)
+
+    top = counts.groupby("lang").map_groups(topk, batch_format="pyarrow")
+    return _i64(_collect(top), "count")
+
+
 # --- runtime matcher (rows-only) -------------------------------------------
 
 def q_match_runtime(sf_dir: str):
@@ -707,6 +736,7 @@ QUERIES = {
     "q_join_customer_orders": q_join_customer_orders,
     "q_spell_correct": q_spell_correct,
     "q_knn_ivf": q_knn_ivf,
+    "q_top_terms_per_lang": q_top_terms_per_lang,
 }
 
 
@@ -871,6 +901,14 @@ ORACLE_SQL = {
         "FROM toks LEFT JOIN corr ON lower(toks.tok) = corr.wrong) "
         "SELECT doc_id, string_agg(tok2, ' ' ORDER BY pos) AS corrected_text "
         "FROM fixed GROUP BY doc_id"
+    ),
+    "q_top_terms_per_lang": (
+        "WITH toks AS (SELECT lang, unnest(string_split(text,' ')) AS tok "
+        "FROM documents), "
+        "counts AS (SELECT lang, tok, count(*) AS count FROM toks GROUP BY 1,2), "
+        "ranked AS (SELECT *, row_number() OVER "
+        "  (PARTITION BY lang ORDER BY count DESC, tok ASC) AS rn FROM counts) "
+        "SELECT lang, tok, count FROM ranked WHERE rn <= 5"
     ),
     # rows-only (non-SQL-expressible): q_kg_triples_flagship (overlap policy),
     # q_dedup_minhash / q_simhash / q_fingerprints (hash functions),

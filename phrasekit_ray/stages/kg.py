@@ -92,6 +92,75 @@ def canonical_mapping(
     return {int(pid): root_min[uf.find(int(pid))] for pid in phrase_ids}
 
 
+def connected_components_distributed(
+    edges_ds,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 50,
+):
+    """Distributed connected components over an edge Dataset via hash-min
+    label propagation — the scale path for canonicalization when the
+    alias-edge set is too big to collect (SURVEY.md §7.3; driver-side
+    ``canonical_mapping`` handles the model-sized case).
+
+    Each round every node adopts the minimum label among itself and its
+    neighbors (two shuffles per round: message aggregate + label merge,
+    both int-keyed hash_aggregate). Converges in O(component diameter)
+    rounds; the loop stops when the global label sum is stable — a cheap
+    scalar aggregate, no per-node comparison pass. Returns a Dataset
+    (node: int64, label: int64) where label = component minimum.
+    """
+    def norm_edges(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch[src_col].cast(pa.int64()),
+                "dst": batch[dst_col].cast(pa.int64()),
+            }
+        )
+
+    edges = edges_ds.map_batches(norm_edges, batch_format="pyarrow").materialize()
+
+    def initial_labels(batch: pa.Table) -> pa.Table:
+        nodes = pa.concat_arrays(
+            [batch["src"].combine_chunks(), batch["dst"].combine_chunks()]
+        )
+        return pa.table({"node": nodes, "label": nodes})
+
+    labels = hash_aggregate(
+        edges.map_batches(initial_labels, batch_format="pyarrow"),
+        "node",
+        [("label", "min")],
+    ).materialize()
+    prev_sum = labels.sum("label")
+
+    def msg_from_src(batch: pa.Table) -> pa.Table:
+        # after join on src: (src, dst, label) — send src's label to dst
+        return pa.table({"node": batch["dst"], "label": batch["label"]})
+
+    def msg_from_dst(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["src"], "label": batch["label"]})
+
+    for _ in range(max_rounds):
+        # distributed hash joins: every edge endpoint fetches its current
+        # label, then sends it to the opposite endpoint
+        j_src = edges.join(
+            labels, join_type="inner", num_partitions=8, on=("src",), right_on=("node",)
+        )
+        j_dst = edges.join(
+            labels, join_type="inner", num_partitions=8, on=("dst",), right_on=("node",)
+        )
+        m1 = j_src.map_batches(msg_from_src, batch_format="pyarrow")
+        m2 = j_dst.map_batches(msg_from_dst, batch_format="pyarrow")
+        labels = hash_aggregate(
+            labels.union(m1).union(m2), "node", [("label", "min")]
+        ).materialize()
+        cur = labels.sum("label")
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels
+
+
 def entity_lut(artifact: MatcherArtifact, mapping: dict[int, int]) -> np.ndarray:
     """Dense lookup: pattern index → canonical entity id."""
     return np.fromiter(

@@ -185,3 +185,39 @@ def test_dataset_metrics_structured(ray_session):
     assert len(ms) >= 1
     assert all("operator" in m for m in ms)
     assert any(m["tasks"] for m in ms)
+
+
+def test_distributed_cc_matches_union_find(ray_session):
+    """Hash-min label propagation == driver-side union-find on random graphs."""
+    import numpy as np
+    import ray
+
+    from phrasekit_ray.stages.kg import UnionFind, connected_components_distributed
+
+    rng = np.random.default_rng(11)
+    nodes = np.arange(100, 200)
+    edges = [
+        (int(rng.choice(nodes)), int(rng.choice(nodes))) for _ in range(120)
+    ]
+    tbl = pa.table(
+        {
+            "src": pa.array([a for a, _ in edges], pa.int64()),
+            "dst": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in connected_components_distributed(
+            ray.data.from_arrow(tbl)
+        ).iter_rows()
+    }
+    uf = UnionFind()
+    for a, b in edges:
+        uf.union(a, b)
+    touched = {a for a, _ in edges} | {b for _, b in edges}
+    comp_min: dict[int, int] = {}
+    for n in touched:
+        r = uf.find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    want = {n: comp_min[uf.find(n)] for n in touched}
+    assert got == want

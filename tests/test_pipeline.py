@@ -170,3 +170,17 @@ def test_triples_match_oracle_semantics(pages_ds):
                     )
                 )
     assert got == want  # P/R == 1.0
+
+
+def test_kg_pipeline_distributed_canonicalization_same_mapping(pages_ds):
+    """canonicalize='distributed' (hash-min CC) == driver union-find."""
+    a = run_kg_pipeline(
+        pages_ds, pagesmod.background_table(),
+        MineConfig(min_n=2, max_n=4, min_count=2), ScoreConfig(min_domain_count=2),
+    )
+    b = run_kg_pipeline(
+        pages_ds, pagesmod.background_table(),
+        MineConfig(min_n=2, max_n=4, min_count=2), ScoreConfig(min_domain_count=2),
+        canonicalize="distributed",
+    )
+    assert a.mapping == b.mapping
