@@ -9,10 +9,11 @@ plus the headline per-operator queries over ``$GRAFT_SF_DIR`` (default
      "pages": N, "pages_per_sec": ...}
 
 ``--scaling``: runs the headline pipeline twice in FRESH subprocesses
-(num_cpus=8 then num_cpus=32, same input) and reports throughput at both
-plus scaling efficiency = (thr_hi / thr_lo) / (cpus_hi / cpus_lo).
-This is the sandbox proxy for the N- vs 4N-node cluster rule
-(BASELINE.md "Target metric").
+(num_cpus=N then 4N — default 4 vs 16, override with GRAFT_SCALING_LO/HI)
+on the same input and reports throughput at both plus scaling efficiency
+= (thr_hi / thr_lo) / (cpus_hi / cpus_lo). This is the sandbox proxy for
+the N- vs 4N-node cluster rule (BASELINE.md "Target metric" + measured
+results).
 """
 
 from __future__ import annotations
@@ -59,7 +60,7 @@ def run_headline(sf_dir: str) -> dict:
 
     import pyarrow.parquet as pq
 
-    repeat = int(os.environ.get("GRAFT_BENCH_REPEAT", "1"))
+    repeat = int(os.environ.get("GRAFT_BENCH_REPEAT", "400"))
     cpus = int(ray.cluster_resources().get("CPU", 8))
     pages_n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows * repeat
     t0 = time.perf_counter()
@@ -154,6 +155,7 @@ def run_once(headline_only: bool = False) -> dict:
         "sf": _sf_label(sf_dir),
         "num_cpus": cpus,
         "pages": head["pages"],
+        "repeat": int(os.environ.get("GRAFT_BENCH_REPEAT", "400")),
         "pages_per_sec": round(head["pages_per_sec"], 2),
         "edges": head["edges"],
     }

@@ -203,8 +203,9 @@ def _tagged_all_bigrams(sf_dir: str, min_dom: int = 3, min_sal: float = 2.0):
             docs,
             ref,
             TagConfig(policy="all", max_spans=1_000_000),
-            concurrency=(1, 4),
+            concurrency=(1, 8),
             batch_size=512,
+            saturate_pool=True,
         ),
         artifact,
     )
