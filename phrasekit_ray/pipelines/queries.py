@@ -640,6 +640,48 @@ def q_knn_ivf(sf_dir: str):
     return _i64(t.select(["query_id", "vec_id"]), "query_id", "vec_id")
 
 
+# --- policy coverage (rows-only: overlap resolution not SQL-expressible) ----
+
+def q_tag_policies(sf_dir: str):
+    """Spans from the SAME artifact under all four overlap-resolution
+    policies (M6-M9) over the documents corpus."""
+    phrases = _scored_bigrams(sf_dir, 3, 2.0)
+    artifact, _ = build_from_scored(phrases)
+    ref = put_artifact(artifact)
+    docs = tokenize_documents(_docs(sf_dir))
+    rows = {"policy": [], "doc_id": [], "start": [], "end": [], "phrase_id": []}
+    for policy in ("leftmost_longest", "leftmost_first", "salience_max", "all"):
+        tagged = tag_corpus(
+            docs,
+            ref,
+            TagConfig(policy=policy, max_spans=1000),
+            concurrency=(1, 4),
+            batch_size=512,
+        )
+        for b in tagged.iter_batches(batch_format="pyarrow"):
+            spans = b["spans"].combine_chunks()
+            offsets = spans.offsets.to_numpy(zero_copy_only=False)
+            offs = offsets - offsets[0]
+            vals = spans.values.slice(offsets[0], int(offs[-1]))
+            sizes = np.diff(offs)
+            parent = np.repeat(np.arange(len(sizes)), sizes)
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            rows["policy"].extend([policy] * len(parent))
+            rows["doc_id"].extend(ids[parent].tolist())
+            rows["start"].extend(vals.field("start").to_pylist())
+            rows["end"].extend(vals.field("end").to_pylist())
+            rows["phrase_id"].extend(vals.field("phrase_id").to_pylist())
+    return pa.table(
+        {
+            "policy": pa.array(rows["policy"], pa.string()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "start": pa.array(rows["start"], pa.int64()),
+            "end": pa.array(rows["end"], pa.int64()),
+            "phrase_id": pa.array(rows["phrase_id"], pa.int64()),
+        }
+    )
+
+
 # --- grouped top-k ----------------------------------------------------------
 
 def q_top_terms_per_lang(sf_dir: str):
@@ -738,6 +780,7 @@ QUERIES = {
     "q_spell_correct": q_spell_correct,
     "q_knn_ivf": q_knn_ivf,
     "q_top_terms_per_lang": q_top_terms_per_lang,
+    "q_tag_policies": q_tag_policies,
 }
 
 

@@ -184,3 +184,28 @@ def test_kg_pipeline_distributed_canonicalization_same_mapping(pages_ds):
         canonicalize="distributed",
     )
     assert a.mapping == b.mapping
+
+
+def test_kg_pipeline_zero_phrases_graceful(ray_session):
+    """Thresholds that kill every phrase must flow through to empty
+    (but well-formed) mention/triple/node/edge outputs, not crash."""
+    import ray
+
+    pages = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": ["u1", "u2"],
+                "warc_ts": pa.array([0, 1], pa.timestamp("us")),
+                "html": pa.array([None, None], pa.binary()),
+                "text": ["only two words", "other words here"],
+                "lang": ["en", "en"],
+            }
+        )
+    )
+    res = run_kg_pipeline(
+        pages, {}, MineConfig(min_n=2, max_n=5, min_count=99),
+        ScoreConfig(min_domain_count=99),
+    )
+    assert res.artifact.num_patterns == 0
+    assert res.edges.count() == 0
+    assert res.nodes.count() == 0
