@@ -579,6 +579,25 @@ def q_events_asof(sf_dir: str):
     )
 
 
+
+
+def q_events_tumbling(sf_dir: str):
+    import ray
+
+    from phrasekit_ray.stages import windows
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return _i64(
+        _collect(windows.tumbling_window_agg(ev, window_minutes=60.0)),
+        "user_id",
+        "window_start_us",
+        "n_events",
+        "sum_value_cents",
+    )
+
+
 # --- native hash join -------------------------------------------------------
 
 def q_join_customer_orders(sf_dir: str):
@@ -781,6 +800,7 @@ QUERIES = {
     "q_knn_ivf": q_knn_ivf,
     "q_top_terms_per_lang": q_top_terms_per_lang,
     "q_tag_policies": q_tag_policies,
+    "q_events_tumbling": q_events_tumbling,
 }
 
 
@@ -945,6 +965,13 @@ ORACLE_SQL = {
         "FROM toks LEFT JOIN corr ON lower(toks.tok) = corr.wrong) "
         "SELECT doc_id, string_agg(tok2, ' ' ORDER BY pos) AS corrected_text "
         "FROM fixed GROUP BY doc_id"
+    ),
+    "q_events_tumbling": (
+        "SELECT CAST(user_id AS BIGINT) AS user_id, "
+        "CAST(epoch_us(ts) // 3600000000 * 3600000000 AS BIGINT) AS window_start_us, "
+        "count(*) AS n_events, "
+        "CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_value_cents "
+        "FROM events GROUP BY 1, 2"
     ),
     "q_top_terms_per_lang": (
         "WITH toks AS (SELECT lang, unnest(string_split(text,' ')) AS tok "

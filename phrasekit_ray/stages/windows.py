@@ -91,3 +91,42 @@ def asof_last_event(
         )
 
     return ds.groupby(user_col).map_groups(per_user, batch_format="pyarrow")
+
+
+def tumbling_window_agg(
+    ds,
+    window_minutes: float = 60.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+):
+    """events(user_id, ts, value) → per (user, window) aggregate rows
+    (window_start_us, n_events, sum_value_cents) — the tumbling-window
+    aggregate. A pure two-phase grouped aggregate: the window id is a
+    derived column (epoch // size), so no per-group UDF and no ordering
+    assumption; shuffle key is the (user, window) int pair.
+    """
+    from phrasekit_ray.stages.agg import hash_aggregate
+
+    win_us = np.int64(window_minutes * 60_000_000)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].combine_chunks().cast(pa.int64()).to_numpy()
+        win = (ts // win_us) * win_us
+        cents = pc.cast(
+            pc.round(pc.multiply(batch[value_col], 100.0)), pa.int64()
+        )
+        return pa.table(
+            {
+                "user_id": batch[user_col].cast(pa.int64()),
+                "window_start_us": pa.array(win, pa.int64()),
+                "n_events": pa.array(np.ones(len(ts), dtype=np.int64)),
+                "sum_value_cents": cents,
+            }
+        )
+
+    return hash_aggregate(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        ["user_id", "window_start_us"],
+        [("n_events", "sum"), ("sum_value_cents", "sum")],
+    )
