@@ -54,6 +54,7 @@ def run_kg_pipeline(
     tag_num_cpus: float = 1,
     materialize_docs: bool = False,
     canonicalize: str = "driver",
+    tag_keep_tokens: bool = False,
 ) -> KGResult:
     kg_config = kg_config or KGConfig()
     phase = run_phrase_pipeline(
@@ -69,6 +70,7 @@ def run_kg_pipeline(
         tag_saturate_pool=tag_saturate_pool,
         tag_num_cpus=tag_num_cpus,
         materialize_docs=materialize_docs,
+        tag_keep_tokens=tag_keep_tokens,
     )
     artifact = phase.artifact
     edges_alias = kgmod.alias_edges_from_artifact(artifact)

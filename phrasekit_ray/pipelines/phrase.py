@@ -44,6 +44,7 @@ def run_phrase_pipeline(
     tag_saturate_pool: bool = False,
     tag_num_cpus: float = 1,
     materialize_docs: bool = False,
+    tag_keep_tokens: bool = True,
 ) -> PhrasePipelineResult:
     """pages → tokenized docs → mine → score → build → tag.
 
@@ -72,6 +73,9 @@ def run_phrase_pipeline(
         batch_size=tag_batch_size,
         saturate_pool=tag_saturate_pool,
         num_cpus=tag_num_cpus,
+        # the KG path never reads tokens from tagged output; dropping the
+        # column halves the bytes written back to the object store
+        keep_tokens=tag_keep_tokens,
         # extract_tokens always emits the id under "doc_id"
         id_col="doc_id",
     )
