@@ -107,8 +107,11 @@ def cmd_tag(args) -> int:
         cfg,
         concurrency=(args.concurrency, args.concurrency),
         batch_size=args.batch_size,
+        # parquet output carries doc_id + spans only; never ship the token
+        # corpus through the object store just to drop it at the sink
+        keep_tokens=False,
     )
-    tagged.drop_columns(["tokens"]).write_parquet(args.output)
+    tagged.write_parquet(args.output)
     print(json.dumps({"stage": "tag", **tag_stats(tagged)}))
     return 0
 
