@@ -295,6 +295,32 @@ def q_score_tfidf(sf_dir: str):
     return out
 
 
+
+
+def q_score_ratio_join(sf_dir: str):
+    """Shuffle-join scoring variant (J1 scale path): same semantics and
+    oracle as q_score_ratio, background joined with a LEFT OUTER hash
+    join instead of a broadcast dict."""
+    from phrasekit_ray.stages.score import score_ngrams_join
+
+    domain = _mined(sf_dir, 2, 2, 1, where_lang="en")
+    background = _mined(sf_dir, 2, 2, 1, exclude_lang="en")
+    scored = score_ngrams_join(
+        domain,
+        background,
+        ScoreConfig(method="ratio", min_domain_count=3, min_salience=2.0,
+                    starting_phrase_id=1000),
+    )
+    t = _collect(scored)
+    d = t["domain_count"].to_numpy().astype(np.int64)
+    b = t["background_count"].to_numpy().astype(np.int64)
+    sal64 = d.astype(np.float64) / (b + 1).astype(np.float64)
+    t = t.set_column(
+        t.column_names.index("salience"), "salience", pa.array(sal64, pa.float64())
+    )
+    return _i64(t, "domain_count", "background_count", "phrase_id")
+
+
 # --- tagging / KG queries --------------------------------------------------
 
 def q_tag_all_mentions(sf_dir: str):
@@ -771,6 +797,7 @@ QUERIES = {
     "q_mine_top100_trigrams": q_mine_top100_trigrams,
     "q_enumerate_bigrams": q_enumerate_bigrams,
     "q_score_ratio": q_score_ratio,
+    "q_score_ratio_join": q_score_ratio_join,
     "q_score_pmi": q_score_pmi,
     "q_score_tfidf": q_score_tfidf,
     "q_tag_all_mentions": q_tag_all_mentions,
@@ -817,6 +844,10 @@ ORACLE_SQL = {
         "FROM base"
     ),
     "q_score_ratio": (
+        _sql_scored(3, 2.0)
+        + " SELECT ngram, salience, phrase_id, domain_count, background_count FROM phrases"
+    ),
+    "q_score_ratio_join": (
         _sql_scored(3, 2.0)
         + " SELECT ngram, salience, phrase_id, domain_count, background_count FROM phrases"
     ),

@@ -198,3 +198,97 @@ def scored_table_to_rows(table: pa.Table) -> list[dict]:
             }
         )
     return rows
+
+
+def score_ngrams_join(
+    domain_ds,
+    background_ds,
+    config: ScoreConfig | None = None,
+    num_partitions: int = 8,
+    driver_finalize_threshold: int = 2_000_000,
+):
+    """Shuffle-join scoring — the scale path for J1 when the background
+    phrase table is too large to broadcast (reference loads it fully in
+    memory, phrasekit_score.rs:104-105; `score_ngrams` broadcasts it via
+    ray.put). LEFT OUTER hash join on the ngram key (missing background →
+    background_count = 0, phrasekit_score.rs:190-191), then the same
+    salience/filter/sort/enumerate finalize as `score_ngrams`.
+
+    Only the ratio method is supported here (pmi/tfidf need corpus totals,
+    which the caller can compute with ds.sum and pass to `score_ngrams`).
+    """
+    import ray  # noqa: F401  (Dataset API)
+
+    config = config or ScoreConfig()
+    if config.method != "ratio":
+        raise ValueError("score_ngrams_join supports method='ratio' only")
+    min_domain = config.min_domain_count
+    min_sal = np.float32(config.min_salience)
+
+    bg = background_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "ngram": b["ngram"],
+                "bg_count": b["count"].cast(pa.int64(), safe=False),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = domain_ds.join(
+        bg,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("ngram",),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        d = batch["count"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        # LEFT OUTER: unmatched background is NULL ⇒ 0 (score.rs:190-191)
+        bgc = (
+            pc.fill_null(batch["bg_count"], 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        keep = d >= min_domain
+        sal = saliencemod.ratio_salience(d, bgc)
+        keep &= sal >= min_sal
+        return pa.table(
+            {
+                "ngram": batch["ngram"],
+                "salience": pa.array(sal, pa.float32()),
+                "domain_count": pa.array(d.astype(np.uint32), pa.uint32()),
+                "background_count": pa.array(bgc.astype(np.uint32), pa.uint32()),
+            }
+        ).filter(pa.array(keep))
+
+    scored = joined.map_batches(finalize, batch_format="pyarrow")
+    tables = list(scored.iter_batches(batch_format="pyarrow"))
+    n_rows = sum(t.num_rows for t in tables)
+    if n_rows <= driver_finalize_threshold:
+        tbl = (
+            pa.concat_tables(tables, promote_options="default")
+            if tables
+            else pa.table(
+                {
+                    "ngram": pa.array([], pa.string()),
+                    "salience": pa.array([], pa.float32()),
+                    "domain_count": pa.array([], pa.uint32()),
+                    "background_count": pa.array([], pa.uint32()),
+                }
+            )
+        )
+        tbl = tbl.sort_by([("salience", "descending"), ("ngram", "ascending")])
+        if config.assign_phrase_ids:
+            ids = np.arange(
+                config.starting_phrase_id,
+                config.starting_phrase_id + tbl.num_rows,
+                dtype=np.uint32,
+            )
+            tbl = tbl.append_column("phrase_id", pa.array(ids, pa.uint32()))
+        import ray as _ray
+
+        return _ray.data.from_arrow(tbl)
+    scored = scored.sort(["salience", "ngram"], descending=[True, False])
+    if config.assign_phrase_ids:
+        scored = with_row_index(scored, col="phrase_id", start=config.starting_phrase_id)
+    return scored
