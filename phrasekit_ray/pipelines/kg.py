@@ -123,6 +123,25 @@ def run_kg_pipeline(
         )
         artifact.save(f"{output_root}/artifact")
         summary = {"nodes": s1, "edges": s2}
+        # run-level manifest: configs + per-stage write summaries + build
+        # stats — the "lineage + metrics" record for a resumable run
+        import json as _json
+        import os as _os
+        import time as _time
+
+        run_manifest = {
+            "config": cfg_desc,
+            "stages": summary,
+            "artifact": {
+                "num_patterns": int(artifact.num_patterns),
+                "vocab_size": len(artifact.vocab) + 1,
+            },
+            "canonicalize": canonicalize,
+            "entities": len(set(mapping.values())),
+            "written_at": _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime()),
+        }
+        with open(_os.path.join(output_root, "run_manifest.json"), "w") as f:
+            _json.dump(run_manifest, f, indent=2)
 
     return KGResult(
         artifact=artifact,
