@@ -110,7 +110,7 @@ def cmd_tag(args) -> int:
         # parquet output carries doc_id + spans only; never ship the token
         # corpus through the object store just to drop it at the sink
         keep_tokens=False,
-    )
+    ).materialize()  # one execution feeds both the sink and the stats pass
     tagged.write_parquet(args.output)
     print(json.dumps({"stage": "tag", **tag_stats(tagged)}))
     return 0

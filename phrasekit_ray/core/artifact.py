@@ -55,23 +55,35 @@ class _PatternTable:
     (salted if a hash collision between distinct patterns ever occurs);
     ``mat`` holds the exact token-id rows in key order so candidate hits
     are verified with vectorized uint32 comparisons — hashing is a fast
-    path, never a correctness assumption."""
+    path, never a correctness assumption. In the astronomically rare case
+    no salt (within ``_MAX_SALT_ATTEMPTS``) separates all keys, the
+    colliding extras land in ``overflow_mat`` and are matched by exact
+    sliding-window comparison — so construction always terminates and no
+    pattern is ever shadowed by a hash collision."""
 
     n: int
     keys: np.ndarray  # uint64 hashes, sorted ascending
     pattern_idx: np.ndarray  # int64, same order as keys → payload index
     mat: np.ndarray  # (len(keys), n) uint32 token ids, key order
     salt: np.uint64
+    overflow_mat: np.ndarray  # (n_overflow, n) uint32 token ids
+    overflow_idx: np.ndarray  # int64 payload indices for overflow rows
 
 
 _HASH_C = np.uint64(0x100000001B3)  # FNV-ish odd multiplier
+_MAX_SALT_ATTEMPTS = 16
 
 
 def _poly_hash_columns(cols: list[np.ndarray], salt: np.uint64) -> np.ndarray:
-    """uint64 polynomial hash over n aligned uint32 columns (mod 2^64)."""
+    """uint64 polynomial hash over n aligned uint32 columns (mod 2^64).
+
+    The salt is XOR-mixed into EVERY column (not just the initial
+    accumulator): an additive-only salt contributes salt*C^n identically
+    to all same-length patterns, making pairwise collisions salt-invariant
+    — the bump loop could then never resolve a real collision."""
     acc = np.full(len(cols[0]), salt, dtype=np.uint64)
     for c in cols:
-        acc = acc * _HASH_C + c.astype(np.uint64)
+        acc = acc * _HASH_C + (c.astype(np.uint64) ^ salt)
     return acc
 
 
@@ -112,24 +124,37 @@ class MatcherArtifact:
             mat = np.empty((len(idxs), n), dtype=np.uint32)
             for row, i in enumerate(idxs):
                 mat[row] = self.encode_tokens(pattern_tokens[i])
-            # salted hash keys: bump the salt in the (astronomically rare)
-            # event two DISTINCT patterns collide, so lookups stay 1:1
+            # salted hash keys: bump the (XOR-mixed) salt in the
+            # astronomically rare event two DISTINCT patterns collide, so
+            # lookups stay 1:1; bounded attempts, then exact-scan overflow
+            idx_arr = np.asarray(idxs, dtype=np.int64)
+            keys = np.zeros(len(idx_arr), dtype=np.uint64)
             salt = np.uint64(0)
-            while True:
-                keys = _poly_hash_columns(
-                    [mat[:, k] for k in range(n)], salt
-                )
-                uniq = np.unique(keys)
-                if len(uniq) == len(keys):
+            resolved = False
+            for attempt in range(_MAX_SALT_ATTEMPTS):
+                salt = np.uint64(attempt)
+                keys = _poly_hash_columns([mat[:, k] for k in range(n)], salt)
+                if len(np.unique(keys)) == len(keys):
+                    resolved = True
                     break
-                salt = salt + np.uint64(1)
-            order = np.argsort(keys)
+            if resolved:
+                primary = np.ones(len(keys), dtype=bool)
+            else:
+                # keep the first pattern per colliding key in the hash
+                # table; the rest are matched by exact window comparison
+                _, first_pos = np.unique(keys, return_index=True)
+                primary = np.zeros(len(keys), dtype=bool)
+                primary[first_pos] = True
+            pk = keys[primary]
+            order = np.argsort(pk)
             self._tables[n] = _PatternTable(
                 n=n,
-                keys=keys[order],
-                pattern_idx=np.asarray(idxs, dtype=np.int64)[order],
-                mat=np.ascontiguousarray(mat[order]),
+                keys=pk[order],
+                pattern_idx=idx_arr[primary][order],
+                mat=np.ascontiguousarray(mat[primary][order]),
                 salt=salt,
+                overflow_mat=np.ascontiguousarray(mat[~primary]),
+                overflow_idx=idx_arr[~primary],
             )
 
     # -- encode ---------------------------------------------------------
@@ -187,6 +212,29 @@ class MatcherArtifact:
             starts_out.append(starts)
             ends_out.append(starts + n)
             pidx_out.append(table.pattern_idx[rows[ok]])
+        # exact sliding-window scan for hash-collision overflow patterns
+        # (normally empty — see _PatternTable docstring)
+        for n, table in self._tables.items():
+            if len(table.overflow_idx) == 0 or L < n:
+                continue
+            m = L - n + 1
+            in_doc = doc_index[:m] == doc_index[n - 1 :] if n > 1 else None
+            for row in range(len(table.overflow_idx)):
+                patt = table.overflow_mat[row]
+                ok = ids[:m] == patt[0]
+                for k in range(1, n):
+                    ok &= ids[k : k + m] == patt[k]
+                if in_doc is not None:
+                    ok &= in_doc
+                starts = np.flatnonzero(ok)
+                if len(starts) == 0:
+                    continue
+                docs_out.append(doc_index[starts])
+                starts_out.append(starts)
+                ends_out.append(starts + n)
+                pidx_out.append(
+                    np.full(len(starts), table.overflow_idx[row], dtype=np.int64)
+                )
         if not docs_out:
             e = np.empty(0, dtype=np.int64)
             return e, e, e, e

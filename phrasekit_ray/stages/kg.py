@@ -327,22 +327,36 @@ def node_table(mentions_ds, entity_lut_by_phrase: dict[int, int], canonical_name
 def edge_table(triples_ds, pred: str | None = None):
     """triples → edges(subj, pred, obj, weight) with in-block combine.
 
-    The predicate is constant within a pipeline run (KGConfig.predicate),
-    so the combine/shuffle key is (subj, obj) only; the pred column is
-    re-attached to the (small) aggregated edge table."""
+    When ``pred`` is given (the common case — KGConfig.predicate is
+    constant per pipeline run) the combine/shuffle key is (subj, obj)
+    only. When ``pred`` is None the ACTUAL pred column joins the group
+    key in both the in-block combine and the shuffle, so a triples
+    dataset mixing predicates aggregates each (subj, pred, obj)
+    separately — never merged under whichever pred a block saw first."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        if pred is None and batch.num_rows:
-            pred_val = batch["pred"][0].as_py()
-        else:
-            pred_val = pred or "co_mentioned_with"
-        t = (
-            batch.select(["subj", "obj"])
-            .group_by(["subj", "obj"])
-            .aggregate([("subj", "count")])
-            .rename_columns(["subj", "obj", "weight"])
+        if pred is not None:
+            t = (
+                batch.select(["subj", "obj"])
+                .group_by(["subj", "obj"])
+                .aggregate([("subj", "count")])
+                .rename_columns(["subj", "obj", "weight"])
+            )
+            return t.append_column(
+                "_pred", pa.array([pred] * t.num_rows, pa.string())
+            )
+        t = pa.table(
+            {
+                "subj": batch["subj"],
+                "obj": batch["obj"],
+                "_pred": batch["pred"].cast(pa.string()),
+            }
         )
-        return t.append_column("_pred", pa.array([pred_val] * t.num_rows, pa.string()))
+        return (
+            t.group_by(["subj", "obj", "_pred"])
+            .aggregate([("subj", "count")])
+            .rename_columns(["subj", "obj", "_pred", "weight"])
+        )
 
     agg = hash_aggregate(
         triples_ds.map_batches(partial, batch_format="pyarrow"),

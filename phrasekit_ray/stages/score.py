@@ -46,6 +46,61 @@ def _get_broadcast(ref) -> dict:
     return hit
 
 
+def _empty_scored_table() -> pa.Table:
+    return pa.table(
+        {
+            "ngram": pa.array([], pa.string()),
+            "salience": pa.array([], pa.float32()),
+            "domain_count": pa.array([], pa.uint32()),
+            "background_count": pa.array([], pa.uint32()),
+        }
+    )
+
+
+def _finalize_scored(scored, config: ScoreConfig, driver_finalize_threshold: int):
+    """Sort desc (salience, ngram asc tiebreak) + sequential phrase_id.
+
+    The scored-phrase table is normally model-sized (10K–1M rows per
+    reference docs/BUILDER.md:136-142) regardless of corpus size, so the
+    default finalize STREAMS batches to the driver and abandons collection
+    the moment the running row count exceeds ``driver_finalize_threshold``
+    — driver memory is bounded by the threshold, never by the dataset.
+    Above the threshold it falls back to the distributed sort +
+    block-offset enumeration path (which re-executes the lazy pipeline;
+    that trade is intentional — no mid-pipeline materialize barrier on the
+    common small path).
+    """
+    import ray
+
+    tables: list[pa.Table] | None = []
+    n_rows = 0
+    for t in scored.iter_batches(batch_format="pyarrow"):
+        tables.append(t)
+        n_rows += t.num_rows
+        if n_rows > driver_finalize_threshold:
+            tables = None  # release collected batches; take the scale path
+            break
+    if tables is not None:
+        tbl = (
+            pa.concat_tables(tables, promote_options="default")
+            if tables
+            else _empty_scored_table()
+        )
+        tbl = tbl.sort_by([("salience", "descending"), ("ngram", "ascending")])
+        if config.assign_phrase_ids:
+            ids = np.arange(
+                config.starting_phrase_id,
+                config.starting_phrase_id + tbl.num_rows,
+                dtype=np.uint32,
+            )
+            tbl = tbl.append_column("phrase_id", pa.array(ids, pa.uint32()))
+        return ray.data.from_arrow(tbl)
+    scored = scored.sort(["salience", "ngram"], descending=[True, False])
+    if config.assign_phrase_ids:
+        scored = with_row_index(scored, col="phrase_id", start=config.starting_phrase_id)
+    return scored
+
+
 def background_to_dict(background) -> dict[str, int]:
     """Accept a Dataset / pyarrow Table / mapping / iterable of
     (ngram, count) or reference-style {tokens, count} rows; lowercase keys;
@@ -140,47 +195,7 @@ def score_ngrams(
     scored = domain_ds.map_batches(score_batch, batch_format="pyarrow", **map_kwargs)
     # deterministic total order where the reference is tie-nondeterministic
     # (SURVEY.md O2): salience desc, ngram asc.
-    #
-    # The scored-phrase table is model-sized (10K–1M rows per reference
-    # docs/BUILDER.md:136-142) regardless of corpus size, so the default
-    # finalize streams it to the driver and sorts/enumerates locally — one
-    # pipeline execution, no range-partition shuffle, no materialize
-    # barrier. Above ``driver_finalize_threshold`` rows it falls back to
-    # the distributed sort + block-offset enumeration path.
-    import pyarrow as pa_mod
-
-    tables = list(scored.iter_batches(batch_format="pyarrow"))
-    n_rows = sum(t.num_rows for t in tables)
-    if n_rows <= driver_finalize_threshold:
-        tbl = (
-            pa_mod.concat_tables(tables, promote_options="default")
-            if tables
-            else pa_mod.table(
-                {
-                    "ngram": pa_mod.array([], pa_mod.string()),
-                    "salience": pa_mod.array([], pa_mod.float32()),
-                    "domain_count": pa_mod.array([], pa_mod.uint32()),
-                    "background_count": pa_mod.array([], pa_mod.uint32()),
-                }
-            )
-        )
-        tbl = tbl.sort_by(
-            [("salience", "descending"), ("ngram", "ascending")]
-        )
-        if config.assign_phrase_ids:
-            ids = np.arange(
-                config.starting_phrase_id,
-                config.starting_phrase_id + tbl.num_rows,
-                dtype=np.uint32,
-            )
-            tbl = tbl.append_column("phrase_id", pa.array(ids, pa.uint32()))
-        return ray.data.from_arrow(tbl)
-    scored = scored.sort(["salience", "ngram"], descending=[True, False])
-    if config.assign_phrase_ids:
-        scored = with_row_index(
-            scored, col="phrase_id", start=config.starting_phrase_id
-        )
-    return scored
+    return _finalize_scored(scored, config, driver_finalize_threshold)
 
 
 def scored_table_to_rows(table: pa.Table) -> list[dict]:
@@ -262,33 +277,4 @@ def score_ngrams_join(
         ).filter(pa.array(keep))
 
     scored = joined.map_batches(finalize, batch_format="pyarrow")
-    tables = list(scored.iter_batches(batch_format="pyarrow"))
-    n_rows = sum(t.num_rows for t in tables)
-    if n_rows <= driver_finalize_threshold:
-        tbl = (
-            pa.concat_tables(tables, promote_options="default")
-            if tables
-            else pa.table(
-                {
-                    "ngram": pa.array([], pa.string()),
-                    "salience": pa.array([], pa.float32()),
-                    "domain_count": pa.array([], pa.uint32()),
-                    "background_count": pa.array([], pa.uint32()),
-                }
-            )
-        )
-        tbl = tbl.sort_by([("salience", "descending"), ("ngram", "ascending")])
-        if config.assign_phrase_ids:
-            ids = np.arange(
-                config.starting_phrase_id,
-                config.starting_phrase_id + tbl.num_rows,
-                dtype=np.uint32,
-            )
-            tbl = tbl.append_column("phrase_id", pa.array(ids, pa.uint32()))
-        import ray as _ray
-
-        return _ray.data.from_arrow(tbl)
-    scored = scored.sort(["salience", "ngram"], descending=[True, False])
-    if config.assign_phrase_ids:
-        scored = with_row_index(scored, col="phrase_id", start=config.starting_phrase_id)
-    return scored
+    return _finalize_scored(scored, config, driver_finalize_threshold)

@@ -250,6 +250,16 @@ def ivf_topk(
         seen += len(b)
         if seen >= sample_size:
             break
+    if not sample or seen == 0:
+        # empty input dataset: empty result, stable schema
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float32()),
+                "rank": pa.array([], pa.int32()),
+            }
+        )
     X = np.concatenate(sample)[:sample_size]
     rng = np.random.default_rng(seed)
     ncent = min(num_centroids, len(X))

@@ -206,3 +206,66 @@ def test_find_matches_flat_overlapping_all(art):
     docs, starts, ends, pidx = art.find_matches_flat(ids, doc)
     spans = sorted(zip(starts.tolist(), ends.tolist()))
     assert spans == [(0, 2), (0, 3)]
+
+
+# --- hash-collision resolution (salted keys + exact overflow) --------------
+
+def _colliding_artifact():
+    """Two 2-token patterns whose token-id rows collide under the UNSALTED
+    polynomial hash: (2533359615, 0) and (0, 2499804749). Under the old
+    additive-only salt these collided for EVERY salt (the salt term
+    salt*C^n cancels between same-length patterns); the XOR-mixed salt
+    separates them at salt=1."""
+    from phrasekit_ray.core.artifact import DEFAULT_SEPARATOR_ID
+
+    vocab = {"a": 2533359615, "b": 0, "c": 2499804749}
+    manifest = {
+        "version": "1",
+        "tokenizer": "test",
+        "num_patterns": 2,
+        "built_at": "1970-01-01T00:00:00Z",
+        "separator_id": DEFAULT_SEPARATOR_ID,
+    }
+    return MatcherArtifact(
+        vocab=vocab,
+        pattern_tokens=[["a", "b"], ["b", "c"]],
+        phrase_ids=np.array([1, 2], dtype=np.uint32),
+        saliences=np.array([1.0, 1.0], dtype=np.float32),
+        counts=np.array([5, 5], dtype=np.uint32),
+        manifest=manifest,
+    )
+
+
+def test_salted_hash_resolves_real_collision():
+    art = _colliding_artifact()
+    # construction terminates (the old additive salt hung forever here)
+    # and BOTH patterns match their own token sequence
+    m1 = art.match_ids([2533359615, 0], policy="all")
+    m2 = art.match_ids([0, 2499804749], policy="all")
+    assert [m["phrase_id"] for m in m1] == [1]
+    assert [m["phrase_id"] for m in m2] == [2]
+    tbl = art._tables[2]
+    assert len(tbl.overflow_idx) == 0  # salt bump sufficed, no overflow
+
+
+def test_collision_overflow_fallback(monkeypatch):
+    import phrasekit_ray.core.artifact as artifact_mod
+
+    # forbid salt bumps so the collision must route through the exact-scan
+    # overflow table; matching stays complete
+    monkeypatch.setattr(artifact_mod, "_MAX_SALT_ATTEMPTS", 1)
+    art = _colliding_artifact()
+    tbl = art._tables[2]
+    assert len(tbl.overflow_idx) == 1
+    m1 = art.match_ids([2533359615, 0], policy="all")
+    m2 = art.match_ids([0, 2499804749], policy="all")
+    assert [m["phrase_id"] for m in m1] == [1]
+    assert [m["phrase_id"] for m in m2] == [2]
+    # overflow matches respect document boundaries too
+    over_ids = art.encode_tokens(
+        art.pattern_tokens[int(tbl.overflow_idx[0])]
+    )
+    ids = np.concatenate([over_ids[:1], over_ids[1:]]).astype(np.uint32)
+    doc = np.array([0, 1], dtype=np.int64)
+    docs, starts, ends, pidx = art.find_matches_flat(ids, doc)
+    assert len(docs) == 0

@@ -221,3 +221,33 @@ def test_distributed_cc_matches_union_find(ray_session):
         comp_min[r] = min(comp_min.get(r, n), n)
     want = {n: comp_min[uf.find(n)] for n in touched}
     assert got == want
+
+
+def test_edge_table_mixed_predicates(ray_session):
+    """Triples mixing predicates within one block must aggregate per
+    (subj, pred, obj), not merge under the block's first-row pred."""
+    import ray
+
+    from phrasekit_ray.stages.kg import edge_table
+
+    t = pa.table(
+        {
+            "subj": pa.array([1, 1, 1, 2], pa.uint32()),
+            "pred": pa.array(["rel_a", "rel_b", "rel_a", "rel_a"], pa.string()),
+            "obj": pa.array([2, 2, 2, 3], pa.uint32()),
+            "doc_id": pa.array([0, 0, 1, 1], pa.int64()),
+            "subj_start": pa.array([0, 0, 0, 0], pa.int32()),
+            "obj_start": pa.array([1, 1, 1, 1], pa.int32()),
+        }
+    )
+    edges = edge_table(ray.data.from_arrow(t))
+    rows = {
+        (r["subj"], r["pred"], r["obj"]): r["weight"]
+        for b in edges.iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    }
+    assert rows == {
+        (1, "rel_a", 2): 2,
+        (1, "rel_b", 2): 1,
+        (2, "rel_a", 3): 1,
+    }

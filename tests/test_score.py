@@ -158,3 +158,30 @@ def test_phrase_ids_stable_across_parallelism(ray_session):
     a = collect(score_ngrams(ds1, {}, cfg)).sort_by("ngram")
     b = collect(score_ngrams(ds2, {}, cfg)).sort_by("ngram")
     assert a["phrase_id"].to_pylist() == b["phrase_id"].to_pylist()
+
+
+def test_finalize_streams_above_threshold(ray_session):
+    """Above driver_finalize_threshold the finalize must abandon driver
+    collection and take the distributed sort path — same answer, bounded
+    driver memory."""
+    small = collect(
+        score_ngrams(
+            domain_ds(DOMAIN),
+            background_table(),
+            ScoreConfig(min_domain_count=10, min_salience=2.0),
+        )
+    )
+    big_path = collect(
+        score_ngrams(
+            domain_ds(DOMAIN),
+            background_table(),
+            ScoreConfig(min_domain_count=10, min_salience=2.0),
+            driver_finalize_threshold=1,  # force the distributed path
+        )
+    )
+    assert small.num_rows == big_path.num_rows
+    assert small["ngram"].to_pylist() == big_path["ngram"].to_pylist()
+    assert small["phrase_id"].to_pylist() == big_path["phrase_id"].to_pylist()
+    assert (
+        small["salience"].to_pylist() == big_path["salience"].to_pylist()
+    )

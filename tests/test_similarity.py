@@ -126,3 +126,24 @@ def test_ivf_full_probe_equals_brute_force(ray_session):
     exact = brute_force_topk(ds, qv, qids, k=5)
     full = ivf_topk(ds, qv, qids, k=5, num_centroids=4, nprobe=4)  # probe all
     assert exact["vec_id"].to_pylist() == full["vec_id"].to_pylist()
+
+
+def test_ivf_topk_empty_input(ray_session):
+    """ivf_topk on an empty dataset returns an empty result with the
+    stable output schema (regression: np.concatenate([]) ValueError)."""
+    import ray
+
+    from phrasekit_ray.stages.similarity import ivf_topk
+
+    empty = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+            }
+        )
+    )
+    q = np.asarray([[1.0, 0.0]], dtype=np.float32)
+    out = ivf_topk(empty, q, [0], k=3)
+    assert out.num_rows == 0
+    assert out.column_names == ["query_id", "vec_id", "cosine", "rank"]
