@@ -127,6 +127,19 @@ def hash_aggregate(
     return bundled.groupby("_part").map_groups(finalize, batch_format="pyarrow")
 
 
+def join_partitions(requested: int) -> int:
+    """Cap a join's ``num_partitions`` so its hash-shuffle aggregator
+    actors (0.125 CPU each in Ray 2.49) can never reserve the whole
+    cluster: a 32-partition join on a 4-CPU cluster requests exactly 4.0
+    aggregator CPUs, starving the map stages that feed it — a deadlock.
+    Cap = 2×cluster CPUs keeps the aggregator pool at ≤25% of the
+    cluster while preserving the requested width on big clusters."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, min(requested, cpus * 2))
+
+
 def grouped_count(ds, keys, count_col: str = "count", num_partitions: int = 32):
     """count(*) per key group, vectorized (ones column + sum)."""
     keys_l = [keys] if isinstance(keys, str) else list(keys)
@@ -138,3 +151,99 @@ def grouped_count(ds, keys, count_col: str = "count", num_partitions: int = 32):
 
     with_ones = ds.map_batches(ones, batch_format="pyarrow")
     return hash_aggregate(with_ones, keys_l, [(count_col, "sum")], num_partitions)
+
+
+def lookup_join(
+    left_ds,
+    right_ds,
+    left_key: str,
+    right_key: str,
+    num_partitions: int = 32,
+):
+    """Distributed inner equi-join of ``left_ds`` against a UNIQUE-keyed
+    int lookup table ``right_ds`` (one row per key) — returns left columns
+    + the right side's non-key columns.
+
+    Built as a manual partitioned hash join: both sides get an int32
+    ``_part`` column from the same key hash, are unioned under one
+    conformed schema, and a single vectorized ``np.searchsorted`` per
+    PARTITION attaches the right values — no per-key UDF calls, no
+    driver traffic, and none of the native join operator's
+    schema-broadcast fragility when chained (empty join partitions emit
+    zero-column blocks that break a downstream join's aggregator in Ray
+    2.49).
+
+    Keys must be integer-typed; right keys must be unique (it is a
+    lookup, not a general join — use Dataset.join for m:n)."""
+    left_schema = left_ds.schema(fetch_if_missing=True)
+    right_schema = right_ds.schema(fetch_if_missing=True)
+    left_cols = [n for n in left_schema.names]
+    right_val_cols = [n for n in right_schema.names if n != right_key]
+    overlap = set(left_cols) & set(right_val_cols)
+    if overlap:
+        raise ValueError(f"column collision between sides: {sorted(overlap)}")
+    left_types = dict(zip(left_schema.names, left_schema.types))
+    right_types = dict(zip(right_schema.names, right_schema.types))
+
+    def conform_left(batch: pa.Table) -> pa.Table:
+        key = batch[left_key].cast(pa.int64())
+        cols = {"_jkey": key}
+        for c in left_cols:
+            cols[c] = batch[c]
+        for c in right_val_cols:
+            cols[c] = pa.nulls(batch.num_rows, right_types[c])
+        cols["_isright"] = pa.array(
+            np.zeros(batch.num_rows, dtype=np.int8), pa.int8()
+        )
+        t = pa.table(cols)
+        return t.append_column("_part", _part_column(t, ["_jkey"], num_partitions))
+
+    def conform_right(batch: pa.Table) -> pa.Table:
+        key = batch[right_key].cast(pa.int64())
+        cols = {"_jkey": key}
+        for c in left_cols:
+            cols[c] = pa.nulls(batch.num_rows, left_types[c])
+        for c in right_val_cols:
+            cols[c] = batch[c]
+        cols["_isright"] = pa.array(
+            np.ones(batch.num_rows, dtype=np.int8), pa.int8()
+        )
+        t = pa.table(cols)
+        return t.append_column("_part", _part_column(t, ["_jkey"], num_partitions))
+
+    both = left_ds.map_batches(conform_left, batch_format="pyarrow").union(
+        right_ds.map_batches(conform_right, batch_format="pyarrow")
+    )
+
+    def join_partition(group: pa.Table) -> pa.Table:
+        side = group["_isright"].to_numpy(zero_copy_only=False)
+        keys = group["_jkey"].to_numpy(zero_copy_only=False)
+        is_r = side == 1
+        rkeys = keys[is_r]
+        order = np.argsort(rkeys, kind="stable")
+        rkeys_sorted = rkeys[order]
+        lkeys = keys[~is_r]
+        pos = np.searchsorted(rkeys_sorted, lkeys)
+        pos_c = np.minimum(pos, max(len(rkeys_sorted) - 1, 0))
+        hit = (
+            rkeys_sorted[pos_c] == lkeys
+            if len(rkeys_sorted)
+            else np.zeros(len(lkeys), dtype=bool)
+        )
+        left_rows = np.flatnonzero(~is_r)[hit]
+        right_rows = np.flatnonzero(is_r)[order[pos_c[hit]]]
+        out = {}
+        for c in left_cols:
+            out[c] = group[c].combine_chunks().take(pa.array(left_rows))
+        for c in right_val_cols:
+            out[c] = group[c].combine_chunks().take(pa.array(right_rows))
+        if not len(left_rows):
+            return pa.table(
+                {
+                    c: pa.array([], left_types.get(c) or right_types[c])
+                    for c in left_cols + right_val_cols
+                }
+            )
+        return pa.table(out)
+
+    return both.groupby("_part").map_groups(join_partition, batch_format="pyarrow")

@@ -10,8 +10,10 @@ Scale shapes:
   shuffle moves 16-byte keys, never the documents.
 - minhash-LSH: per-block vectorized shingle→minhash signatures
   (np.minimum.reduceat over permuted hashes), banded; the shuffle key is
-  (band, 8-byte band digest). Groups >1 emit candidate pairs; pairs are
-  ≪ corpus and are union-found on the driver.
+  (band, 8-byte band digest). Groups >1 emit candidate pairs; candidates
+  are VERIFIED with the exact k-shingle Jaccard via distributed
+  lookup_joins, then connected-componented (driver union-find under a
+  bounded pair threshold, hash-min label propagation above it).
 - simhash: 64-bit weighted fingerprint per doc, fully in-block.
 """
 
@@ -72,44 +74,58 @@ def _minhash_params(num_perm: int, seed: int = 7):
     return a, b
 
 
+def _token_hashes(flat: pa.Array) -> np.ndarray:
+    """uint64 md5-based hash per token, md5 computed once per UNIQUE token
+    (dictionary-encode first — web text repeats tokens heavily)."""
+    dict_arr = flat.dictionary_encode()
+    uniq = dict_arr.dictionary.to_pylist()
+    uh = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+            for t in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    if not len(uh):
+        return np.zeros(0, np.uint64)
+    idx = dict_arr.indices.to_numpy(zero_copy_only=False)
+    return uh[idx]
+
+
 def _shingle_hashes(tokens_list: pa.ListArray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """Flat k-shingle hashes + per-doc offsets (docs with < k tokens get one
-    sentinel shingle so they never collide)."""
+    sentinel shingle so they never collide). Fully vectorized: the rolling
+    k-window combine runs over the WHOLE flat token array with k shifted
+    multiplies (windows crossing doc boundaries masked out), and window
+    positions scatter into per-doc output slots — no per-doc Python loop."""
     offsets = tokens_list.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     base = offsets[0]
     offsets = offsets - base
     flat = tokens_list.values.slice(base, int(offsets[-1]))
-    toks = flat.to_pylist()
-    tok_h = np.fromiter(
-        (
-            int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
-            for t in toks
-        ),
-        dtype=np.uint64,
-        count=len(toks),
-    )
+    tok_h = _token_hashes(flat)
     sizes = np.diff(offsets)
-    out_h: list[np.ndarray] = []
-    out_off = [0]
-    pos = 0
-    for m in sizes:
-        m = int(m)
-        seg = tok_h[pos : pos + m]
-        if m >= k:
-            # rolling combine of k token hashes (order-sensitive)
-            sh = seg[: m - k + 1].copy()
-            for j in range(1, k):
-                sh = sh * np.uint64(1099511628211) ^ seg[j : m - k + 1 + j]
-        else:
-            sh = np.array([np.uint64(m)], dtype=np.uint64) if m else np.array(
-                [np.uint64(0)], dtype=np.uint64
-            )
-        out_h.append(sh)
-        out_off.append(out_off[-1] + len(sh))
-        pos += m
-    return np.concatenate(out_h) if out_h else np.zeros(0, np.uint64), np.asarray(
-        out_off, dtype=np.int64
-    )
+    n_docs = len(sizes)
+    L = int(offsets[-1])
+    m = L - k + 1
+    out_counts = np.where(sizes >= k, sizes - k + 1, 1)
+    out_off = np.concatenate(([0], np.cumsum(out_counts))).astype(np.int64)
+    res = np.empty(int(out_off[-1]), dtype=np.uint64)
+    small = sizes < k
+    # sentinel shingle = doc length (never collides with real 64-bit hashes
+    # in practice, and identical short docs still bucket together)
+    res[out_off[:-1][small]] = sizes[small].astype(np.uint64)
+    if m > 0 and n_docs:
+        sh = tok_h[:m].copy()
+        for j in range(1, k):
+            sh = sh * np.uint64(1099511628211) ^ tok_h[j : m + j]
+        doc_index = np.repeat(np.arange(n_docs), sizes)
+        valid = doc_index[:m] == doc_index[k - 1 :]
+        win_pos = np.flatnonzero(valid)
+        win_doc = doc_index[win_pos]
+        dest = out_off[win_doc] + (win_pos - offsets[win_doc])
+        res[dest] = sh[valid]
+    return res, out_off
 
 
 def minhash_signatures(
@@ -196,6 +212,90 @@ def minhash_candidate_pairs(
     return cand
 
 
+def verified_minhash_pairs(
+    ds,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    verify_jaccard: float | None = 0.5,
+    num_partitions: int = 32,
+):
+    """LSH candidate pairs, band-deduped and (by default) VERIFIED with the
+    exact k-shingle Jaccard — Dataset(left, right[, jaccard]).
+
+    Without verification a single band collision unions unrelated
+    documents into one cluster (a quality bug at scale); the verify stage
+    attaches each candidate pair's two token lists with two int-keyed
+    ``lookup_join`` shuffles (the corpus never moves to the driver) and
+    recomputes ``ngram_jaccard`` exactly. The per-pair Python set op is
+    fine here: pairs ≪ corpus by LSH construction.
+    """
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_count, lookup_join
+
+    cand = minhash_candidate_pairs(ds, id_col, tokens_col, num_perm, bands, shingle_k)
+    # a pair surfacing in several bands must verify once, not per band
+    pairs = grouped_count(cand, ["left", "right"], count_col="_nb").materialize()
+    if pairs.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {"left": pa.array([], pa.int64()), "right": pa.array([], pa.int64())}
+            )
+        )
+    if verify_jaccard is None:
+        return pairs.map_batches(
+            lambda b: b.select(["left", "right"]), batch_format="pyarrow"
+        )
+
+    # pack each token list into one \x1f-delimited string so the shuffle
+    # moves a single string column (tokens are whitespace-split upstream,
+    # so the separator is collision-free)
+    def pack(col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            toks = b[tokens_col].combine_chunks()
+            packed = pc.binary_join(toks.cast(pa.list_(pa.string())), "\x1f")
+            return pa.table({"_vid": b[id_col].cast(pa.int64()), col: packed})
+
+        return fn
+
+    docs_l = ds.map_batches(pack("tokens_l"), batch_format="pyarrow")
+    docs_r = ds.map_batches(pack("tokens_r"), batch_format="pyarrow")
+    joined = lookup_join(
+        lookup_join(pairs, docs_l, "left", "_vid", num_partitions),
+        docs_r,
+        "right",
+        "_vid",
+        num_partitions,
+    )
+    thr = float(verify_jaccard)
+    k = shingle_k
+
+    def verify(batch: pa.Table) -> pa.Table:
+        tl = batch["tokens_l"].to_pylist()
+        tr = batch["tokens_r"].to_pylist()
+        j = np.fromiter(
+            (
+                ngram_jaccard(a.split("\x1f"), b.split("\x1f"), k)
+                for a, b in zip(tl, tr)
+            ),
+            dtype=np.float64,
+            count=len(tl),
+        )
+        keep = j >= thr
+        return pa.table(
+            {
+                "left": batch["left"].cast(pa.int64()),
+                "right": batch["right"].cast(pa.int64()),
+                "jaccard": pa.array(j, pa.float64()),
+            }
+        ).filter(pa.array(keep))
+
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
 def near_dedup_minhash(
     ds,
     id_col: str = "doc_id",
@@ -203,21 +303,47 @@ def near_dedup_minhash(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    verify_jaccard: float | None = 0.5,
+    num_partitions: int = 32,
+    driver_cc_threshold: int = 2_000_000,
 ) -> dict[int, int]:
-    """Full near-dedup: candidate pairs → union-find → {doc_id: rep_id}
-    mapping for docs that belong to a duplicate cluster. Pairs are
-    model-sized (≪ corpus), so the union-find runs on the driver."""
-    from phrasekit_ray.stages.kg import UnionFind
+    """Full near-dedup: LSH candidates → exact-Jaccard verification →
+    connected components → {doc_id: rep_id} for docs in duplicate
+    clusters (rep = component min id).
 
-    cand = minhash_candidate_pairs(ds, id_col, tokens_col, num_perm, bands, shingle_k)
-    uf = UnionFind()
-    members: set[int] = set()
-    for b in cand.iter_batches(batch_format="pyarrow"):
-        for l, r in zip(b["left"].to_pylist(), b["right"].to_pylist()):
-            uf.union(int(l), int(r))
-            members.add(int(l))
-            members.add(int(r))
-    return {m: uf.find(m) for m in members}
+    Scale shape: pairs are verified distributedly
+    (``verified_minhash_pairs``); components run on the driver only while
+    the VERIFIED pair count stays under ``driver_cc_threshold``, else via
+    ``connected_components_distributed`` (hash-min label propagation) —
+    driver memory is bounded by the threshold, never by the corpus. The
+    returned dict is inherently driver-sized (cluster members only, ≪
+    corpus after verification); use the pair/label Datasets directly for
+    a fully streaming consumer.
+    """
+    from phrasekit_ray.stages.kg import UnionFind, connected_components_distributed
+
+    pairs = verified_minhash_pairs(
+        ds, id_col, tokens_col, num_perm, bands, shingle_k, verify_jaccard,
+        num_partitions,
+    ).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return {}
+    if n_pairs <= driver_cc_threshold:
+        uf = UnionFind()
+        members: set[int] = set()
+        for b in pairs.iter_batches(batch_format="pyarrow"):
+            for l, r in zip(b["left"].to_pylist(), b["right"].to_pylist()):
+                uf.union(int(l), int(r))
+                members.add(int(l))
+                members.add(int(r))
+        return {m: uf.find(m) for m in members}
+    labels = connected_components_distributed(pairs, "left", "right")
+    out: dict[int, int] = {}
+    for b in labels.iter_batches(batch_format="pyarrow"):
+        for n, lab in zip(b["node"].to_pylist(), b["label"].to_pylist()):
+            out[int(n)] = int(lab)
+    return out
 
 
 # --- simhash ---------------------------------------------------------------
@@ -234,15 +360,7 @@ def simhash_fingerprints(ds, id_col: str = "doc_id", tokens_col: str = "tokens")
         base = offsets[0]
         offsets = offsets - base
         flat = tokens.values.slice(base, int(offsets[-1]))
-        toks = flat.to_pylist()
-        th = np.fromiter(
-            (
-                int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
-                for t in toks
-            ),
-            dtype=np.uint64,
-            count=len(toks),
-        )
+        th = _token_hashes(flat)
         bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
             np.int64
         ) * 2 - 1
@@ -301,19 +419,19 @@ def jaccard_pairs(
     Shape (all-pairs via inverted index, the classic set-similarity join):
       1. per-doc DISTINCT shingles (stateless map_batches; shingle = the
          space-joined k-gram string, same windowing as the miner);
-      2. per-doc shingle-set sizes — model-sized (one row per doc...
-         collected and broadcast via ray.put);
+      2. per-doc shingle-set sizes as a Dataset (one int row per doc),
+         hash-joined onto the pair counts in step 4 — never collected to
+         the driver, so driver memory is corpus-size-independent;
       3. groupby(shingle).map_groups emitting co-occurring (left, right)
          pairs — ``max_docs_per_shingle`` drops hotter-than-bound shingles
          (a standard prefix-filter-style cap: at web scale a shingle shared
          by thousands of docs contributes no discriminative signal but
          quadratic pairs; None = exact, keep everything);
-      4. hash_aggregate pair intersection counts → vectorized Jaccard =
-         |A∩B| / (|A|+|B|−|A∩B|) filter.
+      4. hash_aggregate pair intersection counts → two int-keyed size
+         joins → vectorized Jaccard = |A∩B| / (|A|+|B|−|A∩B|) filter.
 
-    At 100 TB step 2's per-doc sizes must become a join instead of a
-    broadcast dict; the pair generation and counting already shuffle by
-    shingle / pair key and stay fully distributed.
+    Every stage shuffles by shingle / pair / doc key and stays fully
+    distributed end to end.
     """
     import ray
 
@@ -353,21 +471,13 @@ def jaccard_pairs(
 
     sh = ds.map_batches(shingles, batch_format="pyarrow")
     # docs never split across blocks upstream of here (one doc, one row),
-    # so in-block distinct == global distinct
+    # so in-block distinct == global distinct. Per-doc shingle-set sizes
+    # stay a DATASET (one row per doc) and are hash-joined onto the pair
+    # counts below — never collected to the driver or broadcast, so driver
+    # memory is O(1) in corpus size.
     from phrasekit_ray.stages.agg import grouped_count
 
-    sizes_t = pa.concat_tables(
-        list(
-            grouped_count(sh, "doc_id", count_col="n_shingles").iter_batches(
-                batch_format="pyarrow"
-            )
-        ),
-        promote_options="default",
-    )
-    size_by_doc = dict(
-        zip(sizes_t["doc_id"].to_pylist(), sizes_t["n_shingles"].to_pylist())
-    )
-    sizes_ref = ray.put(size_by_doc)
+    sizes = grouped_count(sh, "doc_id", count_col="n_shingles").materialize()
 
     # co-locate equal shingles by hash partition; one vectorized UDF call
     # per PARTITION (not per shingle) finds equal-shingle runs and emits
@@ -432,26 +542,55 @@ def jaccard_pairs(
         raw_pairs, ["left", "right"], [("n", "sum")], num_partitions=num_partitions
     )
 
-    def jaccard_filter(batch: pa.Table) -> pa.Table:
-        from phrasekit_ray.stages.score import _get_broadcast
+    # distributed size lookup: two int-keyed lookup_join shuffles (left
+    # side, then right side) instead of a driver-built broadcast dict
+    from phrasekit_ray.stages.agg import lookup_join
 
-        sizes = _get_broadcast(sizes_ref)
+    # pairs ≪ corpus; materialize once so the pair pipeline runs a single
+    # time ahead of the two joins, and short-circuit the empty case
+    pair_counts = pair_counts.materialize()
+    if pair_counts.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "left": pa.array([], pa.int64()),
+                    "right": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    def size_as(col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": b["doc_id"], col: b["n_shingles"]})
+
+        return fn
+
+    sizes_l = sizes.map_batches(size_as("n_left"), batch_format="pyarrow")
+    sizes_r = sizes.map_batches(size_as("n_right"), batch_format="pyarrow")
+    with_both = lookup_join(
+        lookup_join(pair_counts, sizes_l, "left", "doc_id", num_partitions),
+        sizes_r,
+        "right",
+        "doc_id",
+        num_partitions,
+    )
+
+    def jaccard_filter(batch: pa.Table) -> pa.Table:
         inter = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
-        left = batch["left"].to_pylist()
-        right = batch["right"].to_pylist()
-        na = np.fromiter((sizes[x] for x in left), dtype=np.float64, count=len(left))
-        nb = np.fromiter((sizes[x] for x in right), dtype=np.float64, count=len(right))
+        na = batch["n_left"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = batch["n_right"].to_numpy(zero_copy_only=False).astype(np.float64)
         j = inter / (na + nb - inter)
         keep = j >= threshold
         return pa.table(
             {
-                "left": pa.array(left, pa.int64()),
-                "right": pa.array(right, pa.int64()),
+                "left": batch["left"].cast(pa.int64()),
+                "right": batch["right"].cast(pa.int64()),
                 "jaccard": pa.array(j, pa.float64()),
             }
         ).filter(pa.array(keep))
 
-    return pair_counts.map_batches(jaccard_filter, batch_format="pyarrow")
+    return with_both.map_batches(jaccard_filter, batch_format="pyarrow")
 
 
 # --- embedding cosine near-dup ---------------------------------------------

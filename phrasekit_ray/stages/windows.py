@@ -2,12 +2,18 @@
 
 No reference analog (phrasekit is pure batch, SURVEY.md §2.9); these are
 the custom time-series operators a training-data pipeline needs (task
-brief: "as-of join, windowed aggregate"), built as compositions of
-map_batches + groupby(key).map_groups per SURVEY.md's custom-operator
-recipe. Partitioning assumption: one group = one key's full history; at
-100 TB scale key cardinality (users) must exceed cluster cores and no
-single key's history may exceed a worker's heap — both hold for web-style
-event data.
+brief: "as-of join, windowed aggregate"), built per SURVEY.md's
+custom-operator recipe.
+
+Scale shape (all three operators): the shuffle key is a DERIVED int
+partition id (``user_id`` hashed mod P), so each ``map_groups`` UDF call
+processes one PARTITION — all of its users at once with vectorized
+segment kernels (lexsort + boundary masks / pandas groupby-cummax, both
+C paths) — never one Python call per user key. With 10⁸ users that is P
+UDF invocations, not 10⁸. Partitioning assumption (documented per the
+custom-operator rule): one partition = the full history of every user
+hashed into it; no single PARTITION may exceed a worker's heap — choose
+``num_partitions`` ≳ corpus_bytes / target_partition_bytes at scale.
 """
 
 from __future__ import annotations
@@ -16,35 +22,80 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+_I64_MIN = np.int64(np.iinfo(np.int64).min)
+
+
+def _user_part(uid: np.ndarray, num_partitions: int) -> np.ndarray:
+    h = (uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+    return (h % np.uint64(num_partitions)).astype(np.int32)
+
 
 def sessionize(
     ds,
     gap_minutes: float = 30.0,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    num_partitions: int = 32,
 ):
     """events(user_id, ts, ...) → (user_id, n_sessions, n_events).
 
     A session breaks when the gap to the previous event of the same user
     exceeds ``gap_minutes`` (the classic sessionization window). One
-    vectorized UDF call per user group; the shuffle key is the int user
-    id.
+    vectorized UDF call per PARTITION: rows are lexsorted (user, ts),
+    session breaks found with one np.diff over the whole partition, and
+    per-user totals come from np.add.reduceat over segment starts.
     """
     gap_us = np.int64(gap_minutes * 60_000_000)
 
-    def per_user(group: pa.Table) -> pa.Table:
-        ts = group[ts_col].combine_chunks().cast(pa.int64()).to_numpy()
-        ts = np.sort(ts)
-        breaks = int((np.diff(ts) > gap_us).sum()) + 1 if len(ts) else 0
+    def derive(batch: pa.Table) -> pa.Table:
+        uid = batch[user_col].combine_chunks().cast(pa.int64()).to_numpy()
         return pa.table(
             {
-                "user_id": pa.array([group[user_col][0].as_py()], pa.int64()),
-                "n_sessions": pa.array([breaks], pa.int64()),
-                "n_events": pa.array([len(ts)], pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "ts": batch[ts_col].combine_chunks().cast(pa.int64()),
+                "_part": pa.array(_user_part(uid, num_partitions), pa.int32()),
             }
         )
 
-    return ds.groupby(user_col).map_groups(per_user, batch_format="pyarrow")
+    def per_partition(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].combine_chunks().to_numpy()
+        ts = group["ts"].combine_chunks().to_numpy()
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        n = len(uid)
+        brk = np.ones(n, dtype=np.int64)
+        if n > 1:
+            same_user = uid[1:] == uid[:-1]
+            brk[1:] = (~same_user) | (ts[1:] - ts[:-1] > gap_us)
+        seg_starts = np.flatnonzero(
+            np.concatenate(([True], uid[1:] != uid[:-1])) if n else np.zeros(0, bool)
+        )
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_sessions": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        n_sessions = np.add.reduceat(brk, seg_starts)
+        sizes = np.diff(np.concatenate((seg_starts, [n])))
+        return pa.table(
+            {
+                "user_id": pa.array(uid[seg_starts], pa.int64()),
+                "n_sessions": pa.array(n_sessions, pa.int64()),
+                "n_events": pa.array(sizes.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(
+            lambda g: per_partition(g.drop_columns(["_part"])),
+            batch_format="pyarrow",
+        )
+    )
 
 
 def asof_last_event(
@@ -54,6 +105,7 @@ def asof_last_event(
     ts_col: str = "ts",
     type_col: str = "event_type",
     id_col: str = "event_id",
+    num_partitions: int = 32,
 ):
     """As-of lookup: for every event, the timestamp of the same user's
     most recent STRICTLY EARLIER event of ``mark_type`` (ties broken by
@@ -61,36 +113,66 @@ def asof_last_event(
     BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING`).
 
     Returns (event_id, last_<mark_type>_us: int64 epoch-µs, null if none).
-    Implementation: groupby(user).map_groups, per group a vectorized
-    prefix-maximum over the marked rows — the standard as-of-join kernel
-    once rows are key-partitioned and time-sorted.
+    One vectorized UDF call per PARTITION: lexsort (user, ts, event_id),
+    then a segmented prefix-max of marked timestamps via pandas
+    groupby-cummax (a single Cython call over the whole partition),
+    shifted by one row with per-user reset.
     """
     out_col = f"last_{mark_type}_us"
 
-    def per_user(group: pa.Table) -> pa.Table:
-        ts = group[ts_col].combine_chunks().cast(pa.int64()).to_numpy()
-        eid = group[id_col].to_numpy(zero_copy_only=False)
-        is_mark = pc.equal(group[type_col], mark_type).to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts))
-        ts, eid, is_mark = ts[order], eid[order], is_mark[order]
-        # prefix max of marked ts over rows [0, i-1]
-        marked_ts = np.where(is_mark, ts, np.int64(np.iinfo(np.int64).min))
-        prefix = np.maximum.accumulate(marked_ts)
-        shifted = np.empty_like(prefix)
-        shifted[0] = np.iinfo(np.int64).min
-        shifted[1:] = prefix[:-1]
-        valid = shifted != np.iinfo(np.int64).min
+    def derive(batch: pa.Table) -> pa.Table:
+        uid = batch[user_col].combine_chunks().cast(pa.int64()).to_numpy()
         return pa.table(
             {
-                "event_id": pa.array(eid, pa.int64()),
-                out_col: pa.array(
-                    [int(v) if ok else None for v, ok in zip(shifted, valid)],
-                    pa.int64(),
-                ),
+                "user_id": pa.array(uid, pa.int64()),
+                "ts": batch[ts_col].combine_chunks().cast(pa.int64()),
+                "event_id": batch[id_col].combine_chunks().cast(pa.int64()),
+                "is_mark": pc.equal(batch[type_col], mark_type),
+                "_part": pa.array(_user_part(uid, num_partitions), pa.int32()),
             }
         )
 
-    return ds.groupby(user_col).map_groups(per_user, batch_format="pyarrow")
+    def per_partition(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        uid = group["user_id"].combine_chunks().to_numpy()
+        ts = group["ts"].combine_chunks().to_numpy()
+        eid = group["event_id"].combine_chunks().to_numpy()
+        is_mark = group["is_mark"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    out_col: pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, is_mark = uid[order], ts[order], eid[order], is_mark[order]
+        seg_id = np.concatenate(([0], np.cumsum(uid[1:] != uid[:-1])))
+        marked_ts = np.where(is_mark, ts, _I64_MIN)
+        # segmented prefix-max: one C call over the whole partition
+        prefix = (
+            pd.Series(marked_ts).groupby(seg_id).cummax().to_numpy()
+        )
+        shifted = np.empty_like(prefix)
+        shifted[0] = _I64_MIN
+        shifted[1:] = prefix[:-1]
+        seg_starts = np.flatnonzero(np.concatenate(([True], uid[1:] != uid[:-1])))
+        shifted[seg_starts] = _I64_MIN
+        valid = shifted != _I64_MIN
+        vals = pa.array(shifted, pa.int64())
+        vals = pc.if_else(pa.array(valid), vals, pa.scalar(None, pa.int64()))
+        return pa.table({"event_id": pa.array(eid, pa.int64()), out_col: vals})
+
+    return (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(
+            lambda g: per_partition(g.drop_columns(["_part"])),
+            batch_format="pyarrow",
+        )
+    )
 
 
 def tumbling_window_agg(

@@ -8,8 +8,11 @@ to the driver), prefix-sum them into per-block offsets, and add the offset
 to each block in a remote task. Blocks of a materialized sorted Dataset
 are in sorted order, so offsets are exact.
 
-Falls back to a driver-side pass when the internal bundle API shape is
-unavailable — correct but driver-memory-bound; the primary path streams.
+If the internal bundle API shape changes in a Ray upgrade, the fallback
+stays DISTRIBUTED: block refs come from the public ``to_arrow_refs()``,
+counts are computed in remote tasks (only ints reach the driver), and the
+same per-block offset tasks run — never a driver-side concat of the data.
+``LAST_PATH`` records which path ran so tests can pin the primary one.
 """
 
 from __future__ import annotations
@@ -17,10 +20,33 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+# "bundles" (primary, metadata-only) or "arrow_refs" (fallback, counts
+# computed remotely) — set by every with_row_index call; test-observable.
+LAST_PATH: str | None = None
+
 
 def _add_index_block(block: pa.Table, offset: int, col: str, start: int) -> pa.Table:
     ids = np.arange(start + offset, start + offset + block.num_rows, dtype=np.uint32)
     return block.append_column(col, pa.array(ids, type=pa.uint32()))
+
+
+def _block_rows(block: pa.Table) -> int:
+    return block.num_rows
+
+
+def _bundle_refs_and_counts(mat) -> tuple[list, list[int]]:
+    """Primary metadata-only path: block refs + row counts straight from
+    the executed plan's ref bundles (isolated here so tests can simulate
+    a Ray upgrade breaking just this internal API)."""
+    block_refs: list = []
+    counts: list[int] = []
+    for b in mat.iter_internal_ref_bundles():
+        for block_ref, meta in b.blocks:
+            block_refs.append(block_ref)
+            counts.append(meta.num_rows)
+    if any(c is None for c in counts):
+        raise ValueError("missing block row counts")
+    return block_refs, counts
 
 
 def with_row_index(ds, col: str = "row_index", start: int = 0):
@@ -28,29 +54,32 @@ def with_row_index(ds, col: str = "row_index", start: int = 0):
 
     Returns a new Dataset whose row order and block layout are preserved.
     """
+    global LAST_PATH
     import ray
 
     mat = ds.materialize()
+    block_refs: list = []
+    counts: list[int] = []
     try:
-        bundles = list(mat.iter_internal_ref_bundles())
-        block_refs: list = []
-        counts: list[int] = []
-        for b in bundles:
-            for block_ref, meta in b.blocks:
-                block_refs.append(block_ref)
-                counts.append(meta.num_rows)
-        if any(c is None for c in counts):
-            raise ValueError("missing block row counts")
-        offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
-
-        add = ray.remote(num_cpus=0.5)(_add_index_block)
-        out_refs = [
-            add.remote(ref, int(off), col, start)
-            for ref, off in zip(block_refs, offsets)
-        ]
-        return ray.data.from_arrow_refs(out_refs)
+        block_refs, counts = _bundle_refs_and_counts(mat)
+        LAST_PATH = "bundles"
     except Exception:
-        # fallback: single driver pass (bounded tables only)
-        tables = ray.get(mat.to_arrow_refs())
-        table = pa.concat_tables([t for t in tables if t.num_rows], promote_options="default")
-        return ray.data.from_arrow(_add_index_block(table, 0, col, start))
+        # distributed fallback: public block refs; per-block row counts
+        # computed in remote tasks (ints to the driver, never blocks)
+        block_refs = list(mat.to_arrow_refs())
+        count_task = ray.remote(num_cpus=0.25)(_block_rows)
+        counts = ray.get([count_task.remote(r) for r in block_refs])
+        LAST_PATH = "arrow_refs"
+
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1])) if counts else []
+    add = ray.remote(num_cpus=0.5)(_add_index_block)
+    out_refs = [
+        add.remote(ref, int(off), col, start)
+        for ref, off in zip(block_refs, offsets)
+    ]
+    if not out_refs:
+        schema = mat.schema(fetch_if_missing=True)
+        cols = {n: pa.array([], t) for n, t in zip(schema.names, schema.types)}
+        cols[col] = pa.array([], pa.uint32())
+        return ray.data.from_arrow(pa.table(cols))
+    return ray.data.from_arrow_refs(out_refs)

@@ -63,3 +63,36 @@ def test_hash_aggregate_multikey_min(ray_session):
         )
     }
     assert got == {(1, "x"): 3, (2, "y"): 7, (1, "z"): 1}
+
+
+def test_with_row_index_uses_metadata_path(ray_session):
+    """Pin the primary (metadata-only) enumeration path: a Ray upgrade
+    that breaks iter_internal_ref_bundles must fail THIS test rather than
+    silently downgrading every enumeration to the fallback."""
+    import ray
+
+    from phrasekit_ray.state import rowindex
+
+    ds = ray.data.from_items([{"v": i} for i in range(100)]).repartition(4)
+    out = rowindex.with_row_index(ds.sort("v"), col="idx")
+    assert rowindex.LAST_PATH == "bundles"
+    rows = sorted(out.iter_rows(), key=lambda r: r["v"])
+    assert [r["idx"] for r in rows] == list(range(100))
+
+
+def test_with_row_index_fallback_is_distributed(ray_session, monkeypatch):
+    """Force the fallback and check it still enumerates correctly (block
+    refs via public to_arrow_refs, counts in remote tasks)."""
+    import ray
+
+    from phrasekit_ray.state import rowindex
+
+    def boom(mat):
+        raise RuntimeError("bundle API unavailable")
+
+    ds = ray.data.from_items([{"v": i} for i in range(50)]).repartition(3)
+    monkeypatch.setattr(rowindex, "_bundle_refs_and_counts", boom)
+    out = rowindex.with_row_index(ds.sort("v"), col="idx", start=10)
+    assert rowindex.LAST_PATH == "arrow_refs"
+    rows = sorted(out.iter_rows(), key=lambda r: r["v"])
+    assert [r["idx"] for r in rows] == list(range(10, 60))

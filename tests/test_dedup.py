@@ -172,3 +172,62 @@ def test_jaccard_hot_shingle_cap(ray_session):
         jaccard_pairs(ds, k=3, threshold=0.1, max_docs_per_shingle=2).iter_rows()
     )
     assert out == []
+
+
+def test_minhash_verification_kills_low_jaccard_candidates(ray_session):
+    """The exact-Jaccard verify stage must drop LSH candidates below the
+    threshold: with verify_jaccard=0.95 a 1-token mutation (an LSH
+    candidate, jaccard ≈ 0.9) is excluded while the identical copy
+    clusters; with verification off both would cluster."""
+    rows = [
+        (0, BASE),
+        (1, list(BASE)),            # identical → jaccard 1.0
+        (2, _mutate(BASE, 1, 7)),   # near-dup → jaccard < 0.95
+    ]
+    strict = dedup.near_dedup_minhash(tokens_ds(rows), verify_jaccard=0.95)
+    assert strict == {0: 0, 1: 0}
+    loose = dedup.near_dedup_minhash(tokens_ds(rows), verify_jaccard=None)
+    assert loose.get(2) == 0  # unverified: the candidate unions in
+
+
+def test_verified_pairs_report_exact_jaccard(ray_session):
+    rows = [(0, BASE), (1, list(BASE))]
+    pairs = list(
+        dedup.verified_minhash_pairs(tokens_ds(rows), verify_jaccard=0.5).iter_rows()
+    )
+    assert len(pairs) == 1
+    assert pairs[0]["left"] == 0 and pairs[0]["right"] == 1
+    assert pairs[0]["jaccard"] == 1.0
+
+
+def test_lookup_join_basic(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.agg import lookup_join
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2, 3, 9], pa.int64()),
+                "v": pa.array(["a", "b", "c", "d"]),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "rk": pa.array([3, 1, 2], pa.int64()),
+                "w": pa.array([30, 10, 20], pa.int64()),
+            }
+        )
+    )
+    out = sorted(
+        lookup_join(left, right, "k", "rk", num_partitions=4).iter_rows(),
+        key=lambda r: r["k"],
+    )
+    # inner semantics: k=9 has no match and is dropped
+    assert out == [
+        {"k": 1, "v": "a", "w": 10},
+        {"k": 2, "v": "b", "w": 20},
+        {"k": 3, "v": "c", "w": 30},
+    ]
