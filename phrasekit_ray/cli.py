@@ -60,7 +60,11 @@ def cmd_score(args) -> int:
     import ray
 
     from phrasekit_ray.config import ScoreConfig
-    from phrasekit_ray.stages.score import background_to_dict, score_ngrams
+    from phrasekit_ray.stages.score import (
+        background_to_dict,
+        score_ngrams,
+        score_stats,
+    )
 
     _init_ray()
     cfg = _load_config(args.config, ScoreConfig)
@@ -68,7 +72,10 @@ def cmd_score(args) -> int:
     background = background_to_dict(ray.data.read_parquet(args.background))
     scored = score_ngrams(domain, background, cfg)
     scored.write_parquet(args.output)
-    print(json.dumps({"stage": "score", "background_phrases": len(background)}))
+    stats = score_stats(
+        ray.data.read_parquet(args.domain), background, cfg
+    )
+    print(json.dumps({"stage": "score", **stats}))
     return 0
 
 

@@ -129,3 +129,43 @@ def write_tagged_jsonl(table: pa.Table, path: str, id_col: str = "doc_id") -> in
             )
             n += 1
     return n
+
+
+def read_corpus_jsonl_distributed(paths, strict: bool = False):
+    """Distributed {doc_id?, tokens} JSONL corpus reader — the scale path
+    for large corpora: lines stream through ``ray.data.read_text`` (block
+    parallel, never the whole file on the driver) and parse inside
+    map_batches with the reference's malformed-line policy (skip + warn,
+    or raise when ``strict`` — reference phrasekit_mine.rs:125-138).
+
+    Divergence from ``read_corpus_jsonl`` (documented): a distributed
+    read has no global line numbers, so rows missing ``doc_id`` get a
+    null doc_id instead of the driver reader's ``line_<i>`` synthetic —
+    mining ignores doc_id entirely (phrasekit_mine.rs:6-11)."""
+    import ray
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ids: list = []
+        toks: list = []
+        for line in batch["text"].to_pylist():
+            if not line.strip():
+                continue  # blank lines skipped (mine.rs:128-130)
+            try:
+                r = json.loads(line)
+            except json.JSONDecodeError as e:
+                if strict:
+                    raise ValueError(f"failed to parse JSONL line: {e}")
+                import warnings
+
+                warnings.warn(f"skipping malformed JSONL line: {e}")
+                continue
+            ids.append(r.get("doc_id"))
+            toks.append(r["tokens"])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.string()),
+                "tokens": pa.array(toks, pa.list_(pa.string())),
+            }
+        )
+
+    return ray.data.read_text(paths).map_batches(parse, batch_format="pyarrow")

@@ -198,6 +198,61 @@ def score_ngrams(
     return _finalize_scored(scored, config, driver_finalize_threshold)
 
 
+def score_stats(
+    domain_ds,
+    background,
+    config: ScoreConfig | None = None,
+    total_domain: int | None = None,
+) -> dict:
+    """Scoring statistics (reference phrasekit_score.rs:56-62,172-210 /
+    SURVEY.md A5): domain/background phrase counts and survivors after
+    each filter, computed in ONE distributed pass (per-batch partial
+    counters summed by Dataset aggregates — no second scoring run)."""
+    import ray
+
+    config = config or ScoreConfig()
+    bg = background_to_dict(background)
+    total_background = sum(bg.values())
+    if total_domain is None:
+        if config.method == "ratio":
+            total_domain = 0
+        else:
+            total_domain = int(domain_ds.sum("count") or 0)
+    bg_ref = ray.put(bg)
+    method = config.method
+    min_domain = np.uint64(config.min_domain_count)
+    min_sal = np.float32(config.min_salience)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bg_map = _get_broadcast(bg_ref)
+        d = batch["count"].to_numpy().astype(np.uint64)
+        keep = d >= min_domain
+        ngrams = batch["ngram"].to_pylist()
+        b = np.fromiter(
+            (bg_map.get(ng, 0) for ng in ngrams), dtype=np.uint64, count=len(ngrams)
+        )
+        sal = saliencemod.compute_salience(
+            method, d[keep], b[keep], total_domain, total_background
+        )
+        return pa.table(
+            {
+                "domain_phrases": pa.array([len(d)], pa.int64()),
+                "after_domain_filter": pa.array([int(keep.sum())], pa.int64()),
+                "after_salience_filter": pa.array(
+                    [int((sal >= min_sal).sum())], pa.int64()
+                ),
+            }
+        )
+
+    t = domain_ds.map_batches(partial, batch_format="pyarrow")
+    return {
+        "domain_phrases": int(t.sum("domain_phrases") or 0),
+        "background_phrases": len(bg),
+        "after_domain_filter": int(t.sum("after_domain_filter") or 0),
+        "after_salience_filter": int(t.sum("after_salience_filter") or 0),
+    }
+
+
 def scored_table_to_rows(table: pa.Table) -> list[dict]:
     """Arrow scored-phrase table → reference-style build-input rows."""
     has_id = "phrase_id" in table.column_names

@@ -100,3 +100,40 @@ def test_write_tagged_reference_shape(tmp_path):
         "tokens": ["x", "y"],
         "spans": [{"start": 0, "end": 2, "phrase_id": 7, "label": "PHRASE"}],
     }
+
+
+def test_read_corpus_jsonl_distributed(ray_session, tmp_path):
+    import warnings
+
+    from phrasekit_ray.sources.jsonl import read_corpus_jsonl_distributed
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"doc_id": "a", "tokens": ["x", "y"]}\n'
+        "\n"  # blank line skipped
+        '{"tokens": ["z"]}\n'  # missing doc_id → null
+        "not json\n"  # malformed → warn + skip
+        '{"doc_id": "b", "tokens": []}\n'
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ds = read_corpus_jsonl_distributed(str(p))
+        rows = sorted(
+            ds.iter_rows(), key=lambda r: (r["doc_id"] is None, r["doc_id"] or "")
+        )
+    assert len(rows) == 3
+    assert rows[0]["doc_id"] == "a" and rows[0]["tokens"] == ["x", "y"]
+    assert rows[1]["doc_id"] == "b" and rows[1]["tokens"] == []
+    assert rows[2]["doc_id"] is None and rows[2]["tokens"] == ["z"]
+
+
+def test_read_corpus_jsonl_distributed_strict_raises(ray_session, tmp_path):
+    import pytest
+    import ray
+
+    from phrasekit_ray.sources.jsonl import read_corpus_jsonl_distributed
+
+    p = tmp_path / "bad.jsonl"
+    p.write_text('{"tokens": ["ok"]}\nnot json\n')
+    with pytest.raises(Exception):
+        read_corpus_jsonl_distributed(str(p), strict=True).take_all()

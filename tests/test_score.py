@@ -185,3 +185,20 @@ def test_finalize_streams_above_threshold(ray_session):
     assert (
         small["salience"].to_pylist() == big_path["salience"].to_pylist()
     )
+
+
+def test_score_stats_counts(ray_session):
+    """reference phrasekit_score.rs:56-62 scoring stats surface (A5)."""
+    from phrasekit_ray.stages.score import score_stats
+
+    stats = score_stats(
+        domain_ds(DOMAIN),
+        background_table(),
+        ScoreConfig(min_domain_count=10, min_salience=2.0),
+    )
+    # DOMAIN: 5 phrases; 'rare phrase' (5) fails min_domain_count=10;
+    # 'for the' passes the count filter but fails min_salience
+    assert stats["domain_phrases"] == 5
+    assert stats["after_domain_filter"] == 4
+    assert stats["after_salience_filter"] == 3
+    assert stats["background_phrases"] > 0
