@@ -345,6 +345,24 @@ def q_kg_edges(sf_dir: str):
     return _i64(_collect(edges), "subj", "obj", "weight")
 
 
+def q_kg_triples_adjacent(sf_dir: str):
+    """Triple lift with a full SQL oracle: policy=all bigram mentions,
+    adjacent-mention pairing within gap 50 — the raw triple rows (the
+    flagship query's leftmost_longest variant stays rows-only)."""
+    tagged, artifact = _tagged_all_bigrams(sf_dir)
+    mapping = {int(p): int(p) for p in artifact.phrase_ids}
+    triples = kgmod.triples_from_tagged(tagged, mapping, KGConfig())
+    t = _collect(triples).select(
+        ["doc_id", "subj", "obj", "subj_start", "obj_start"]
+    )
+    return _i64(t, "doc_id", "subj", "obj", "subj_start", "obj_start")
+
+
+def q_md5_fingerprints(sf_dir: str):
+    """Oracle-checkable document fingerprint (md5 hex, DuckDB twin)."""
+    return _i64(_collect(textstats.md5_fingerprints(_docs(sf_dir))), "doc_id")
+
+
 def q_kg_triples_flagship(sf_dir: str):
     """Flagship KG path (leftmost_longest + prefix canonicalization over
     2-5-gram phrases) — rows-only check (policy not SQL-expressible)."""
@@ -804,6 +822,8 @@ QUERIES = {
     "q_kg_nodes": q_kg_nodes,
     "q_kg_edges": q_kg_edges,
     "q_kg_triples_flagship": q_kg_triples_flagship,
+    "q_kg_triples_adjacent": q_kg_triples_adjacent,
+    "q_md5_fingerprints": q_md5_fingerprints,
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_minhash": q_dedup_minhash,
     "q_simhash": q_simhash,
@@ -896,6 +916,20 @@ ORACLE_SQL = {
         "  ON o.doc_id = s.doc_id AND o.rn = s.rn + 1 "
         "     AND o.start - s.\"end\" <= 50 "
         "GROUP BY 1, 2, 3"
+    ),
+    "q_kg_triples_adjacent": (
+        _sql_mentions()
+        + ", numbered AS ("
+        "  SELECT *, row_number() OVER "
+        "    (PARTITION BY doc_id ORDER BY start, \"end\") AS rn FROM mentions) "
+        "SELECT s.doc_id, s.phrase_id AS subj, o.phrase_id AS obj, "
+        "       s.start AS subj_start, o.start AS obj_start "
+        "FROM numbered s JOIN numbered o "
+        "  ON o.doc_id = s.doc_id AND o.rn = s.rn + 1 "
+        "     AND o.start - s.\"end\" <= 50"
+    ),
+    "q_md5_fingerprints": (
+        "SELECT doc_id, md5(text) AS fp_md5 FROM documents"
     ),
     "q_dedup_exact": (
         "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"

@@ -174,3 +174,24 @@ def fingerprints(ds, text_col: str = "text", id_col: str = "doc_id", **kw):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", **kw)
+
+
+def md5_fingerprints(ds, text_col: str = "text", id_col: str = "doc_id", **kw):
+    """md5 hex-digest document fingerprint — the oracle-checkable variant
+    (SQL twin: DuckDB ``md5(text)``); ``fingerprints`` stays the cheap
+    rolling-hash production path."""
+    import hashlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "fp_md5": pa.array(
+                    [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", **kw)
