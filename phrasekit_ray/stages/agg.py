@@ -159,6 +159,8 @@ def lookup_join(
     left_key: str,
     right_key: str,
     num_partitions: int = 32,
+    left_schema=None,
+    right_schema=None,
 ):
     """Distributed inner equi-join of ``left_ds`` against a UNIQUE-keyed
     int lookup table ``right_ds`` (one row per key) — returns left columns
@@ -174,9 +176,14 @@ def lookup_join(
     2.49).
 
     Keys must be integer-typed; right keys must be unique (it is a
-    lookup, not a general join — use Dataset.join for m:n)."""
-    left_schema = left_ds.schema(fetch_if_missing=True)
-    right_schema = right_ds.schema(fetch_if_missing=True)
+    lookup, not a general join — use Dataset.join for m:n).
+
+    Pass ``left_schema`` / ``right_schema`` (pa.Schema or ray Schema)
+    when the side is LAZY and ends in an all-to-all: schema inference on
+    such a dataset executes the whole upstream shuffle once just for the
+    schema and again for the real run — double execution."""
+    left_schema = left_schema or left_ds.schema(fetch_if_missing=True)
+    right_schema = right_schema or right_ds.schema(fetch_if_missing=True)
     left_cols = [n for n in left_schema.names]
     right_val_cols = [n for n in right_schema.names if n != right_key]
     overlap = set(left_cols) & set(right_val_cols)

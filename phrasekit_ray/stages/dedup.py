@@ -186,30 +186,59 @@ def minhash_candidate_pairs(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    num_partitions: int = 64,
 ):
     """Dataset(doc_id, tokens) → Dataset(left, right) candidate near-dup
-    pairs (docs sharing ≥1 LSH band bucket). Pair emission happens inside
-    map_groups, so only buckets with >1 doc produce rows."""
+    pairs (docs sharing ≥1 LSH band bucket).
+
+    The shuffle key is a derived int32 hash of (band, digest), so pair
+    emission is ONE vectorized UDF call per PARTITION: rows lexsort by
+    (band, digest, doc_id) and equal-bucket runs emit star pairs (hub =
+    the run's min id, keeping pair count linear in bucket size) with
+    pure numpy — never one Python call per bucket (a web corpus has
+    ~docs×bands buckets)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        return minhash_band_rows(batch, id_col, tokens_col, num_perm, bands, shingle_k)
+        t = minhash_band_rows(batch, id_col, tokens_col, num_perm, bands, shingle_k)
+        dig = t["digest"].to_numpy(zero_copy_only=False)
+        band = t["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (dig ^ (band * np.uint64(0x9E3779B97F4A7C15))) * np.uint64(
+            0xFF51AFD7ED558CCD
+        )
+        part = ((h >> np.uint64(33)) % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("_part", pa.array(part, pa.int32()))
 
     rows = ds.map_batches(fn, batch_format="pyarrow")
 
-    def pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(group[id_col].to_pylist())
-        if len(ids) < 2:
+    def partition_pairs(group: pa.Table) -> pa.Table:
+        band = group["band"].to_numpy(zero_copy_only=False)
+        dig = group["digest"].to_numpy(zero_copy_only=False)
+        ids = group[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(ids)
+        if n < 2:
             return pa.table(
                 {"left": pa.array([], pa.int64()), "right": pa.array([], pa.int64())}
             )
-        # star from the min id keeps pair count linear in bucket size
-        left = [ids[0]] * (len(ids) - 1)
+        order = np.lexsort((ids, dig, band))
+        b_s, d_s, i_s = band[order], dig[order], ids[order]
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = (b_s[1:] != b_s[:-1]) | (d_s[1:] != d_s[:-1])
+        run_start = np.maximum.accumulate(np.where(new_run, np.arange(n), 0))
+        tail = ~new_run  # every non-head row pairs with its run's head
         return pa.table(
-            {"left": pa.array(left, pa.int64()), "right": pa.array(ids[1:], pa.int64())}
+            {
+                "left": pa.array(i_s[run_start[tail]], pa.int64()),
+                "right": pa.array(i_s[tail], pa.int64()),
+            }
         )
 
-    cand = rows.groupby(["band", "digest"]).map_groups(pairs, batch_format="pyarrow")
-    return cand
+    return (
+        rows.groupby("_part")
+        .map_groups(
+            lambda g: partition_pairs(g.drop_columns(["_part"])),
+            batch_format="pyarrow",
+        )
+    )
 
 
 def verified_minhash_pairs(
@@ -221,6 +250,7 @@ def verified_minhash_pairs(
     shingle_k: int = 3,
     verify_jaccard: float | None = 0.5,
     num_partitions: int = 32,
+    semi_join_broadcast_ids: int = 5_000_000,
 ):
     """LSH candidate pairs, band-deduped and (by default) VERIFIED with the
     exact k-shingle Jaccard — Dataset(left, right[, jaccard]).
@@ -231,6 +261,13 @@ def verified_minhash_pairs(
     ``lookup_join`` shuffles (the corpus never moves to the driver) and
     recomputes ``ngram_jaccard`` exactly. The per-pair Python set op is
     fine here: pairs ≪ corpus by LSH construction.
+
+    Semi-join reduction: when the DISTINCT pair-member id set fits under
+    ``semi_join_broadcast_ids`` it is broadcast (a sorted int64 array —
+    ids only, never documents) and the corpus is filtered BEFORE the
+    joins, so the join shuffles move only pair-member documents instead
+    of the whole corpus. Above the bound the joins take the full corpus
+    — still distributed, just wider.
     """
     import ray
 
@@ -239,7 +276,8 @@ def verified_minhash_pairs(
     cand = minhash_candidate_pairs(ds, id_col, tokens_col, num_perm, bands, shingle_k)
     # a pair surfacing in several bands must verify once, not per band
     pairs = grouped_count(cand, ["left", "right"], count_col="_nb").materialize()
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return ray.data.from_arrow(
             pa.table(
                 {"left": pa.array([], pa.int64()), "right": pa.array([], pa.int64())}
@@ -250,25 +288,68 @@ def verified_minhash_pairs(
             lambda b: b.select(["left", "right"]), batch_format="pyarrow"
         )
 
+    member_ref = None
+    if 2 * n_pairs <= semi_join_broadcast_ids:
+        members: set[int] = set()
+        for b in pairs.iter_batches(batch_format="pyarrow"):
+            members.update(b["left"].to_pylist())
+            members.update(b["right"].to_pylist())
+        member_ref = ray.put(np.asarray(sorted(members), dtype=np.int64))
+
     # pack each token list into one \x1f-delimited string so the shuffle
     # moves a single string column (tokens are whitespace-split upstream,
     # so the separator is collision-free)
-    def pack(col: str):
+    def pack(b: pa.Table) -> pa.Table:
+        ids_arr = b[id_col].cast(pa.int64())
+        toks = b[tokens_col]
+        if member_ref is not None:
+            from phrasekit_ray.stages.score import _get_broadcast
+
+            allow = _get_broadcast(member_ref)
+            vid = ids_arr.to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(allow, vid)
+            pos_c = np.minimum(pos, len(allow) - 1)
+            keep = allow[pos_c] == vid
+            mask = pa.array(keep)
+            ids_arr = ids_arr.filter(mask)
+            toks = toks.filter(mask)
+        packed = pc.binary_join(
+            toks.combine_chunks().cast(pa.list_(pa.string())), "\x1f"
+        )
+        return pa.table({"_vid": ids_arr, "_packed": packed.cast(pa.string())})
+
+    # tokenize+pack runs ONCE; the two join sides are cheap renames over
+    # the materialized blocks
+    packed = ds.map_batches(pack, batch_format="pyarrow").materialize()
+
+    def rename_packed(col):
         def fn(b: pa.Table) -> pa.Table:
-            toks = b[tokens_col].combine_chunks()
-            packed = pc.binary_join(toks.cast(pa.list_(pa.string())), "\x1f")
-            return pa.table({"_vid": b[id_col].cast(pa.int64()), col: packed})
+            return pa.table({"_vid": b["_vid"], col: b["_packed"]})
 
         return fn
 
-    docs_l = ds.map_batches(pack("tokens_l"), batch_format="pyarrow")
-    docs_r = ds.map_batches(pack("tokens_r"), batch_format="pyarrow")
+    docs_l = packed.map_batches(rename_packed("tokens_l"), batch_format="pyarrow")
+    docs_r = packed.map_batches(rename_packed("tokens_r"), batch_format="pyarrow")
+    # explicit schemas: inference on the lazy inner join output would
+    # re-execute its shuffle just to learn the schema
+    pairs_schema = pa.schema(
+        [("left", pa.int64()), ("right", pa.int64()), ("_nb", pa.int64())]
+    )
+    dl_schema = pa.schema([("_vid", pa.int64()), ("tokens_l", pa.string())])
+    dr_schema = pa.schema([("_vid", pa.int64()), ("tokens_r", pa.string())])
+    j1_schema = pa.schema(
+        [("left", pa.int64()), ("right", pa.int64()), ("_nb", pa.int64()),
+         ("tokens_l", pa.string())]
+    )
     joined = lookup_join(
-        lookup_join(pairs, docs_l, "left", "_vid", num_partitions),
+        lookup_join(pairs, docs_l, "left", "_vid", num_partitions,
+                    left_schema=pairs_schema, right_schema=dl_schema),
         docs_r,
         "right",
         "_vid",
         num_partitions,
+        left_schema=j1_schema,
+        right_schema=dr_schema,
     )
     thr = float(verify_jaccard)
     k = shingle_k
@@ -568,12 +649,25 @@ def jaccard_pairs(
 
     sizes_l = sizes.map_batches(size_as("n_left"), batch_format="pyarrow")
     sizes_r = sizes.map_batches(size_as("n_right"), batch_format="pyarrow")
+    # explicit schemas (see verified_minhash_pairs): no double execution
+    pc_schema = pa.schema(
+        [("left", pa.int64()), ("right", pa.int64()), ("n", pa.int64())]
+    )
+    sl_schema = pa.schema([("doc_id", pa.int64()), ("n_left", pa.int64())])
+    sr_schema = pa.schema([("doc_id", pa.int64()), ("n_right", pa.int64())])
+    j1_schema = pa.schema(
+        [("left", pa.int64()), ("right", pa.int64()), ("n", pa.int64()),
+         ("n_left", pa.int64())]
+    )
     with_both = lookup_join(
-        lookup_join(pair_counts, sizes_l, "left", "doc_id", num_partitions),
+        lookup_join(pair_counts, sizes_l, "left", "doc_id", num_partitions,
+                    left_schema=pc_schema, right_schema=sl_schema),
         sizes_r,
         "right",
         "doc_id",
         num_partitions,
+        left_schema=j1_schema,
+        right_schema=sr_schema,
     )
 
     def jaccard_filter(batch: pa.Table) -> pa.Table:
