@@ -417,7 +417,9 @@ def q_bpe_token_counts(sf_dir: str):
 
 def q_quality(sf_dir: str):
     t = _collect(textstats.quality_scores(_docs(sf_dir)))
-    return _i64(t.select(["doc_id", "n_chars", "n_tokens"]), "doc_id", "n_chars", "n_tokens")
+    cols = ["doc_id", "n_chars", "n_tokens", "sum_token_len", "n_alpha_tokens",
+            "n_stopword_hits"]
+    return _i64(t.select(cols), *cols)
 
 
 def q_langid(sf_dir: str):
@@ -931,6 +933,30 @@ ORACLE_SQL = {
     "q_md5_fingerprints": (
         "SELECT doc_id, md5(text) AS fp_md5 FROM documents"
     ),
+    "q_langid": (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+        "FROM documents), "
+        "hits AS (SELECT doc_id, len(toks) AS n, "
+        " len(list_filter(toks, x -> x IN ('the','and','of','to','in','a',"
+        "'is','for','was','with','on'))) AS h_en, "
+        " len(list_filter(toks, x -> x IN ('der','die','das','und','ist',"
+        "'zu','den','von','mit','für'))) AS h_de, "
+        " len(list_filter(toks, x -> x IN ('el','la','de','que','y','en',"
+        "'los','del','se','las','por'))) AS h_es, "
+        " len(list_filter(toks, x -> x IN ('le','la','de','et','les','des',"
+        "'en','un','du','une','est'))) AS h_fr "
+        "FROM t), "
+        "percomb AS (SELECT doc_id, n, l.lang, l.prio, "
+        " CASE l.lang WHEN 'en' THEN h_en WHEN 'de' THEN h_de "
+        "   WHEN 'es' THEN h_es ELSE h_fr END AS h "
+        "FROM hits CROSS JOIN (VALUES ('en',1),('de',2),('es',3),('fr',4)) "
+        "  l(lang, prio)), "
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+        " ORDER BY CAST(h AS DOUBLE)/GREATEST(n,1) DESC, prio ASC) AS rn "
+        "FROM percomb) "
+        "SELECT doc_id, CASE WHEN h = 0 OR n = 0 THEN 'und' ELSE lang END "
+        "AS lang_pred FROM ranked WHERE rn = 1"
+    ),
     "q_dedup_exact": (
         "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
     ),
@@ -944,8 +970,18 @@ ORACLE_SQL = {
         "FROM documents"
     ),
     "q_quality": (
+        "WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks "
+        "FROM documents) "
         "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
-        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents"
+        "CAST(len(toks) AS BIGINT) AS n_tokens, "
+        "CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) "
+        "AS sum_token_len, "
+        "CAST(len(list_filter(toks, x -> regexp_matches(x, '^[A-Za-z]+$'))) "
+        "AS BIGINT) AS n_alpha_tokens, "
+        "CAST(len(list_filter(toks, x -> x IN "
+        "('the','and','of','to','in','a','is','for','was','with','on'))) "
+        "AS BIGINT) AS n_stopword_hits "
+        "FROM t"
     ),
     "q_knn_cosine": (
         "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
@@ -1047,7 +1083,8 @@ ORACLE_SQL = {
         "SELECT lang, tok, count FROM ranked WHERE rn <= 5"
     ),
     # rows-only (non-SQL-expressible): q_kg_triples_flagship (overlap policy),
-    # q_dedup_minhash / q_simhash / q_fingerprints (hash functions),
-    # q_langid (argmax heuristic), q_knn_lsh / q_knn_ivf (approximate),
-    # q_match_runtime
+    # q_dedup_minhash / q_simhash / q_fingerprints (custom hash functions;
+    # md5_fingerprints is the oracle-checked variant),
+    # q_knn_lsh / q_knn_ivf (approximate; pytest recall vs brute force),
+    # q_match_runtime / q_tag_policies (policy kernels; pytest goldens)
 }

@@ -139,6 +139,11 @@ def quality_scores(ds, text_col: str = "text", id_col: str = "doc_id", **kw):
                 id_col: batch[id_col],
                 "n_chars": pa.array(n_chars, pa.int64()),
                 "n_tokens": pa.array(n_tok, pa.int64()),
+                # integer-exact components (SQL-oracle-checkable; the f32
+                # ratios below derive from these)
+                "sum_token_len": pa.array(sum_len.astype(np.int64), pa.int64()),
+                "n_alpha_tokens": pa.array(sum_alpha.astype(np.int64), pa.int64()),
+                "n_stopword_hits": pa.array(sw_hits, pa.int64()),
                 "mean_token_len": pa.array(mean_len, pa.float32()),
                 "alpha_ratio": pa.array(alpha_ratio, pa.float32()),
                 "stopword_ratio": pa.array(sw_ratio, pa.float32()),
