@@ -231,3 +231,77 @@ def test_lookup_join_basic(ray_session):
         {"k": 2, "v": "b", "w": 20},
         {"k": 3, "v": "c", "w": 30},
     ]
+
+
+# --- independent-reimplementation differentials for the hash operators ------
+
+def _simhash_ref(tokens):
+    """Straight-line per-doc SimHash (the spec), independently of the
+    vectorized batch kernel."""
+    import hashlib
+
+    votes = [0] * 64
+    for t in tokens:
+        h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+        for b in range(64):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    if not tokens:
+        return 0
+    out = 0
+    for b in range(64):
+        if votes[b] > 0:
+            out |= 1 << b
+    return out
+
+
+def test_simhash_matches_reference_reimplementation(ray_session):
+    rows = [
+        (0, BASE),
+        (1, _mutate(BASE, 2, 3)),
+        (2, []),
+        (3, ["single"]),
+        (4, "completely different words here now".split()),
+    ]
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_fingerprints(tokens_ds(rows)).iter_rows()
+    }
+    for doc_id, toks in rows:
+        assert got[doc_id] == _simhash_ref(toks), f"doc {doc_id}"
+
+
+def _minhash_sig_ref(tokens, num_perm=64, k=3, seed=7):
+    """Per-doc MinHash signature from first principles (explicit shingle
+    set + per-permutation min), mirroring the documented spec."""
+    import hashlib
+
+    hs = [
+        int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+        for t in tokens
+    ]
+    if len(tokens) >= k:
+        shingles = []
+        for i in range(len(tokens) - k + 1):
+            acc = hs[i]
+            for j in range(1, k):
+                acc = (acc * 1099511628211) % (1 << 64) ^ hs[i + j]
+            shingles.append(acc)
+    else:
+        shingles = [len(tokens)]
+    a, b = dedup._minhash_params(num_perm, seed)
+    M = (1 << 61) - 1
+    W = 1 << 64  # permutations run in wrapping uint64 before the mod
+    sig = []
+    for p in range(num_perm):
+        sig.append(
+            min(((int(a[p]) * s) % W + int(b[p])) % W % M for s in shingles)
+        )
+    return sig
+
+
+def test_minhash_signatures_match_reference_reimplementation(ray_session):
+    docs = [BASE, _mutate(BASE, 1, 5), ["a", "b"], []]
+    arr = pa.array(docs, pa.list_(pa.string()))
+    sig = dedup.minhash_signatures(arr, num_perm=16)
+    for i, toks in enumerate(docs):
+        assert sig[i].tolist() == _minhash_sig_ref(toks, num_perm=16), f"doc {i}"

@@ -75,3 +75,30 @@ def test_fingerprints_deterministic_and_distinct(ray_session):
     assert out[1] != out[3]
     out2 = {r["doc_id"]: r["fingerprint"] for r in textstats.fingerprints(ds).iter_rows()}
     assert out == out2
+
+
+def test_fingerprints_match_reference_reimplementation(ray_session):
+    """Differential: the vectorized power-table fingerprint equals a
+    straight-line Horner evaluation of h = Σ b_i·P^(n-1-i) mod 2^64."""
+    import ray
+
+    texts = ["Hello World", "", "a", "The quick brown fox", "ünïcode tëxt"]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    got = {
+        r["doc_id"]: r["fingerprint"]
+        for r in textstats.fingerprints(ds).iter_rows()
+    }
+    P = 1099511628211
+    W = 1 << 64
+    for i, t in enumerate(texts):
+        acc = 0
+        for b in t.lower().encode("utf-8"):
+            acc = (acc * P + b) % W
+        assert got[i] == acc, f"text {t!r}"
