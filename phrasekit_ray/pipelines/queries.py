@@ -686,6 +686,67 @@ def q_join_customer_orders(sf_dir: str):
     return _i64(_collect(agg), "sum_total_cents", "n_orders")
 
 
+# --- semi / anti joins and distinct counts ----------------------------------
+
+def q_customers_without_orders(sf_dir: str):
+    """Distributed ANTI join: customers with no URGENT-priority orders
+    (broadcast or partitioned semi-join filter, chosen by right-key
+    cardinality; the priority filter keeps the result selective — in the
+    synthetic data every customer has SOME order)."""
+    import ray
+
+    from phrasekit_ray.stages.agg import key_filter_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b["o_orderpriority"], "1-URGENT")),
+        batch_format="pyarrow",
+    )
+    out = key_filter_join(cust, orders, "c_custkey", "o_custkey", anti=True)
+    return _i64(_collect(out), "c_custkey")
+
+
+def q_parts_in_lineitem(sf_dir: str):
+    """Distributed SEMI join: parts that appear in at least one lineitem."""
+    import ray
+
+    from phrasekit_ray.stages.agg import key_filter_join
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey"]
+    )
+    out = key_filter_join(part, li, "p_partkey", "l_partkey", anti=False)
+    return _i64(_collect(out), "p_partkey")
+
+
+def q_unique_tokens_per_lang(sf_dir: str):
+    """COUNT(DISTINCT token) per language — chained hash aggregates."""
+    from phrasekit_ray.stages.agg import grouped_count_distinct
+
+    docs = _docs(sf_dir)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        sizes = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        langs = batch["lang"].combine_chunks().take(
+            pa.array(np.repeat(np.arange(len(sizes)), sizes))
+        )
+        return pa.table({"lang": langs, "tok": toks.values})
+
+    out = grouped_count_distinct(
+        docs.map_batches(explode, batch_format="pyarrow"), "lang", "tok",
+        count_col="n_unique_tokens",
+    )
+    return _i64(_collect(out), "n_unique_tokens")
+
+
 # --- spell correction (M12) -------------------------------------------------
 
 def q_spell_correct(sf_dir: str):
@@ -846,6 +907,9 @@ QUERIES = {
     "q_events_asof": q_events_asof,
     "q_join_customer_orders": q_join_customer_orders,
     "q_spell_correct": q_spell_correct,
+    "q_customers_without_orders": q_customers_without_orders,
+    "q_parts_in_lineitem": q_parts_in_lineitem,
+    "q_unique_tokens_per_lang": q_unique_tokens_per_lang,
     "q_knn_ivf": q_knn_ivf,
     "q_top_terms_per_lang": q_top_terms_per_lang,
     "q_tag_policies": q_tag_policies,
@@ -1048,6 +1112,23 @@ ORACLE_SQL = {
         "THEN ts END) OVER (PARTITION BY user_id ORDER BY ts, event_id "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS BIGINT) "
         "AS last_purchase_us FROM events"
+    ),
+    "q_customers_without_orders": (
+        "SELECT c_custkey, c_mktsegment FROM customer c "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+        "WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_orderpriority = '1-URGENT')"
+    ),
+    "q_parts_in_lineitem": (
+        "SELECT p_partkey, p_brand FROM part p "
+        "WHERE EXISTS (SELECT 1 FROM lineitem l "
+        "WHERE l.l_partkey = p.p_partkey)"
+    ),
+    "q_unique_tokens_per_lang": (
+        "WITH toks AS (SELECT lang, unnest(string_split(text,' ')) AS tok "
+        "FROM documents) "
+        "SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS n_unique_tokens "
+        "FROM toks GROUP BY 1"
     ),
     "q_join_customer_orders": (
         "SELECT c.c_mktsegment, "

@@ -254,3 +254,145 @@ def lookup_join(
         return pa.table(out)
 
     return both.groupby("_part").map_groups(join_partition, batch_format="pyarrow")
+
+
+def key_filter_join(
+    left_ds,
+    right_ds,
+    left_key: str,
+    right_key: str,
+    anti: bool = False,
+    num_partitions: int = 32,
+    broadcast_ids: int = 5_000_000,
+    left_schema=None,
+):
+    """Distributed SEMI (``anti=False``) / ANTI (``anti=True``) join:
+    keep the left rows whose int key does (not) appear in the right
+    side's key column. Output = the left columns, filtered.
+
+    Two physical paths, chosen by the right side's DISTINCT key count:
+    - ≤ ``broadcast_ids``: the sorted key array broadcasts once
+      (``ray.put``) and every left batch filters with one vectorized
+      searchsorted — no shuffle at all (the classic broadcast semi-join);
+    - above it: the same conformed-union + per-partition searchsorted
+      shape as ``lookup_join`` — both sides shuffle by key hash, ONE
+      vectorized UDF per partition, no driver traffic.
+    """
+    import ray
+
+    def rkeys_only(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"_k": batch[right_key].cast(pa.int64()), }
+        ).append_column("_n", pa.array(np.ones(batch.num_rows, dtype=np.int64)))
+
+    distinct = hash_aggregate(
+        right_ds.map_batches(rkeys_only, batch_format="pyarrow"),
+        "_k",
+        [("_n", "sum")],
+        num_partitions,
+    ).materialize()
+    n_keys = distinct.count()
+
+    if n_keys <= broadcast_ids:
+        arrs = [
+            b["_k"].to_numpy(zero_copy_only=False)
+            for b in distinct.iter_batches(batch_format="pyarrow")
+        ]
+        keys = np.sort(np.concatenate(arrs)) if arrs else np.zeros(0, np.int64)
+        keys_ref = ray.put(keys)
+
+        def filter_batch(batch: pa.Table) -> pa.Table:
+            from phrasekit_ray.stages.score import _get_broadcast
+
+            allow = _get_broadcast(keys_ref)
+            lk = batch[left_key].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            if len(allow):
+                pos = np.minimum(np.searchsorted(allow, lk), len(allow) - 1)
+                hit = allow[pos] == lk
+            else:
+                hit = np.zeros(len(lk), dtype=bool)
+            return batch.filter(pa.array(~hit if anti else hit))
+
+        return left_ds.map_batches(filter_batch, batch_format="pyarrow")
+
+    # partitioned path: conform both sides to one schema and resolve
+    # membership per partition
+    left_schema = left_schema or left_ds.schema(fetch_if_missing=True)
+    left_cols = list(left_schema.names)
+    left_types = dict(zip(left_schema.names, left_schema.types))
+
+    def conform_left(batch: pa.Table) -> pa.Table:
+        cols = {"_jkey": batch[left_key].cast(pa.int64())}
+        for c in left_cols:
+            cols[c] = batch[c]
+        cols["_isright"] = pa.array(np.zeros(batch.num_rows, dtype=np.int8), pa.int8())
+        t = pa.table(cols)
+        return t.append_column("_part", _part_column(t, ["_jkey"], num_partitions))
+
+    def conform_right(batch: pa.Table) -> pa.Table:
+        cols = {"_jkey": batch["_k"]}
+        for c in left_cols:
+            cols[c] = pa.nulls(batch.num_rows, left_types[c])
+        cols["_isright"] = pa.array(np.ones(batch.num_rows, dtype=np.int8), pa.int8())
+        t = pa.table(cols)
+        return t.append_column("_part", _part_column(t, ["_jkey"], num_partitions))
+
+    both = left_ds.map_batches(conform_left, batch_format="pyarrow").union(
+        distinct.map_batches(conform_right, batch_format="pyarrow")
+    )
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        side = group["_isright"].to_numpy(zero_copy_only=False)
+        keys_arr = group["_jkey"].to_numpy(zero_copy_only=False)
+        is_r = side == 1
+        rkeys = np.sort(keys_arr[is_r])
+        lmask = ~is_r
+        lkeys = keys_arr[lmask]
+        if len(rkeys):
+            pos = np.minimum(np.searchsorted(rkeys, lkeys), len(rkeys) - 1)
+            hit = rkeys[pos] == lkeys
+        else:
+            hit = np.zeros(len(lkeys), dtype=bool)
+        keep_rows = np.flatnonzero(lmask)[~hit if anti else hit]
+        if not len(keep_rows):
+            return pa.table(
+                {c: pa.array([], left_types[c]) for c in left_cols}
+            )
+        return pa.table(
+            {
+                c: group[c].combine_chunks().take(pa.array(keep_rows))
+                for c in left_cols
+            }
+        )
+
+    return both.groupby("_part").map_groups(per_partition, batch_format="pyarrow")
+
+
+def grouped_count_distinct(
+    ds, group_keys, value_col: str, count_col: str = "n_distinct",
+    num_partitions: int = 32,
+):
+    """COUNT(DISTINCT value) per group — two chained hash aggregates:
+    distinct (group, value) pairs first (in-block combine collapses
+    repeats before the shuffle), then a count per group. Both shuffles
+    move only key columns."""
+    gk = [group_keys] if isinstance(group_keys, str) else list(group_keys)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = batch.select(gk + [value_col])
+        # in-block distinct before the shuffle
+        return t.group_by(gk + [value_col]).aggregate([])
+
+    distinct_pairs = hash_aggregate(
+        ds.map_batches(pairs, batch_format="pyarrow").map_batches(
+            lambda b: b.append_column(
+                "_one", pa.array(np.ones(b.num_rows, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        ),
+        gk + [value_col],
+        [("_one", "min")],
+        num_partitions,
+    )
+    return grouped_count(distinct_pairs, gk, count_col=count_col,
+                         num_partitions=num_partitions)

@@ -96,3 +96,56 @@ def test_with_row_index_fallback_is_distributed(ray_session, monkeypatch):
     assert rowindex.LAST_PATH == "arrow_refs"
     rows = sorted(out.iter_rows(), key=lambda r: r["v"])
     assert [r["idx"] for r in rows] == list(range(10, 60))
+
+
+def test_key_filter_join_semi_and_anti_both_paths(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.agg import key_filter_join
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "v": pa.array(["a", "b", "c", "d", "e"]),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table({"rk": pa.array([2, 4, 4, 9], pa.int64())})
+    )
+    for bcast in (5_000_000, 0):  # broadcast path, then partitioned path
+        semi = sorted(
+            r["k"]
+            for r in key_filter_join(
+                left, right, "k", "rk", anti=False, broadcast_ids=bcast
+            ).iter_rows()
+        )
+        anti = sorted(
+            r["k"]
+            for r in key_filter_join(
+                left, right, "k", "rk", anti=True, broadcast_ids=bcast
+            ).iter_rows()
+        )
+        assert semi == [2, 4], f"broadcast_ids={bcast}"
+        assert anti == [1, 3, 5], f"broadcast_ids={bcast}"
+
+
+def test_grouped_count_distinct(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_count_distinct
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "g": pa.array(["x", "x", "x", "y", "y"]),
+                "v": pa.array(["a", "a", "b", "a", "a"]),
+            }
+        )
+    )
+    out = {
+        r["g"]: r["n_distinct"]
+        for r in grouped_count_distinct(ds, "g", "v").iter_rows()
+    }
+    assert out == {"x": 2, "y": 1}
