@@ -627,6 +627,24 @@ def q_events_asof(sf_dir: str):
 
 
 
+def q_events_hopping(sf_dir: str):
+    import ray
+
+    from phrasekit_ray.stages import windows
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return _i64(
+        _collect(windows.hopping_window_agg(ev, window_minutes=60.0,
+                                            hop_minutes=30.0)),
+        "user_id",
+        "window_start_us",
+        "n_events",
+        "sum_value_cents",
+    )
+
+
 def q_events_tumbling(sf_dir: str):
     import ray
 
@@ -914,6 +932,7 @@ QUERIES = {
     "q_top_terms_per_lang": q_top_terms_per_lang,
     "q_tag_policies": q_tag_policies,
     "q_events_tumbling": q_events_tumbling,
+    "q_events_hopping": q_events_hopping,
 }
 
 
@@ -1147,6 +1166,17 @@ ORACLE_SQL = {
         "FROM toks LEFT JOIN corr ON lower(toks.tok) = corr.wrong) "
         "SELECT doc_id, string_agg(tok2, ' ' ORDER BY pos) AS corrected_text "
         "FROM fixed GROUP BY doc_id"
+    ),
+    "q_events_hopping": (
+        "WITH ev AS (SELECT user_id, epoch_us(ts) AS tus, "
+        "CAST(round(value * 100.0) AS BIGINT) AS cents FROM events), "
+        "exp AS (SELECT user_id, "
+        "(tus // 1800000000) * 1800000000 - h.off AS window_start_us, cents "
+        "FROM ev CROSS JOIN (VALUES (0), (1800000000)) h(off)) "
+        "SELECT CAST(user_id AS BIGINT) AS user_id, "
+        "CAST(window_start_us AS BIGINT) AS window_start_us, "
+        "count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_value_cents "
+        "FROM exp GROUP BY 1, 2"
     ),
     "q_events_tumbling": (
         "SELECT CAST(user_id AS BIGINT) AS user_id, "

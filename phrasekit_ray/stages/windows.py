@@ -212,3 +212,58 @@ def tumbling_window_agg(
         ["user_id", "window_start_us"],
         [("n_events", "sum"), ("sum_value_cents", "sum")],
     )
+
+
+def hopping_window_agg(
+    ds,
+    window_minutes: float = 60.0,
+    hop_minutes: float = 30.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+):
+    """Hopping (sliding) window aggregate: each event lands in every
+    window of length ``window_minutes`` that starts at a multiple of
+    ``hop_minutes`` and covers it — i.e. window/hop overlapping windows
+    per event. Pure flat-map + two-phase aggregate: the window starts
+    are DERIVED columns (vectorized np.repeat expansion, window/hop
+    rows per event), so no ordering assumption and no per-group UDF;
+    shuffle key is the (user, window_start) int pair.
+
+    ``window_minutes`` must be an integer multiple of ``hop_minutes``.
+    """
+    from phrasekit_ray.stages.agg import hash_aggregate
+
+    win_us = np.int64(window_minutes * 60_000_000)
+    hop_us = np.int64(hop_minutes * 60_000_000)
+    if win_us % hop_us != 0:
+        raise ValueError("window_minutes must be a multiple of hop_minutes")
+    k = int(win_us // hop_us)  # windows covering each event
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].combine_chunks().cast(pa.int64()).to_numpy()
+        uid = batch[user_col].combine_chunks().cast(pa.int64()).to_numpy()
+        cents = (
+            pc.cast(pc.round(pc.multiply(batch[value_col], 100.0)), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        n = len(ts)
+        # latest window start covering ts, then k-1 earlier hops
+        last_start = (ts // hop_us) * hop_us
+        offs = (np.arange(k, dtype=np.int64) * hop_us)[None, :]
+        starts = (last_start[:, None] - offs).ravel()
+        keep = starts + win_us > np.repeat(ts, k)  # guard (always true)
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(uid, k), pa.int64()),
+                "window_start_us": pa.array(starts, pa.int64()),
+                "n_events": pa.array(np.ones(n * k, dtype=np.int64)),
+                "sum_value_cents": pa.array(np.repeat(cents, k), pa.int64()),
+            }
+        ).filter(pa.array(keep))
+
+    return hash_aggregate(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        ["user_id", "window_start_us"],
+        [("n_events", "sum"), ("sum_value_cents", "sum")],
+    )

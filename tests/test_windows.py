@@ -58,3 +58,47 @@ def test_asof_last_purchase(ray_session):
     assert out[3] == 10 * us
     assert out[4] == 50 * us
     assert out[5] is None
+
+
+def test_hopping_window_overlap(ray_session):
+    """Each event lands in window/hop overlapping windows; counts and
+    sums aggregate per (user, window_start)."""
+    import ray
+
+    from phrasekit_ray.stages import windows
+
+    us = 60_000_000
+    tbl = pa.table(
+        {
+            "user_id": pa.array([1, 1], pa.int64()),
+            # event at minute 45 → windows starting at minute 0 and 30
+            "ts": pa.array([45 * us, 100 * us], pa.timestamp("us")),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+        }
+    )
+    out = {
+        (r["user_id"], r["window_start_us"]): (r["n_events"], r["sum_value_cents"])
+        for r in windows.hopping_window_agg(
+            ray.data.from_arrow(tbl), window_minutes=60, hop_minutes=30
+        ).iter_rows()
+    }
+    assert out == {
+        (1, 0): (1, 100),
+        (1, 30 * us): (1, 100),
+        (1, 60 * us): (1, 200),
+        (1, 90 * us): (1, 200),
+    }
+
+
+def test_hopping_rejects_nonmultiple(ray_session):
+    import pytest
+    import ray
+
+    from phrasekit_ray.stages import windows
+
+    tbl = pa.table({"user_id": pa.array([1], pa.int64()),
+                    "ts": pa.array([0], pa.timestamp("us")),
+                    "value": pa.array([1.0], pa.float64())})
+    with pytest.raises(ValueError):
+        windows.hopping_window_agg(ray.data.from_arrow(tbl),
+                                   window_minutes=60, hop_minutes=45)
