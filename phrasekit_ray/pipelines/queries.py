@@ -744,6 +744,29 @@ def q_parts_in_lineitem(sf_dir: str):
     return _i64(_collect(out), "p_partkey")
 
 
+def q_approx_unique_tokens_per_lang(sf_dir: str):
+    """HyperLogLog approximate distinct-token count per language —
+    rows-only (the sketch estimate has no ANSI-SQL twin; accuracy vs the
+    exact count is asserted in pytest)."""
+    from phrasekit_ray.stages.agg import approx_count_distinct
+
+    docs = _docs(sf_dir)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        sizes = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        langs = batch["lang"].combine_chunks().take(
+            pa.array(np.repeat(np.arange(len(sizes)), sizes))
+        )
+        return pa.table({"lang": langs, "tok": toks.values})
+
+    out = approx_count_distinct(
+        docs.map_batches(explode, batch_format="pyarrow"), "lang", "tok",
+        precision=8,
+    )
+    return _i64(_collect(out), "approx_distinct")
+
+
 def q_unique_tokens_per_lang(sf_dir: str):
     """COUNT(DISTINCT token) per language — chained hash aggregates."""
     from phrasekit_ray.stages.agg import grouped_count_distinct
@@ -928,6 +951,7 @@ QUERIES = {
     "q_customers_without_orders": q_customers_without_orders,
     "q_parts_in_lineitem": q_parts_in_lineitem,
     "q_unique_tokens_per_lang": q_unique_tokens_per_lang,
+    "q_approx_unique_tokens_per_lang": q_approx_unique_tokens_per_lang,
     "q_knn_ivf": q_knn_ivf,
     "q_top_terms_per_lang": q_top_terms_per_lang,
     "q_tag_policies": q_tag_policies,

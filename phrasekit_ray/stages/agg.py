@@ -396,3 +396,129 @@ def grouped_count_distinct(
     )
     return grouped_count(distinct_pairs, gk, count_col=count_col,
                          num_partitions=num_partitions)
+
+
+def approx_count_distinct(
+    ds,
+    group_keys,
+    value_col: str,
+    precision: int = 8,
+    count_col: str = "approx_distinct",
+    num_partitions: int = 32,
+):
+    """Approximate COUNT(DISTINCT value) per group via HyperLogLog
+    (Flajolet et al. 2007, public algorithm): m = 2^precision registers
+    per group, register = max leading-zero rank of the hashed values
+    routed to it.
+
+    Scale shape: each block computes its groups' full register vectors
+    (one vectorized np.maximum.at pass), registers ride the shuffle as m
+    uint8 columns merged by hash_aggregate's elementwise ``max`` — the
+    sketch is tiny and mergeable, so the shuffle moves O(groups × m)
+    bytes regardless of corpus size. Exact twin:
+    ``grouped_count_distinct`` (whose shuffle moves every distinct
+    value). Standard error ≈ 1.04/sqrt(m) (~6.5% at precision 8).
+    """
+    import zlib as _zlib
+
+    m = 1 << precision
+    gk = [group_keys] if isinstance(group_keys, str) else list(group_keys)
+    reg_cols = [f"_r{i}" for i in range(m)]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch[value_col]
+        if pa.types.is_string(vals.type) or pa.types.is_large_string(vals.type):
+            h = np.fromiter(
+                (_zlib.crc32(s.encode()) for s in vals.to_pylist()),
+                dtype=np.uint64,
+                count=batch.num_rows,
+            )
+            # crc32 is 32-bit; widen deterministically
+            h = h * np.uint64(0x9E3779B97F4A7C15) + np.uint64(1)
+        else:
+            h = (
+                vals.cast(pa.int64(), safe=False)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15)
+                + np.uint64(0x165667B19E3779F9)
+            )
+            h = h ^ (h >> np.uint64(29))
+            h = h * np.uint64(0xBF58476D1CE4E5B9)
+            h = h ^ (h >> np.uint64(32))
+        reg = (h & np.uint64(m - 1)).astype(np.int64)
+        rest = h >> np.uint64(precision)
+        # rank = leading position of first set bit in the remaining
+        # 64-precision bits (1-based), capped
+        width = 64 - precision
+        rank = np.zeros(len(h), dtype=np.uint8)
+        nz = rest != 0
+        # bit_length via log2 on uint64→float64 is unsafe near 2^53; use
+        # a loop over 64 bits? No — use np.frexp on float is lossy. Use
+        # integer method: count trailing? HLL uses position of leftmost
+        # 1-bit of `rest` within `width` bits:
+        bl = np.zeros(len(h), dtype=np.int64)
+        r = rest.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            mask = r >= (np.uint64(1) << np.uint64(shift))
+            bl[mask] += shift
+            r[mask] >>= np.uint64(shift)
+        # bl = floor(log2(rest)) for rest>0
+        rank[nz] = (width - bl[nz]).astype(np.uint8)
+        rank[~nz] = width + 1
+
+        # group rows and take per-group register maxima in one pass
+        key_tbl = batch.select(gk)
+        combo = key_tbl.group_by(gk).aggregate([])
+        # map each row to its group ordinal via dictionary encoding of a
+        # concatenated key string (bounded by in-block group count)
+        if len(gk) == 1:
+            enc = batch[gk[0]].combine_chunks().dictionary_encode()
+            gidx = enc.indices.to_numpy(zero_copy_only=False)
+            groups = enc.dictionary
+            out_keys = {gk[0]: groups}
+        else:
+            import pyarrow.compute as _pc
+
+            parts = [batch[c].cast(pa.string()) for c in gk]
+            joined = _pc.binary_join_element_wise(
+                *[p.combine_chunks() for p in parts], "\x1f"
+            )
+            enc = joined.dictionary_encode()
+            gidx = enc.indices.to_numpy(zero_copy_only=False)
+            keys_split = [s.split("\x1f") for s in enc.dictionary.to_pylist()]
+            out_keys = {
+                c: pa.array([k[i] for k in keys_split])
+                for i, c in enumerate(gk)
+            }
+        n_groups = len(enc.dictionary)
+        regs = np.zeros((n_groups, m), dtype=np.uint8)
+        np.maximum.at(regs, (gidx, reg), rank)
+        cols = dict(out_keys)
+        for i in range(m):
+            cols[reg_cols[i]] = pa.array(regs[:, i], pa.uint8())
+        return pa.table(cols)
+
+    merged = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        gk,
+        [(c, "max") for c in reg_cols],
+        num_partitions,
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        regs = np.stack(
+            [batch[c].to_numpy(zero_copy_only=False) for c in reg_cols], axis=1
+        ).astype(np.float64)
+        am = 0.7213 / (1 + 1.079 / m)  # alpha_m for m >= 128
+        est = am * m * m / np.power(2.0, -regs).sum(axis=1)
+        zeros = (regs == 0).sum(axis=1)
+        small = est <= 2.5 * m
+        with np.errstate(divide="ignore"):
+            lin = m * np.log(m / np.maximum(zeros, 1).astype(np.float64))
+        est = np.where(small & (zeros > 0), lin, est)
+        out = {c: batch[c] for c in gk}
+        out[count_col] = pa.array(np.round(est).astype(np.int64), pa.int64())
+        return pa.table(out)
+
+    return merged.map_batches(finalize, batch_format="pyarrow")

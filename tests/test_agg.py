@@ -149,3 +149,53 @@ def test_grouped_count_distinct(ray_session):
         for r in grouped_count_distinct(ds, "g", "v").iter_rows()
     }
     assert out == {"x": 2, "y": 1}
+
+
+def test_approx_count_distinct_within_error(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.agg import approx_count_distinct
+
+    rng = np.random.default_rng(3)
+    n = 20_000
+    groups = ["g1"] * n + ["g2"] * n
+    # g1: 5000 distinct values; g2: 500 distinct
+    v1 = rng.integers(0, 5000, size=n)
+    v2 = rng.integers(0, 500, size=n)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "g": pa.array(groups),
+                "v": pa.array(np.concatenate([v1, v2]), pa.int64()),
+            }
+        )
+    ).repartition(8)
+    out = {
+        r["g"]: r["approx_distinct"]
+        for r in approx_count_distinct(ds, "g", "v", precision=8).iter_rows()
+    }
+    # HLL standard error at m=256 is ~6.5%; allow 4 sigma
+    true1 = len(np.unique(v1))
+    true2 = len(np.unique(v2))
+    assert abs(out["g1"] - true1) / true1 < 0.26
+    assert abs(out["g2"] - true2) / true2 < 0.26
+
+
+def test_approx_distinct_tracks_exact_on_documents(ray_session, sf_dir):
+    """The HLL query's estimate stays within 4σ of the exact distinct
+    count on the real documents table."""
+    import __ray_entry__ as entrymod
+
+    approx = {
+        r["lang"]: r["approx_distinct"]
+        for r in entrymod.queries()["q_approx_unique_tokens_per_lang"](sf_dir)
+        .to_pylist()
+    }
+    exact = {
+        r["lang"]: r["n_unique_tokens"]
+        for r in entrymod.queries()["q_unique_tokens_per_lang"](sf_dir)
+        .to_pylist()
+    }
+    assert set(approx) == set(exact)
+    for lang, e in exact.items():
+        assert abs(approx[lang] - e) / max(e, 1) < 0.26, (lang, approx[lang], e)
