@@ -164,6 +164,43 @@ def cmd_kg(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    import pyarrow as pa
+    import ray
+
+    from phrasekit_ray.stages.dedup import exact_dedup, verified_minhash_pairs
+    from phrasekit_ray.stages.extract import tokenize_documents
+
+    _init_ray()
+    ds = ray.data.read_parquet(args.input)
+    if args.method == "exact":
+        kept = exact_dedup(ds, text_col=args.text_col, id_col=args.id_col)
+        kept.write_parquet(args.output)
+        print(json.dumps({"stage": "dedup", "method": "exact"}))
+        return 0
+    docs = tokenize_documents(ds, text_col=args.text_col, id_col=args.id_col)
+    pairs = verified_minhash_pairs(
+        docs,
+        id_col=args.id_col,
+        num_perm=args.num_perm,
+        bands=args.bands,
+        verify_jaccard=args.verify_jaccard,
+    )
+    pairs.write_parquet(args.output)
+    print(
+        json.dumps(
+            {
+                "stage": "dedup",
+                "method": "minhash",
+                "num_perm": args.num_perm,
+                "bands": args.bands,
+                "verify_jaccard": args.verify_jaccard,
+            }
+        )
+    )
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="phrasekit_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -199,6 +236,17 @@ def main(argv=None) -> int:
     t.add_argument("--concurrency", type=int, default=4)
     t.add_argument("--batch-size", type=int, default=1024)
     t.set_defaults(fn=cmd_tag)
+
+    d = sub.add_parser("dedup", help="exact / minhash near-dedup over a corpus")
+    d.add_argument("--input", required=True)
+    d.add_argument("--output", required=True)
+    d.add_argument("--method", choices=["exact", "minhash"], default="exact")
+    d.add_argument("--text-col", default="text")
+    d.add_argument("--id-col", default="doc_id")
+    d.add_argument("--num-perm", type=int, default=64)
+    d.add_argument("--bands", type=int, default=16)
+    d.add_argument("--verify-jaccard", type=float, default=0.5)
+    d.set_defaults(fn=cmd_dedup)
 
     k = sub.add_parser("kg", help="end-to-end KG construction over pages parquet")
     k.add_argument("--pages", required=True)

@@ -48,3 +48,41 @@ def test_cli_mine_score_build_tag_chain(ray_session, tmp_path, capsys):
     tagged = pq.read_table(str(tmp_path / "tagged"))
     assert {"doc_id", "spans"} <= set(tagged.column_names)
     assert tagged.num_rows == 500
+
+
+def test_cli_dedup_exact(ray_session, tmp_path, sf_dir):
+    import pyarrow.parquet as pq
+
+    from phrasekit_ray.cli import main
+
+    out = str(tmp_path / "kept")
+    rc = main(
+        [
+            "dedup",
+            "--input", f"{sf_dir}/documents.parquet",
+            "--output", out,
+            "--method", "exact",
+        ]
+    )
+    assert rc == 0
+    import glob
+
+    files = glob.glob(f"{out}/*.parquet")
+    assert files
+    n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    assert n > 0
+
+
+def test_cli_dedup_minhash(ray_session, tmp_path, sf_dir):
+    from phrasekit_ray.cli import main
+
+    out = str(tmp_path / "pairs")
+    rc = main(
+        [
+            "dedup",
+            "--input", f"{sf_dir}/documents.parquet",
+            "--output", out,
+            "--method", "minhash",
+        ]
+    )
+    assert rc == 0
