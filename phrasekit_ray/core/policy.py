@@ -172,50 +172,68 @@ def resolve_overlaps_batch(
     # (end asc) — equals each policy's entry order (policy.rs:54)
     order = np.lexsort((ends, starts, docs))
     d = docs[order]
-    s = starts[order].tolist()
-    e = ends[order].tolist()
+    s_arr = starts[order]
+    e_arr = ends[order]
     doc_change = np.empty(n, dtype=bool)
     doc_change[0] = True
     np.not_equal(d[1:], d[:-1], out=doc_change[1:])
+    doc_ord = np.cumsum(doc_change) - 1  # compact 0..n_docs-1
 
-    keep: list[int] = []
     if policy == "all":
         # raw pass-through in (start, end) order; truncation still per doc
-        cnt = 0
-        for i in range(n):
-            if doc_change[i]:
-                cnt = 0
-            if cnt < max_spans:
-                keep.append(i)
-                cnt += 1
+        kept_idx = np.arange(n, dtype=np.int64)
     elif policy in ("leftmost_longest", "leftmost_first"):
-        # equal-(doc,start) groups: leftmost_longest accepts the LAST of a
-        # run (max end — length ties impossible, duplicate patterns are
-        # rejected at build); leftmost_first accepts the FIRST
-        take_last = policy == "leftmost_longest"
-        i = 0
-        while i < n:
-            if doc_change[i]:
-                cur_end = 0
-                cnt = 0
-            j = i + 1
-            while j < n and not doc_change[j] and s[j] == s[i]:
-                j += 1
-            if s[i] >= cur_end:
-                c = (j - 1) if take_last else i
-                cur_end = e[c]
-                if cnt < max_spans:
-                    keep.append(c)
-                    cnt += 1
-            i = j
+        # equal-(doc,start) groups: leftmost_longest's candidate is the
+        # LAST of a run (max end — length ties impossible, duplicate
+        # patterns are rejected at build); leftmost_first's is the FIRST.
+        # Then a rounds-based vectorized greedy: every round accepts each
+        # doc's first alive candidate and kills the candidates its span
+        # covers — one O(m) numpy pass per round, rounds = max accepted
+        # spans in any one doc (no per-match Python loop).
+        group_change = doc_change.copy()
+        group_change[1:] |= s_arr[1:] != s_arr[:-1]
+        if policy == "leftmost_longest":
+            cand = np.empty(n, dtype=bool)
+            cand[:-1] = group_change[1:]
+            cand[-1] = True
+        else:
+            cand = group_change
+        cidx = np.flatnonzero(cand)
+        cd = doc_ord[cidx]
+        cs = s_arr[cidx]
+        ce = e_arr[cidx]
+        m = len(cidx)
+        alive = np.ones(m, dtype=bool)
+        accepted = np.zeros(m, dtype=bool)
+        n_docs = int(doc_ord[-1]) + 1
+        thr = np.zeros(n_docs, dtype=e_arr.dtype)
+        while True:
+            live = np.flatnonzero(alive)
+            if not len(live):
+                break
+            ld = cd[live]
+            head_mask = np.empty(len(live), dtype=bool)
+            head_mask[0] = True
+            np.not_equal(ld[1:], ld[:-1], out=head_mask[1:])
+            heads = live[head_mask]
+            accepted[heads] = True
+            thr[:] = 0
+            thr[cd[heads]] = ce[heads]
+            # kill covered candidates (incl. each head itself: cs < ce)
+            alive &= ~(cs < thr[cd])
+        kept_idx = cidx[accepted]
     elif policy == "salience_max":
         if salience_scores is None:
             raise ValueError("salience_max requires salience_scores")
+        # chain semantics are inherently sequential; salience_max is the
+        # cold policy (not the tagging default), so the per-match loop
+        # stays
+        s = s_arr.tolist()
+        e = e_arr.tolist()
         sc = salience_scores[pidx[order]].tolist()
+        keep: list[int] = []
         i = 0
         while i < n:
-            if doc_change[i]:
-                cnt = 0
             # chain: run of matches overlapping ms[i] (start_j < end_i)
             j = i + 1
             while j < n and not doc_change[j] and s[j] < e[i]:
@@ -226,9 +244,7 @@ def resolve_overlaps_batch(
                 if sc[k] >= best_score:  # Rust max_by keeps last maximal
                     best = k
                     best_score = sc[k]
-            if cnt < max_spans:
-                keep.append(best)
-                cnt += 1
+            keep.append(best)
             # resume at first match (from i) with start >= best.end
             nxt = None
             k = i
@@ -244,7 +260,20 @@ def resolve_overlaps_batch(
                     k += 1
                 nxt = k
             i = nxt
+        kept_idx = np.asarray(keep, dtype=np.int64)
     else:
         raise ValueError(f"Unknown policy: {policy!r}")
 
-    return order[np.asarray(keep, dtype=np.int64)]
+    # per-doc truncation AFTER resolution (M10), vectorized: position of
+    # each kept row within its doc run < max_spans
+    if len(kept_idx):
+        kd = doc_ord[kept_idx]
+        seg_change = np.empty(len(kd), dtype=bool)
+        seg_change[0] = True
+        np.not_equal(kd[1:], kd[:-1], out=seg_change[1:])
+        seg_starts = np.flatnonzero(seg_change)
+        seg_sizes = np.diff(np.concatenate((seg_starts, [len(kd)])))
+        pos_in_doc = np.arange(len(kd)) - np.repeat(seg_starts, seg_sizes)
+        kept_idx = kept_idx[pos_in_doc < max_spans]
+
+    return order[kept_idx]
