@@ -389,7 +389,9 @@ def q_dedup_exact(sf_dir: str):
 
 def q_dedup_minhash(sf_dir: str):
     docs = tokenize_documents(_docs(sf_dir))
-    mapping = dedup.near_dedup_minhash(docs)
+    # bench-scale corpus: pin the tokenized input so the candidate and
+    # verify passes share one tokenize execution
+    mapping = dedup.near_dedup_minhash(docs, materialize_input=True)
     items = sorted(mapping.items())
     return pa.table(
         {

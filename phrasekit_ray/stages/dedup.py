@@ -251,9 +251,15 @@ def verified_minhash_pairs(
     verify_jaccard: float | None = 0.5,
     num_partitions: int = 32,
     semi_join_broadcast_ids: int = 5_000_000,
+    materialize_input: bool = False,
 ):
     """LSH candidate pairs, band-deduped and (by default) VERIFIED with the
     exact k-shingle Jaccard — Dataset(left, right[, jaccard]).
+
+    ``materialize_input`` pins the (tokenized) input in the object store
+    so the candidate pass and the verify pack pass don't re-execute the
+    upstream tokenize chain — use when the corpus fits (bench scale); at
+    100 TB keep False and let the lazy graph re-read.
 
     Without verification a single band collision unions unrelated
     documents into one cluster (a quality bug at scale); the verify stage
@@ -273,6 +279,8 @@ def verified_minhash_pairs(
 
     from phrasekit_ray.stages.agg import grouped_count, lookup_join
 
+    if materialize_input:
+        ds = ds.materialize()
     cand = minhash_candidate_pairs(ds, id_col, tokens_col, num_perm, bands, shingle_k)
     # a pair surfacing in several bands must verify once, not per band
     pairs = grouped_count(cand, ["left", "right"], count_col="_nb").materialize()
@@ -387,6 +395,7 @@ def near_dedup_minhash(
     verify_jaccard: float | None = 0.5,
     num_partitions: int = 32,
     driver_cc_threshold: int = 2_000_000,
+    materialize_input: bool = False,
 ) -> dict[int, int]:
     """Full near-dedup: LSH candidates → exact-Jaccard verification →
     connected components → {doc_id: rep_id} for docs in duplicate
@@ -405,7 +414,7 @@ def near_dedup_minhash(
 
     pairs = verified_minhash_pairs(
         ds, id_col, tokens_col, num_perm, bands, shingle_k, verify_jaccard,
-        num_partitions,
+        num_partitions, materialize_input=materialize_input,
     ).materialize()
     n_pairs = pairs.count()
     if n_pairs == 0:
