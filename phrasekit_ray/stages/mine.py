@@ -119,6 +119,170 @@ def mine_ngrams(
     return agg
 
 
+def _window_hash_columns(tokens: pa.ListArray):
+    """Shared per-batch prep for hash-space mining: (tok_h, offsets,
+    doc_index, flat token array)."""
+    from phrasekit_ray.stages.dedup import _token_hashes
+
+    offsets = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    base = offsets[0]
+    offsets = offsets - base
+    flat = tokens.values
+    if base:
+        flat = flat.slice(base)
+    flat = flat.slice(0, int(offsets[-1]))
+    tok_h = _token_hashes(flat)
+    sizes = np.diff(offsets)
+    doc_index = np.repeat(np.arange(len(sizes)), sizes)
+    return tok_h, offsets, doc_index, flat
+
+
+_WIN_F = np.uint64(1099511628211)
+
+
+def mine_ngrams_hash_prefilter(
+    ds,
+    config: MineConfig | None = None,
+    tokens_col: str = "tokens",
+    lowercase: bool = False,
+    sort_output: bool = False,
+    shuffle_partitions: int = 32,
+    **map_kwargs,
+):
+    """Two-pass frequency-prefiltered mining — the scale path when
+    ``min_count`` prunes most n-grams (it always does on web text):
+
+      pass 1: count 64-bit WINDOW HASHES only (no string materialization;
+        the all-to-all moves uint64 keys instead of n-gram strings),
+        filter ≥ min_count, broadcast the surviving hash set (sorted
+        array — survivor count ≈ final output size, model-sized by
+        definition);
+      pass 2: string-join ONLY the windows whose hash survives, then the
+        same exact string-keyed aggregate + min_count re-filter as
+        ``mine_ngrams``.
+
+    Hash collisions can only MERGE pass-1 counts upward, so the survivor
+    set is a superset and the pass-2 exact filter restores precision —
+    output is IDENTICAL to ``mine_ngrams`` (oracle-checked). Costs one
+    extra pass over the corpus; wins when n-gram strings dwarf the
+    survivor set.
+    """
+    import ray
+
+    config = config or MineConfig()
+
+    def phase1(batch: pa.Table) -> pa.Table:
+        tokens = batch[tokens_col].combine_chunks()
+        if lowercase:
+            tokens = normalize.lower_token_lists(tokens)
+        tok_h, offsets, doc_index, _ = _window_hash_columns(tokens)
+        L = int(offsets[-1])
+        hs, cs = [], []
+        for n in range(config.min_n, config.max_n + 1):
+            m = L - n + 1
+            if m <= 0:
+                continue
+            h = tok_h[:m].copy()
+            for j in range(1, n):
+                h = h * _WIN_F ^ tok_h[j : m + j]
+            # disambiguate n-gram length in the hash space so "a b" and a
+            # 1-gram colliding bucket can't merge across n
+            h = h * _WIN_F ^ np.uint64(n)
+            if n > 1:
+                h = h[doc_index[:m] == doc_index[n - 1 :]]
+            uniq, cnt = np.unique(h, return_counts=True)
+            hs.append(uniq)
+            cs.append(cnt.astype(np.int64))
+        if not hs:
+            return pa.table(
+                {"whash": pa.array([], pa.uint64()), "count": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "whash": pa.array(np.concatenate(hs), pa.uint64()),
+                "count": pa.array(np.concatenate(cs), pa.int64()),
+            }
+        )
+
+    hcounts = hash_aggregate(
+        ds.map_batches(phase1, batch_format="pyarrow", **map_kwargs),
+        "whash",
+        [("count", "sum")],
+        num_partitions=shuffle_partitions,
+    ).map_batches(
+        lambda b: b.filter(pc.greater_equal(b["count"], int(config.min_count))),
+        batch_format="pyarrow",
+    )
+    surv = [
+        b["whash"].to_numpy(zero_copy_only=False)
+        for b in hcounts.iter_batches(batch_format="pyarrow")
+    ]
+    surv_arr = np.sort(np.concatenate(surv)) if surv else np.zeros(0, np.uint64)
+    surv_ref = ray.put(surv_arr)
+
+    def phase2(batch: pa.Table) -> pa.Table:
+        from phrasekit_ray.stages.score import _get_broadcast
+
+        allow = _get_broadcast(surv_ref)
+        tokens = batch[tokens_col].combine_chunks()
+        if lowercase:
+            tokens = normalize.lower_token_lists(tokens)
+        tok_h, offsets, doc_index, flat = _window_hash_columns(tokens)
+        L = int(offsets[-1])
+        ngram_chunks, count_chunks = [], []
+        for n in range(config.min_n, config.max_n + 1):
+            m = L - n + 1
+            if m <= 0:
+                continue
+            h = tok_h[:m].copy()
+            for j in range(1, n):
+                h = h * _WIN_F ^ tok_h[j : m + j]
+            h = h * _WIN_F ^ np.uint64(n)
+            if len(allow):
+                pos = np.minimum(np.searchsorted(allow, h), len(allow) - 1)
+                sel = allow[pos] == h
+            else:
+                sel = np.zeros(m, dtype=bool)
+            if n > 1:
+                sel &= doc_index[:m] == doc_index[n - 1 :]
+            if not sel.any():
+                continue
+            if n == 1:
+                joined = flat.slice(0, m).filter(pa.array(sel))
+            else:
+                parts = [flat.slice(k, m) for k in range(n)]
+                joined = pc.binary_join_element_wise(*parts, " ").filter(
+                    pa.array(sel)
+                )
+            vc = joined.value_counts()
+            ngram_chunks.append(vc.field("values"))
+            count_chunks.append(vc.field("counts").cast(COUNT_TYPE))
+        if not ngram_chunks:
+            return pa.table(
+                {"ngram": pa.array([], pa.string()), "count": pa.array([], COUNT_TYPE)}
+            )
+        return pa.table(
+            {
+                "ngram": pa.concat_arrays(
+                    [c.cast(pa.string()) for c in ngram_chunks]
+                ),
+                "count": pa.concat_arrays(count_chunks),
+            }
+        )
+
+    partial = ds.map_batches(phase2, batch_format="pyarrow", **map_kwargs)
+    agg = hash_aggregate(
+        partial, "ngram", [("count", "sum")], num_partitions=shuffle_partitions
+    )
+    agg = agg.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["count"], config.min_count)),
+        batch_format="pyarrow",
+    )
+    if sort_output:
+        agg = agg.sort(["count", "ngram"], descending=[True, False])
+    return agg
+
+
 def mine_stats(ds, config: MineConfig | None = None, tokens_col: str = "tokens") -> dict:
     """Mining statistics (reference phrasekit_mine.rs:41-48 / SURVEY.md A4),
     computed as Dataset aggregates (triggers execution)."""

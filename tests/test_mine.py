@@ -131,3 +131,30 @@ def test_ngram_table_to_rows_roundtrip(ray_session):
     )
     rows = ngram_table_to_rows(t)
     assert rows == [{"tokens": ["rat", "cdk10"], "count": 3}]
+
+
+def test_hash_prefilter_mining_identical_to_direct(ray_session, sf_dir):
+    """The two-pass hash-prefiltered miner must produce IDENTICAL output
+    to the direct string-space miner (collisions only widen the pass-1
+    survivor superset; pass 2 refilters exactly)."""
+    import ray
+
+    from phrasekit_ray.config import MineConfig
+    from phrasekit_ray.stages.extract import tokenize_documents
+    from phrasekit_ray.stages.mine import mine_ngrams, mine_ngrams_hash_prefilter
+
+    docs = tokenize_documents(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    ).materialize()
+    cfg = MineConfig(min_n=1, max_n=3, min_count=3)
+    a = pa.concat_tables(
+        list(mine_ngrams(docs, cfg).iter_batches(batch_format="pyarrow"))
+    ).sort_by([("ngram", "ascending")])
+    b = pa.concat_tables(
+        list(
+            mine_ngrams_hash_prefilter(docs, cfg).iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+    ).sort_by([("ngram", "ascending")])
+    assert a.equals(b)
