@@ -629,6 +629,60 @@ def q_events_asof(sf_dir: str):
 
 
 
+def q_events_asof_join(sf_dir: str):
+    """Two-dataset AS-OF join (clicks ← most recent purchase per user):
+    DuckDB native ASOF JOIN is the oracle. Right side pre-aggregated to
+    unique (user, ts) keys (max cents) so tie-breaking is deterministic
+    on both sides."""
+    import ray
+
+    from phrasekit_ray.stages import windows
+    from phrasekit_ray.stages.agg import hash_aggregate
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    left = ev.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "click")),
+        batch_format="pyarrow",
+    )
+
+    def purchases(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["event_type"], "purchase"))
+        return pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "ts": b["ts"].cast(pa.int64()),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    right = hash_aggregate(
+        ev.map_batches(purchases, batch_format="pyarrow"),
+        ["user_id", "ts"],
+        [("cents", "max")],
+    )
+    out = windows.asof_join(
+        left, right, key_col="user_id", ts_col="ts", right_value_col="cents",
+        left_id_col="event_id",
+    )
+
+    def to_int(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "cents_asof": b["cents_asof"].cast(pa.int64()),
+                "matched_ts_us": b["matched_ts_us"],
+            }
+        )
+
+    return _i64(_collect(out.map_batches(to_int, batch_format="pyarrow")),
+                "event_id", "cents_asof", "matched_ts_us")
+
+
 def q_events_hopping(sf_dir: str):
     import ray
 
@@ -959,6 +1013,7 @@ QUERIES = {
     "q_tag_policies": q_tag_policies,
     "q_events_tumbling": q_events_tumbling,
     "q_events_hopping": q_events_hopping,
+    "q_events_asof_join": q_events_asof_join,
 }
 
 
@@ -1192,6 +1247,15 @@ ORACLE_SQL = {
         "FROM toks LEFT JOIN corr ON lower(toks.tok) = corr.wrong) "
         "SELECT doc_id, string_agg(tok2, ' ' ORDER BY pos) AS corrected_text "
         "FROM fixed GROUP BY doc_id"
+    ),
+    "q_events_asof_join": (
+        "WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tus "
+        "FROM events WHERE event_type = 'click'), "
+        "r AS (SELECT user_id, epoch_us(ts) AS tus, "
+        "max(CAST(round(value * 100.0) AS BIGINT)) AS cents "
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) "
+        "SELECT l.event_id, r.cents AS cents_asof, r.tus AS matched_ts_us "
+        "FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.tus >= r.tus"
     ),
     "q_events_hopping": (
         "WITH ev AS (SELECT user_id, epoch_us(ts) AS tus, "

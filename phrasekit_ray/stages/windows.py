@@ -267,3 +267,113 @@ def hopping_window_agg(
         ["user_id", "window_start_us"],
         [("n_events", "sum"), ("sum_value_cents", "sum")],
     )
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    right_value_col: str = "value",
+    left_id_col: str = "event_id",
+    num_partitions: int = 32,
+):
+    """Two-dataset AS-OF join: for every left row, attach the right row
+    with the greatest timestamp ≤ the left timestamp for the same key
+    (DuckDB `ASOF JOIN ... ON l.key = r.key AND l.ts >= r.ts`; inner —
+    left rows with no earlier-or-equal right row are dropped).
+
+    Scale shape: both sides tagged with a side marker under one
+    conformed schema, shuffled by key hash, ONE vectorized kernel per
+    PARTITION — lexsort by (key, ts, side DESC so a right row at ts==t
+    sorts BEFORE left rows at t), then a segmented forward-fill of the
+    last-seen right row index (pandas groupby-ffill, C path) picks each
+    left row's match. No per-key Python calls, no driver traffic.
+
+    Returns (left_id, <right_value_col>_asof, matched_ts_us).
+    """
+    out_val = f"{right_value_col}_asof"
+
+    def conform_left(batch: pa.Table) -> pa.Table:
+        uid = batch[key_col].combine_chunks().cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "k": pa.array(uid, pa.int64()),
+                "t": batch[ts_col].combine_chunks().cast(pa.int64()),
+                "lid": batch[left_id_col].combine_chunks().cast(pa.int64()),
+                "rv": pa.nulls(len(uid), pa.float64()),
+                "side": pa.array(np.ones(len(uid), dtype=np.int8), pa.int8()),
+                "_part": pa.array(_user_part(uid, num_partitions), pa.int32()),
+            }
+        )
+
+    def conform_right(batch: pa.Table) -> pa.Table:
+        uid = batch[key_col].combine_chunks().cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "k": pa.array(uid, pa.int64()),
+                "t": batch[ts_col].combine_chunks().cast(pa.int64()),
+                "lid": pa.nulls(len(uid), pa.int64()),
+                "rv": batch[right_value_col].combine_chunks().cast(pa.float64()),
+                "side": pa.array(np.zeros(len(uid), dtype=np.int8), pa.int8()),
+                "_part": pa.array(_user_part(uid, num_partitions), pa.int32()),
+            }
+        )
+
+    both = left_ds.map_batches(conform_left, batch_format="pyarrow").union(
+        right_ds.map_batches(conform_right, batch_format="pyarrow")
+    )
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        k = group["k"].combine_chunks().to_numpy()
+        t = group["t"].combine_chunks().to_numpy()
+        side = group["side"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(k)
+        empty = pa.table(
+            {
+                left_id_col: pa.array([], pa.int64()),
+                out_val: pa.array([], pa.float64()),
+                "matched_ts_us": pa.array([], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        # right rows (side=0) before left rows (side=1) at equal (k, t):
+        # a right row AT the left timestamp is an eligible match (ts <=)
+        order = np.lexsort((side, t, k))
+        k_s, t_s, side_s = k[order], t[order], side[order]
+        seg_id = np.concatenate(([0], np.cumsum(k_s[1:] != k_s[:-1])))
+        row_pos = np.arange(n, dtype=np.float64)
+        # forward-fill the index of the last right row within each key
+        last_right = np.where(side_s == 0, row_pos, np.nan)
+        filled = (
+            pd.Series(last_right).groupby(seg_id).ffill().to_numpy()
+        )
+        is_left = side_s == 1
+        src = filled[is_left]
+        matched = ~np.isnan(src)
+        li = np.flatnonzero(is_left)[matched]
+        ri = src[matched].astype(np.int64)
+        lids = group["lid"].combine_chunks().to_numpy(zero_copy_only=False)[
+            order
+        ][li]
+        rvs = group["rv"].combine_chunks().to_numpy(zero_copy_only=False)[
+            order
+        ][ri]
+        return pa.table(
+            {
+                left_id_col: pa.array(lids.astype(np.int64), pa.int64()),
+                out_val: pa.array(rvs.astype(np.float64), pa.float64()),
+                "matched_ts_us": pa.array(t_s[ri], pa.int64()),
+            }
+        )
+
+    return (
+        both.groupby("_part")
+        .map_groups(
+            lambda g: per_partition(g.drop_columns(["_part"])),
+            batch_format="pyarrow",
+        )
+    )

@@ -102,3 +102,39 @@ def test_hopping_rejects_nonmultiple(ray_session):
     with pytest.raises(ValueError):
         windows.hopping_window_agg(ray.data.from_arrow(tbl),
                                    window_minutes=60, hop_minutes=45)
+
+
+def test_asof_join_basic_semantics(ray_session):
+    """Inner as-of: match = greatest right ts <= left ts per key; equal
+    timestamps match; left rows with no earlier right row are dropped."""
+    import ray
+
+    from phrasekit_ray.stages import windows
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+                "ts": pa.array([5, 10, 20, 7], pa.int64()),
+                "event_id": pa.array([100, 101, 102, 103], pa.int64()),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 2], pa.int64()),
+                "ts": pa.array([10, 15, 9], pa.int64()),
+                "value": pa.array([1.5, 2.5, 9.0], pa.float64()),
+            }
+        )
+    )
+    out = {
+        r["event_id"]: (r["value_asof"], r["matched_ts_us"])
+        for r in windows.asof_join(left, right).iter_rows()
+    }
+    # event 100 (ts 5): no right <= 5 → dropped
+    # event 101 (ts 10): right ts 10 matches (equality eligible)
+    # event 102 (ts 20): right ts 15 wins
+    # event 103 (user 2, ts 7): right ts 9 > 7 → dropped
+    assert out == {101: (1.5, 10), 102: (2.5, 15)}
