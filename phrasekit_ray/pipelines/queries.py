@@ -854,6 +854,31 @@ def q_spell_correct(sf_dir: str):
 
 # --- IVF approximate nearest neighbor (rows-only; brute force = oracle) -----
 
+def q_embedding_centroids(sf_dir: str):
+    """Mean embedding per cluster label (grouped vector aggregate) in
+    long (label, dim, mean) format; rounded to 6 decimals on both sides
+    (float64 summation order differs between engines)."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    t = _collect(similarity.grouped_vector_mean(ds, "label", "embedding", dim=64))
+    cent = t["centroid"].combine_chunks()
+    offs = cent.offsets.to_numpy(zero_copy_only=False)
+    vals = cent.values.to_numpy(zero_copy_only=False)
+    n_groups = t.num_rows
+    labels = np.repeat(t["label"].to_numpy(zero_copy_only=False), 64)
+    dims = np.tile(np.arange(1, 65, dtype=np.int64), n_groups)
+    return pa.table(
+        {
+            "label": pa.array(labels, pa.int64()),
+            "dim": pa.array(dims, pa.int64()),
+            "mean_val": pa.array(np.round(vals, 6), pa.float64()),
+        }
+    )
+
+
 def q_knn_ivf(sf_dir: str):
     ds = _embeddings(sf_dir)
     first = _collect(ds).sort_by("vec_id").slice(0, 5)
@@ -1009,6 +1034,7 @@ QUERIES = {
     "q_unique_tokens_per_lang": q_unique_tokens_per_lang,
     "q_approx_unique_tokens_per_lang": q_approx_unique_tokens_per_lang,
     "q_knn_ivf": q_knn_ivf,
+    "q_embedding_centroids": q_embedding_centroids,
     "q_top_terms_per_lang": q_top_terms_per_lang,
     "q_tag_policies": q_tag_policies,
     "q_events_tumbling": q_events_tumbling,
@@ -1146,6 +1172,12 @@ ORACLE_SQL = {
         "('the','and','of','to','in','a','is','for','was','with','on'))) "
         "AS BIGINT) AS n_stopword_hits "
         "FROM t"
+    ),
+    "q_embedding_centroids": (
+        "WITH u AS (SELECT label, unnest(embedding) AS x, "
+        "generate_subscripts(embedding, 1) AS dim FROM embeddings) "
+        "SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim, "
+        "ROUND(avg(CAST(x AS DOUBLE)), 6) AS mean_val FROM u GROUP BY 1, 2"
     ),
     "q_knn_cosine": (
         "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "

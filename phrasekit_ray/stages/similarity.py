@@ -350,3 +350,65 @@ def ivf_topk(
             "rank": pa.array(out_r, pa.int32()),
         }
     )
+
+
+def grouped_vector_mean(
+    ds,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_partitions: int = 16,
+):
+    """Centroid (mean vector) per group over a list<float> column —
+    Dataset(group, n, centroid: list<double>).
+
+    Scale shape: each block reduces its rows to per-group vector SUMS in
+    one np.add.reduceat pass (sort by group, segment-reduce the whole
+    (rows × dim) matrix), the sums ride the shuffle as ``dim`` float64
+    columns + a count merged by hash_aggregate sum — O(groups × dim)
+    bytes shuffled regardless of corpus size; the division happens once
+    per group at finalize."""
+    from phrasekit_ray.stages.agg import hash_aggregate
+
+    sum_cols = [f"_s{i}" for i in range(dim)]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = _matrix(batch[vec_col].combine_chunks()).astype(np.float64)
+        if mat.shape[1] != dim:
+            raise ValueError(f"expected dim {dim}, got {mat.shape[1]}")
+        labels = batch[group_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.argsort(labels, kind="stable")
+        lab_s = labels[order]
+        seg = np.flatnonzero(np.concatenate(([True], lab_s[1:] != lab_s[:-1])))
+        sums = np.add.reduceat(mat[order], seg, axis=0)
+        counts = np.diff(np.concatenate((seg, [len(lab_s)])))
+        cols = {
+            group_col: pa.array(lab_s[seg], pa.int64()),
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+        }
+        for i in range(dim):
+            cols[sum_cols[i]] = pa.array(sums[:, i], pa.float64())
+        return pa.table(cols)
+
+    agg = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        group_col,
+        [("n", "sum")] + [(c, "sum") for c in sum_cols],
+        num_partitions,
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sums = np.stack(
+            [batch[c].to_numpy(zero_copy_only=False) for c in sum_cols], axis=1
+        )
+        cent = sums / n[:, None]
+        return pa.table(
+            {
+                group_col: batch[group_col],
+                "n": batch["n"],
+                "centroid": pa.array(list(cent), pa.list_(pa.float64())),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -147,3 +147,25 @@ def test_ivf_topk_empty_input(ray_session):
     out = ivf_topk(empty, q, [0], k=3)
     assert out.num_rows == 0
     assert out.column_names == ["query_id", "vec_id", "cosine", "rank"]
+
+
+def test_grouped_vector_mean(ray_session):
+    import ray
+
+    vecs = [[1.0, 3.0], [3.0, 5.0], [10.0, 0.0]]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "label": pa.array([7, 7, 9], pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            }
+        )
+    ).repartition(2)
+    out = {
+        r["label"]: (r["n"], r["centroid"])
+        for r in similarity.grouped_vector_mean(
+            ds, "label", "embedding", dim=2
+        ).iter_rows()
+    }
+    assert out[7] == (2, [2.0, 4.0])
+    assert out[9] == (1, [10.0, 0.0])
