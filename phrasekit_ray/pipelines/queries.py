@@ -844,6 +844,44 @@ def q_unique_tokens_per_lang(sf_dir: str):
     return _i64(_collect(out), "n_unique_tokens")
 
 
+def q_events_median_value(sf_dir: str):
+    """Exact per-type median of event value cents (count-compressed
+    distributed median; DuckDB median oracle)."""
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_median_int
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "cents": pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64()),
+            }
+        )
+
+    out = grouped_median_int(
+        ev.map_batches(cents, batch_format="pyarrow"), "event_type", "cents",
+        out_col="median_cents",
+    )
+    return _collect(out)
+
+
+def q_sample_docs_per_lang(sf_dir: str):
+    """Deterministic stratified sample: 20 docs per language by seeded
+    hash rank — rows-only (the rank hash has no SQL twin; determinism
+    and per-group counts asserted in pytest)."""
+    from phrasekit_ray.stages.agg import stratified_sample
+
+    docs = _docs(sf_dir)
+    out = stratified_sample(docs, "lang", 20, "doc_id")
+    t = _collect(out).select(["doc_id", "lang"])
+    return _i64(t, "doc_id")
+
+
 # --- spell correction (M12) -------------------------------------------------
 
 def q_spell_correct(sf_dir: str):
@@ -1029,6 +1067,8 @@ QUERIES = {
     "q_events_asof": q_events_asof,
     "q_join_customer_orders": q_join_customer_orders,
     "q_spell_correct": q_spell_correct,
+    "q_events_median_value": q_events_median_value,
+    "q_sample_docs_per_lang": q_sample_docs_per_lang,
     "q_customers_without_orders": q_customers_without_orders,
     "q_parts_in_lineitem": q_parts_in_lineitem,
     "q_unique_tokens_per_lang": q_unique_tokens_per_lang,
@@ -1208,6 +1248,10 @@ ORACLE_SQL = {
         "count(*) AS n_items "
         "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
         "GROUP BY 1"
+    ),
+    "q_events_median_value": (
+        "SELECT event_type, median(CAST(round(value * 100.0) AS BIGINT)) "
+        "AS median_cents FROM events GROUP BY 1"
     ),
     "q_events_type_stats": (
         "SELECT event_type, "

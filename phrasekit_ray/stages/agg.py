@@ -522,3 +522,84 @@ def approx_count_distinct(
         return pa.table(out)
 
     return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def grouped_median_int(
+    ds,
+    group_keys,
+    value_col: str,
+    out_col: str = "median",
+    num_partitions: int = 32,
+):
+    """EXACT interpolated median (quantile_cont 0.5) of an integer column
+    per group, at scale: rows first collapse to (group, value) COUNTS via
+    the two-phase hash aggregate (the shuffle moves distinct values, not
+    rows — bounded-domain ints compress enormously), then one small
+    map_groups per group walks the cumulative counts. Matches DuckDB
+    ``median`` on integers (average of the two middles when even)."""
+    gk = [group_keys] if isinstance(group_keys, str) else list(group_keys)
+
+    counts = grouped_count(ds.map_batches(
+        lambda b: b.select(gk + [value_col]), batch_format="pyarrow"
+    ), gk + [value_col], count_col="_n", num_partitions=num_partitions)
+
+    def median_of(group: pa.Table) -> pa.Table:
+        v = group[value_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = group["_n"].to_numpy(zero_copy_only=False)
+        order = np.argsort(v)
+        v, n = v[order], n[order]
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        if total % 2 == 1:
+            k = total // 2  # 0-based middle
+            med = float(v[np.searchsorted(cum, k + 1)])
+        else:
+            k1, k2 = total // 2 - 1, total // 2
+            lo = v[np.searchsorted(cum, k1 + 1)]
+            hi = v[np.searchsorted(cum, k2 + 1)]
+            med = (float(lo) + float(hi)) / 2.0
+        out = {c: group[c].slice(0, 1) for c in gk}
+        out[out_col] = pa.array([med], pa.float64())
+        return pa.table(out)
+
+    return counts.groupby(gk).map_groups(median_of, batch_format="pyarrow")
+
+
+def stratified_sample(
+    ds,
+    group_col: str,
+    n_per_group: int,
+    id_col: str,
+    seed: int = 17,
+    num_partitions: int = 32,
+):
+    """Deterministic stratified sample: the ``n_per_group`` rows per group
+    with the smallest seeded hash rank of their id — reproducible across
+    runs and cluster layouts (rank is a pure function of (id, seed), not
+    of partitioning). Grouped top-k shape: in-block top-n prune first, so
+    the shuffle carries ≤ n_per_group × blocks rows per group."""
+
+    def rank_and_prune(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = (ids.astype(np.uint64) + np.uint64(seed)) * np.uint64(
+            0x9E3779B97F4A7C15
+        )
+        h = (h ^ (h >> np.uint64(31))) * np.uint64(0xBF58476D1CE4E5B9)
+        t = batch.append_column("_rank", pa.array(h.astype(np.uint64), pa.uint64()))
+        # in-block prune: keep each group's n smallest ranks
+        out = []
+        for _, g in t.to_pandas().groupby(group_col, sort=False):
+            out.append(pa.Table.from_pandas(
+                g.nsmallest(n_per_group, "_rank"), preserve_index=False
+            ))
+        import pyarrow as _pa
+
+        return _pa.concat_tables(out, promote_options="default") if out else t.slice(0, 0)
+
+    pruned = ds.map_batches(rank_and_prune, batch_format="pyarrow")
+
+    def final_topn(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("_rank", "ascending")]).slice(0, n_per_group)
+        return t.drop_columns(["_rank"])
+
+    return pruned.groupby(group_col).map_groups(final_topn, batch_format="pyarrow")

@@ -199,3 +199,60 @@ def test_approx_distinct_tracks_exact_on_documents(ray_session, sf_dir):
     assert set(approx) == set(exact)
     for lang, e in exact.items():
         assert abs(approx[lang] - e) / max(e, 1) < 0.26, (lang, approx[lang], e)
+
+
+def test_grouped_median_int_matches_numpy(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_median_int
+
+    rng = np.random.default_rng(5)
+    g1 = rng.integers(0, 1000, size=1001)  # odd count
+    g2 = rng.integers(0, 1000, size=400)   # even count
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "g": pa.array(["a"] * 1001 + ["b"] * 400),
+                "v": pa.array(np.concatenate([g1, g2]), pa.int64()),
+            }
+        )
+    ).repartition(6)
+    out = {
+        r["g"]: r["median"]
+        for r in grouped_median_int(ds, "g", "v").iter_rows()
+    }
+    assert out["a"] == float(np.median(g1))
+    assert out["b"] == float(np.median(g2))
+
+
+def test_stratified_sample_counts_and_determinism(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.agg import stratified_sample
+
+    tbl = pa.table(
+        {
+            "id": pa.array(range(1000), pa.int64()),
+            "grp": pa.array(["x" if i % 3 else "y" for i in range(1000)]),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    a = sorted(
+        (r["grp"], r["id"])
+        for r in stratified_sample(ds, "grp", 10, "id").iter_rows()
+    )
+    b = sorted(
+        (r["grp"], r["id"])
+        for r in stratified_sample(ds, "grp", 10, "id").iter_rows()
+    )
+    assert a == b  # deterministic across runs/partitionings
+    from collections import Counter
+
+    c = Counter(g for g, _ in a)
+    assert c == {"x": 10, "y": 10}
+    # different seed → different sample
+    c2 = sorted(
+        (r["grp"], r["id"])
+        for r in stratified_sample(ds, "grp", 10, "id", seed=99).iter_rows()
+    )
+    assert c2 != a
