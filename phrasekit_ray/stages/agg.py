@@ -543,26 +543,73 @@ def grouped_median_int(
         lambda b: b.select(gk + [value_col]), batch_format="pyarrow"
     ), gk + [value_col], count_col="_n", num_partitions=num_partitions)
 
-    def median_of(group: pa.Table) -> pa.Table:
+    # ONE vectorized UDF per hash PARTITION of the group key (never one
+    # Python call per group): all of a partition's groups are medianed in
+    # a single lexsort + segmented-cumsum pass
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_part", _part_column(batch, gk, num_partitions)
+        )
+
+    def medians_of_partition(group: pa.Table) -> pa.Table:
         v = group[value_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        n = group["_n"].to_numpy(zero_copy_only=False)
-        order = np.argsort(v)
-        v, n = v[order], n[order]
-        cum = np.cumsum(n)
-        total = int(cum[-1])
-        if total % 2 == 1:
-            k = total // 2  # 0-based middle
-            med = float(v[np.searchsorted(cum, k + 1)])
+        n = group["_n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(gk) == 1:
+            enc = group[gk[0]].combine_chunks().dictionary_encode()
+            gids = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         else:
-            k1, k2 = total // 2 - 1, total // 2
-            lo = v[np.searchsorted(cum, k1 + 1)]
-            hi = v[np.searchsorted(cum, k2 + 1)]
-            med = (float(lo) + float(hi)) / 2.0
-        out = {c: group[c].slice(0, 1) for c in gk}
-        out[out_col] = pa.array([med], pa.float64())
+            import pyarrow.compute as _pc
+
+            joined = _pc.binary_join_element_wise(
+                *[group[c].cast(pa.string()).combine_chunks() for c in gk], "\x1f"
+            )
+            enc = joined.dictionary_encode()
+            gids = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((v, gids))
+        gids_s, v_s, n_s = gids[order], v[order], n[order]
+        m = len(gids_s)
+        if m == 0:
+            out = {c: pa.array([], group[c].type) for c in gk}
+            out[out_col] = pa.array([], pa.float64())
+            return pa.table(out)
+        seg = np.flatnonzero(
+            np.concatenate(([True], gids_s[1:] != gids_s[:-1]))
+        )
+        seg_end = np.concatenate((seg[1:], [m]))
+        cum = np.cumsum(n_s)
+        seg_base = np.zeros(m, dtype=np.int64)
+        seg_base[seg] = np.concatenate(([0], cum[seg[1:] - 1]))
+        seg_base = np.maximum.accumulate(seg_base)
+        within = cum - seg_base  # cumulative count within each group
+        totals = within[seg_end - 1]
+        # for each group pick value at rank k (0-based) via searchsorted
+        # over its own cumulative slice — vectorized with one pass per
+        # middle (two for even totals)
+        odd = totals % 2 == 1
+        k1 = np.where(odd, totals // 2, totals // 2 - 1)
+        k2 = totals // 2
+        # cum is globally nondecreasing, so one searchsorted resolves the
+        # rank row for EVERY group at once: first row with
+        # cum >= group_base + k + 1
+        base = seg_base[seg]
+        lo = v_s[np.searchsorted(cum, base + k1 + 1)]
+        hi = v_s[np.searchsorted(cum, base + k2 + 1)]
+        meds = np.where(odd, lo.astype(np.float64), (lo + hi) / 2.0)
+        first_rows = order[seg]
+        out = {
+            c: group[c].combine_chunks().take(pa.array(first_rows)) for c in gk
+        }
+        out[out_col] = pa.array(meds, pa.float64())
         return pa.table(out)
 
-    return counts.groupby(gk).map_groups(median_of, batch_format="pyarrow")
+    return (
+        counts.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(
+            lambda g: medians_of_partition(g.drop_columns(["_part"])),
+            batch_format="pyarrow",
+        )
+    )
 
 
 def stratified_sample(
@@ -579,6 +626,27 @@ def stratified_sample(
     of partitioning). Grouped top-k shape: in-block top-n prune first, so
     the shuffle carries ≤ n_per_group × blocks rows per group."""
 
+    def _topn_per_group(t: pa.Table, extra_drop: list[str]) -> pa.Table:
+        """Vectorized n-smallest-rank per group: lexsort (group, rank),
+        positions within each group segment < n."""
+        enc = t[group_col].cast(pa.string()).combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        h = t["_rank"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((h, codes))
+        codes_s = codes[order]
+        m = len(codes_s)
+        if m == 0:
+            return t.drop_columns(["_rank"] + extra_drop)
+        seg = np.flatnonzero(
+            np.concatenate(([True], codes_s[1:] != codes_s[:-1]))
+        )
+        sizes = np.diff(np.concatenate((seg, [m])))
+        pos = np.arange(m) - np.repeat(seg, sizes)
+        sel = order[pos < n_per_group]
+        return t.take(pa.array(np.sort(sel))).drop_columns(
+            ["_rank"] + extra_drop
+        )
+
     def rank_and_prune(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
         h = (ids.astype(np.uint64) + np.uint64(seed)) * np.uint64(
@@ -586,20 +654,29 @@ def stratified_sample(
         )
         h = (h ^ (h >> np.uint64(31))) * np.uint64(0xBF58476D1CE4E5B9)
         t = batch.append_column("_rank", pa.array(h.astype(np.uint64), pa.uint64()))
-        # in-block prune: keep each group's n smallest ranks
-        out = []
-        for _, g in t.to_pandas().groupby(group_col, sort=False):
-            out.append(pa.Table.from_pandas(
-                g.nsmallest(n_per_group, "_rank"), preserve_index=False
-            ))
-        import pyarrow as _pa
-
-        return _pa.concat_tables(out, promote_options="default") if out else t.slice(0, 0)
+        pruned = _topn_per_group(t, [])
+        # re-derive rank + partition for the shuffle (rank is a pure
+        # function of (id, seed))
+        ids2 = pruned[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h2 = (ids2.astype(np.uint64) + np.uint64(seed)) * np.uint64(
+            0x9E3779B97F4A7C15
+        )
+        h2 = (h2 ^ (h2 >> np.uint64(31))) * np.uint64(0xBF58476D1CE4E5B9)
+        pruned = pruned.append_column(
+            "_rank", pa.array(h2.astype(np.uint64), pa.uint64())
+        )
+        return pruned.append_column(
+            "_part", _part_column(pruned, [group_col], num_partitions)
+        )
 
     pruned = ds.map_batches(rank_and_prune, batch_format="pyarrow")
 
-    def final_topn(group: pa.Table) -> pa.Table:
-        t = group.sort_by([("_rank", "ascending")]).slice(0, n_per_group)
-        return t.drop_columns(["_rank"])
-
-    return pruned.groupby(group_col).map_groups(final_topn, batch_format="pyarrow")
+    # final top-n: ONE vectorized call per hash PARTITION (all of its
+    # groups at once), not one per group key
+    return (
+        pruned.groupby("_part")
+        .map_groups(
+            lambda g: _topn_per_group(g, ["_part"]),
+            batch_format="pyarrow",
+        )
+    )
