@@ -705,11 +705,17 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     num_planes: int = 16,
     seed: int = 11,
+    num_partitions: int = 32,
 ):
     """Dataset(vec_id, embedding) → Dataset(left, right, cosine) near-dup
     pairs. Scale path: random-hyperplane LSH buckets (sign bits of
     `num_planes` projections) so only same-bucket vectors are compared;
-    exact cosine verification inside each bucket group."""
+    exact cosine verification inside each bucket.
+
+    Shuffle key = bucket hash mod P: ONE verify UDF call per PARTITION,
+    iterating its bucket segments (the per-bucket matmul is the real
+    work; the per-bucket Python overhead is amortized across the
+    partition, not paid once per bucket key)."""
 
     def buckets(batch: pa.Table) -> pa.Table:
         emb = batch[vec_col].combine_chunks()
@@ -731,25 +737,31 @@ def embedding_near_dup_pairs(
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         unit = mat / norms[:, None]
+        part = (
+            (key * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        ) % np.uint64(num_partitions)
         return pa.table(
             {
                 "bucket": pa.array(key, pa.uint64()),
                 id_col: batch[id_col],
                 "unit": pa.array(list(unit), pa.list_(pa.float32())),
+                "_part": pa.array(part.astype(np.int32), pa.int32()),
             }
         )
 
-    def verify(group: pa.Table) -> pa.Table:
+    def verify_partition(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "left": pa.array([], pa.int64()),
+                "right": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float32()),
+            }
+        )
         n = group.num_rows
         if n < 2:
-            return pa.table(
-                {
-                    "left": pa.array([], pa.int64()),
-                    "right": pa.array([], pa.int64()),
-                    "cosine": pa.array([], pa.float32()),
-                }
-            )
-        ids = np.asarray(group[id_col].to_pylist())
+            return empty
+        bucket = group["bucket"].to_numpy(zero_copy_only=False)
+        ids = np.asarray(group[id_col].to_pylist(), dtype=np.int64)
         emb = group["unit"].combine_chunks()
         offs = emb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         dim = int(offs[1] - offs[0])
@@ -758,25 +770,38 @@ def embedding_near_dup_pairs(
             .to_numpy(zero_copy_only=False)
             .reshape(n, dim)
         )
-        sim = mat @ mat.T
-        iu, ju = np.triu_indices(n, k=1)
-        keep = sim[iu, ju] >= threshold
-        order = np.argsort(ids)
-        inv_ids = ids  # already raw ids
+        order = np.argsort(bucket, kind="stable")
+        bucket, ids, mat = bucket[order], ids[order], mat[order]
+        seg = np.flatnonzero(np.concatenate(([True], bucket[1:] != bucket[:-1])))
+        seg_end = np.concatenate((seg[1:], [n]))
+        lefts, rights, coss = [], [], []
+        for a, b in zip(seg, seg_end):
+            d = b - a
+            if d < 2:
+                continue
+            sub = mat[a:b]
+            sid = ids[a:b]
+            sim = sub @ sub.T
+            iu, ju = np.triu_indices(d, k=1)
+            keep = sim[iu, ju] >= threshold
+            lefts.append(np.minimum(sid[iu[keep]], sid[ju[keep]]))
+            rights.append(np.maximum(sid[iu[keep]], sid[ju[keep]]))
+            coss.append(sim[iu, ju][keep].astype(np.float32))
+        if not lefts:
+            return empty
         return pa.table(
             {
-                "left": pa.array(
-                    np.minimum(inv_ids[iu[keep]], inv_ids[ju[keep]]), pa.int64()
-                ),
-                "right": pa.array(
-                    np.maximum(inv_ids[iu[keep]], inv_ids[ju[keep]]), pa.int64()
-                ),
-                "cosine": pa.array(sim[iu, ju][keep].astype(np.float32), pa.float32()),
+                "left": pa.array(np.concatenate(lefts), pa.int64()),
+                "right": pa.array(np.concatenate(rights), pa.int64()),
+                "cosine": pa.array(np.concatenate(coss), pa.float32()),
             }
         )
 
     return (
         ds.map_batches(buckets, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(verify, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(
+            lambda g: verify_partition(g.drop_columns(["_part"])),
+            batch_format="pyarrow",
+        )
     )
