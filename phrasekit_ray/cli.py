@@ -68,13 +68,14 @@ def cmd_score(args) -> int:
 
     _init_ray()
     cfg = _load_config(args.config, ScoreConfig)
-    domain = ray.data.read_parquet(args.domain)
+    # materialize once: score_ngrams and score_stats both consume the
+    # domain n-gram table (bounded — it is post-mining counts, not the
+    # corpus) from the object store instead of re-reading + re-scoring
+    domain = ray.data.read_parquet(args.domain).materialize()
     background = background_to_dict(ray.data.read_parquet(args.background))
     scored = score_ngrams(domain, background, cfg)
     scored.write_parquet(args.output)
-    stats = score_stats(
-        ray.data.read_parquet(args.domain), background, cfg
-    )
+    stats = score_stats(domain, background, cfg)
     print(json.dumps({"stage": "score", **stats}))
     return 0
 
@@ -179,9 +180,10 @@ def cmd_dedup(args) -> int:
         print(json.dumps({"stage": "dedup", "method": "exact"}))
         return 0
     docs = tokenize_documents(ds, text_col=args.text_col, id_col=args.id_col)
+    # tokenize_documents standardizes the id column name to "doc_id"
     pairs = verified_minhash_pairs(
         docs,
-        id_col=args.id_col,
+        id_col="doc_id",
         num_perm=args.num_perm,
         bands=args.bands,
         verify_jaccard=args.verify_jaccard,

@@ -734,10 +734,12 @@ def q_join_customer_orders(sf_dir: str):
     cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
+    from phrasekit_ray.stages.agg import join_partitions
+
     joined = orders.join(
         cust,
         join_type="inner",
-        num_partitions=8,
+        num_partitions=join_partitions(8),
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
@@ -904,7 +906,9 @@ def q_embedding_centroids(sf_dir: str):
     t = _collect(similarity.grouped_vector_mean(ds, "label", "embedding", dim=64))
     cent = t["centroid"].combine_chunks()
     offs = cent.offsets.to_numpy(zero_copy_only=False)
-    vals = cent.values.to_numpy(zero_copy_only=False)
+    # honor the ListArray's own offsets (a sliced array's values buffer
+    # does not start at 0)
+    vals = cent.values.to_numpy(zero_copy_only=False)[offs[0] : offs[-1]]
     n_groups = t.num_rows
     labels = np.repeat(t["label"].to_numpy(zero_copy_only=False), 64)
     dims = np.tile(np.arange(1, 65, dtype=np.int64), n_groups)

@@ -380,6 +380,10 @@ def grouped_count_distinct(
 
     def pairs(batch: pa.Table) -> pa.Table:
         t = batch.select(gk + [value_col])
+        # SQL COUNT(DISTINCT) semantics: NULL is not a value
+        import pyarrow.compute as _pc
+
+        t = t.filter(_pc.is_valid(t[value_col]))
         # in-block distinct before the shuffle
         return t.group_by(gk + [value_col]).aggregate([])
 
@@ -467,31 +471,25 @@ def approx_count_distinct(
         rank[nz] = (width - bl[nz]).astype(np.uint8)
         rank[~nz] = width + 1
 
-        # group rows and take per-group register maxima in one pass
-        key_tbl = batch.select(gk)
-        combo = key_tbl.group_by(gk).aggregate([])
-        # map each row to its group ordinal via dictionary encoding of a
-        # concatenated key string (bounded by in-block group count)
-        if len(gk) == 1:
-            enc = batch[gk[0]].combine_chunks().dictionary_encode()
-            gidx = enc.indices.to_numpy(zero_copy_only=False)
-            groups = enc.dictionary
-            out_keys = {gk[0]: groups}
-        else:
-            import pyarrow.compute as _pc
-
-            parts = [batch[c].cast(pa.string()) for c in gk]
-            joined = _pc.binary_join_element_wise(
-                *[p.combine_chunks() for p in parts], "\x1f"
+        # group rows and take per-group register maxima in one pass.
+        # Row→group ordinals: dictionary-encode each key column and mix
+        # the per-column codes (exact — no string concat, no separator
+        # collisions); output keys are first-occurrence rows taken from
+        # the ORIGINAL columns, preserving their types.
+        encs = [batch[c].combine_chunks().dictionary_encode() for c in gk]
+        gidx = np.zeros(batch.num_rows, dtype=np.int64)
+        for e in encs:
+            gidx = gidx * np.int64(len(e.dictionary)) + e.indices.to_numpy(
+                zero_copy_only=False
             )
-            enc = joined.dictionary_encode()
-            gidx = enc.indices.to_numpy(zero_copy_only=False)
-            keys_split = [s.split("\x1f") for s in enc.dictionary.to_pylist()]
-            out_keys = {
-                c: pa.array([k[i] for k in keys_split])
-                for i, c in enumerate(gk)
-            }
-        n_groups = len(enc.dictionary)
+        _, gidx = np.unique(gidx, return_inverse=True)
+        first = np.full(gidx.max() + 1 if len(gidx) else 0, batch.num_rows,
+                        dtype=np.int64)
+        np.minimum.at(first, gidx, np.arange(batch.num_rows))
+        out_keys = {
+            c: batch[c].combine_chunks().take(pa.array(first)) for c in gk
+        }
+        n_groups = len(first)
         regs = np.zeros((n_groups, m), dtype=np.uint8)
         np.maximum.at(regs, (gidx, reg), rank)
         cols = dict(out_keys)

@@ -482,15 +482,24 @@ def hamming_distance(a: int, b: int) -> int:
 
 # --- n-gram jaccard (verification kernel) ----------------------------------
 
+def _shingle_set(tokens: list[str], k: int) -> set[tuple[str, ...]]:
+    """k-shingle set; a doc shorter than k contributes its whole token
+    tuple as a single shingle, so two short docs compare by exact
+    equality instead of the degenerate empty-set case (two UNRELATED
+    short docs must NOT verify as near-dups — the LSH length-sentinel
+    buckets all same-length short docs together, and verification is
+    what rejects the non-identical ones)."""
+    if len(tokens) < k:
+        return {tuple(tokens)}
+    return {tuple(tokens[i : i + k]) for i in range(len(tokens) - k + 1)}
+
+
 def ngram_jaccard(tokens_a: list[str], tokens_b: list[str], k: int = 3) -> float:
     """Exact k-shingle Jaccard similarity of two token sequences (the
-    verification step after LSH candidate generation)."""
-    sa = {tuple(tokens_a[i : i + k]) for i in range(max(0, len(tokens_a) - k + 1))}
-    sb = {tuple(tokens_b[i : i + k]) for i in range(max(0, len(tokens_b) - k + 1))}
-    if not sa and not sb:
-        return 1.0
-    if not sa or not sb:
-        return 0.0
+    verification step after LSH candidate generation). Docs shorter than
+    k shingle to their full token tuple (see _shingle_set)."""
+    sa = _shingle_set(tokens_a, k)
+    sb = _shingle_set(tokens_b, k)
     return len(sa & sb) / len(sa | sb)
 
 

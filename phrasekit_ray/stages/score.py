@@ -304,10 +304,12 @@ def score_ngrams_join(
         ),
         batch_format="pyarrow",
     )
+    from phrasekit_ray.stages.agg import join_partitions
+
     joined = domain_ds.join(
         bg,
         join_type="left_outer",
-        num_partitions=num_partitions,
+        num_partitions=join_partitions(num_partitions),
         on=("ngram",),
     )
 

@@ -356,16 +356,14 @@ def asof_join(
         matched = ~np.isnan(src)
         li = np.flatnonzero(is_left)[matched]
         ri = src[matched].astype(np.int64)
-        lids = group["lid"].combine_chunks().to_numpy(zero_copy_only=False)[
-            order
-        ][li]
-        rvs = group["rv"].combine_chunks().to_numpy(zero_copy_only=False)[
-            order
-        ][ri]
+        # arrow-native takes: the nullable lid column must NOT round-trip
+        # through numpy (nulls force float64, corrupting ids >= 2^53)
+        lids = group["lid"].combine_chunks().take(pa.array(order[li], pa.int64()))
+        rvs = group["rv"].combine_chunks().take(pa.array(order[ri], pa.int64()))
         return pa.table(
             {
-                left_id_col: pa.array(lids.astype(np.int64), pa.int64()),
-                out_val: pa.array(rvs.astype(np.float64), pa.float64()),
+                left_id_col: lids.cast(pa.int64()),
+                out_val: rvs.cast(pa.float64()),
                 "matched_ts_us": pa.array(t_s[ri], pa.int64()),
             }
         )

@@ -256,3 +256,68 @@ def test_stratified_sample_counts_and_determinism(ray_session):
         for r in stratified_sample(ds, "grp", 10, "id", seed=99).iter_rows()
     )
     assert c2 != a
+
+
+def test_grouped_count_distinct_ignores_nulls(ray_session):
+    """SQL COUNT(DISTINCT v): NULL is not a value (review finding)."""
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_count_distinct
+
+    tbl = pa.table(
+        {
+            "g": pa.array(["a", "a", "a", "b", "b"], pa.string()),
+            "v": pa.array([1, None, 1, None, None], pa.int64()),
+        }
+    )
+    out = pa.concat_tables(
+        list(
+            grouped_count_distinct(
+                ray.data.from_arrow(tbl), "g", "v", num_partitions=2
+            ).iter_batches(batch_format="pyarrow")
+        ),
+        promote_options="default",
+    )
+    got = dict(zip(out["g"].to_pylist(), out["n_distinct"].to_pylist()))
+    # group b has only nulls -> no row at all (matches SQL GROUP BY over
+    # the filtered pairs); group a counts the single non-null value
+    assert got == {"a": 1}
+
+
+def test_approx_count_distinct_multikey_preserves_types(ray_session):
+    """Multi-key HLL must return the ORIGINAL key columns/types, not
+    stringified reconstructions (review finding)."""
+    import ray
+
+    from phrasekit_ray.stages.agg import approx_count_distinct
+
+    tbl = pa.table(
+        {
+            "a": pa.array([1, 1, 2, 2, 1, 2], pa.int64()),
+            "b": pa.array(["x", "x", "y", "y", "x", "y"], pa.string()),
+            "v": pa.array([10, 11, 10, 10, 10, 12], pa.int64()),
+        }
+    )
+    out = pa.concat_tables(
+        list(
+            approx_count_distinct(
+                ray.data.from_arrow(tbl).repartition(2),
+                ["a", "b"],
+                "v",
+                num_partitions=2,
+            ).iter_batches(batch_format="pyarrow")
+        ),
+        promote_options="default",
+    )
+    assert out.schema.field("a").type == pa.int64()
+    assert out.schema.field("b").type == pa.string()
+    got = {
+        (a, b): n
+        for a, b, n in zip(
+            out["a"].to_pylist(),
+            out["b"].to_pylist(),
+            out["approx_distinct"].to_pylist(),
+        )
+    }
+    # tiny cardinalities are exact under HLL linear counting
+    assert got == {(1, "x"): 2, (2, "y"): 2}

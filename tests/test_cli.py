@@ -86,3 +86,27 @@ def test_cli_dedup_minhash(ray_session, tmp_path, sf_dir):
         ]
     )
     assert rc == 0
+
+
+def test_cli_dedup_minhash_custom_id_col(ray_session, tmp_path, sf_dir):
+    """--id-col other than doc_id must work: tokenize standardizes the id
+    column name, and the pair stage must follow (review finding)."""
+    import pyarrow.parquet as _pq
+
+    from phrasekit_ray.cli import main
+
+    t = _pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    t = t.rename_columns(["page_id", "text"])
+    src = str(tmp_path / "renamed.parquet")
+    _pq.write_table(t, src)
+    out = str(tmp_path / "pairs2")
+    rc = main(
+        [
+            "dedup",
+            "--input", src,
+            "--output", out,
+            "--method", "minhash",
+            "--id-col", "page_id",
+        ]
+    )
+    assert rc == 0

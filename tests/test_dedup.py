@@ -305,3 +305,34 @@ def test_minhash_signatures_match_reference_reimplementation(ray_session):
     sig = dedup.minhash_signatures(arr, num_perm=16)
     for i, toks in enumerate(docs):
         assert sig[i].tolist() == _minhash_sig_ref(toks, num_perm=16), f"doc {i}"
+
+
+def test_short_docs_verify_by_exact_equality(ray_session):
+    """Docs shorter than shingle_k share the LSH length-sentinel bucket;
+    verification must reject non-identical ones (review finding: the old
+    empty-set Jaccard returned 1.0 for ANY two short docs)."""
+    import ray
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "tokens": pa.array(
+                [["alpha", "beta"], ["gamma", "delta"], ["alpha", "beta"]],
+                pa.list_(pa.string()),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    out = pa.concat_tables(
+        list(
+            dedup.verified_minhash_pairs(ds, verify_jaccard=0.5).iter_batches(
+                batch_format="pyarrow"
+            )
+        ),
+        promote_options="default",
+    )
+    pairs = set(zip(out["left"].to_pylist(), out["right"].to_pylist()))
+    assert pairs == {(1, 3)}
+    # kernel-level: unrelated short docs score 0, identical short docs 1
+    assert dedup.ngram_jaccard(["alpha", "beta"], ["gamma", "delta"]) == 0.0
+    assert dedup.ngram_jaccard(["alpha", "beta"], ["alpha", "beta"]) == 1.0

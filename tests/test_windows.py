@@ -138,3 +138,37 @@ def test_asof_join_basic_semantics(ray_session):
     # event 102 (ts 20): right ts 15 wins
     # event 103 (user 2, ts 7): right ts 9 > 7 → dropped
     assert out == {101: (1.5, 10), 102: (2.5, 15)}
+
+
+def test_asof_join_preserves_large_int_ids(ray_session):
+    """Left ids above 2^53 must survive intact — the nullable id column
+    must not round-trip through float64 (review finding)."""
+    import ray
+
+    from phrasekit_ray.stages.windows import asof_join
+
+    big = (1 << 60) + 12345
+    left = pa.table(
+        {
+            "user_id": pa.array([7], pa.int64()),
+            "ts": pa.array([100], pa.int64()),
+            "event_id": pa.array([big], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "user_id": pa.array([7], pa.int64()),
+            "ts": pa.array([50], pa.int64()),
+            "value": pa.array([3.5], pa.float64()),
+        }
+    )
+    out = pa.concat_tables(
+        list(
+            asof_join(
+                ray.data.from_arrow(left), ray.data.from_arrow(right)
+            ).iter_batches(batch_format="pyarrow")
+        ),
+        promote_options="default",
+    )
+    assert out["event_id"].to_pylist() == [big]
+    assert out["value_asof"].to_pylist() == [3.5]
