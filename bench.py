@@ -163,6 +163,90 @@ def run_once(headline_only: bool = False) -> dict:
     return result
 
 
+def run_skew_worker() -> dict:
+    """Zipfian hot-key aggregate stress (SURVEY.md §4 skew treatment).
+
+    Deterministic synthetic keys: row id → splitmix64 → uniform u →
+    key = floor(1/u) capped at 10^6, i.e. P(key=1) ≈ 1/2 of ALL rows —
+    a pathological hot key. Correctness cross-check: the per-key counts
+    must sum to the row count exactly (the partial combine collapses the
+    hot key to ≤1 row per block before the shuffle, so the hot key can
+    never overload one finalize partition)."""
+    import numpy as np
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_count
+
+    cpus = _num_cpus()
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=cpus, include_dashboard=False)
+    n = int(os.environ.get("GRAFT_SKEW_ROWS", "200000000"))
+    ds = ray.data.range(n, override_num_blocks=cpus * 8)
+
+    def gen(batch):
+        ids = batch["id"].astype(np.uint64)
+        h = (ids + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(31)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(29)
+        u = np.maximum((h >> np.uint64(11)).astype(np.float64) / float(1 << 53),
+                       1e-12)
+        key = np.minimum(1.0 / u, 1e6).astype(np.int64)
+        return {"key": key}
+
+    keyed = ds.map_batches(gen, batch_format="numpy")
+    t0 = time.perf_counter()
+    counts = grouped_count(keyed, "key").materialize()
+    dt = time.perf_counter() - t0
+    total = int(counts.sum("count"))
+    hot = int(counts.max("count"))
+    groups = counts.count()
+    assert total == n, f"skew aggregate lost rows: {total} != {n}"
+    ray.shutdown()
+    return {
+        "sec": round(dt, 3),
+        "rows": n,
+        "rows_per_sec": round(n / dt, 1),
+        "groups": groups,
+        "hot_key_share": round(hot / n, 4),
+        "num_cpus": cpus,
+    }
+
+
+def run_skew() -> dict:
+    """Hot-key aggregate at two parallelism levels (VERDICT item 9)."""
+    lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
+    runs = {}
+    for cpus in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--skew-worker"],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        runs[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+    thr_lo, thr_hi = runs[lo]["rows_per_sec"], runs[hi]["rows_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo) if thr_lo > 0 else 0.0
+    return {
+        "metric": "Zipfian hot-key aggregate throughput (rows/sec) at two parallelism levels",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": "synthetic",
+        "num_cpus": hi,
+        "queries": {
+            f"skew_agg_cpus{lo}": runs[lo]["sec"],
+            f"skew_agg_cpus{hi}": runs[hi]["sec"],
+        },
+        "rows": runs[hi]["rows"],
+        "hot_key_share": runs[hi]["hot_key_share"],
+        "rows_per_sec": {str(lo): thr_lo, str(hi): thr_hi},
+        "efficiency": round(eff, 3),
+    }
+
+
 def run_scaling() -> dict:
     """Same headline job in two fresh processes at low/high parallelism."""
     # N vs 4N protocol (BASELINE.md): 4 vs 16 CPUs. The 8→32 pair dips to
@@ -207,11 +291,22 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true", help="two-parallelism scaling run")
     ap.add_argument(
+        "--skew", action="store_true",
+        help="Zipfian hot-key aggregate stress at two parallelism levels",
+    )
+    ap.add_argument(
         "--worker", action="store_true", help="internal: single headline-only run"
+    )
+    ap.add_argument(
+        "--skew-worker", action="store_true", help="internal: single skew run"
     )
     args = ap.parse_args()
     if args.scaling:
         out = run_scaling()
+    elif args.skew:
+        out = run_skew()
+    elif args.skew_worker:
+        out = run_skew_worker()
     elif args.worker:
         out = run_once(headline_only=True)
     else:

@@ -29,6 +29,19 @@ import pyarrow as pa
 _AGG_FUNCS = {"sum", "min", "max"}
 
 
+def default_partitions(requested: int | None = None, floor: int = 32) -> int:
+    """Shuffle width for the two-phase aggregate: explicit request wins;
+    otherwise 2× the cluster's CPU count (never below ``floor``), so the
+    finalize stage keeps every core busy on big clusters without a code
+    change — the fixed default 32 under-partitions a 256-node cluster."""
+    if requested is not None:
+        return requested
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 16)) if ray.is_initialized() else 16
+    return max(floor, cpus * 2)
+
+
 def _part_column(tbl: pa.Table, keys: list[str], num_partitions: int) -> pa.Array:
     """int32 partition id from crc32 of the concatenated key columns
     (runs once per combined row, post partial-combine)."""
@@ -73,7 +86,7 @@ def hash_aggregate(
     ds,
     keys: str | list[str],
     aggs: list[tuple[str, str]],
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     combine_batch_size: int = 262_144,
     **map_kwargs,
 ):
@@ -91,6 +104,7 @@ def hash_aggregate(
     1.4 s of compute at sf0.1×100).
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
+    num_partitions = default_partitions(num_partitions)
     for _, fn in aggs:
         if fn not in _AGG_FUNCS:
             raise ValueError(f"unsupported aggregate fn: {fn}")
@@ -140,7 +154,7 @@ def join_partitions(requested: int) -> int:
     return max(2, min(requested, cpus * 2))
 
 
-def grouped_count(ds, keys, count_col: str = "count", num_partitions: int = 32):
+def grouped_count(ds, keys, count_col: str = "count", num_partitions: int | None = None):
     """count(*) per key group, vectorized (ones column + sum)."""
     keys_l = [keys] if isinstance(keys, str) else list(keys)
 
@@ -370,7 +384,7 @@ def key_filter_join(
 
 def grouped_count_distinct(
     ds, group_keys, value_col: str, count_col: str = "n_distinct",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """COUNT(DISTINCT value) per group — two chained hash aggregates:
     distinct (group, value) pairs first (in-block combine collapses
@@ -408,7 +422,7 @@ def approx_count_distinct(
     value_col: str,
     precision: int = 8,
     count_col: str = "approx_distinct",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Approximate COUNT(DISTINCT value) per group via HyperLogLog
     (Flajolet et al. 2007, public algorithm): m = 2^precision registers
@@ -527,7 +541,7 @@ def grouped_median_int(
     group_keys,
     value_col: str,
     out_col: str = "median",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """EXACT interpolated median (quantile_cont 0.5) of an integer column
     per group, at scale: rows first collapse to (group, value) COUNTS via
@@ -536,6 +550,7 @@ def grouped_median_int(
     map_groups per group walks the cumulative counts. Matches DuckDB
     ``median`` on integers (average of the two middles when even)."""
     gk = [group_keys] if isinstance(group_keys, str) else list(group_keys)
+    num_partitions = default_partitions(num_partitions)
 
     counts = grouped_count(ds.map_batches(
         lambda b: b.select(gk + [value_col]), batch_format="pyarrow"
@@ -616,13 +631,14 @@ def stratified_sample(
     n_per_group: int,
     id_col: str,
     seed: int = 17,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Deterministic stratified sample: the ``n_per_group`` rows per group
     with the smallest seeded hash rank of their id — reproducible across
     runs and cluster layouts (rank is a pure function of (id, seed), not
     of partitioning). Grouped top-k shape: in-block top-n prune first, so
     the shuffle carries ≤ n_per_group × blocks rows per group."""
+    num_partitions = default_partitions(num_partitions)
 
     def _topn_per_group(t: pa.Table, extra_drop: list[str]) -> pa.Table:
         """Vectorized n-smallest-rank per group: lexsort (group, rank),

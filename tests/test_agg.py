@@ -321,3 +321,27 @@ def test_approx_count_distinct_multikey_preserves_types(ray_session):
     }
     # tiny cardinalities are exact under HLL linear counting
     assert got == {(1, "x"): 2, (2, "y"): 2}
+
+
+def test_hash_aggregate_hot_key_exact(ray_session):
+    """A 90%-hot key must aggregate exactly (partial combine collapses it
+    to <=1 row per block before the shuffle)."""
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_count
+
+    n = 50_000
+    keys = np.where(np.arange(n) % 10 < 9, 1, np.arange(n) % 97 + 2)
+    tbl = pa.table({"k": pa.array(keys, pa.int64())})
+    out = pa.concat_tables(
+        list(
+            grouped_count(
+                ray.data.from_arrow(tbl).repartition(16), "k"
+            ).iter_batches(batch_format="pyarrow")
+        ),
+        promote_options="default",
+    )
+    got = dict(zip(out["k"].to_pylist(), out["count"].to_pylist()))
+    vals, cnts = np.unique(keys, return_counts=True)
+    assert got == dict(zip(vals.tolist(), cnts.tolist()))
+    assert got[1] == int((np.arange(n) % 10 < 9).sum())
