@@ -874,8 +874,8 @@ def q_events_median_value(sf_dir: str):
 
 def q_sample_docs_per_lang(sf_dir: str):
     """Deterministic stratified sample: 20 docs per language by seeded
-    hash rank — rows-only (the rank hash has no SQL twin; determinism
-    and per-group counts asserted in pytest)."""
+    hash rank. SQL oracle: the splitmix-style rank hash re-expressed in
+    DuckDB HUGEINT arithmetic (mod-2^64 multiply via 32-bit split)."""
     from phrasekit_ray.stages.agg import stratified_sample
 
     docs = _docs(sf_dir)
@@ -1256,6 +1256,25 @@ ORACLE_SQL = {
     "q_events_median_value": (
         "SELECT event_type, median(CAST(round(value * 100.0) AS BIGINT)) "
         "AS median_cents FROM events GROUP BY 1"
+    ),
+    # the stratified sampler's seeded splitmix-style rank hash, exactly:
+    # h1 = (id+17)*0x9E3779B97F4A7C15 mod 2^64;
+    # rank = (h1 ^ h1>>31)*0xBF58476D1CE4E5B9 mod 2^64 — the second
+    # multiply overflows INT128, so it runs as a 32-bit split
+    # (x*c mod 2^64 = xl*cl + 2^32*((xl*ch + xh*cl) mod 2^32) mod 2^64)
+    "q_sample_docs_per_lang": (
+        "WITH a AS (SELECT doc_id, lang, "
+        " CAST(((CAST(doc_id AS HUGEINT) + 17) * 11400714819323198485) % "
+        "      18446744073709551616 AS UBIGINT) AS h1 FROM documents), "
+        "x AS (SELECT doc_id, lang, CAST(xor(h1, h1 >> 31) AS HUGEINT) AS hx "
+        "      FROM a), "
+        "b AS (SELECT doc_id, lang, "
+        " ((hx % 4294967296) * 484763065 + "
+        "  (((hx % 4294967296) * 3210233709 + (hx // 4294967296) * 484763065) "
+        "   % 4294967296) * 4294967296) % 18446744073709551616 AS rnk FROM x), "
+        "r AS (SELECT doc_id, lang, row_number() OVER "
+        "      (PARTITION BY lang ORDER BY rnk, doc_id) AS rn FROM b) "
+        "SELECT doc_id, lang FROM r WHERE rn <= 20"
     ),
     "q_events_type_stats": (
         "SELECT event_type, "
