@@ -402,9 +402,20 @@ def q_dedup_minhash(sf_dir: str):
 
 
 def q_simhash(sf_dir: str):
+    """64-bit SimHash per doc. SQL oracle: DuckDB ``md5_number_upper``
+    IS this engine's token hash (little-endian first 8 md5 bytes), so
+    the bit votes are a plain unnest + group-by. simhash emitted as a
+    decimal string (uint64 > int64 range)."""
     docs = tokenize_documents(_docs(sf_dir))
     t = _collect(dedup.simhash_fingerprints(docs))
-    return _i64(t, "doc_id")
+    return pa.table(
+        {
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "simhash": pa.array(
+                [str(v) for v in t["simhash"].to_pylist()], pa.string()
+            ),
+        }
+    )
 
 
 def q_token_counts(sf_dir: str):
@@ -1256,6 +1267,45 @@ ORACLE_SQL = {
     "q_events_median_value": (
         "SELECT event_type, median(CAST(round(value * 100.0) AS BIGINT)) "
         "AS median_cents FROM events GROUP BY 1"
+    ),
+    # the polynomial rolling-hash fingerprint h = Σ b_i·P^(n-1-i) mod 2^64
+    # re-expressed as Horner's rule in a recursive CTE over the UTF-8
+    # bytes (hex-pair parsing; h·P < 2^105 fits HUGEINT, so no split
+    # multiply is needed — P is 41 bits)
+    "q_fingerprints": (
+        "WITH RECURSIVE src AS ("
+        " SELECT doc_id, hex(encode(lower(text))) AS hx, "
+        "        octet_length(encode(lower(text))) AS n FROM documents), "
+        "h(doc_id, i, acc) AS ("
+        " SELECT doc_id, 0, CAST(0 AS HUGEINT) FROM src "
+        " UNION ALL "
+        " SELECT h.doc_id, h.i + 1, "
+        "  (h.acc * 1099511628211 + "
+        "   (strpos('0123456789ABCDEF', substr(s.hx, 2*h.i+1, 1)) - 1) * 16 + "
+        "   (strpos('0123456789ABCDEF', substr(s.hx, 2*h.i+2, 1)) - 1)"
+        "  ) % 18446744073709551616 "
+        " FROM h JOIN src s USING (doc_id) WHERE h.i < s.n), "
+        "fin AS (SELECT h.doc_id, h.acc FROM h JOIN src s USING (doc_id) "
+        "        WHERE h.i = s.n) "
+        "SELECT doc_id, CAST(CAST(acc AS UBIGINT) AS VARCHAR) AS fingerprint "
+        "FROM fin"
+    ),
+    # DuckDB md5_number_upper(t) == int.from_bytes(md5(t)[:8], "little"),
+    # which is exactly this engine's token hash — the simhash oracle is a
+    # plain unnest + 64-bit-position vote aggregate
+    "q_simhash": (
+        "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+        "      FROM documents), "
+        "th AS (SELECT doc_id, md5_number_upper(tok) AS h FROM toks), "
+        "bits AS (SELECT doc_id, j, "
+        " sum(CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) "
+        " AS vote FROM th CROSS JOIN (SELECT unnest(range(64)) AS j) js "
+        " GROUP BY 1, 2), "
+        "fp AS (SELECT doc_id, sum(CASE WHEN vote > 0 THEN "
+        " CAST(CAST(1 AS UBIGINT) << CAST(j AS INTEGER) AS HUGEINT) ELSE 0 END) "
+        " AS f FROM bits GROUP BY 1) "
+        "SELECT d.doc_id, CAST(CAST(COALESCE(f, 0) AS UBIGINT) AS VARCHAR) "
+        "AS simhash FROM documents d LEFT JOIN fp USING (doc_id)"
     ),
     # the stratified sampler's seeded splitmix-style rank hash, exactly:
     # h1 = (id+17)*0x9E3779B97F4A7C15 mod 2^64;
