@@ -161,6 +161,93 @@ def _sql_mentions(min_dom: int = 3, min_sal: float = 2.0) -> str:
     return SQL_MENTIONS.format(scored=_sql_scored(min_dom, min_sal), toks=sql_toks())
 
 
+def _sql_win(n: int) -> str:
+    """All length-n token windows over ``toks`` as (doc_id, start, fin, ngram)."""
+    joins = " ".join(
+        f"JOIN toks t{k} ON t{k}.doc_id = t0.doc_id AND t{k}.pos = t0.pos + {k}"
+        for k in range(1, n)
+    )
+    concat = " || ' ' || ".join(f"t{k}.tok" for k in range(n))
+    return (
+        f"SELECT t0.doc_id, t0.pos - 1 AS start, t0.pos - 1 + {n} AS fin, "
+        f"{concat} AS ngram FROM toks t0 {joins}"
+    )
+
+
+def _sql_flagship() -> str:
+    """Full DuckDB oracle for the flagship KG pipeline (q_kg_triples_flagship).
+
+    Mirrors `pipelines/kg.py:run_kg_pipeline` end to end:
+    pages (url derived from documents) → 2-5-gram mining (min_count 3)
+    → ratio scoring vs the DEMO_BACKGROUND constants (min_salience 2.0)
+    → phrase_id enumeration (salience desc, ngram asc, start 1000)
+    → automaton matches = window joins → **leftmost_longest** greedy
+    resolution as a per-doc recursive CTE walking candidates in start
+    order with a covered-end cursor (reference policy.rs:63-89 semantics:
+    among equal starts keep the longest, ties on length keep the larger
+    phrase_id — max_by(phrase_id, fin) matches the matcher's
+    later-pattern-wins tie order) → max_spans 100 truncation →
+    prefix-alias canonicalization (phrase a aliases b when b's token
+    sequence strictly extends a's) as transitive closure + min entity id
+    via a recursive reachability CTE → adjacent-mention triple lift
+    (gap <= 50).
+    """
+    wins = " UNION ALL ".join(_sql_win(n) for n in range(2, 6))
+    bg = ", ".join(
+        f"('{n}', {c})"
+        for n, c in [("for the", 50000), ("in the", 30000), ("to the", 25000),
+                     ("lysis buffer", 8), ("western blot", 5)]
+    )
+    return f"""
+WITH RECURSIVE pages AS (
+  SELECT 'https://example.org/' || source || '/' || CAST(doc_id AS VARCHAR) AS doc_id, text
+  FROM documents),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM pages),
+wins AS ({wins}),
+counts AS (SELECT ngram, count(*) AS cnt FROM wins GROUP BY 1 HAVING count(*) >= 3),
+bg(ngram, bcount) AS (SELECT * FROM (VALUES {bg}) v(n, c)),
+scored AS (
+  SELECT c.ngram, CAST(c.cnt AS DOUBLE) / (COALESCE(b.bcount, 0) + 1) AS salience
+  FROM counts c LEFT JOIN bg b USING (ngram)
+  WHERE CAST(c.cnt AS DOUBLE) / (COALESCE(b.bcount, 0) + 1) >= 2.0),
+phrases AS (
+  SELECT ngram, 999 + CAST(row_number() OVER (ORDER BY salience DESC, ngram ASC) AS BIGINT)
+         AS phrase_id FROM scored),
+matches AS (SELECT w.doc_id, w.start, w.fin, p.phrase_id FROM wins w JOIN phrases p USING (ngram)),
+cand AS (SELECT doc_id, start, max(fin) AS fin, max_by(phrase_id, fin) AS phrase_id
+         FROM matches GROUP BY 1, 2),
+cand_rn AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY start) AS rn FROM cand),
+sel(doc_id, rn, cursor, keep, start, fin, phrase_id) AS (
+  SELECT doc_id, 0, 0, false, 0, 0, CAST(0 AS BIGINT)
+  FROM (SELECT DISTINCT doc_id FROM cand_rn) d
+  UNION ALL
+  SELECT c.doc_id, c.rn,
+         CASE WHEN c.start >= s.cursor THEN c.fin ELSE s.cursor END,
+         c.start >= s.cursor, c.start, c.fin, c.phrase_id
+  FROM sel s JOIN cand_rn c ON c.doc_id = s.doc_id AND c.rn = s.rn + 1),
+kept AS (SELECT doc_id, start, fin, phrase_id,
+                row_number() OVER (PARTITION BY doc_id ORDER BY start) AS krn
+         FROM sel WHERE keep),
+kept100 AS (SELECT * FROM kept WHERE krn <= 100),
+ealias AS (SELECT a.phrase_id AS u, b.phrase_id AS v
+           FROM phrases a JOIN phrases b ON starts_with(b.ngram, a.ngram || ' ')),
+und AS (SELECT u, v FROM ealias UNION SELECT v, u FROM ealias
+        UNION SELECT phrase_id, phrase_id FROM phrases),
+reach(u, v) AS (SELECT u, v FROM und
+                UNION SELECT r.u, d.v FROM reach r JOIN und d ON d.u = r.v),
+canon AS (SELECT u AS phrase_id, min(v) AS entity FROM reach GROUP BY 1)
+SELECT cs.entity AS subj, 'co_mentioned_with' AS pred, co.entity AS obj,
+       s.doc_id, CAST(s.start AS BIGINT) AS subj_start, CAST(o.start AS BIGINT) AS obj_start
+FROM kept100 s
+JOIN kept100 o ON o.doc_id = s.doc_id AND o.krn = s.krn + 1 AND o.start - s.fin <= 50
+JOIN canon cs ON cs.phrase_id = s.phrase_id
+JOIN canon co ON co.phrase_id = o.phrase_id
+"""
+
+
 # --- shared Ray-side sub-pipelines ----------------------------------------
 
 def _mined(sf_dir: str, n_lo: int, n_hi: int, min_count: int, where_lang=None,
@@ -365,7 +452,10 @@ def q_md5_fingerprints(sf_dir: str):
 
 def q_kg_triples_flagship(sf_dir: str):
     """Flagship KG path (leftmost_longest + prefix canonicalization over
-    2-5-gram phrases) — rows-only check (policy not SQL-expressible)."""
+    2-5-gram phrases). Full SQL oracle: candidate matches are n-gram
+    window joins, leftmost_longest is a per-doc recursive-CTE greedy
+    cursor, prefix-alias canonicalization is transitive closure + min
+    over a recursive reachability CTE (see ``_sql_flagship``)."""
     from phrasekit_ray.pipelines.kg import run_kg_pipeline
     from phrasekit_ray.sources.pages import DEMO_BACKGROUND, pages_from_documents
 
@@ -378,6 +468,7 @@ def q_kg_triples_flagship(sf_dir: str):
         tag_concurrency=(1, 4),
     )
     t = _collect(res.triples)
+    t = _cast(t, pred=pa.string())
     return _i64(t, "subj", "obj", "subj_start", "obj_start")
 
 
@@ -1432,9 +1523,9 @@ ORACLE_SQL = {
         "  (PARTITION BY lang ORDER BY count DESC, tok ASC) AS rn FROM counts) "
         "SELECT lang, tok, count FROM ranked WHERE rn <= 5"
     ),
-    # rows-only (non-SQL-expressible): q_kg_triples_flagship (overlap policy),
-    # q_dedup_minhash / q_simhash / q_fingerprints (custom hash functions;
-    # md5_fingerprints is the oracle-checked variant),
+    "q_kg_triples_flagship": _sql_flagship(),
+    # rows-only (non-SQL-expressible):
+    # q_dedup_minhash (custom minhash permutation hashes),
     # q_knn_lsh / q_knn_ivf (approximate; pytest recall vs brute force),
     # q_match_runtime / q_tag_policies (policy kernels; pytest goldens)
 }
