@@ -161,6 +161,115 @@ def _sql_mentions(min_dom: int = 3, min_sal: float = 2.0) -> str:
     return SQL_MENTIONS.format(scored=_sql_scored(min_dom, min_sal), toks=sql_toks())
 
 
+def _sql_minhash() -> str:
+    """Full DuckDB oracle for `q_dedup_minhash` — replicates the engine's
+    MinHash+LSH near-dedup bit-for-bit (`stages/dedup.py`):
+
+    - token hash: ``md5_number_upper(tok)`` == the engine's
+      little-endian-first-8-md5-bytes uint64 token hash;
+    - 3-shingle rolling hash: ``((h0*F mod 2^64) xor h1)*F mod 2^64 xor
+      h2`` with F = 1099511628211, via HUGEINT mod-2^64 + UBIGINT xor
+      (products stay < 2^104 < INT128 max); docs with < 3 tokens get the
+      token-count sentinel shingle;
+    - 64 permutation mins: ``((a_p*sh + b_p) mod 2^64) mod (2^61-1)``
+      with the seeded `_minhash_params(64, 7)` constants inlined as a
+      VALUES list (a_p < 2^61, so products stay < 2^125);
+    - 16 band digests: Horner fold of each 4-perm segment;
+    - candidate pairs: per (band, digest) bucket star pairs from the
+      bucket-min hub, deduped across bands — the engine's exact pair
+      emission (NOT all-pairs);
+    - verification: exact distinct-3-shingle-string Jaccard >= 0.5
+      (short docs shingle to their whole token sequence);
+    - clustering: connected components via recursive reachability, rep =
+      component min id — equal to the engine's min-rooted union-find and
+      hash-min label propagation alike.
+    """
+    from phrasekit_ray.stages.dedup import _minhash_params
+
+    F = 1099511628211
+    M64 = 18446744073709551616
+    MERS = 2305843009213693951
+    a, b = _minhash_params(64, 7)
+    perm_vals = ", ".join(f"({p}, {int(a[p])}, {int(b[p])})" for p in range(64))
+
+    def wrapmul(expr: str) -> str:
+        return f"CAST((CAST({expr} AS HUGEINT) * {F}) % {M64} AS UBIGINT)"
+
+    def fold(cols: list[str]) -> str:
+        acc = cols[0]
+        for c in cols[1:]:
+            acc = f"xor({wrapmul(acc)}, {c})"
+        return acc
+
+    sh_expr = fold(["t0.h", "t1.h", "t2.h"])
+    dig_expr = fold(["l[1]", "l[2]", "l[3]", "l[4]"])
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents),
+th AS (SELECT doc_id, pos, md5_number_upper(tok) AS h FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+sh3 AS (
+  SELECT t0.doc_id, {sh_expr} AS sh
+  FROM th t0
+  JOIN th t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+  JOIN th t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2),
+shingles AS (
+  SELECT doc_id, sh FROM sh3
+  UNION ALL
+  SELECT doc_id, CAST(n AS UBIGINT) FROM sizes WHERE n < 3),
+perms(p, a, b) AS (SELECT * FROM (VALUES {perm_vals}) v(p, a, b)),
+sig AS (
+  SELECT s.doc_id, pe.p,
+         min(CAST(((CAST(s.sh AS HUGEINT) * pe.a + pe.b) % {M64}) % {MERS}
+             AS UBIGINT)) AS v
+  FROM shingles s CROSS JOIN perms pe GROUP BY 1, 2),
+band4 AS (
+  SELECT doc_id, p // 4 AS band, list(v ORDER BY p) AS l
+  FROM sig GROUP BY 1, 2),
+dig AS (SELECT doc_id, band, {dig_expr} AS d FROM band4),
+heads AS (SELECT band, d, min(doc_id) AS hub FROM dig GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT h.hub AS lft, g.doc_id AS rgt
+  FROM dig g JOIN heads h ON h.band = g.band AND h.d = g.d
+  WHERE g.doc_id > h.hub),
+sstr AS (
+  SELECT DISTINCT t0.doc_id, t0.tok || ' ' || t1.tok || ' ' || t2.tok AS s
+  FROM toks t0
+  JOIN toks t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+  JOIN toks t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2
+  WHERE (SELECT n FROM sizes z WHERE z.doc_id = t0.doc_id) >= 3
+  UNION
+  SELECT z.doc_id, COALESCE(string_agg(t.tok, ' ' ORDER BY t.pos), '') AS s
+  FROM sizes z LEFT JOIN toks t ON t.doc_id = z.doc_id
+  WHERE z.n < 3 GROUP BY z.doc_id),
+psz AS (SELECT doc_id, count(*) AS sz FROM sstr GROUP BY 1),
+inter AS (
+  SELECT c.lft, c.rgt, count(*) AS i
+  FROM cand c
+  JOIN sstr sa ON sa.doc_id = c.lft
+  JOIN sstr sb ON sb.doc_id = c.rgt AND sb.s = sa.s
+  GROUP BY 1, 2),
+ver AS (
+  SELECT c.lft, c.rgt
+  FROM cand c
+  JOIN psz za ON za.doc_id = c.lft
+  JOIN psz zb ON zb.doc_id = c.rgt
+  LEFT JOIN inter i ON i.lft = c.lft AND i.rgt = c.rgt
+  WHERE CAST(COALESCE(i.i, 0) AS DOUBLE) /
+        (za.sz + zb.sz - COALESCE(i.i, 0)) >= 0.5),
+und AS (SELECT lft AS u, rgt AS v FROM ver
+        UNION SELECT rgt, lft FROM ver
+        UNION SELECT lft, lft FROM ver
+        UNION SELECT rgt, rgt FROM ver),
+reach(u, v) AS (SELECT u, v FROM und
+                UNION SELECT r.u, d.v FROM reach r JOIN und d ON d.u = r.v)
+SELECT CAST(u AS BIGINT) AS doc_id, CAST(min(v) AS BIGINT) AS rep_id
+FROM reach GROUP BY 1
+"""
+
+
 def _sql_win(n: int) -> str:
     """All length-n token windows over ``toks`` as (doc_id, start, fin, ngram)."""
     joins = " ".join(
@@ -1524,8 +1633,8 @@ ORACLE_SQL = {
         "SELECT lang, tok, count FROM ranked WHERE rn <= 5"
     ),
     "q_kg_triples_flagship": _sql_flagship(),
+    "q_dedup_minhash": _sql_minhash(),
     # rows-only (non-SQL-expressible):
-    # q_dedup_minhash (custom minhash permutation hashes),
     # q_knn_lsh / q_knn_ivf (approximate; pytest recall vs brute force),
     # q_match_runtime / q_tag_policies (policy kernels; pytest goldens)
 }
