@@ -161,6 +161,85 @@ def _sql_mentions(min_dom: int = 3, min_sal: float = 2.0) -> str:
     return SQL_MENTIONS.format(scored=_sql_scored(min_dom, min_sal), toks=sql_toks())
 
 
+def _sql_tag_policies() -> str:
+    """DuckDB oracle for `q_tag_policies` — all four overlap-resolution
+    policies over the bigram-only artifact.
+
+    A bigram-only pattern set collapses the policy kernels
+    (core/policy.py, reference policy.rs:49-135) to SQL-expressible
+    shapes: at most one match per (doc, start) and all matches length 2,
+    so
+
+    - ``all``: the raw mentions;
+    - ``leftmost_longest`` == ``leftmost_first``: equal-start groups are
+      singletons, so both reduce to the same greedy covered-end cursor —
+      a per-doc recursive CTE;
+    - ``salience_max``: each overlap chain is at most {m_i, m_{i+1}}
+      (consecutive starts), so the whole policy becomes a precomputed
+      per-match transition table (best of the pair by
+      salience*ln(count+1) in f32, ties keep the later match — Rust
+      max_by semantics — then jump to the first match at start+2)
+      walked by a recursive CTE. Scores are computed at REAL precision
+      to mirror the engine's f32 `salience_score`.
+    """
+    ment = _sql_mentions(3, 2.0)
+    return f"""
+{ment.replace("WITH ", "WITH RECURSIVE ", 1)},
+m AS (
+  SELECT doc_id, start, "end", phrase_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY start) AS rn
+  FROM mentions),
+sel(doc_id, rn, cursor, keep, start, fin, pid) AS (
+  SELECT doc_id, 0, 0, false, 0, 0, CAST(0 AS BIGINT)
+  FROM (SELECT DISTINCT doc_id FROM m) d
+  UNION ALL
+  SELECT c.doc_id, c.rn,
+         CASE WHEN c.start >= s.cursor THEN c."end" ELSE s.cursor END,
+         c.start >= s.cursor, c.start, c."end", c.phrase_id
+  FROM sel s JOIN m c ON c.doc_id = s.doc_id AND c.rn = s.rn + 1),
+greedy AS (SELECT doc_id, start, fin AS "end", pid AS phrase_id FROM sel WHERE keep),
+ph2 AS (
+  SELECT phrase_id,
+         CAST(CAST(domain_count AS REAL) / CAST(background_count + 1 AS REAL)
+              AS REAL)
+         * CAST(ln(CAST(domain_count + 1 AS REAL)) AS REAL) AS score
+  FROM phrases),
+step AS (
+  SELECT c1.doc_id, c1.rn AS i,
+         CASE WHEN c2.rn IS NOT NULL AND s2.score >= s1.score
+              THEN c2.rn ELSE c1.rn END AS best_rn
+  FROM m c1
+  LEFT JOIN m c2 ON c2.doc_id = c1.doc_id AND c2.rn = c1.rn + 1
+                AND c2.start = c1.start + 1
+  JOIN ph2 s1 ON s1.phrase_id = c1.phrase_id
+  LEFT JOIN ph2 s2 ON s2.phrase_id = c2.phrase_id),
+stepx AS (
+  SELECT st.doc_id, st.i, b.start AS bstart, b."end" AS bend,
+         b.phrase_id AS bpid,
+         (SELECT min(x.rn) FROM m x
+          WHERE x.doc_id = st.doc_id AND x.start >= b.start + 2) AS next_i
+  FROM step st JOIN m b ON b.doc_id = st.doc_id AND b.rn = st.best_rn),
+walk(doc_id, i) AS (
+  SELECT doc_id, CAST(1 AS BIGINT) FROM (SELECT DISTINCT doc_id FROM m) d
+  UNION ALL
+  SELECT s.doc_id, s.next_i FROM walk w
+  JOIN stepx s ON s.doc_id = w.doc_id AND s.i = w.i
+  WHERE s.next_i IS NOT NULL),
+smax AS (
+  SELECT s.doc_id, s.bstart AS start, s.bend AS "end", s.bpid AS phrase_id
+  FROM walk w JOIN stepx s ON s.doc_id = w.doc_id AND s.i = w.i)
+SELECT 'all' AS policy, doc_id, CAST(start AS BIGINT) AS start,
+       CAST("end" AS BIGINT) AS "end", phrase_id FROM mentions
+UNION ALL
+SELECT 'leftmost_longest', doc_id, start, "end", phrase_id FROM greedy
+UNION ALL
+SELECT 'leftmost_first', doc_id, start, "end", phrase_id FROM greedy
+UNION ALL
+SELECT 'salience_max', doc_id, CAST(start AS BIGINT), CAST("end" AS BIGINT),
+       phrase_id FROM smax
+"""
+
+
 def _sql_minhash() -> str:
     """Full DuckDB oracle for `q_dedup_minhash` — replicates the engine's
     MinHash+LSH near-dedup bit-for-bit (`stages/dedup.py`):
@@ -1634,7 +1713,8 @@ ORACLE_SQL = {
     ),
     "q_kg_triples_flagship": _sql_flagship(),
     "q_dedup_minhash": _sql_minhash(),
+    "q_tag_policies": _sql_tag_policies(),
     # rows-only (non-SQL-expressible):
     # q_knn_lsh / q_knn_ivf (approximate; pytest recall vs brute force),
-    # q_match_runtime / q_tag_policies (policy kernels; pytest goldens)
+    # q_match_runtime (runtime matcher goldens; pytest)
 }
