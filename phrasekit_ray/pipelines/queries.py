@@ -748,7 +748,7 @@ def q_knn_lsh(sf_dir: str):
     first = _collect(ds).sort_by("vec_id").slice(0, 5)
     qids = first["vec_id"].to_pylist()
     qvecs = np.asarray(first["embedding"].to_pylist(), dtype=np.float32)
-    t = similarity.lsh_topk(ds, qvecs, qids, k=10, num_planes=8, probes=1)
+    t = similarity.lsh_topk(ds, qvecs, qids, k=10, num_planes=8, probes=37)
     return _i64(t.select(["query_id", "vec_id"]), "query_id", "vec_id")
 
 
@@ -1216,11 +1216,11 @@ def q_knn_ivf(sf_dir: str):
     first = _collect(ds).sort_by("vec_id").slice(0, 5)
     qids = first["vec_id"].to_pylist()
     qvecs = np.asarray(first["embedding"].to_pylist(), dtype=np.float32)
-    t = similarity.ivf_topk(ds, qvecs, qids, k=10, num_centroids=8, nprobe=4)
+    t = similarity.ivf_topk(ds, qvecs, qids, k=10, num_centroids=16, nprobe=12)
     return _i64(t.select(["query_id", "vec_id"]), "query_id", "vec_id")
 
 
-# --- policy coverage (rows-only: overlap resolution not SQL-expressible) ----
+# --- policy coverage (SQL oracle: see _sql_tag_policies) --------------------
 
 def q_tag_policies(sf_dir: str):
     """Spans from the SAME artifact under all four overlap-resolution

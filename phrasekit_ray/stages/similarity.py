@@ -169,9 +169,13 @@ def lsh_topk(
     seed: int = 11,
 ):
     """Approximate top-k: candidates limited to vectors whose
-    random-hyperplane sign-bucket matches the query's (plus optional
-    multi-probe buckets at Hamming distance 1). Same output schema as
-    brute_force_topk; recall < 1 by construction (scale path)."""
+    random-hyperplane sign-bucket is among each query's ``probes``
+    multi-probe buckets — the home bucket plus flip-masks in increasing
+    Hamming distance (all distance-1 flips by bit index, then distance-2
+    pairs, ...), the standard multi-probe LSH schedule. ``probes`` = total
+    buckets probed per query (1 = home bucket only). Same output schema
+    as brute_force_topk; recall < 1 by construction (scale path) — raise
+    ``probes`` (or lower ``num_planes``) to trade compute for recall."""
     import ray
 
     qmat = _normalize_rows(np.asarray(queries, dtype=np.float32))
@@ -185,13 +189,16 @@ def lsh_topk(
             axis=1, dtype=np.uint64
         )
 
+    # flip masks ordered by (hamming weight, value): mask 0 = home bucket
+    all_masks = np.arange(1 << num_planes, dtype=np.uint64)
+    popcnt = np.array([bin(m).count("1") for m in range(1 << num_planes)])
+    masks = all_masks[np.lexsort((all_masks, popcnt))][: max(1, probes)]
+
     qbuckets = bucket_of(qmat)
     allowed: set[int] = set()
     for qb in qbuckets:
-        allowed.add(int(qb))
-        if probes > 0:
-            for bit in range(num_planes):
-                allowed.add(int(qb) ^ (1 << bit))
+        for m in masks:
+            allowed.add(int(qb ^ m))
     allowed_arr = np.asarray(sorted(allowed), dtype=np.uint64)
     a_ref = ray.put(allowed_arr)
 

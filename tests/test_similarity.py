@@ -74,7 +74,8 @@ def test_lsh_topk_finds_planted_neighbors(ray_session):
     # plant 3 near-copies of vec 0
     for j, eps in ((150, 0.01), (151, 0.02), (152, 0.03)):
         vecs[j] = vecs[0] + eps * rng.standard_normal(32).astype(np.float32)
-    got = similarity.lsh_topk(emb_ds(vecs), vecs[[0]], [0], k=3, num_planes=8, probes=1)
+    # probes=9 = home bucket + all 8 Hamming-distance-1 buckets
+    got = similarity.lsh_topk(emb_ds(vecs), vecs[[0]], [0], k=3, num_planes=8, probes=9)
     found = set(got["vec_id"].to_pylist())
     assert {150, 151, 152} <= found
 
