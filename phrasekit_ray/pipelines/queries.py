@@ -719,6 +719,14 @@ def q_langid(sf_dir: str):
     return _i64(t.select(["doc_id", "lang_pred"]), "doc_id")
 
 
+def q_repetition(sf_dir: str):
+    """Gopher-style repetition filters (top-bigram concentration +
+    duplicated-trigram coverage) — integer components plus one exact
+    IEEE division, full SQL oracle."""
+    t = _collect(textstats.repetition_stats(_docs(sf_dir)))
+    return _i64(t, "doc_id", "n_tokens", "top_bigram_count", "dup_trigram_tokens")
+
+
 def q_fingerprints(sf_dir: str):
     t = _collect(textstats.fingerprints(_docs(sf_dir)))
     # uint64 → decimal string (int64 would overflow; driver hashes strings fine)
@@ -1348,6 +1356,7 @@ QUERIES = {
     "q_bpe_token_counts": q_bpe_token_counts,
     "q_quality": q_quality,
     "q_langid": q_langid,
+    "q_repetition": q_repetition,
     "q_fingerprints": q_fingerprints,
     "q_knn_cosine": q_knn_cosine,
     "q_knn_lsh": q_knn_lsh,
@@ -1492,6 +1501,30 @@ ORACLE_SQL = {
         "SELECT doc_id, CAST(len(regexp_extract_all(text, "
         "'[A-Za-z]+|[0-9]+|[^ \\tA-Za-z0-9]')) AS BIGINT) AS n_bpe_tokens "
         "FROM documents"
+    ),
+    "q_repetition": (
+        f"WITH toks AS ({sql_toks()}), "
+        "sz AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1), "
+        "bi AS (SELECT t0.doc_id, count(*) AS c FROM toks t0 "
+        "  JOIN toks t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1 "
+        "  GROUP BY t0.doc_id, t0.tok, t1.tok), "
+        "topbi AS (SELECT doc_id, max(c) AS top FROM bi GROUP BY 1), "
+        "tri AS (SELECT t0.doc_id, t0.pos, "
+        "  t0.tok || ' ' || t1.tok || ' ' || t2.tok AS g FROM toks t0 "
+        "  JOIN toks t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1 "
+        "  JOIN toks t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2), "
+        "tcnt AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2), "
+        "cov AS (SELECT DISTINCT tr.doc_id, tr.pos + u.i AS p "
+        "  FROM tri tr JOIN tcnt c ON c.doc_id = tr.doc_id AND c.g = tr.g "
+        "  AND c.c >= 2 CROSS JOIN (SELECT unnest(range(3)) AS i) u), "
+        "covn AS (SELECT doc_id, count(*) AS dup FROM cov GROUP BY 1) "
+        "SELECT s.doc_id, s.n AS n_tokens, "
+        "CAST(COALESCE(tb.top, 0) AS BIGINT) AS top_bigram_count, "
+        "CAST(COALESCE(cv.dup, 0) AS BIGINT) AS dup_trigram_tokens, "
+        "CASE WHEN s.n > 0 THEN CAST(COALESCE(cv.dup, 0) AS DOUBLE) / s.n "
+        "ELSE 0.0 END AS dup_trigram_frac "
+        "FROM sz s LEFT JOIN topbi tb USING (doc_id) "
+        "LEFT JOIN covn cv USING (doc_id)"
     ),
     "q_quality": (
         "WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks "

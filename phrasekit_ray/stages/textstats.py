@@ -200,3 +200,110 @@ def md5_fingerprints(ds, text_col: str = "text", id_col: str = "doc_id", **kw):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", **kw)
+
+
+def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id", **kw):
+    """Gopher-style within-document repetition filters (Rae et al. 2021
+    §A1.1 "repetition removal", re-expressed over whitespace tokens):
+    per doc,
+
+    - ``n_tokens``: whitespace token count;
+    - ``top_bigram_count``: occurrence count of the doc's most frequent
+      bigram (0 when the doc has < 2 tokens) — the "top n-gram
+      concentration" signal;
+    - ``dup_trigram_tokens``: number of token positions covered by
+      trigrams occurring >= 2 times within the doc (union of the
+      3-token windows) — the "fraction of text in duplicated n-grams"
+      signal;
+    - ``dup_trigram_frac``: dup_trigram_tokens / n_tokens (0.0 for empty
+      docs; a single IEEE division, so oracle-exact).
+
+    Fully in-block and vectorized: tokens dictionary-encode to int32
+    ids, bigrams/trigrams pack into int64 keys via two rounds of
+    np.unique pair-encoding (exact — no hashing), per-doc runs found
+    with one lexsort over (doc, key), and duplicated-window coverage is
+    a +1/-1 difference-array range-mark + cumsum. No shuffle.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = normalize.tokenize_string_array(
+            batch[text_col].combine_chunks(), lowercase=False
+        )
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        base = offsets[0]
+        offsets = offsets - base
+        flat = toks.values.slice(base, int(offsets[-1]))
+        sizes = np.diff(offsets)
+        n_docs = len(sizes)
+        L = int(offsets[-1])
+
+        dict_arr = flat.dictionary_encode()
+        tok_id = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), sizes)
+
+        top_bi = np.zeros(n_docs, dtype=np.int64)
+        dup_cov = np.zeros(n_docs, dtype=np.int64)
+
+        # bigram keys at positions where the window stays inside one doc
+        if L >= 2:
+            in_doc2 = doc_of[:-1] == doc_of[1:]
+            b_pos = np.flatnonzero(in_doc2)
+            if len(b_pos):
+                bi_key = (tok_id[b_pos] << np.int64(32)) | tok_id[b_pos + 1]
+                bi_doc = doc_of[b_pos]
+                # per-(doc, key) run lengths via lexsort
+                order = np.lexsort((bi_key, bi_doc))
+                kd, kk = bi_doc[order], bi_key[order]
+                new = np.ones(len(kd), dtype=bool)
+                new[1:] = (kd[1:] != kd[:-1]) | (kk[1:] != kk[:-1])
+                run_id = np.cumsum(new) - 1
+                run_len = np.bincount(run_id)
+                run_doc = kd[new]
+                np.maximum.at(top_bi, run_doc, run_len)
+
+                # trigram keys: re-encode (bigram_uniq_id, next_tok)
+                if L >= 3:
+                    in_doc3 = in_doc2[:-1] & (doc_of[:-2] == doc_of[2:])
+                    t_pos = np.flatnonzero(in_doc3)
+                    if len(t_pos):
+                        bi_at = (tok_id[t_pos] << np.int64(32)) | tok_id[t_pos + 1]
+                        uniq_bi, bi_inv = np.unique(bi_at, return_inverse=True)
+                        tri_key = (bi_inv.astype(np.int64) << np.int64(32)) | tok_id[
+                            t_pos + 2
+                        ]
+                        tri_doc = doc_of[t_pos]
+                        order3 = np.lexsort((tri_key, tri_doc))
+                        td, tk = tri_doc[order3], tri_key[order3]
+                        new3 = np.ones(len(td), dtype=bool)
+                        new3[1:] = (td[1:] != td[:-1]) | (tk[1:] != tk[:-1])
+                        run_id3 = np.cumsum(new3) - 1
+                        run_len3 = np.bincount(run_id3)
+                        dup_occ = run_len3[run_id3] >= 2  # per sorted occurrence
+                        dpos = t_pos[order3][dup_occ]  # window start positions
+                        if len(dpos):
+                            # range-mark [p, p+3) then clip at doc ends;
+                            # windows never cross docs, so a diff array over
+                            # the flat position axis suffices
+                            diff = np.zeros(L + 3, dtype=np.int64)
+                            np.add.at(diff, dpos, 1)
+                            np.add.at(diff, dpos + 3, -1)
+                            covered = np.cumsum(diff[:L]) > 0
+                            dup_cov = np.bincount(
+                                doc_of[covered], minlength=n_docs
+                            ).astype(np.int64)
+
+        frac = np.divide(
+            dup_cov, sizes, out=np.zeros(n_docs, dtype=np.float64),
+            where=sizes > 0,
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": pa.array(sizes, pa.int64()),
+                "top_bigram_count": pa.array(top_bi, pa.int64()),
+                "dup_trigram_tokens": pa.array(dup_cov, pa.int64()),
+                "dup_trigram_frac": pa.array(frac, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", **kw)

@@ -102,3 +102,34 @@ def test_fingerprints_match_reference_reimplementation(ray_session):
         for b in t.lower().encode("utf-8"):
             acc = (acc * P + b) % W
         assert got[i] == acc, f"text {t!r}"
+
+
+def test_repetition_stats_engineered(ray_session):
+    import ray
+
+    texts = [
+        # "a b c" x3: trigram "a b c" occurs 3 times at 0,3,6 (others once);
+        # every position covered except none — windows [0,3),[3,6),[6,9)
+        # cover all 9; top bigram "a b" (and "b c") = 3, "c a" = 2
+        "a b c a b c a b c",
+        # no repeated trigram, repeated bigram "x y" twice (non-adjacent)
+        "x y z w x y q",
+        # short docs: 1 and 2 tokens
+        "solo",
+        "two tok",
+        # overlapping duplicated trigrams: "p p p" at 0 and 1 covers 0..3
+        "p p p p q r",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    got = (
+        textstats.repetition_stats(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["n_tokens"].tolist() == [9, 7, 1, 2, 6]
+    assert got["top_bigram_count"].tolist() == [3, 2, 0, 1, 3]
+    # doc0: all 9 covered; doc1: none; doc4: windows at 0 and 1 cover 0-3 (4)
+    assert got["dup_trigram_tokens"].tolist() == [9, 0, 0, 0, 4]
+    assert got["dup_trigram_frac"].tolist() == [1.0, 0.0, 0.0, 0.0, 4 / 6]
