@@ -1,12 +1,22 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Training-data extension. Image/audio decode libraries are NOT available in
-this environment, so the decode kernels are STUBS: each actor takes
-``backend="fake"`` (default — a deterministic content-hash-derived feature,
-so the Ray-side plumbing is fully testable) or ``backend="real"`` which
-raises NotImplementedError at the exact point a PIL/libsndfile call would
-go. Everything around the kernel — schema, actor-pool shape, batch sizing
-for large binary payloads, output layout — is real.
+Training-data extension. Three decode backends per actor:
+
+- ``backend="numpy"`` — a REAL decoder for uncompressed container
+  formats, implemented with numpy alone (no PIL/libsndfile/ffmpeg):
+  PNM images (P5 PGM / P6 PPM, binary variants) with true bilinear
+  resize + area-pooled features, RIFF/WAV PCM-16 audio with per-segment
+  mean-|amplitude| filterbank features and real duration, and
+  YUV4MPEG2 (y4m) video with uniform frame sampling over the Y plane.
+  Malformed payloads decode to ``decoded_ok=false`` rows, never raise.
+- ``backend="fake"`` (default) — a deterministic content-hash-derived
+  feature, so the Ray-side plumbing is testable with arbitrary bytes.
+- ``backend="real"`` — the integration point for COMPRESSED codecs
+  (JPEG/FLAC/H.264 via PIL/libsndfile/ffmpeg, not in this container);
+  raises NotImplementedError at exactly the external-library call site.
+
+Everything around the kernel — schema, actor-pool shape, batch sizing for
+large binary payloads, output layout — is identical across backends.
 
 Scale notes: binary payloads make blocks heavy; callers should use a small
 ``batch_size`` (32-128) and let `target_max_block_size` govern block
@@ -16,6 +26,7 @@ splits. Decoders are actor pools (model/codec init once per actor).
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -30,6 +41,187 @@ MEDIA_SCHEMA = pa.schema(
         ("duration_ms", pa.int32()),
     ]
 )
+
+
+# --- pure-numpy decoders for uncompressed formats --------------------------
+
+def decode_pnm(payload: bytes) -> np.ndarray:
+    """Binary PNM (P5 grayscale / P6 RGB, maxval <= 255) → float32
+    grayscale image (h, w) in [0, 255]. Raises ValueError on malformed
+    input. Header = magic, width, height, maxval as whitespace-separated
+    tokens with ``#`` comments, then one whitespace byte and raw samples."""
+    if len(payload) < 2 or payload[0:1] != b"P" or payload[1:2] not in (b"5", b"6"):
+        raise ValueError("not a binary PNM payload")
+    channels = 1 if payload[1:2] == b"5" else 3
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos] in b" \t\r\n":
+            pos += 1
+        if pos >= len(payload):
+            raise ValueError("truncated PNM header")
+        if payload[pos] in b"#":
+            while pos < len(payload) and payload[pos] not in b"\r\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos] not in b" \t\r\n":
+            pos += 1
+        tok = payload[start:pos]
+        if not tok.isdigit():
+            raise ValueError(f"bad PNM header token {tok!r}")
+        vals.append(int(tok))
+    w, h, maxval = vals
+    if not (0 < w and 0 < h and 0 < maxval <= 255):
+        raise ValueError(f"unsupported PNM dims/maxval {vals}")
+    pos += 1  # the single whitespace after maxval
+    need = w * h * channels
+    raw = payload[pos : pos + need]
+    if len(raw) < need:
+        raise ValueError("truncated PNM pixel data")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, channels)
+    if channels == 3:
+        # ITU-R BT.601 luma
+        gray = arr @ np.array([0.299, 0.587, 0.114], dtype=np.float32)
+    else:
+        gray = arr[:, :, 0].astype(np.float32)
+    return gray.astype(np.float32) * (255.0 / maxval)
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM 16-bit → (mono float32 samples, sample_rate).
+    Multi-channel input is mean-mixed to mono. Raises ValueError on
+    malformed/compressed input."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (csize,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            if csize < 16:
+                raise ValueError("short fmt chunk")
+            audio_fmt, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if audio_fmt != 1 or bits != 16 or channels < 1:
+                raise ValueError(
+                    f"unsupported WAV (fmt={audio_fmt}, bits={bits}): PCM-16 only"
+                )
+            fmt = (channels, rate)
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("WAV data chunk before fmt")
+            channels, rate = fmt
+            n = len(body) // (2 * channels)
+            if n == 0:
+                raise ValueError("empty WAV data")
+            samples = (
+                np.frombuffer(body[: n * 2 * channels], dtype="<i2")
+                .reshape(n, channels)
+                .mean(axis=1)
+                .astype(np.float32)
+            )
+            return samples, rate
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    raise ValueError("no WAV data chunk")
+
+
+def decode_y4m(payload: bytes) -> tuple[list[np.ndarray], float]:
+    """YUV4MPEG2 (uncompressed y4m) → (list of Y planes (h, w) uint8,
+    fps). Supports C420* (chroma skipped) and Cmono. Raises ValueError
+    on malformed input."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = 0
+    fps = 25.0
+    chroma = "420"
+    for tok in payload[9:nl].split(b" "):
+        if not tok:
+            continue
+        key, val = tok[:1], tok[1:]
+        if key == b"W":
+            w = int(val)
+        elif key == b"H":
+            h = int(val)
+        elif key == b"F":
+            num, den = val.split(b":")
+            fps = int(num) / int(den)
+        elif key == b"C":
+            chroma = val.decode()
+    if w <= 0 or h <= 0:
+        raise ValueError("missing y4m dimensions")
+    if chroma.startswith("420"):
+        frame_size = w * h + (w // 2) * (h // 2) * 2
+    elif chroma == "mono":
+        frame_size = w * h
+    else:
+        raise ValueError(f"unsupported y4m chroma {chroma!r}")
+    frames: list[np.ndarray] = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("malformed y4m FRAME marker")
+        pos = fnl + 1
+        raw = payload[pos : pos + frame_size]
+        if len(raw) < frame_size:
+            raise ValueError("truncated y4m frame")
+        frames.append(
+            np.frombuffer(raw[: w * h], dtype=np.uint8).reshape(h, w).copy()
+        )
+        pos += frame_size
+    if not frames:
+        raise ValueError("y4m payload has no frames")
+    return frames, fps
+
+
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Pure-numpy bilinear resize (align_corners=False / half-pixel
+    centers, the OpenCV/PIL convention), fully vectorized."""
+    h, w = img.shape
+    ys = (np.arange(out_h, dtype=np.float64) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w, dtype=np.float64) + 0.5) * (w / out_w) - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+    f = img.astype(np.float64)
+    top = f[y0[:, None], x0[None, :]] * (1 - wx) + f[y0[:, None], x1[None, :]] * wx
+    bot = f[y1[:, None], x0[None, :]] * (1 - wx) + f[y1[:, None], x1[None, :]] * wx
+    return (top * (1 - wy) + bot * wy).astype(np.float32)
+
+
+def _pool2d_to_dim(img: np.ndarray, dim: int) -> np.ndarray:
+    """Area-pool a 2D image into ``dim`` features: pool onto the smallest
+    g×g grid with g*g >= dim (reduceat bin means), take the first dim."""
+    g = int(np.ceil(np.sqrt(dim)))
+    h, w = img.shape
+    ye = (np.arange(g, dtype=np.int64) * h) // g
+    xe = (np.arange(g, dtype=np.int64) * w) // g
+    sums = np.add.reduceat(np.add.reduceat(img.astype(np.float64), ye, axis=0), xe, axis=1)
+    ycnt = np.diff(np.append(ye, h))[:, None]
+    xcnt = np.diff(np.append(xe, w))[None, :]
+    return (sums / (ycnt * xcnt)).ravel()[:dim].astype(np.float32)
+
+
+def _pool1d_to_dim(arr: np.ndarray, dim: int) -> np.ndarray:
+    """Area-pool a 1D signal into ``dim`` bin means (zero-padded when the
+    signal is shorter than dim)."""
+    n = len(arr)
+    if n == 0:
+        return np.zeros(dim, dtype=np.float32)
+    if n < dim:
+        out = np.zeros(dim, dtype=np.float32)
+        out[:n] = arr.astype(np.float32)
+        return out
+    edges = (np.arange(dim, dtype=np.int64) * n) // dim
+    sums = np.add.reduceat(arr.astype(np.float64), edges)
+    cnts = np.diff(np.append(edges, n))
+    return (sums / cnts).astype(np.float32)
 
 
 def _fake_features(payloads: list[bytes | None], dim: int) -> np.ndarray:
@@ -48,12 +240,14 @@ def _fake_features(payloads: list[bytes | None], dim: int) -> np.ndarray:
 class ImageDecodeActor:
     """media rows → decoded feature rows (actor pool stage).
 
-    backend="real" is the integration point for PIL/turbojpeg — stubbed:
-    raises NotImplementedError (library not in this container).
+    backend="numpy" really decodes binary PNM (P5/P6) payloads: bilinear
+    resize to ``resize`` + area-pooled grayscale features. backend="real"
+    is the integration point for compressed codecs (PIL/turbojpeg) —
+    stubbed: raises NotImplementedError (library not in this container).
     """
 
     def __init__(self, backend: str = "fake", feature_dim: int = 64, resize=(64, 64)):
-        if backend not in ("fake", "real"):
+        if backend not in ("fake", "numpy", "real"):
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
         self.feature_dim = feature_dim
@@ -63,22 +257,40 @@ class ImageDecodeActor:
         payloads = batch["payload"].to_pylist()
         if self.backend == "real":
             raise NotImplementedError(
-                "real image decode requires PIL/turbojpeg (not in container); "
-                "use backend='fake' for plumbing tests"
+                "real compressed-image decode requires PIL/turbojpeg (not in "
+                "container); use backend='numpy' for PNM or 'fake' for plumbing"
             )
-        feats = _fake_features(payloads, self.feature_dim)
-        ok = pa.array([bool(p) for p in payloads], pa.bool_())
+        out_w, out_h = int(self.resize[0]), int(self.resize[1])
+        if self.backend == "numpy":
+            ok_l, feats_l, w_l, h_l = [], [], [], []
+            for p in payloads:
+                try:
+                    gray = decode_pnm(p or b"")
+                    resized = resize_bilinear(gray, out_h, out_w)
+                    feats_l.append(_pool2d_to_dim(resized, self.feature_dim))
+                    ok_l.append(True)
+                    w_l.append(out_w)
+                    h_l.append(out_h)
+                except ValueError:
+                    feats_l.append(np.zeros(self.feature_dim, dtype=np.float32))
+                    ok_l.append(False)
+                    w_l.append(-1)
+                    h_l.append(-1)
+            feats = np.stack(feats_l) if feats_l else np.zeros((0, self.feature_dim), np.float32)
+            ok = pa.array(ok_l, pa.bool_())
+            widths, heights = w_l, h_l
+        else:
+            feats = _fake_features(payloads, self.feature_dim)
+            ok = pa.array([bool(p) for p in payloads], pa.bool_())
+            widths = [out_w if p else -1 for p in payloads]
+            heights = [out_h if p else -1 for p in payloads]
         return pa.table(
             {
                 "media_id": batch["media_id"],
                 "decoded_ok": ok,
                 "features": pa.array(list(feats), pa.list_(pa.float32())),
-                "out_width": pa.array(
-                    [self.resize[0] if p else -1 for p in payloads], pa.int32()
-                ),
-                "out_height": pa.array(
-                    [self.resize[1] if p else -1 for p in payloads], pa.int32()
-                ),
+                "out_width": pa.array(widths, pa.int32()),
+                "out_height": pa.array(heights, pa.int32()),
             }
         )
 
@@ -86,11 +298,14 @@ class ImageDecodeActor:
 class AudioFrameSampleActor:
     """media rows → fixed-rate frame-sample features (actor pool stage).
 
-    backend="real" is the libsndfile/ffmpeg integration point — stubbed.
+    backend="numpy" really decodes RIFF/WAV PCM-16 payloads: mono-mix,
+    split into ``frames`` equal segments, per-segment mean-|amplitude|
+    filterbank of ``feature_dim`` bins. backend="real" is the
+    libsndfile/ffmpeg integration point for compressed audio — stubbed.
     """
 
     def __init__(self, backend: str = "fake", frames: int = 16, feature_dim: int = 16):
-        if backend not in ("fake", "real"):
+        if backend not in ("fake", "numpy", "real"):
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
         self.frames = frames
@@ -99,9 +314,41 @@ class AudioFrameSampleActor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.backend == "real":
             raise NotImplementedError(
-                "real audio decode requires libsndfile/ffmpeg (not in container)"
+                "compressed-audio decode requires libsndfile/ffmpeg (not in "
+                "container); use backend='numpy' for WAV PCM-16"
             )
         payloads = batch["payload"].to_pylist()
+        if self.backend == "numpy":
+            ok_l, ff_l = [], []
+            for p in payloads:
+                try:
+                    samples, _rate = decode_wav_pcm16(p or b"")
+                    amp = np.abs(samples)
+                    n = len(amp)
+                    edges = (np.arange(self.frames, dtype=np.int64) * n) // self.frames
+                    segs = [
+                        _pool1d_to_dim(
+                            amp[edges[i] : (edges[i + 1] if i + 1 < self.frames else n)],
+                            self.feature_dim,
+                        ).tolist()
+                        for i in range(self.frames)
+                    ]
+                    ff_l.append(segs)
+                    ok_l.append(True)
+                except ValueError:
+                    ff_l.append(
+                        [[0.0] * self.feature_dim for _ in range(self.frames)]
+                    )
+                    ok_l.append(False)
+            return pa.table(
+                {
+                    "media_id": batch["media_id"],
+                    "decoded_ok": pa.array(ok_l, pa.bool_()),
+                    "frame_features": pa.array(
+                        ff_l, pa.list_(pa.list_(pa.float32()))
+                    ),
+                }
+            )
         feats = _fake_features(payloads, self.frames * self.feature_dim)
         return pa.table(
             {
@@ -118,16 +365,18 @@ class AudioFrameSampleActor:
 class VideoFrameSampleActor:
     """media rows → uniformly sampled frame features (actor pool stage).
 
-    backend="real" is the ffmpeg/pyav integration point — stubbed. Frame
-    timestamps are derived from ``duration_ms`` (uniform sampling), so the
-    output layout (per-frame ts + feature vector) is real even with the
-    fake decoder.
+    backend="numpy" really decodes YUV4MPEG2 (y4m) payloads: uniform
+    sampling of ``frames`` frames, per-frame area-pooled Y-plane features,
+    timestamps from the stream's real frame rate. backend="real" is the
+    ffmpeg/pyav integration point for compressed video — stubbed. With
+    the fake decoder, frame timestamps are derived from ``duration_ms``
+    (uniform sampling), so the output layout is real there too.
     """
 
     def __init__(
         self, backend: str = "fake", frames: int = 8, feature_dim: int = 32
     ):
-        if backend not in ("fake", "real"):
+        if backend not in ("fake", "numpy", "real"):
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
         self.frames = frames
@@ -136,10 +385,47 @@ class VideoFrameSampleActor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.backend == "real":
             raise NotImplementedError(
-                "real video decode requires ffmpeg/pyav (not in container)"
+                "compressed-video decode requires ffmpeg/pyav (not in "
+                "container); use backend='numpy' for y4m"
             )
         payloads = batch["payload"].to_pylist()
         durations = batch["duration_ms"].to_pylist()
+        if self.backend == "numpy":
+            ok_l, ts_l, ff_l = [], [], []
+            for p in payloads:
+                try:
+                    planes, fps = decode_y4m(p or b"")
+                    n = len(planes)
+                    idx = np.minimum(
+                        ((np.arange(self.frames) + 0.5) * n / self.frames).astype(
+                            np.int64
+                        ),
+                        n - 1,
+                    )
+                    ts_l.append([int(i * 1000.0 / fps) for i in idx])
+                    ff_l.append(
+                        [
+                            _pool2d_to_dim(planes[i], self.feature_dim).tolist()
+                            for i in idx
+                        ]
+                    )
+                    ok_l.append(True)
+                except ValueError:
+                    ts_l.append([0] * self.frames)
+                    ff_l.append(
+                        [[0.0] * self.feature_dim for _ in range(self.frames)]
+                    )
+                    ok_l.append(False)
+            return pa.table(
+                {
+                    "media_id": batch["media_id"],
+                    "decoded_ok": pa.array(ok_l, pa.bool_()),
+                    "frame_ts_ms": pa.array(ts_l, pa.list_(pa.int32())),
+                    "frame_features": pa.array(
+                        ff_l, pa.list_(pa.list_(pa.float32()))
+                    ),
+                }
+            )
         feats = _fake_features(payloads, self.frames * self.feature_dim)
         ts = [
             [
