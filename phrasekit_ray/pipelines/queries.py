@@ -1144,6 +1144,34 @@ def q_unique_tokens_per_lang(sf_dir: str):
     return _i64(_collect(out), "n_unique_tokens")
 
 
+def q_events_value_quantiles(sf_dir: str):
+    """Exact per-type p25/p50/p90 of event value cents (count-compressed
+    distributed quantiles; DuckDB quantile_cont oracle)."""
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_quantiles_int
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "cents": pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64()),
+            }
+        )
+
+    out = grouped_quantiles_int(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        "event_type",
+        "cents",
+        {"p25_cents": 0.25, "p50_cents": 0.5, "p90_cents": 0.9},
+    )
+    return _collect(out)
+
+
 def q_events_median_value(sf_dir: str):
     """Exact per-type median of event value cents (count-compressed
     distributed median; DuckDB median oracle)."""
@@ -1371,6 +1399,7 @@ QUERIES = {
     "q_join_customer_orders": q_join_customer_orders,
     "q_spell_correct": q_spell_correct,
     "q_events_median_value": q_events_median_value,
+    "q_events_value_quantiles": q_events_value_quantiles,
     "q_sample_docs_per_lang": q_sample_docs_per_lang,
     "q_customers_without_orders": q_customers_without_orders,
     "q_parts_in_lineitem": q_parts_in_lineitem,
@@ -1579,6 +1608,15 @@ ORACLE_SQL = {
     "q_events_median_value": (
         "SELECT event_type, median(CAST(round(value * 100.0) AS BIGINT)) "
         "AS median_cents FROM events GROUP BY 1"
+    ),
+    "q_events_value_quantiles": (
+        "WITH c AS (SELECT event_type, "
+        "CAST(round(value * 100.0) AS BIGINT) AS cents FROM events) "
+        "SELECT event_type, "
+        "quantile_cont(cents, 0.25) AS p25_cents, "
+        "quantile_cont(cents, 0.5) AS p50_cents, "
+        "quantile_cont(cents, 0.9) AS p90_cents "
+        "FROM c GROUP BY 1"
     ),
     # the polynomial rolling-hash fingerprint h = Σ b_i·P^(n-1-i) mod 2^64
     # re-expressed as Horner's rule in a recursive CTE over the UTF-8

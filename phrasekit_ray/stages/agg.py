@@ -625,6 +625,97 @@ def grouped_median_int(
     )
 
 
+def grouped_quantiles_int(
+    ds,
+    group_keys,
+    value_col: str,
+    quantiles: dict[str, float],
+    num_partitions: int | None = None,
+):
+    """EXACT continuous quantiles (any set of q's at once) of an integer
+    column per group, at scale — the generalization of
+    ``grouped_median_int``: rows collapse to (group, value) COUNTS via the
+    two-phase hash aggregate (the shuffle moves distinct values, not
+    rows), then one vectorized UDF per hash PARTITION resolves every
+    group's ranks with a single lexsort + segmented cumsum + one
+    searchsorted per requested quantile.
+
+    Interpolation replicates DuckDB ``quantile_cont`` bit-for-bit:
+    ``rn = (n-1)*q``, answer = ``v[floor(rn)]*(ceil(rn)-rn) +
+    v[ceil(rn)]*(rn-floor(rn))`` (the value itself when rn is integral) —
+    all in float64, so the SQL oracle hash-matches.
+
+    ``quantiles`` maps output column name → q in [0, 1].
+    """
+    gk = [group_keys] if isinstance(group_keys, str) else list(group_keys)
+    num_partitions = default_partitions(num_partitions)
+    qitems = list(quantiles.items())
+
+    counts = grouped_count(ds.map_batches(
+        lambda b: b.select(gk + [value_col]), batch_format="pyarrow"
+    ), gk + [value_col], count_col="_n", num_partitions=num_partitions)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_part", _part_column(batch, gk, num_partitions)
+        )
+
+    def quantiles_of_partition(group: pa.Table) -> pa.Table:
+        v = group[value_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = group["_n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(gk) == 1:
+            enc = group[gk[0]].combine_chunks().dictionary_encode()
+        else:
+            import pyarrow.compute as _pc
+
+            enc = _pc.binary_join_element_wise(
+                *[group[c].cast(pa.string()).combine_chunks() for c in gk], "\x1f"
+            ).dictionary_encode()
+        gids = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((v, gids))
+        gids_s, v_s, n_s = gids[order], v[order], n[order]
+        m = len(gids_s)
+        if m == 0:
+            out = {c: pa.array([], group[c].type) for c in gk}
+            for name, _q in qitems:
+                out[name] = pa.array([], pa.float64())
+            return pa.table(out)
+        seg = np.flatnonzero(
+            np.concatenate(([True], gids_s[1:] != gids_s[:-1]))
+        )
+        seg_end = np.concatenate((seg[1:], [m]))
+        cum = np.cumsum(n_s)
+        seg_base = np.zeros(m, dtype=np.int64)
+        seg_base[seg] = np.concatenate(([0], cum[seg[1:] - 1]))
+        seg_base = np.maximum.accumulate(seg_base)
+        totals = (cum - seg_base)[seg_end - 1]
+        base = seg_base[seg]
+        first_rows = order[seg]
+        out = {
+            c: group[c].combine_chunks().take(pa.array(first_rows)) for c in gk
+        }
+        for name, q in qitems:
+            rn = (totals - 1).astype(np.float64) * float(q)
+            frn = np.floor(rn).astype(np.int64)
+            crn = np.ceil(rn).astype(np.int64)
+            vlo = v_s[np.searchsorted(cum, base + frn + 1)].astype(np.float64)
+            vhi = v_s[np.searchsorted(cum, base + crn + 1)].astype(np.float64)
+            res = np.where(
+                crn == frn, vlo, vlo * (crn - rn) + vhi * (rn - frn)
+            )
+            out[name] = pa.array(res, pa.float64())
+        return pa.table(out)
+
+    return (
+        counts.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(
+            lambda g: quantiles_of_partition(g.drop_columns(["_part"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def stratified_sample(
     ds,
     group_col: str,

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pyarrow as pa
+import pandas as pd
 
 
 def test_hash_aggregate_sum_min_max_matches_arrow(ray_session):
@@ -345,3 +346,36 @@ def test_hash_aggregate_hot_key_exact(ray_session):
     vals, cnts = np.unique(keys, return_counts=True)
     assert got == dict(zip(vals.tolist(), cnts.tolist()))
     assert got[1] == int((np.arange(n) % 10 < 9).sum())
+
+
+def test_grouped_quantiles_int_matches_duckdb(ray_session):
+    import duckdb
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_quantiles_int
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    t = pa.table(
+        {
+            "g": pa.array(rng.integers(0, 7, n), pa.int64()),
+            "v": pa.array(rng.integers(-50, 50, n), pa.int64()),  # heavy ties
+        }
+    )
+    got = (
+        grouped_quantiles_int(
+            ray.data.from_arrow(t), "g", "v",
+            {"p10": 0.1, "p50": 0.5, "p99": 0.99},
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        "SELECT g, quantile_cont(v, 0.1) AS p10, quantile_cont(v, 0.5) AS p50, "
+        "quantile_cont(v, 0.99) AS p99 FROM t GROUP BY 1 ORDER BY g"
+    ).fetch_df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["g", "p10", "p50", "p99"]], want,
+                                  check_dtype=False)
