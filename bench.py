@@ -120,6 +120,8 @@ def bench_queries(sf_dir: str) -> dict:
         "q_spell_correct",
         "q_events_sessions",
         "q_events_asof",
+        "q_repetition",
+        "q_events_value_quantiles",
         "q_join_customer_orders",
         "q_lineitem_pricing",
         "q_orders_priority_revenue",
