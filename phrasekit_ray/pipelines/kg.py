@@ -55,6 +55,7 @@ def run_kg_pipeline(
     materialize_docs: bool = False,
     canonicalize: str = "driver",
     tag_keep_tokens: bool = False,
+    collect_stage_stats: bool = False,
 ) -> KGResult:
     kg_config = kg_config or KGConfig()
     phase = run_phrase_pipeline(
@@ -140,6 +141,21 @@ def run_kg_pipeline(
             "entities": len(set(mapping.values())),
             "written_at": _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime()),
         }
+        from dataclasses import asdict as _asdict
+
+        run_manifest["build_stats"] = _asdict(phase.build_stats)
+        if collect_stage_stats:
+            # per-stage structured counters (reference A5/A6 parity —
+            # phrasekit_score.rs:56-62, phrasekit_tag.rs:67-72). Opt-in:
+            # tag_stats re-executes the lazy tagging graph once more.
+            from phrasekit_ray.stages.tag import tag_stats
+
+            run_manifest["metrics"] = {
+                "phrases_scored": int(phase.scored.num_rows)
+                if hasattr(phase.scored, "num_rows")
+                else int(phase.scored.count()),
+                "tagging": tag_stats(tagged),
+            }
         with open(_os.path.join(output_root, "run_manifest.json"), "w") as f:
             _json.dump(run_manifest, f, indent=2)
 

@@ -209,3 +209,23 @@ def test_kg_pipeline_zero_phrases_graceful(ray_session):
     assert res.artifact.num_patterns == 0
     assert res.edges.count() == 0
     assert res.nodes.count() == 0
+
+
+def test_kg_run_manifest_stage_metrics(pages_ds, tmp_path):
+    import json
+
+    run_kg_pipeline(
+        pages_ds,
+        pagesmod.background_table(),
+        MineConfig(min_n=2, max_n=2, min_count=2),
+        ScoreConfig(min_domain_count=2),
+        output_root=str(tmp_path / "kg"),
+        num_partitions=2,
+        collect_stage_stats=True,
+    )
+    man = json.loads((tmp_path / "kg" / "run_manifest.json").read_text())
+    assert man["build_stats"]["built"] > 0
+    m = man["metrics"]
+    assert m["phrases_scored"] == man["build_stats"]["total_input"]
+    assert m["tagging"]["documents"] > 0
+    assert m["tagging"]["total_spans"] >= m["tagging"]["documents_with_spans"]
