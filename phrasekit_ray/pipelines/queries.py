@@ -23,6 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from phrasekit_ray.config import KGConfig, MineConfig, ScoreConfig, TagConfig
+from phrasekit_ray.core import normalize
 from phrasekit_ray.stages import dedup, kg as kgmod, similarity, textstats
 from phrasekit_ray.stages.build import build_from_scored, put_artifact
 from phrasekit_ray.stages.extract import tokenize_documents
@@ -719,6 +720,30 @@ def q_langid(sf_dir: str):
     return _i64(t.select(["doc_id", "lang_pred"]), "doc_id")
 
 
+def q_heavy_hitter_tokens(sf_dir: str):
+    """Exact 1/50-heavy-hitter tokens (count·50 > corpus tokens) via the
+    two-pass candidate+recount operator — only candidate rows ever
+    shuffle; full SQL oracle."""
+    import ray
+
+    from phrasekit_ray.stages.agg import exact_heavy_hitters
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks = normalize.tokenize_string_array(
+            b["text"].combine_chunks(), lowercase=False
+        )
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        flat = toks.values.slice(offsets[0], int(offsets[-1] - offsets[0]))
+        return pa.table({"tok": flat})
+
+    t = exact_heavy_hitters(
+        docs.map_batches(explode, batch_format="pyarrow"), "tok", k=50
+    )
+    return pa.table({"tok": t["key"], "count": t["count"]})
+
+
 def q_repetition(sf_dir: str):
     """Gopher-style repetition filters (top-bigram concentration +
     duplicated-trigram coverage) — integer components plus one exact
@@ -1013,6 +1038,22 @@ def q_events_tumbling(sf_dir: str):
         "window_start_us",
         "n_events",
         "sum_value_cents",
+    )
+
+
+def q_events_numbered(sf_dir: str):
+    """Per-user event numbering + inter-event gap (row_number()/lag()
+    window pair, partition-vectorized; SQL window oracle)."""
+    import ray
+
+    from phrasekit_ray.stages import windows
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return _i64(
+        _collect(windows.numbered_events(ev)),
+        "event_id", "user_id", "seq", "gap_us",
     )
 
 
@@ -1385,6 +1426,7 @@ QUERIES = {
     "q_quality": q_quality,
     "q_langid": q_langid,
     "q_repetition": q_repetition,
+    "q_heavy_hitter_tokens": q_heavy_hitter_tokens,
     "q_fingerprints": q_fingerprints,
     "q_knn_cosine": q_knn_cosine,
     "q_knn_lsh": q_knn_lsh,
@@ -1410,6 +1452,7 @@ QUERIES = {
     "q_top_terms_per_lang": q_top_terms_per_lang,
     "q_tag_policies": q_tag_policies,
     "q_events_tumbling": q_events_tumbling,
+    "q_events_numbered": q_events_numbered,
     "q_events_hopping": q_events_hopping,
     "q_events_asof_join": q_events_asof_join,
 }
@@ -1530,6 +1573,12 @@ ORACLE_SQL = {
         "SELECT doc_id, CAST(len(regexp_extract_all(text, "
         "'[A-Za-z]+|[0-9]+|[^ \\tA-Za-z0-9]')) AS BIGINT) AS n_bpe_tokens "
         "FROM documents"
+    ),
+    "q_heavy_hitter_tokens": (
+        f"WITH toks AS ({sql_toks()}), "
+        "tot AS (SELECT count(*) AS n FROM toks), "
+        "c AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1) "
+        "SELECT c.tok, c.cnt AS count FROM c, tot WHERE c.cnt * 50 > tot.n"
     ),
     "q_repetition": (
         f"WITH toks AS ({sql_toks()}), "
@@ -1766,6 +1815,13 @@ ORACLE_SQL = {
         "CAST(window_start_us AS BIGINT) AS window_start_us, "
         "count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_value_cents "
         "FROM exp GROUP BY 1, 2"
+    ),
+    "q_events_numbered": (
+        "SELECT event_id, user_id, "
+        "row_number() OVER w AS seq, "
+        "COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1) AS gap_us "
+        "FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
     ),
     "q_events_tumbling": (
         "SELECT CAST(user_id AS BIGINT) AS user_id, "

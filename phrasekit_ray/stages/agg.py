@@ -25,6 +25,7 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _AGG_FUNCS = {"sum", "min", "max"}
 
@@ -785,3 +786,100 @@ def stratified_sample(
             batch_format="pyarrow",
         )
     )
+
+
+def exact_heavy_hitters(
+    ds,
+    col: str,
+    k: int = 100,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """EXACT φ=1/k heavy hitters of a flat column in two passes — items
+    whose global count satisfies ``count * k > N`` (strict), with their
+    exact counts: (key, count) sorted by count desc, key asc.
+
+    Classic candidate-then-recount shape (the exact counterpart of a
+    Misra-Gries sketch pipeline):
+
+    1. **Candidates**: per block, exact in-block counts (dictionary
+       encode + bincount), keep items with ``count_b * k > n_b``. By the
+       averaging argument any global heavy hitter is a local heavy
+       hitter in at least one block, so the union (≤ k per block,
+       driver-bounded) is a superset of the answer — no false negatives.
+    2. **Recount**: the candidate set broadcasts (ray.put, ids only) and
+       every block emits exact counts for candidate members plus its row
+       total under a sentinel group; one small two-phase aggregate and a
+       strict ``count * k > N`` filter finish exactly.
+
+    The shuffle only ever moves ≤ (k × blocks + blocks) candidate rows —
+    the full key domain never shuffles (that's ``grouped_count``'s job).
+    """
+    import ray
+
+    from phrasekit_ray.stages.score import _get_broadcast
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    num_partitions = default_partitions(num_partitions)
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        enc = batch[col].combine_chunks().dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        n = len(idx)
+        if n == 0:
+            return pa.table({"key": pa.array([], pa.string())})
+        counts = np.bincount(idx, minlength=len(enc.dictionary))
+        keep = np.flatnonzero(counts * k > n)
+        return pa.table({"key": enc.dictionary.take(pa.array(keep))})
+
+    cand_set: set[str] = set()
+    for b in ds.map_batches(candidates, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        cand_set.update(b["key"].to_pylist())
+    if not cand_set:
+        return pa.table(
+            {"key": pa.array([], pa.string()), "count": pa.array([], pa.int64())}
+        )
+    cand_ref = ray.put(sorted(cand_set))
+
+    def recount(batch: pa.Table) -> pa.Table:
+        cand = _get_broadcast(cand_ref)
+        enc = batch[col].combine_chunks().dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        n = len(idx)
+        uniq = enc.dictionary.to_pylist()
+        counts = np.bincount(idx, minlength=len(uniq)) if n else np.zeros(0, np.int64)
+        pos = {u: i for i, u in enumerate(uniq)}
+        keys = [c for c in cand if c in pos]
+        cnts = [int(counts[pos[c]]) for c in keys]
+        return pa.table(
+            {
+                "key": pa.array(keys + [""], pa.string()),
+                "cnt": pa.array(cnts + [n], pa.int64()),
+                "is_total": pa.array([0] * len(keys) + [1], pa.int8()),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(recount, batch_format="pyarrow"),
+        ["key", "is_total"],
+        [("cnt", "sum")],
+        num_partitions=num_partitions,
+    )
+    parts = []
+    total = 0
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        parts.append(b)
+        m = b.filter(pc.equal(b["is_total"], 1))
+        if m.num_rows:
+            total += int(pc.sum(m["cnt"]).as_py())
+    t = pa.concat_tables(parts) if parts else pa.table(
+        {"key": pa.array([], pa.string()), "cnt": pa.array([], pa.int64()),
+         "is_total": pa.array([], pa.int8())}
+    )
+    t = t.filter(pc.equal(t["is_total"], 0))
+    keep = pc.greater(pc.multiply(t["cnt"].cast(pa.int64()), k), total)
+    t = t.filter(keep)
+    out = pa.table({"key": t["key"], "count": t["cnt"].cast(pa.int64())})
+    return out.sort_by([("count", "descending"), ("key", "ascending")])

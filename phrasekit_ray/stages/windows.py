@@ -375,3 +375,77 @@ def asof_join(
             batch_format="pyarrow",
         )
     )
+
+
+def numbered_events(
+    ds,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_partitions: int = 32,
+):
+    """events → (event_id, user_id, seq, gap_us): per-user event sequence
+    number (1-based, ordered by ts with id tiebreak) and microsecond gap
+    to the user's previous event (-1 for the first) — the row_number() /
+    lag() window pair, partition-shaped.
+
+    One vectorized UDF per hash PARTITION of the user key: lexsort
+    (user, ts, id), sequence = arange minus segment base, gap = one
+    np.diff masked at segment starts. Never one Python call per user.
+    """
+
+    def derive(batch: pa.Table) -> pa.Table:
+        uid = batch[user_col].combine_chunks().cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "ts": batch[ts_col].combine_chunks().cast(pa.int64()),
+                "event_id": batch[id_col].combine_chunks().cast(pa.int64()),
+                "_part": pa.array(_user_part(uid, num_partitions), pa.int32()),
+            }
+        )
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].combine_chunks().to_numpy()
+        ts = group["ts"].combine_chunks().to_numpy()
+        eid = group["event_id"].combine_chunks().to_numpy()
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "seq": pa.array([], pa.int64()),
+                    "gap_us": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((eid, ts, uid))
+        uid_s, ts_s, eid_s = uid[order], ts[order], eid[order]
+        new_user = np.concatenate(([True], uid_s[1:] != uid_s[:-1]))
+        idx = np.arange(n, dtype=np.int64)
+        seg_base = np.zeros(n, dtype=np.int64)
+        seg_base[new_user] = idx[new_user]
+        seg_base = np.maximum.accumulate(seg_base)
+        seq = idx - seg_base + 1
+        gap = np.full(n, -1, dtype=np.int64)
+        if n > 1:
+            d = ts_s[1:] - ts_s[:-1]
+            cont = ~new_user[1:]
+            gap[1:][cont] = d[cont]
+        return pa.table(
+            {
+                "event_id": pa.array(eid_s, pa.int64()),
+                "user_id": pa.array(uid_s, pa.int64()),
+                "seq": pa.array(seq, pa.int64()),
+                "gap_us": pa.array(gap, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(
+            lambda g: per_partition(g.drop_columns(["_part"])),
+            batch_format="pyarrow",
+        )
+    )

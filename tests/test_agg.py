@@ -379,3 +379,35 @@ def test_grouped_quantiles_int_matches_duckdb(ray_session):
     ).fetch_df().reset_index(drop=True)
     pd.testing.assert_frame_equal(got[["g", "p10", "p50", "p99"]], want,
                                   check_dtype=False)
+
+
+def test_exact_heavy_hitters_matches_exact_counts(ray_session):
+    import collections
+
+    import ray
+
+    from phrasekit_ray.stages.agg import exact_heavy_hitters
+
+    rng = np.random.default_rng(9)
+    # zipfish stream in 4 explicit blocks; 'hot' is heavy overall but
+    # diluted per block, 'warm' is borderline, the tail is noise
+    blocks = []
+    allv = []
+    for i in range(4):
+        v = (["hot"] * 60 + ["warm"] * 25
+             + [f"t{j}" for j in rng.integers(0, 200, 120)])
+        rng.shuffle(v)
+        allv.extend(v)
+        blocks.append(pa.table({"tok": pa.array(v)}))
+    ds = ray.data.from_arrow(blocks)
+    k = 10
+    got = exact_heavy_hitters(ds, "tok", k=k)
+    counts = collections.Counter(allv)
+    n = len(allv)
+    want = sorted(
+        ((c, t) for t, c in counts.items() if c * k > n),
+        key=lambda x: (-x[0], x[1]),
+    )
+    assert got["key"].to_pylist() == [t for _, t in want]
+    assert got["count"].to_pylist() == [c for c, _ in want]
+    assert "hot" in got["key"].to_pylist()
