@@ -173,7 +173,7 @@ def lookup_join(
     right_ds,
     left_key: str,
     right_key: str,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     left_schema=None,
     right_schema=None,
 ):
@@ -197,6 +197,7 @@ def lookup_join(
     when the side is LAZY and ends in an all-to-all: schema inference on
     such a dataset executes the whole upstream shuffle once just for the
     schema and again for the real run — double execution."""
+    num_partitions = default_partitions(num_partitions)
     left_schema = left_schema or left_ds.schema(fetch_if_missing=True)
     right_schema = right_schema or right_ds.schema(fetch_if_missing=True)
     left_cols = [n for n in left_schema.names]
@@ -277,7 +278,7 @@ def key_filter_join(
     left_key: str,
     right_key: str,
     anti: bool = False,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     broadcast_ids: int = 5_000_000,
     left_schema=None,
 ):
@@ -293,6 +294,7 @@ def key_filter_join(
       shape as ``lookup_join`` — both sides shuffle by key hash, ONE
       vectorized UDF per partition, no driver traffic.
     """
+    num_partitions = default_partitions(num_partitions)
     import ray
 
     def rkeys_only(batch: pa.Table) -> pa.Table:

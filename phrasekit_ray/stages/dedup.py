@@ -26,7 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from phrasekit_ray.core import normalize
-from phrasekit_ray.stages.agg import hash_aggregate
+from phrasekit_ray.stages.agg import default_partitions, hash_aggregate
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -186,7 +186,7 @@ def minhash_candidate_pairs(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ):
     """Dataset(doc_id, tokens) → Dataset(left, right) candidate near-dup
     pairs (docs sharing ≥1 LSH band bucket).
@@ -197,6 +197,8 @@ def minhash_candidate_pairs(
     the run's min id, keeping pair count linear in bucket size) with
     pure numpy — never one Python call per bucket (a web corpus has
     ~docs×bands buckets)."""
+
+    num_partitions = default_partitions(num_partitions)
 
     def fn(batch: pa.Table) -> pa.Table:
         t = minhash_band_rows(batch, id_col, tokens_col, num_perm, bands, shingle_k)
@@ -249,7 +251,7 @@ def verified_minhash_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     verify_jaccard: float | None = 0.5,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     semi_join_broadcast_ids: int = 5_000_000,
     materialize_input: bool = False,
 ):
@@ -393,7 +395,7 @@ def near_dedup_minhash(
     bands: int = 16,
     shingle_k: int = 3,
     verify_jaccard: float | None = 0.5,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     driver_cc_threshold: int = 2_000_000,
     materialize_input: bool = False,
 ) -> dict[int, int]:
@@ -510,7 +512,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     tokens_col: str = "tokens",
     max_docs_per_shingle: int | None = None,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Distributed EXACT k-shingle Jaccard near-dup pairs over a corpus:
     Dataset(doc_id, tokens) → Dataset(left, right, jaccard ≥ threshold).
@@ -532,6 +534,9 @@ def jaccard_pairs(
     Every stage shuffles by shingle / pair / doc key and stays fully
     distributed end to end.
     """
+    from phrasekit_ray.stages.agg import default_partitions
+
+    num_partitions = default_partitions(num_partitions)
     import ray
 
     def shingles(batch: pa.Table) -> pa.Table:
@@ -714,7 +719,7 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     num_planes: int = 16,
     seed: int = 11,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Dataset(vec_id, embedding) → Dataset(left, right, cosine) near-dup
     pairs. Scale path: random-hyperplane LSH buckets (sign bits of
@@ -725,6 +730,9 @@ def embedding_near_dup_pairs(
     iterating its bucket segments (the per-bucket matmul is the real
     work; the per-bucket Python overhead is amortized across the
     partition, not paid once per bucket key)."""
+    from phrasekit_ray.stages.agg import default_partitions
+
+    num_partitions = default_partitions(num_partitions)
 
     def buckets(batch: pa.Table) -> pa.Table:
         emb = batch[vec_col].combine_chunks()

@@ -364,7 +364,7 @@ def grouped_vector_mean(
     group_col: str = "label",
     vec_col: str = "embedding",
     dim: int = 64,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ):
     """Centroid (mean vector) per group over a list<float> column —
     Dataset(group, n, centroid: list<double>).

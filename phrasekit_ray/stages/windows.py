@@ -12,8 +12,10 @@ segment kernels (lexsort + boundary masks / pandas groupby-cummax, both
 C paths) — never one Python call per user key. With 10⁸ users that is P
 UDF invocations, not 10⁸. Partitioning assumption (documented per the
 custom-operator rule): one partition = the full history of every user
-hashed into it; no single PARTITION may exceed a worker's heap — choose
-``num_partitions`` ≳ corpus_bytes / target_partition_bytes at scale.
+hashed into it; no single PARTITION may exceed a worker's heap — the
+default auto-sizes to 2× cluster CPUs (``agg.default_partitions``), and
+at scale you should pass ``num_partitions`` ≳ corpus_bytes /
+target_partition_bytes explicitly.
 """
 
 from __future__ import annotations
@@ -21,6 +23,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from phrasekit_ray.stages.agg import default_partitions
 
 _I64_MIN = np.int64(np.iinfo(np.int64).min)
 
@@ -35,7 +39,7 @@ def sessionize(
     gap_minutes: float = 30.0,
     user_col: str = "user_id",
     ts_col: str = "ts",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """events(user_id, ts, ...) → (user_id, n_sessions, n_events).
 
@@ -45,6 +49,7 @@ def sessionize(
     session breaks found with one np.diff over the whole partition, and
     per-user totals come from np.add.reduceat over segment starts.
     """
+    num_partitions = default_partitions(num_partitions)
     gap_us = np.int64(gap_minutes * 60_000_000)
 
     def derive(batch: pa.Table) -> pa.Table:
@@ -105,7 +110,7 @@ def asof_last_event(
     ts_col: str = "ts",
     type_col: str = "event_type",
     id_col: str = "event_id",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """As-of lookup: for every event, the timestamp of the same user's
     most recent STRICTLY EARLIER event of ``mark_type`` (ties broken by
@@ -118,6 +123,7 @@ def asof_last_event(
     groupby-cummax (a single Cython call over the whole partition),
     shifted by one row with per-user reset.
     """
+    num_partitions = default_partitions(num_partitions)
     out_col = f"last_{mark_type}_us"
 
     def derive(batch: pa.Table) -> pa.Table:
@@ -276,7 +282,7 @@ def asof_join(
     ts_col: str = "ts",
     right_value_col: str = "value",
     left_id_col: str = "event_id",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Two-dataset AS-OF join: for every left row, attach the right row
     with the greatest timestamp ≤ the left timestamp for the same key
@@ -292,6 +298,7 @@ def asof_join(
 
     Returns (left_id, <right_value_col>_asof, matched_ts_us).
     """
+    num_partitions = default_partitions(num_partitions)
     out_val = f"{right_value_col}_asof"
 
     def conform_left(batch: pa.Table) -> pa.Table:
@@ -382,7 +389,7 @@ def numbered_events(
     user_col: str = "user_id",
     ts_col: str = "ts",
     id_col: str = "event_id",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """events → (event_id, user_id, seq, gap_us): per-user event sequence
     number (1-based, ordered by ts with id tiebreak) and microsecond gap
@@ -393,6 +400,7 @@ def numbered_events(
     (user, ts, id), sequence = arange minus segment base, gap = one
     np.diff masked at segment starts. Never one Python call per user.
     """
+    num_partitions = default_partitions(num_partitions)
 
     def derive(batch: pa.Table) -> pa.Table:
         uid = batch[user_col].combine_chunks().cast(pa.int64()).to_numpy()
