@@ -253,6 +253,7 @@ def verified_minhash_pairs(
     verify_jaccard: float | None = 0.5,
     num_partitions: int | None = None,
     semi_join_broadcast_ids: int = 5_000_000,
+    broadcast_verify_docs: int = 100_000,
     materialize_input: bool = False,
 ):
     """LSH candidate pairs, band-deduped and (by default) VERIFIED with the
@@ -276,6 +277,15 @@ def verified_minhash_pairs(
     joins, so the join shuffles move only pair-member documents instead
     of the whole corpus. Above the bound the joins take the full corpus
     — still distributed, just wider.
+
+    Broadcast verify fast path: when the member set is additionally
+    under ``broadcast_verify_docs``, the members' packed token strings
+    are collected once and broadcast, and verification is ONE stateless
+    map_batches over the pairs — zero join shuffles. Bounded
+    driver/broadcast state with the distributed joins as the fallback,
+    the same threshold pattern as ``driver_cc_threshold``. The verify
+    join width is also sized to the materialized pair count (never 64
+    near-empty partitions for a few hundred pairs).
     """
     import ray
 
@@ -297,6 +307,13 @@ def verified_minhash_pairs(
         return pairs.map_batches(
             lambda b: b.select(["left", "right"]), batch_format="pyarrow"
         )
+    # the pair count is already materialized — size the verify joins to
+    # the DATA, not the cluster: ~50k pairs per partition, capped at the
+    # cluster-derived width (a handful of pairs should not fan out into
+    # 64 near-empty shuffle partitions of pure scheduling overhead)
+    num_partitions = max(2, min(
+        default_partitions(num_partitions), -(-n_pairs // 50_000)
+    ))
 
     member_ref = None
     if 2 * n_pairs <= semi_join_broadcast_ids:
@@ -327,6 +344,52 @@ def verified_minhash_pairs(
             toks.combine_chunks().cast(pa.list_(pa.string())), "\x1f"
         )
         return pa.table({"_vid": ids_arr, "_packed": packed.cast(pa.string())})
+
+    # bounded broadcast fast path (same pattern as driver_cc_threshold:
+    # driver/broadcast state bounded by a threshold, distributed
+    # fallback above it): when the pair-member doc set is small, collect
+    # the members' PACKED token strings once, ray.put them, and verify
+    # every candidate pair in ONE stateless map_batches over the pairs —
+    # zero join shuffles. Above the bound, the two lookup_join shuffles
+    # below remain the scale path.
+    if member_ref is not None and len(members) <= broadcast_verify_docs:
+        packed_docs: dict[int, str] = {}
+        for b in ds.map_batches(pack, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            packed_docs.update(
+                zip(b["_vid"].to_pylist(), b["_packed"].to_pylist())
+            )
+        docs_ref = ray.put(packed_docs)
+        thr_b = float(verify_jaccard)
+        k_b = shingle_k
+
+        def verify_broadcast(batch: pa.Table) -> pa.Table:
+            from phrasekit_ray.stages.score import _get_broadcast
+
+            lookup = _get_broadcast(docs_ref)
+            lids = batch["left"].to_pylist()
+            rids = batch["right"].to_pylist()
+            j = np.fromiter(
+                (
+                    ngram_jaccard(
+                        lookup[l].split("\x1f"), lookup[r].split("\x1f"), k_b
+                    )
+                    for l, r in zip(lids, rids)
+                ),
+                dtype=np.float64,
+                count=len(lids),
+            )
+            keep = j >= thr_b
+            return pa.table(
+                {
+                    "left": batch["left"].cast(pa.int64()),
+                    "right": batch["right"].cast(pa.int64()),
+                    "jaccard": pa.array(j, pa.float64()),
+                }
+            ).filter(pa.array(keep))
+
+        return pairs.map_batches(verify_broadcast, batch_format="pyarrow")
 
     # tokenize+pack runs ONCE; the two join sides are cheap renames over
     # the materialized blocks
