@@ -720,6 +720,37 @@ def q_langid(sf_dir: str):
     return _i64(t.select(["doc_id", "lang_pred"]), "doc_id")
 
 
+def q_pages_per_section(sf_dir: str):
+    """Per-(host, section) page counts + distinct languages over the
+    Common-Crawl-style pages table: vectorized RE2 URL parsing → count
+    aggregate + grouped COUNT(DISTINCT lang). SQL split_part oracle over
+    the same deterministic url derivation."""
+    from phrasekit_ray.sources.pages import pages_from_documents
+    from phrasekit_ray.stages.agg import grouped_count, grouped_count_distinct
+    from phrasekit_ray.stages.extract import parse_urls
+
+    pages = parse_urls(pages_from_documents(sf_dir))
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.select(["host", "section", "lang"])
+
+    keyed = pages.map_batches(keep, batch_format="pyarrow")
+    counts = _collect(grouped_count(keyed, ["host", "section"], count_col="n_pages"))
+    langs = _collect(
+        grouped_count_distinct(keyed, ["host", "section"], "lang", count_col="n_langs")
+    )
+    merged = counts.join(langs, keys=["host", "section"], join_type="inner")
+    return _i64(merged, "n_pages", "n_langs")
+
+
+def q_redact(sf_dir: str):
+    """C4-style PII/blocklist scrubbing — sequential RE2 replacements +
+    per-pattern counts; DuckDB regexp_replace/extract_all oracle (same
+    RE2 engine, byte-identical redacted text)."""
+    t = _collect(textstats.redact_patterns(_docs(sf_dir)))
+    return _i64(t, "doc_id")
+
+
 def q_heavy_hitter_tokens(sf_dir: str):
     """Exact 1/50-heavy-hitter tokens (count·50 > corpus tokens) via the
     two-pass candidate+recount operator — only candidate rows ever
@@ -1427,6 +1458,8 @@ QUERIES = {
     "q_langid": q_langid,
     "q_repetition": q_repetition,
     "q_heavy_hitter_tokens": q_heavy_hitter_tokens,
+    "q_redact": q_redact,
+    "q_pages_per_section": q_pages_per_section,
     "q_fingerprints": q_fingerprints,
     "q_knn_cosine": q_knn_cosine,
     "q_knn_lsh": q_knn_lsh,
@@ -1573,6 +1606,39 @@ ORACLE_SQL = {
         "SELECT doc_id, CAST(len(regexp_extract_all(text, "
         "'[A-Za-z]+|[0-9]+|[^ \\tA-Za-z0-9]')) AS BIGINT) AS n_bpe_tokens "
         "FROM documents"
+    ),
+    "q_pages_per_section": (
+        "WITH pages AS (SELECT 'https://example.org/' || source || '/' || "
+        "  CAST(doc_id AS VARCHAR) AS url, lang FROM documents), "
+        "parsed AS (SELECT split_part(split_part(url, '//', 2), '/', 1) AS host, "
+        "  split_part(split_part(url, '//', 2), '/', 2) AS section, lang "
+        "  FROM pages) "
+        "SELECT host, section, count(*) AS n_pages, "
+        "count(DISTINCT lang) AS n_langs FROM parsed GROUP BY 1, 2"
+    ),
+    # sequential redaction: each pattern sees the previous pattern's
+    # output, counts taken at each step — mirrored by nesting
+    "q_redact": (
+        "WITH s0 AS (SELECT doc_id, text AS t FROM documents), "
+        "s1 AS (SELECT doc_id, "
+        " regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+        "   '[MASKED]', 'g') AS t, "
+        " len(regexp_extract_all(t, "
+        "   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email "
+        " FROM s0), "
+        "s2 AS (SELECT doc_id, "
+        " regexp_replace(t, '\\+?\\d[\\d() -]{6,}\\d', '[MASKED]', 'g') AS t, "
+        " n_email, "
+        " len(regexp_extract_all(t, '\\+?\\d[\\d() -]{6,}\\d')) AS n_phone "
+        " FROM s1), "
+        "s3 AS (SELECT doc_id, "
+        " regexp_replace(t, '\\b(?:customer|dup)\\b', '[MASKED]', 'g') AS t, "
+        " n_email, n_phone, "
+        " len(regexp_extract_all(t, '\\b(?:customer|dup)\\b')) AS n_blocked "
+        " FROM s2) "
+        "SELECT doc_id, t AS text_redacted, CAST(n_email AS BIGINT) AS n_email, "
+        "CAST(n_phone AS BIGINT) AS n_phone, "
+        "CAST(n_blocked AS BIGINT) AS n_blocked FROM s3"
     ),
     "q_heavy_hitter_tokens": (
         f"WITH toks AS ({sql_toks()}), "

@@ -89,3 +89,28 @@ def tokenize_documents(ds, text_col: str = "text", id_col: str = "doc_id", **map
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", **map_kwargs)
+
+
+def parse_urls(ds, url_col: str = "url", **map_kwargs):
+    """pages → + (host, section): vectorized URL decomposition with one
+    RE2 ``extract_regex`` kernel per batch (scheme://host/first-path-
+    segment; rows that don't parse get empty strings). The Common-Crawl-
+    style groupwork key for per-site aggregation — no Python per row."""
+    import pyarrow.compute as pc
+
+    pat = r"^[A-Za-z][A-Za-z0-9+.-]*://(?P<host>[^/]+)(?:/(?P<seg>[^/?#]*))?"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        urls = batch[url_col].combine_chunks()
+        ex = pc.extract_regex(urls, pat)
+        host = ex.field("host")
+        seg = ex.field("seg")
+        # non-matching rows → null struct → fill empty
+        host = pc.coalesce(host, "")
+        seg = pc.coalesce(seg, "")
+        out = {c: batch[c] for c in batch.column_names}
+        out["host"] = host
+        out["section"] = seg
+        return pa.table(out)
+
+    return ds.map_batches(fn, batch_format="pyarrow", **map_kwargs)

@@ -307,3 +307,46 @@ def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id", **kw):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", **kw)
+
+
+# C4/CCNet-style scrubbing patterns: PII regexes + a demo word blocklist.
+# RE2 syntax on purpose — pyarrow's re2 and DuckDB's regexp_* use the
+# same engine, so the SQL oracle replays replacements byte-for-byte.
+REDACT_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\+?\d[\d() -]{6,}\d"),
+    ("blocked", r"\b(?:customer|dup)\b"),
+]
+
+
+def redact_patterns(
+    ds,
+    patterns: list[tuple[str, str]] | None = None,
+    mask: str = "[MASKED]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kw,
+):
+    """PII / blocklist scrubbing (the C4-style cleanup stage): Dataset →
+    (doc_id, text_redacted, n_<name> per pattern).
+
+    Patterns apply SEQUENTIALLY (each sees the previous pattern's
+    output); counts are per-pattern non-overlapping match counts at that
+    step. Fully vectorized — one pyarrow re2 kernel call per pattern per
+    batch, no Python per row. Stateless map_batches; no shuffle.
+    """
+    pats = REDACT_PATTERNS if patterns is None else patterns
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cur = batch[text_col].combine_chunks()
+        out = {id_col: batch[id_col]}
+        counts = {}
+        for name, pat in pats:
+            counts[f"n_{name}"] = pc.count_substring_regex(cur, pat)
+            cur = pc.replace_substring_regex(cur, pat, mask)
+        out["text_redacted"] = cur
+        for k, v in counts.items():
+            out[k] = v.cast(pa.int64())
+        return pa.table(out)
+
+    return ds.map_batches(fn, batch_format="pyarrow", **kw)

@@ -133,3 +133,27 @@ def test_repetition_stats_engineered(ray_session):
     # doc0: all 9 covered; doc1: none; doc4: windows at 0 and 1 cover 0-3 (4)
     assert got["dup_trigram_tokens"].tolist() == [9, 0, 0, 0, 4]
     assert got["dup_trigram_frac"].tolist() == [1.0, 0.0, 0.0, 0.0, 4 / 6]
+
+
+def test_redact_patterns_engineered(ray_session):
+    import ray
+
+    texts = [
+        "mail a@b.co and c.d+e@f.org twice",
+        "call +1 555-123-4567 now",
+        "the customer and the dup row",   # blocklist hits
+        "customerless dupper untouched",  # \b guards: no hits
+    ]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(texts)})
+    got = (
+        textstats.redact_patterns(ray.data.from_arrow(t))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got["n_email"].tolist() == [2, 0, 0, 0]
+    assert got["n_phone"].tolist() == [0, 1, 0, 0]
+    assert got["n_blocked"].tolist() == [0, 0, 2, 0]
+    assert got.loc[0, "text_redacted"] == "mail [MASKED] and [MASKED] twice"
+    assert got.loc[1, "text_redacted"] == "call [MASKED] now"
+    assert got.loc[2, "text_redacted"] == "the [MASKED] and the [MASKED] row"
+    assert got.loc[3, "text_redacted"] == texts[3]
