@@ -168,3 +168,60 @@ def run_kg_pipeline(
         edges=edges,
         write_summary=summary,
     )
+
+
+def run_kg_increment(
+    pages_ds,
+    artifact_ref,
+    mapping: dict,
+    kg_config: KGConfig | None = None,
+    tag_config: TagConfig | None = None,
+    id_col: str = "url",
+    lang_allow: tuple[str, ...] | None = None,
+    tag_concurrency=(1, 8),
+    tag_batch_size: int = 1024,
+) -> KGResult:
+    """Incremental KG construction: run ONLY the per-document stages
+    (extract → tag → triples/nodes/edges) over a NEW batch of pages,
+    against a FIXED prior artifact + canonical mapping.
+
+    Mention detection is per-document and node/edge aggregates are
+    additive, so `merge_edge_tables(prior.edges, inc.edges)` /
+    `merge_node_tables(...)` reproduce exactly what a full run over the
+    combined corpus would emit with the same artifact (pinned by
+    tests/test_kg.py::test_incremental_merge_equals_full_run). The
+    corpus-wide stages (mine/score/build) deliberately do NOT rerun —
+    an increment never changes the phrase inventory; re-mine on your
+    own cadence and rebuild when the phrase set should refresh.
+    """
+    from phrasekit_ray.core.artifact import MatcherArtifact
+    from phrasekit_ray.stages.extract import extract_tokens
+    from phrasekit_ray.stages.tag import tag_corpus
+
+    kg_config = kg_config or KGConfig()
+    docs = extract_tokens(pages_ds, id_col=id_col, lang_allow=lang_allow)
+    tagged = tag_corpus(
+        docs,
+        artifact_ref,
+        tag_config,
+        concurrency=tag_concurrency,
+        batch_size=tag_batch_size,
+        keep_tokens=False,
+        id_col="doc_id",
+    )
+    import ray as _ray
+
+    artifact = _ray.get(artifact_ref) if not isinstance(artifact_ref, MatcherArtifact) else artifact_ref
+    names = kgmod.canonical_names_from_artifact(artifact, mapping)
+    mentions = kgmod.mentions_from_tagged(tagged)
+    triples = kgmod.triples_from_tagged(tagged, mapping, kg_config)
+    nodes = kgmod.node_table(mentions, mapping, names)
+    edges = kgmod.edge_table(triples)
+    return KGResult(
+        artifact=artifact,
+        mapping=mapping,
+        mentions=mentions,
+        triples=triples,
+        nodes=nodes,
+        edges=edges,
+    )

@@ -387,3 +387,59 @@ def canonical_names_from_artifact(
         for pid, toks in zip(artifact.phrase_ids, artifact.pattern_tokens)
     }
     return {ent: by_pid[ent] for ent in set(mapping.values()) if ent in by_pid}
+
+
+# --- incremental KG construction -------------------------------------------
+
+def _conform_edges(batch: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "subj": batch["subj"].cast(pa.int64()),
+            "pred": batch["pred"].cast(pa.string()),
+            "obj": batch["obj"].cast(pa.int64()),
+            "weight": batch["weight"].cast(pa.int64()),
+        }
+    )
+
+
+def merge_edge_tables(*edge_dss, num_partitions: int | None = None):
+    """Union edge tables from incremental runs and re-aggregate —
+    edge weights are additive triple counts, so incremental KG
+    construction over a FIXED artifact/mapping is exactly
+    union + grouped sum (proved by
+    tests/test_kg.py::test_incremental_merge_equals_full_run).
+    (subj, pred, obj) stays the full group key: increments carrying
+    different predicates never merge."""
+    ds = edge_dss[0]
+    for other in edge_dss[1:]:
+        ds = ds.union(other)
+    return hash_aggregate(
+        ds.map_batches(_conform_edges, batch_format="pyarrow"),
+        ["subj", "pred", "obj"],
+        [("weight", "sum")],
+        num_partitions=num_partitions,
+    )
+
+
+def merge_node_tables(*node_dss, num_partitions: int | None = None):
+    """Union node tables from incremental runs — mention counts are
+    additive per (entity_id, canonical)."""
+
+    def conform(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "entity_id": batch["entity_id"].cast(pa.int64()),
+                "canonical": batch["canonical"].cast(pa.string()),
+                "n_mentions": batch["n_mentions"].cast(pa.int64()),
+            }
+        )
+
+    ds = node_dss[0]
+    for other in node_dss[1:]:
+        ds = ds.union(other)
+    return hash_aggregate(
+        ds.map_batches(conform, batch_format="pyarrow"),
+        ["entity_id", "canonical"],
+        [("n_mentions", "sum")],
+        num_partitions=num_partitions,
+    )

@@ -251,3 +251,46 @@ def test_edge_table_mixed_predicates(ray_session):
         (1, "rel_b", 2): 1,
         (2, "rel_a", 3): 1,
     }
+
+
+def test_incremental_merge_equals_full_run(ray_session):
+    """Incremental KG construction invariant: with a FIXED artifact +
+    mapping, tagging two disjoint halves of the corpus and merging their
+    node/edge tables equals one full run over the combined corpus."""
+    import ray
+
+    from phrasekit_ray.config import MineConfig, ScoreConfig
+    from phrasekit_ray.pipelines.kg import run_kg_increment, run_kg_pipeline
+    from phrasekit_ray.sources import pages as pagesmod
+    from phrasekit_ray.stages.build import put_artifact
+    from phrasekit_ray.stages.kg import merge_edge_tables, merge_node_tables
+
+    full_tbl = pagesmod.synthesize_pages_table()
+    full = ray.data.from_arrow(full_tbl)
+    res = run_kg_pipeline(
+        full,
+        pagesmod.background_table(),
+        MineConfig(min_n=2, max_n=5, min_count=2),
+        ScoreConfig(min_domain_count=2),
+    )
+    ref = put_artifact(res.artifact)
+
+    n = full_tbl.num_rows
+    half_a = ray.data.from_arrow(full_tbl.slice(0, n // 2))
+    half_b = ray.data.from_arrow(full_tbl.slice(n // 2))
+    inc_a = run_kg_increment(half_a, ref, res.mapping)
+    inc_b = run_kg_increment(half_b, ref, res.mapping)
+
+    def norm(ds, cols):
+        df = ds.to_pandas()[cols]
+        return df.sort_values(cols).reset_index(drop=True)
+
+    e_cols = ["subj", "pred", "obj", "weight"]
+    merged_e = norm(merge_edge_tables(inc_a.edges, inc_b.edges), e_cols)
+    full_e = norm(merge_edge_tables(res.edges), e_cols)  # conform types
+    assert merged_e.equals(full_e)
+
+    n_cols = ["entity_id", "canonical", "n_mentions"]
+    merged_n = norm(merge_node_tables(inc_a.nodes, inc_b.nodes), n_cols)
+    full_n = norm(merge_node_tables(res.nodes), n_cols)
+    assert merged_n.equals(full_n)
