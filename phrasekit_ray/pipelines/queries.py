@@ -720,6 +720,32 @@ def q_langid(sf_dir: str):
     return _i64(t.select(["doc_id", "lang_pred"]), "doc_id")
 
 
+def q_pagerank_top(sf_dir: str):
+    """Top-20 KG entities by weighted PageRank over the co-mention edge
+    table (distributed join/aggregate power iteration; rows-only —
+    float ranks aren't stable enough across summation orders for a hash
+    oracle; pytest pins equality vs a dense numpy power iteration)."""
+    tagged, artifact = _tagged_all_bigrams(sf_dir)
+    mapping = {int(p): int(p) for p in artifact.phrase_ids}
+    triples = kgmod.triples_from_tagged(tagged, mapping, KGConfig())
+    edges = kgmod.edge_table(triples)
+    ranks = kgmod.pagerank(edges, iterations=6)
+    t = _collect(ranks)
+    order = pa.compute.sort_indices(
+        t, sort_keys=[("rank", "descending"), ("node", "ascending")]
+    )
+    top = t.take(order.slice(0, 20))
+    return pa.table(
+        {
+            "node": top["node"].cast(pa.int64()),
+            "rank_e9": pa.array(
+                np.round(np.asarray(top["rank"].to_pylist()) * 1e9).astype(np.int64),
+                pa.int64(),
+            ),
+        }
+    )
+
+
 def q_pages_per_section(sf_dir: str):
     """Per-(host, section) page counts + distinct languages over the
     Common-Crawl-style pages table: vectorized RE2 URL parsing → count
@@ -1460,6 +1486,7 @@ QUERIES = {
     "q_heavy_hitter_tokens": q_heavy_hitter_tokens,
     "q_redact": q_redact,
     "q_pages_per_section": q_pages_per_section,
+    "q_pagerank_top": q_pagerank_top,
     "q_fingerprints": q_fingerprints,
     "q_knn_cosine": q_knn_cosine,
     "q_knn_lsh": q_knn_lsh,

@@ -443,3 +443,165 @@ def merge_node_tables(*node_dss, num_partitions: int | None = None):
         [("n_mentions", "sum")],
         num_partitions=num_partitions,
     )
+
+
+def pagerank(
+    edges_ds,
+    damping: float = 0.85,
+    iterations: int = 10,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+    weight_col: str = "weight",
+    num_partitions: int | None = None,
+):
+    """Weighted PageRank over the KG edge table — power iteration built
+    from the engine's own primitives, fully distributed:
+
+    per round, rank/out-weight attaches to each edge with ONE int-keyed
+    ``lookup_join`` (ranks are unique per node), per-edge contributions
+    ``rank · w/out_w`` aggregate to the target node with ONE two-phase
+    ``hash_aggregate``, and dangling mass (nodes with no out-edges)
+    redistributes uniformly via two scalar ``Dataset.sum`` aggregates —
+    the driver only ever holds scalars; ranks stay a Dataset and are
+    re-materialized once per round (an iterative lazy graph would
+    re-execute all prior rounds per consumer).
+
+    Returns Dataset(node: int64, rank: float64); ranks sum to 1.
+    """
+    import ray
+
+    from phrasekit_ray.stages.agg import default_partitions as _dp
+    from phrasekit_ray.stages.agg import hash_aggregate, lookup_join
+
+    num_partitions = _dp(num_partitions)
+
+    def conform(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subj": batch[subj_col].cast(pa.int64()),
+                "obj": batch[obj_col].cast(pa.int64()),
+                "w": batch[weight_col].cast(pa.float64()),
+            }
+        )
+
+    edges = edges_ds.map_batches(conform, batch_format="pyarrow").materialize()
+
+    def halves(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": pa.concat_arrays(
+                [batch["subj"].combine_chunks(), batch["obj"].combine_chunks()]
+            )}
+        )
+
+    nodes = hash_aggregate(
+        edges.map_batches(halves, batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.append_column("_one", pa.array(np.ones(b.num_rows))),
+            batch_format="pyarrow",
+        ),
+        ["node"],
+        [("_one", "sum")],
+        num_partitions=num_partitions,
+    ).map_batches(lambda b: b.select(["node"]), batch_format="pyarrow").materialize()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.float64())})
+        )
+
+    out_w = hash_aggregate(
+        edges.map_batches(
+            lambda b: pa.table({"subj": b["subj"], "ow": b["w"]}),
+            batch_format="pyarrow",
+        ),
+        ["subj"],
+        [("ow", "sum")],
+        num_partitions=num_partitions,
+    ).materialize()
+
+    init = 1.0 / n_nodes
+    ranks = nodes.map_batches(
+        lambda b: b.append_column(
+            "rank", pa.array(np.full(b.num_rows, init, np.float64))
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    ranks_schema = pa.schema([("node", pa.int64()), ("rank", pa.float64())])
+    ow_schema = pa.schema([("subj", pa.int64()), ("ow", pa.float64())])
+    edges_schema = pa.schema(
+        [("subj", pa.int64()), ("obj", pa.int64()), ("w", pa.float64())]
+    )
+    rw_schema = pa.schema(
+        [("node", pa.int64()), ("rank", pa.float64()), ("ow", pa.float64())]
+    )
+
+    d = float(damping)
+    for _ in range(iterations):
+        # rank (and out-weight) of every NON-DANGLING node; inner join
+        # drops dangling nodes, whose mass is recovered as a scalar below
+        rw = lookup_join(
+            ranks, out_w, "node", "subj", num_partitions,
+            left_schema=ranks_schema, right_schema=ow_schema,
+        ).materialize()
+        total = ranks.sum("rank")
+        non_dangling = rw.sum("rank") or 0.0
+        dangling_mass = total - non_dangling
+
+        per_out = rw.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"],
+                    "rpo": pa.array(
+                        b["rank"].to_numpy(zero_copy_only=False)
+                        / b["ow"].to_numpy(zero_copy_only=False),
+                        pa.float64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        contrib_edges = lookup_join(
+            edges, per_out, "subj", "node", num_partitions,
+            left_schema=edges_schema,
+            right_schema=pa.schema([("node", pa.int64()), ("rpo", pa.float64())]),
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["obj"],
+                    "s": pa.array(
+                        b["w"].to_numpy(zero_copy_only=False)
+                        * b["rpo"].to_numpy(zero_copy_only=False),
+                        pa.float64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        # union with a zero row per node so sinks keep a rank entry
+        zeros = nodes.map_batches(
+            lambda b: pa.table(
+                {"node": b["node"],
+                 "s": pa.array(np.zeros(b.num_rows, np.float64))}
+            ),
+            batch_format="pyarrow",
+        )
+        sums = hash_aggregate(
+            contrib_edges.union(zeros), ["node"], [("s", "sum")],
+            num_partitions=num_partitions,
+        )
+        base = (1.0 - d) / n_nodes + d * dangling_mass / n_nodes
+
+        def renorm(b: pa.Table, _base=base, _d=d) -> pa.Table:
+            return pa.table(
+                {
+                    "node": b["node"],
+                    "rank": pa.array(
+                        _base + _d * b["s"].to_numpy(zero_copy_only=False),
+                        pa.float64(),
+                    ),
+                }
+            )
+
+        ranks = sums.map_batches(renorm, batch_format="pyarrow").materialize()
+    return ranks

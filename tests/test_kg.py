@@ -294,3 +294,52 @@ def test_incremental_merge_equals_full_run(ray_session):
     merged_n = norm(merge_node_tables(inc_a.nodes, inc_b.nodes), n_cols)
     full_n = norm(merge_node_tables(res.nodes), n_cols)
     assert merged_n.equals(full_n)
+
+
+def test_pagerank_matches_dense_power_iteration(ray_session):
+    """Differential: the distributed join/aggregate PageRank equals a
+    dense numpy power iteration with the same damping/dangling handling."""
+    import numpy as np
+    import ray
+
+    from phrasekit_ray.stages.kg import pagerank
+
+    rng = np.random.default_rng(21)
+    n = 30
+    rows = []
+    for _ in range(120):
+        s, o = rng.integers(0, n, 2)
+        if s != o:
+            rows.append((int(s), int(o), int(rng.integers(1, 5))))
+    t = pa.table(
+        {
+            "subj": pa.array([r[0] for r in rows], pa.int64()),
+            "pred": pa.array(["p"] * len(rows)),
+            "obj": pa.array([r[1] for r in rows], pa.int64()),
+            "weight": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(ray.data.from_arrow(t), iterations=6).iter_rows()
+    }
+
+    # dense reference
+    nodes = sorted({r[0] for r in rows} | {r[1] for r in rows})
+    idx = {v: i for i, v in enumerate(nodes)}
+    m = len(nodes)
+    W = np.zeros((m, m))
+    for s, o, w in rows:
+        W[idx[s], idx[o]] += w
+    outw = W.sum(axis=1)
+    d = 0.85
+    r = np.full(m, 1.0 / m)
+    for _ in range(6):
+        dangling = r[outw == 0].sum()
+        contrib = np.zeros(m)
+        nz = outw > 0
+        contrib = (W[nz].T @ (r[nz] / outw[nz]))
+        r = (1 - d) / m + d * (contrib + dangling / m)
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9
