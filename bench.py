@@ -122,6 +122,10 @@ def bench_queries(sf_dir: str) -> dict:
         "q_events_asof",
         "q_repetition",
         "q_events_value_quantiles",
+        "q_events_numbered",
+        "q_redact",
+        "q_heavy_hitter_tokens",
+        "q_pages_per_section",
         "q_join_customer_orders",
         "q_lineitem_pricing",
         "q_orders_priority_revenue",

@@ -720,6 +720,16 @@ def q_langid(sf_dir: str):
     return _i64(t.select(["doc_id", "lang_pred"]), "doc_id")
 
 
+def q_classify(sf_dir: str):
+    """Hashed-feature linear classifier over documents (actor-pool
+    batched model inference; md5 weight table makes it integer-exact and
+    fully SQL-oracle-checked — see stages/classify.py)."""
+    from phrasekit_ray.stages.classify import classify_documents
+
+    t = _collect(classify_documents(_docs(sf_dir)))
+    return _i64(t, "doc_id", "score", "label")
+
+
 def q_pagerank_top(sf_dir: str):
     """Top-20 KG entities by weighted PageRank over the co-mention edge
     table (distributed join/aggregate power iteration; rows-only —
@@ -1487,6 +1497,7 @@ QUERIES = {
     "q_redact": q_redact,
     "q_pages_per_section": q_pages_per_section,
     "q_pagerank_top": q_pagerank_top,
+    "q_classify": q_classify,
     "q_fingerprints": q_fingerprints,
     "q_knn_cosine": q_knn_cosine,
     "q_knn_lsh": q_knn_lsh,
@@ -1633,6 +1644,22 @@ ORACLE_SQL = {
         "SELECT doc_id, CAST(len(regexp_extract_all(text, "
         "'[A-Za-z]+|[0-9]+|[^ \\tA-Za-z0-9]')) AS BIGINT) AS n_bpe_tokens "
         "FROM documents"
+    ),
+    # the classifier's md5 weight table in SQL: bucket = token md5 mod
+    # 4096, weight = md5('w13:' || bucket) mod 7 - 3; label = integer
+    # sign test (== sigmoid threshold 0.5)
+    "q_classify": (
+        f"WITH toks AS ({sql_toks()}), "
+        "b AS (SELECT doc_id, md5_number_upper(tok) % 4096 AS bucket FROM toks), "
+        "w AS (SELECT doc_id, "
+        "  CAST(md5_number_upper('w13:' || CAST(bucket AS VARCHAR)) % 7 "
+        "       AS BIGINT) - 3 AS wt FROM b), "
+        "s AS (SELECT doc_id, sum(wt) AS score FROM w GROUP BY 1) "
+        "SELECT d.doc_id, CAST(COALESCE(s.score, 0) AS BIGINT) AS score, "
+        "COALESCE(s.score, 0) / 8.0 AS logit, "
+        "CAST(CASE WHEN COALESCE(s.score, 0) >= 0 THEN 1 ELSE 0 END "
+        "     AS BIGINT) AS label "
+        "FROM documents d LEFT JOIN s USING (doc_id)"
     ),
     "q_pages_per_section": (
         "WITH pages AS (SELECT 'https://example.org/' || source || '/' || "
