@@ -720,6 +720,21 @@ def q_langid(sf_dir: str):
     return _i64(t.select(["doc_id", "lang_pred"]), "doc_id")
 
 
+def q_profile(sf_dir: str):
+    """ANALYZE-style column profile of the events table (exact
+    distributed per-column row/null/distinct counts; SQL oracle)."""
+    import ray
+
+    from phrasekit_ray.stages.agg import profile_table
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "user_id", "value", "props"],
+    )
+    t = profile_table(ev, ["event_type", "user_id", "value", "props"])
+    return t.select(["column", "n_rows", "n_null", "n_distinct"])
+
+
 def q_classify(sf_dir: str):
     """Hashed-feature linear classifier over documents (actor-pool
     batched model inference; md5 weight table makes it integer-exact and
@@ -1498,6 +1513,7 @@ QUERIES = {
     "q_pages_per_section": q_pages_per_section,
     "q_pagerank_top": q_pagerank_top,
     "q_classify": q_classify,
+    "q_profile": q_profile,
     "q_fingerprints": q_fingerprints,
     "q_knn_cosine": q_knn_cosine,
     "q_knn_lsh": q_knn_lsh,
@@ -1644,6 +1660,14 @@ ORACLE_SQL = {
         "SELECT doc_id, CAST(len(regexp_extract_all(text, "
         "'[A-Za-z]+|[0-9]+|[^ \\tA-Za-z0-9]')) AS BIGINT) AS n_bpe_tokens "
         "FROM documents"
+    ),
+    "q_profile": (
+        " UNION ALL ".join(
+            f"SELECT '{c}' AS column, count(*) AS n_rows, "
+            f"count(*) - count({c}) AS n_null, "
+            f"count(DISTINCT {c}) AS n_distinct FROM events"
+            for c in ["event_type", "user_id", "value", "props"]
+        )
     ),
     # the classifier's md5 weight table in SQL: bucket = token md5 mod
     # 4096, weight = md5('w13:' || bucket) mod 7 - 3; label = integer

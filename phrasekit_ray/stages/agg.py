@@ -885,3 +885,97 @@ def exact_heavy_hitters(
     t = t.filter(keep)
     out = pa.table({"key": t["key"], "count": t["cnt"].cast(pa.int64())})
     return out.sort_by([("count", "descending"), ("key", "ascending")])
+
+
+def profile_table(ds, columns: list[str] | None = None, schema=None) -> pa.Table:
+    """ANALYZE-style column profiler: per column, (column, n_rows,
+    n_null, n_distinct, min, max) with min/max rendered as strings (one
+    row per column, mixed types conform).
+
+    Distributed shape: ONE pass over the data computes every column's
+    in-block partials (non-null count, DISTINCT values via
+    ``Table.group_by``, min/max) and emits them under a conformed
+    (column, value, cnt) schema; a single two-phase ``hash_aggregate``
+    over (column, value) merges block-level distincts, and the driver
+    reduces only per-column scalars + the already-distinct (column,
+    value) stream's counts — never raw rows. Exact, not sketched (use
+    ``approx_count_distinct`` for the HLL variant when the value domain
+    itself is too wide to shuffle).
+
+    ``min_str``/``max_str`` are LEXICOGRAPHIC bounds of the string
+    rendering (a profiling aid — for numeric extrema aggregate the
+    native column); the integer fields (n_rows, n_null, n_distinct) are
+    exact and oracle-checked.
+    """
+    schema = schema or ds.schema(fetch_if_missing=True)
+    names = list(columns) if columns else list(schema.names)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cols_out, vals_out, cnts_out, kind_out = [], [], [], []
+        for c in names:
+            col = batch[c]
+            n = len(col)
+            nn = n - col.null_count
+            # row-count + null partials ride as special kinds
+            cols_out += [c, c]
+            vals_out += ["", ""]
+            cnts_out += [n, nn]
+            kind_out += ["rows", "nonnull"]
+            # distinct values within the block (drop nulls)
+            t = pa.table({"v": col})
+            t = t.filter(pc.is_valid(t["v"]))
+            if t.num_rows:
+                uniq = t.group_by(["v"]).aggregate([])
+                vs = uniq["v"].cast(pa.string()).to_pylist()
+                cols_out += [c] * len(vs)
+                vals_out += vs
+                cnts_out += [1] * len(vs)
+                kind_out += ["val"] * len(vs)
+        return pa.table(
+            {
+                "column": pa.array(cols_out, pa.string()),
+                "value": pa.array(vals_out, pa.string()),
+                "cnt": pa.array(cnts_out, pa.int64()),
+                "kind": pa.array(kind_out, pa.string()),
+            }
+        )
+
+    merged = hash_aggregate(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["column", "kind", "value"],
+        [("cnt", "sum")],
+    )
+    stats: dict[str, dict] = {
+        c: {"n_rows": 0, "n_null": 0, "n_distinct": 0, "min": None, "max": None}
+        for c in names
+    }
+    for b in merged.iter_batches(batch_format="pyarrow"):
+        for c, k, v, n in zip(
+            b["column"].to_pylist(), b["kind"].to_pylist(),
+            b["value"].to_pylist(), b["cnt"].to_pylist(),
+        ):
+            s = stats[c]
+            if k == "rows":
+                s["n_rows"] += n
+            elif k == "nonnull":
+                s["n_null"] -= n  # resolved against n_rows below
+            else:
+                s["n_distinct"] += 1
+                if s["min"] is None or v < s["min"]:
+                    s["min"] = v
+                if s["max"] is None or v > s["max"]:
+                    s["max"] = v
+    for s in stats.values():
+        s["n_null"] += s["n_rows"]
+    return pa.table(
+        {
+            "column": pa.array(names, pa.string()),
+            "n_rows": pa.array([stats[c]["n_rows"] for c in names], pa.int64()),
+            "n_null": pa.array([stats[c]["n_null"] for c in names], pa.int64()),
+            "n_distinct": pa.array(
+                [stats[c]["n_distinct"] for c in names], pa.int64()
+            ),
+            "min_str": pa.array([stats[c]["min"] for c in names], pa.string()),
+            "max_str": pa.array([stats[c]["max"] for c in names], pa.string()),
+        }
+    )

@@ -411,3 +411,21 @@ def test_exact_heavy_hitters_matches_exact_counts(ray_session):
     assert got["key"].to_pylist() == [t for _, t in want]
     assert got["count"].to_pylist() == [c for c, _ in want]
     assert "hot" in got["key"].to_pylist()
+
+
+def test_profile_table_with_nulls(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.agg import profile_table
+
+    t = pa.table(
+        {
+            "a": pa.array([1, 2, 2, None, 3], pa.int64()),
+            "b": pa.array(["x", None, None, "y", "x"]),
+        }
+    )
+    out = profile_table(ray.data.from_arrow(t)).to_pandas().set_index("column")
+    assert out.loc["a", "n_rows"] == 5 and out.loc["a", "n_null"] == 1
+    assert out.loc["a", "n_distinct"] == 3
+    assert out.loc["b", "n_null"] == 2 and out.loc["b", "n_distinct"] == 2
+    assert out.loc["b", "min_str"] == "x" and out.loc["b", "max_str"] == "y"
