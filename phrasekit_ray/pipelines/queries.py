@@ -720,6 +720,31 @@ def q_langid(sf_dir: str):
     return _i64(t.select(["doc_id", "lang_pred"]), "doc_id")
 
 
+def q_embed_quantize(sf_dir: str):
+    """INT8 scalar quantization of the embeddings table, exploded to
+    (vec_id, dim, code) rows for the hash oracle — codes are exact
+    integers (half-up floor in float64 both sides)."""
+    t = _collect(similarity.scalar_quantize_embeddings(_embeddings(sf_dir)))
+    codes = t["codes"].combine_chunks()
+    offsets = codes.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    base = offsets[0]
+    offsets = offsets - base
+    flat = codes.values.slice(base, int(offsets[-1]))
+    sizes = np.diff(offsets)
+    vid = t["vec_id"].to_numpy(zero_copy_only=False)
+    parent = np.repeat(np.arange(len(sizes)), sizes)
+    dims = np.arange(int(offsets[-1]), dtype=np.int64) - offsets[:-1][parent]
+    return pa.table(
+        {
+            "vec_id": pa.array(vid[parent], pa.int64()),
+            "dim": pa.array(dims, pa.int64()),
+            "code": pa.array(
+                flat.to_numpy(zero_copy_only=False).astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
 def q_profile(sf_dir: str):
     """ANALYZE-style column profile of the events table (exact
     distributed per-column row/null/distinct counts; SQL oracle)."""
@@ -1514,6 +1539,7 @@ QUERIES = {
     "q_pagerank_top": q_pagerank_top,
     "q_classify": q_classify,
     "q_profile": q_profile,
+    "q_embed_quantize": q_embed_quantize,
     "q_fingerprints": q_fingerprints,
     "q_knn_cosine": q_knn_cosine,
     "q_knn_lsh": q_knn_lsh,
@@ -1660,6 +1686,17 @@ ORACLE_SQL = {
         "SELECT doc_id, CAST(len(regexp_extract_all(text, "
         "'[A-Za-z]+|[0-9]+|[^ \\tA-Za-z0-9]')) AS BIGINT) AS n_bpe_tokens "
         "FROM documents"
+    ),
+    "q_embed_quantize": (
+        "WITH e AS (SELECT vec_id, "
+        "  CAST(unnest(embedding) AS DOUBLE) AS v, "
+        "  generate_subscripts(embedding, 1) - 1 AS dim FROM embeddings), "
+        "mm AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM e GROUP BY 1) "
+        "SELECT e.vec_id, CAST(e.dim AS BIGINT) AS dim, "
+        "CAST(CASE WHEN mm.mx > mm.mn THEN "
+        "  floor((e.v - mm.mn) / (mm.mx - mm.mn) * 255.0 + 0.5) "
+        "ELSE 0 END AS BIGINT) AS code "
+        "FROM e JOIN mm USING (dim)"
     ),
     "q_profile": (
         " UNION ALL ".join(

@@ -419,3 +419,80 @@ def grouped_vector_mean(
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def scalar_quantize_embeddings(
+    ds,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 256,
+    num_partitions: int | None = None,
+):
+    """INT8-style scalar quantization of an embedding column — the
+    classic memory-reduction step before ANN at scale (4× smaller
+    vectors, distance in uint8 space).
+
+    Two passes, both distributed:
+    1. per-dimension global min/max: each block reduces its matrix to
+       one (dim, mn, mx) row per dimension, a two-phase hash_aggregate
+       merges them (dim-sized shuffle);
+    2. the dim-sized min/max table broadcasts (ray.put) and each block
+       encodes ``code = floor((v - mn)/(mx - mn)·(levels-1) + 0.5)`` in
+       float64 (explicit half-up floor — bit-reproducible in SQL, unlike
+       round()'s half-even/half-away divergence), constant dims → 0.
+
+    Returns Dataset(vec_id, codes: list<uint8>). Exact integer output —
+    the DuckDB oracle replays the same arithmetic.
+    """
+    import ray
+
+    from phrasekit_ray.stages.agg import hash_aggregate
+
+    def dim_minmax(batch: pa.Table) -> pa.Table:
+        mat = _matrix(batch[vec_col].combine_chunks()).astype(np.float64)
+        if mat.size == 0:
+            return pa.table(
+                {"dim": pa.array([], pa.int32()),
+                 "mn": pa.array([], pa.float64()),
+                 "mx": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(mat.shape[1], dtype=np.int32)),
+                "mn": pa.array(mat.min(axis=0), pa.float64()),
+                "mx": pa.array(mat.max(axis=0), pa.float64()),
+            }
+        )
+
+    mm = hash_aggregate(
+        ds.map_batches(dim_minmax, batch_format="pyarrow"),
+        ["dim"],
+        [("mn", "min"), ("mx", "max")],
+        num_partitions=num_partitions,
+    )
+    rows = sorted(
+        (r["dim"], r["mn"], r["mx"]) for b in mm.iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    )
+    mn = np.asarray([r[1] for r in rows], np.float64)
+    mx = np.asarray([r[2] for r in rows], np.float64)
+    ref = ray.put((mn, mx))
+    lv = float(levels - 1)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        from phrasekit_ray.stages.score import _get_broadcast
+
+        lo, hi = _get_broadcast(ref)
+        mat = _matrix(batch[vec_col].combine_chunks()).astype(np.float64)
+        span = hi - lo
+        safe = np.where(span > 0, span, 1.0)
+        codes = np.floor((mat - lo) / safe * lv + 0.5)
+        codes = np.where(span > 0, codes, 0.0).astype(np.uint8)
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                "codes": pa.array(list(codes), pa.list_(pa.uint8())),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")

@@ -170,3 +170,34 @@ def test_grouped_vector_mean(ray_session):
     }
     assert out[7] == (2, [2.0, 4.0])
     assert out[9] == (1, [10.0, 0.0])
+
+
+def test_scalar_quantize_embeddings(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.similarity import scalar_quantize_embeddings
+
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(40, 8)).astype(np.float32)
+    mat[:, 3] = 2.5  # constant dim → code 0
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(40), pa.int64()),
+            "embedding": pa.array(mat.tolist()),
+        }
+    )
+    out = (
+        scalar_quantize_embeddings(ray.data.from_arrow(t))
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    codes = np.stack(out["codes"].to_numpy())
+    assert codes.shape == (40, 8) and codes.dtype == np.uint8
+    m = mat.astype(np.float64)
+    lo, hi = m.min(axis=0), m.max(axis=0)
+    span = np.where(hi > lo, hi - lo, 1.0)
+    want = np.where(hi > lo, np.floor((m - lo) / span * 255.0 + 0.5), 0.0)
+    assert (codes == want.astype(np.uint8)).all()
+    assert (codes[:, 3] == 0).all()
+    # min/max of each varying dim hit the rails exactly
+    for d in [0, 1, 2, 4, 5, 6, 7]:
+        assert codes[:, d].min() == 0 and codes[:, d].max() == 255
