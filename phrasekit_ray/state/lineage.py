@@ -192,3 +192,82 @@ def read_partitioned(root: str, stage: str):
         if os.path.exists(p) and pq.ParquetFile(p).metadata.num_rows > 0:
             paths.append(p)
     return ray.data.read_parquet(paths)
+
+
+def bucketed_join(
+    root_left: str,
+    stage_left: str,
+    root_right: str,
+    stage_right: str,
+    left_key: str,
+    right_key: str,
+    num_partitions: int,
+):
+    """SHUFFLE-FREE co-located join of two stage outputs that were
+    written by ``write_dataset_resumable`` with the SAME partition key
+    semantics and the SAME ``num_partitions`` — the storage-layout
+    answer to "pick ONE partitioning key and reuse it": because both
+    sides were hash-bucketed identically at write time, bucket i of the
+    left can only match bucket i of the right, so the join runs as one
+    independent Ray task per bucket pair (inner, unique-keyed right
+    side, vectorized searchsorted) with NO all-to-all exchange at all.
+
+    Returns a Dataset of left columns + right non-key columns. Raises if
+    either side is missing buckets (layout mismatch = silent wrong
+    answers; fail loudly instead).
+    """
+    import ray
+
+    def bucket_rows(root, stage, i) -> int:
+        mp = manifest_path(root, stage, i)
+        if not os.path.exists(mp):
+            raise FileNotFoundError(
+                f"bucket {i} of {stage} missing a manifest under {root} — "
+                f"not a complete {num_partitions}-bucket layout"
+            )
+        with open(mp) as f:
+            return int(json.load(f).get("num_rows", 0))
+
+    @ray.remote
+    def join_bucket(lp: str, rp: str):
+        import numpy as np
+
+        lt = pq.read_table(lp)
+        rt = pq.read_table(rp)
+        lk = lt[left_key].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        rk = rt[right_key].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.argsort(rk, kind="stable")
+        rk_s = rk[order]
+        pos = np.searchsorted(rk_s, lk)
+        pos_c = np.minimum(pos, len(rk_s) - 1)
+        hit = rk_s[pos_c] == lk
+        take_l = np.flatnonzero(hit)
+        take_r = order[pos_c[hit]]
+        out = lt.take(pa.array(take_l))
+        for name in rt.column_names:
+            if name != right_key:
+                out = out.append_column(
+                    name, rt[name].combine_chunks().take(pa.array(take_r))
+                )
+        return out
+
+    # manifests (tiny driver-side JSON) decide which bucket pairs can
+    # match at all; the joined blocks themselves stay in the object
+    # store as task-result refs — never pulled to the driver
+    refs = []
+    for i in range(num_partitions):
+        if bucket_rows(root_left, stage_left, i) == 0:
+            continue
+        if bucket_rows(root_right, stage_right, i) == 0:
+            continue
+        refs.append(
+            join_bucket.remote(
+                os.path.join(partition_dir(root_left, stage_left, i), "data.parquet"),
+                os.path.join(partition_dir(root_right, stage_right, i), "data.parquet"),
+            )
+        )
+    import ray.data as rd
+
+    if not refs:
+        return rd.from_arrow(pa.table({}))
+    return rd.from_arrow_refs(refs)

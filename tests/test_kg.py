@@ -343,3 +343,54 @@ def test_pagerank_matches_dense_power_iteration(ray_session):
     for v in nodes:
         assert abs(got[v] - r[idx[v]]) < 1e-9, v
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_bucketed_join_shuffle_free(ray_session, tmp_path):
+    """Two stage outputs written with the same key/partition layout join
+    per-bucket with no all-to-all — equals a plain hash join."""
+    import numpy as np
+    import ray
+
+    from phrasekit_ray.state.lineage import bucketed_join, write_dataset_resumable
+
+    rng = np.random.default_rng(11)
+    keys = rng.permutation(200)[:150]
+    left = pa.table(
+        {
+            "custkey": pa.array(np.repeat(keys, 2), pa.int64()),
+            "amount": pa.array(np.arange(300), pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "custkey": pa.array(np.arange(0, 200, 3), pa.int64()),  # partial overlap
+            "segment": pa.array([f"s{i%4}" for i in range(0, 200, 3)]),
+        }
+    )
+    root = str(tmp_path)
+    write_dataset_resumable(ray.data.from_arrow(left), root, "l", {"v": 1}, "custkey", 8)
+    write_dataset_resumable(ray.data.from_arrow(right), root, "r", {"v": 1}, "custkey", 8)
+    got = (
+        bucketed_join(root, "l", root, "r", "custkey", "custkey", 8)
+        .to_pandas().sort_values(["custkey", "amount"]).reset_index(drop=True)
+    )
+    want = (
+        left.to_pandas().merge(right.to_pandas(), on="custkey", how="inner")
+        .sort_values(["custkey", "amount"]).reset_index(drop=True)
+    )
+    assert got[["custkey", "amount", "segment"]].equals(
+        want[["custkey", "amount", "segment"]]
+    )
+
+
+def test_bucketed_join_layout_mismatch_raises(ray_session, tmp_path):
+    import ray
+
+    from phrasekit_ray.state.lineage import bucketed_join, write_dataset_resumable
+
+    t = pa.table({"k": pa.array([1, 2], pa.int64())})
+    root = str(tmp_path)
+    write_dataset_resumable(ray.data.from_arrow(t), root, "l", {"v": 1}, "k", 4)
+    write_dataset_resumable(ray.data.from_arrow(t), root, "r", {"v": 1}, "k", 2)
+    with pytest.raises(FileNotFoundError):
+        bucketed_join(root, "l", root, "r", "k", "k", 4)
