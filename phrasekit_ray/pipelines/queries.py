@@ -720,6 +720,17 @@ def q_langid(sf_dir: str):
     return _i64(t.select(["doc_id", "lang_pred"]), "doc_id")
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: en training docs sharing >= 1 distinct
+    3-token shingle with the de 'benchmark' corpus, with the distinct
+    shared-shingle count (broadcast-membership fast path; SQL join
+    oracle)."""
+    train = tokenize_documents(_docs(sf_dir, lang="en"))
+    bench = tokenize_documents(_docs(sf_dir, lang="de"))
+    t = _collect(dedup.contaminated_docs(train, bench, k=3))
+    return _i64(t, "doc_id", "n_shared")
+
+
 def q_embed_quantize(sf_dir: str):
     """INT8 scalar quantization of the embeddings table, exploded to
     (vec_id, dim, code) rows for the hash oracle — codes are exact
@@ -1540,6 +1551,7 @@ QUERIES = {
     "q_classify": q_classify,
     "q_profile": q_profile,
     "q_embed_quantize": q_embed_quantize,
+    "q_decontaminate": q_decontaminate,
     "q_fingerprints": q_fingerprints,
     "q_knn_cosine": q_knn_cosine,
     "q_knn_lsh": q_knn_lsh,
@@ -1686,6 +1698,24 @@ ORACLE_SQL = {
         "SELECT doc_id, CAST(len(regexp_extract_all(text, "
         "'[A-Za-z]+|[0-9]+|[^ \\tA-Za-z0-9]')) AS BIGINT) AS n_bpe_tokens "
         "FROM documents"
+    ),
+    "q_decontaminate": (
+        "WITH tt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok, "
+        "  generate_subscripts(string_split(text, ' '), 1) AS pos "
+        "  FROM documents WHERE lang = 'en'), "
+        "bt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok, "
+        "  generate_subscripts(string_split(text, ' '), 1) AS pos "
+        "  FROM documents WHERE lang = 'de'), "
+        "tsh AS (SELECT DISTINCT t0.doc_id, "
+        "  t0.tok || ' ' || t1.tok || ' ' || t2.tok AS s FROM tt t0 "
+        "  JOIN tt t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1 "
+        "  JOIN tt t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2), "
+        "bsh AS (SELECT DISTINCT t0.tok || ' ' || t1.tok || ' ' || t2.tok AS s "
+        "  FROM bt t0 "
+        "  JOIN bt t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1 "
+        "  JOIN bt t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2) "
+        "SELECT tsh.doc_id, count(*) AS n_shared "
+        "FROM tsh JOIN bsh USING (s) GROUP BY 1"
     ),
     "q_embed_quantize": (
         "WITH e AS (SELECT vec_id, "

@@ -885,3 +885,164 @@ def embedding_near_dup_pairs(
             batch_format="pyarrow",
         )
     )
+
+
+# --- benchmark decontamination ---------------------------------------------
+
+def _shingle_rows(batch: pa.Table, id_col: str, tokens_col: str, k: int) -> pa.Table:
+    """(doc_id, shingle) rows, DISTINCT within the doc — space-joined
+    k-gram strings, the same windowing as the miner/jaccard stages.
+    Docs shorter than k contribute nothing (a sub-k-gram overlap is not
+    contamination evidence)."""
+    tokens = batch[tokens_col].combine_chunks()
+    offsets = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    base = offsets[0]
+    offsets = offsets - base
+    flat = tokens.values.slice(base, int(offsets[-1]))
+    sizes = np.diff(offsets)
+    L = int(offsets[-1])
+    m = L - k + 1
+    doc_ids = batch[id_col].to_numpy(zero_copy_only=False)
+    if m <= 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "shingle": pa.array([], pa.string())}
+        )
+    doc_index = np.repeat(np.arange(len(sizes)), sizes)
+    parts = [flat.slice(j, m) for j in range(k)]
+    joined = pc.binary_join_element_wise(*parts, " ")
+    valid = doc_index[:m] == doc_index[k - 1 :]
+    win_doc = doc_index[:m][valid]
+    t = pa.table(
+        {
+            "doc_id": pa.array(doc_ids[win_doc], pa.int64()),
+            "shingle": joined.filter(pa.array(valid)).cast(pa.string()),
+        }
+    )
+    return t.group_by(["doc_id", "shingle"]).aggregate([])
+
+
+def contaminated_docs(
+    train_ds,
+    bench_ds,
+    k: int = 3,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    broadcast_shingles: int = 5_000_000,
+    num_partitions: int | None = None,
+):
+    """Benchmark decontamination: training docs sharing at least one
+    k-token shingle with a benchmark corpus →
+    Dataset(doc_id, n_shared) where n_shared = DISTINCT shared shingles
+    (the op every LLM data pipeline runs before training — Brown et al.
+    2020 §C style n-gram overlap).
+
+    Physical paths, chosen by the benchmark's distinct-shingle count:
+    - small benchmark (the common case — benchmarks are tiny next to a
+      training corpus): the DISTINCT shingle strings broadcast once
+      (ray.put) and every train block tests membership with ONE
+      vectorized ``pc.is_in`` — no shuffle at all;
+    - large benchmark: both sides hash-partition by shingle (conformed
+      union, one in-partition sorted membership pass per partition),
+      then a grouped count by doc — fully distributed.
+    """
+    from phrasekit_ray.stages.agg import (
+        _part_column,
+        default_partitions,
+        grouped_count,
+        hash_aggregate,
+    )
+
+    import ray
+
+    num_partitions = default_partitions(num_partitions)
+
+    def bench_shingles(b: pa.Table) -> pa.Table:
+        t = (
+            _shingle_rows(b, id_col, tokens_col, k)
+            .group_by(["shingle"])
+            .aggregate([])
+        )
+        return t.append_column("_one", pa.array(np.ones(t.num_rows, np.int64)))
+
+    bench_sh = hash_aggregate(
+        bench_ds.map_batches(bench_shingles, batch_format="pyarrow"),
+        ["shingle"],
+        [("_one", "sum")],
+        num_partitions=num_partitions,
+    )
+
+    # try the broadcast path under the bound
+    collected: list[str] = []
+    over = False
+    for b in bench_sh.iter_batches(batch_format="pyarrow"):
+        collected.extend(b["shingle"].to_pylist())
+        if len(collected) > broadcast_shingles:
+            over = True
+            break
+
+    if not over:
+        value_set = pa.array(sorted(collected), pa.string())
+        ref = ray.put(value_set)
+
+        def hits(batch: pa.Table) -> pa.Table:
+            from phrasekit_ray.stages.score import _get_broadcast
+
+            vs = _get_broadcast(ref)
+            t = _shingle_rows(batch, id_col, tokens_col, k)
+            mask = pc.is_in(t["shingle"], value_set=vs)
+            t = t.filter(mask)
+            # one doc's rows never split across blocks upstream, so the
+            # in-block count per doc is the exact distinct-hit count
+            out = t.group_by(["doc_id"]).aggregate([("shingle", "count")])
+            return out.rename_columns(["doc_id", "n_shared"])
+
+        return train_ds.map_batches(hits, batch_format="pyarrow")
+
+    # distributed fallback: conformed union partitioned by shingle
+    def conform_train(batch: pa.Table) -> pa.Table:
+        t = _shingle_rows(batch, id_col, tokens_col, k)
+        t = t.append_column("_isb", pa.array(np.zeros(t.num_rows, np.int8)))
+        return t.append_column(
+            "_part", _part_column(t, ["shingle"], num_partitions)
+        )
+
+    def conform_bench(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "doc_id": pa.array(
+                    np.full(batch.num_rows, -1, np.int64), pa.int64()
+                ),
+                "shingle": batch["shingle"],
+            }
+        )
+        t = t.append_column("_isb", pa.array(np.ones(t.num_rows, np.int8)))
+        return t.append_column(
+            "_part", _part_column(t, ["shingle"], num_partitions)
+        )
+
+    unioned = train_ds.map_batches(conform_train, batch_format="pyarrow").union(
+        bench_sh.map_batches(conform_bench, batch_format="pyarrow")
+    )
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        sh = np.asarray(group["shingle"].to_pylist(), dtype=object)
+        isb = group["_isb"].to_numpy(zero_copy_only=False).astype(bool)
+        docs = group["doc_id"].to_numpy(zero_copy_only=False)
+        bench_set = set(sh[isb])
+        keep = np.fromiter(
+            (s in bench_set for s in sh), dtype=bool, count=len(sh)
+        ) & ~isb
+        return pa.table(
+            {"doc_id": pa.array(docs[keep], pa.int64())}
+        )
+
+    flagged = (
+        unioned.groupby("_part")
+        .map_groups(
+            lambda g: per_partition(g.drop_columns(["_part"])),
+            batch_format="pyarrow",
+        )
+    )
+    return grouped_count(flagged, ["doc_id"], count_col="n_shared",
+                         num_partitions=num_partitions)

@@ -336,3 +336,32 @@ def test_short_docs_verify_by_exact_equality(ray_session):
     # kernel-level: unrelated short docs score 0, identical short docs 1
     assert dedup.ngram_jaccard(["alpha", "beta"], ["gamma", "delta"]) == 0.0
     assert dedup.ngram_jaccard(["alpha", "beta"], ["alpha", "beta"]) == 1.0
+
+
+def test_contaminated_docs_both_paths_agree(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.dedup import contaminated_docs
+
+    train = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "tokens": pa.array([
+            ["the", "red", "fox", "jumps"],       # shares "the red fox"
+            ["a", "b", "c", "d"],                 # no overlap
+            ["x", "the", "red", "fox", "y"],      # shares one shingle
+            ["to", "o"],                          # sub-k: never flagged
+        ], pa.list_(pa.string())),
+    }))
+    bench = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([100], pa.int64()),
+        "tokens": pa.array([["the", "red", "fox", "runs"]],
+                           pa.list_(pa.string())),
+    }))
+
+    def collect(ds):
+        return {r["doc_id"]: r["n_shared"] for r in ds.iter_rows()}
+
+    fast = collect(contaminated_docs(train, bench, k=3))
+    # force the distributed conformed-union fallback
+    slow = collect(contaminated_docs(train, bench, k=3, broadcast_shingles=0))
+    assert fast == slow == {1: 1, 3: 1}
