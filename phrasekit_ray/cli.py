@@ -203,6 +203,61 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    import pyarrow.parquet as _pq
+    import ray
+
+    from phrasekit_ray.stages.agg import profile_table
+
+    _init_ray()
+    ds = ray.data.read_parquet(args.input)
+    cols = args.columns.split(",") if args.columns else None
+    t = profile_table(ds, cols)
+    if args.output:
+        _pq.write_table(t, args.output)
+    print(json.dumps({"stage": "profile", "columns": t["column"].to_pylist(),
+                      "rows": int(t["n_rows"][0].as_py()) if t.num_rows else 0}))
+    return 0
+
+
+def cmd_classify(args) -> int:
+    import ray
+
+    from phrasekit_ray.stages.classify import classify_documents
+
+    _init_ray()
+    ds = ray.data.read_parquet(args.input)
+    out = classify_documents(
+        ds, num_buckets=args.num_buckets, seed=args.seed,
+        text_col=args.text_col, id_col=args.id_col,
+    )
+    out.write_parquet(args.output)
+    print(json.dumps({"stage": "classify", "num_buckets": args.num_buckets,
+                      "seed": args.seed}))
+    return 0
+
+
+def cmd_decontaminate(args) -> int:
+    import ray
+
+    from phrasekit_ray.stages.dedup import contaminated_docs
+    from phrasekit_ray.stages.extract import tokenize_documents
+
+    _init_ray()
+    train = tokenize_documents(
+        ray.data.read_parquet(args.train), text_col=args.text_col,
+        id_col=args.id_col,
+    )
+    bench = tokenize_documents(
+        ray.data.read_parquet(args.bench), text_col=args.text_col,
+        id_col=args.id_col,
+    )
+    flagged = contaminated_docs(train, bench, k=args.k, id_col="doc_id")
+    flagged.write_parquet(args.output)
+    print(json.dumps({"stage": "decontaminate", "k": args.k}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="phrasekit_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -249,6 +304,30 @@ def main(argv=None) -> int:
     d.add_argument("--bands", type=int, default=16)
     d.add_argument("--verify-jaccard", type=float, default=0.5)
     d.set_defaults(fn=cmd_dedup)
+
+    pr = sub.add_parser("profile", help="ANALYZE-style column profile of a parquet table")
+    pr.add_argument("--input", required=True)
+    pr.add_argument("--output", default=None)
+    pr.add_argument("--columns", default=None, help="comma-separated subset")
+    pr.set_defaults(fn=cmd_profile)
+
+    cl = sub.add_parser("classify", help="hashed linear classifier over documents")
+    cl.add_argument("--input", required=True)
+    cl.add_argument("--output", required=True)
+    cl.add_argument("--num-buckets", type=int, default=4096, dest="num_buckets")
+    cl.add_argument("--seed", type=int, default=13)
+    cl.add_argument("--text-col", default="text", dest="text_col")
+    cl.add_argument("--id-col", default="doc_id", dest="id_col")
+    cl.set_defaults(fn=cmd_classify)
+
+    dc = sub.add_parser("decontaminate", help="k-gram overlap vs a benchmark corpus")
+    dc.add_argument("--train", required=True)
+    dc.add_argument("--bench", required=True)
+    dc.add_argument("--output", required=True)
+    dc.add_argument("--k", type=int, default=13)
+    dc.add_argument("--text-col", default="text", dest="text_col")
+    dc.add_argument("--id-col", default="doc_id", dest="id_col")
+    dc.set_defaults(fn=cmd_decontaminate)
 
     k = sub.add_parser("kg", help="end-to-end KG construction over pages parquet")
     k.add_argument("--pages", required=True)

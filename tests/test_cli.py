@@ -110,3 +110,55 @@ def test_cli_dedup_minhash_custom_id_col(ray_session, tmp_path, sf_dir):
         ]
     )
     assert rc == 0
+
+
+def test_cli_profile(ray_session, tmp_path, sf_dir):
+    import pyarrow.parquet as _pq
+
+    from phrasekit_ray.cli import main
+
+    out = str(tmp_path / "profile.parquet")
+    rc = main(
+        ["profile", "--input", f"{sf_dir}/events.parquet",
+         "--output", out, "--columns", "event_type,user_id"]
+    )
+    assert rc == 0
+    t = _pq.read_table(out)
+    assert t.column_names[:3] == ["column", "n_rows", "n_null"]
+    assert set(t["column"].to_pylist()) == {"event_type", "user_id"}
+
+
+def test_cli_classify(ray_session, tmp_path, sf_dir):
+    import pyarrow.parquet as _pq
+
+    from phrasekit_ray.cli import main
+
+    out = str(tmp_path / "clf")
+    rc = main(["classify", "--input", f"{sf_dir}/documents.parquet",
+               "--output", out])
+    assert rc == 0
+    import glob
+
+    files = glob.glob(out + "/*.parquet")
+    assert files
+    t = _pq.read_table(files[0])
+    assert {"doc_id", "score", "logit", "label"} <= set(t.column_names)
+
+
+def test_cli_decontaminate(ray_session, tmp_path, sf_dir):
+    import glob
+
+    import pyarrow.parquet as _pq
+
+    from phrasekit_ray.cli import main
+
+    out = str(tmp_path / "decon")
+    rc = main(
+        ["decontaminate", "--train", f"{sf_dir}/documents.parquet",
+         "--bench", f"{sf_dir}/documents.parquet", "--output", out, "--k", "3"]
+    )
+    assert rc == 0
+    files = glob.glob(out + "/*.parquet")
+    t = _pq.read_table(files[0]) if files else None
+    # train == bench: every doc with >= 3 tokens flags itself
+    assert t is not None and t.num_rows > 0
