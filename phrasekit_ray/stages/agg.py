@@ -979,3 +979,82 @@ def profile_table(ds, columns: list[str] | None = None, schema=None) -> pa.Table
             "max_str": pa.array([stats[c]["max"] for c in names], pa.string()),
         }
     )
+
+
+def grouped_rollup(
+    ds,
+    keys: list[str],
+    value_col: str,
+    agg_fn: str = "sum",
+    num_partitions: int | None = None,
+):
+    """SQL ``GROUP BY ROLLUP(keys...)`` — aggregates at every key prefix
+    level (finest → grand total), coarser keys NULL-filled.
+
+    The classic rollup optimization, distributed: the RAW data is
+    aggregated exactly once (two-phase hash aggregate at the finest
+    level); every coarser level re-aggregates the PREVIOUS level's
+    already-aggregated rows (group-count-sized inputs, not corpus-sized)
+    — k levels cost one corpus pass + (k-1) tiny passes. Works for the
+    decomposable aggregates (sum/min/max).
+
+    Returns one Dataset with all levels unioned; ``keys`` columns are
+    cast to string (NULL = rolled up) so every level conforms to one
+    schema.
+    """
+    if agg_fn not in _AGG_FUNCS:
+        raise ValueError(f"unsupported rollup aggregate: {agg_fn}")
+    num_partitions = default_partitions(num_partitions)
+
+    def to_str_keys(batch: pa.Table) -> pa.Table:
+        cols = {k: batch[k].cast(pa.string()) for k in keys}
+        cols[value_col] = batch[value_col]
+        return pa.table(cols)
+
+    finest = hash_aggregate(
+        ds.map_batches(to_str_keys, batch_format="pyarrow"),
+        keys,
+        [(value_col, agg_fn)],
+        num_partitions=num_partitions,
+    ).materialize()
+
+    levels = [finest]
+    prev = finest
+    for depth in range(len(keys) - 1, -1, -1):
+        kept = keys[:depth]
+
+        def drop_last(batch: pa.Table, _kept=tuple(kept)) -> pa.Table:
+            cols = {k: batch[k] for k in _kept}
+            cols[value_col] = batch[value_col]
+            if not _kept:
+                # grand total: constant key so the aggregate has a group
+                cols["_g"] = pa.array(
+                    np.zeros(batch.num_rows, np.int64), pa.int64()
+                )
+            return pa.table(cols)
+
+        gkeys = list(kept) if kept else ["_g"]
+        lvl = hash_aggregate(
+            prev.map_batches(drop_last, batch_format="pyarrow"),
+            gkeys,
+            [(value_col, agg_fn)],
+            num_partitions=min(num_partitions, 8),
+        ).materialize()
+
+        def conform(batch: pa.Table, _kept=tuple(kept)) -> pa.Table:
+            cols = {}
+            for k in keys:
+                if k in _kept:
+                    cols[k] = batch[k]
+                else:
+                    cols[k] = pa.array([None] * batch.num_rows, pa.string())
+            cols[value_col] = batch[value_col]
+            return pa.table(cols)
+
+        levels.append(lvl.map_batches(conform, batch_format="pyarrow"))
+        prev = lvl
+
+    out = levels[0]
+    for other in levels[1:]:
+        out = out.union(other)
+    return out

@@ -429,3 +429,26 @@ def test_profile_table_with_nulls(ray_session):
     assert out.loc["a", "n_distinct"] == 3
     assert out.loc["b", "n_null"] == 2 and out.loc["b", "n_distinct"] == 2
     assert out.loc["b", "min_str"] == "x" and out.loc["b", "max_str"] == "y"
+
+
+def test_grouped_rollup_levels(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_rollup
+
+    t = pa.table(
+        {
+            "a": pa.array(["x", "x", "y"], pa.string()),
+            "b": pa.array([1, 2, 1], pa.int64()),
+            "v": pa.array([10, 20, 5], pa.int64()),
+        }
+    )
+    out = grouped_rollup(ray.data.from_arrow(t), ["a", "b"], "v").to_pandas()
+    rows = {
+        (r["a"], r["b"]): r["v"] for _, r in out.iterrows()
+    }
+    assert rows[("x", "1")] == 10 and rows[("x", "2")] == 20
+    assert rows[("y", "1")] == 5
+    assert rows[("x", None)] == 30 and rows[("y", None)] == 5
+    assert rows[(None, None)] == 35
+    assert len(rows) == 6
