@@ -1,0 +1,80 @@
+"""Property tests (hypothesis) for the round-2 operator kernels:
+randomized inputs compared against straight-line Python references."""
+
+import collections
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from phrasekit_ray.stages import textstats
+
+TOKENS = st.lists(
+    st.sampled_from(["a", "b", "c", "d", "e"]), min_size=0, max_size=30
+)
+
+
+def _naive_repetition(tokens: list[str]):
+    n = len(tokens)
+    bigrams = collections.Counter(
+        tuple(tokens[i : i + 2]) for i in range(n - 1)
+    )
+    top_bi = max(bigrams.values()) if bigrams else 0
+    tris = collections.Counter(tuple(tokens[i : i + 3]) for i in range(n - 2))
+    covered = set()
+    for i in range(n - 2):
+        if tris[tuple(tokens[i : i + 3])] >= 2:
+            covered.update((i, i + 1, i + 2))
+    return n, top_bi, len(covered)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(TOKENS, min_size=1, max_size=8))
+def test_repetition_stats_equals_naive(ray_session, docs):
+    import ray
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array([" ".join(d) for d in docs]),
+        }
+    )
+    got = (
+        textstats.repetition_stats(ray.data.from_arrow(t))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    for i, d in enumerate(docs):
+        # the engine tokenizer: whitespace split; empty text → no tokens
+        text = " ".join(d)
+        toks = text.split() if text else []
+        n, top_bi, cov = _naive_repetition(toks)
+        assert got.loc[i, "n_tokens"] == n
+        assert got.loc[i, "top_bigram_count"] == top_bi
+        assert got.loc[i, "dup_trigram_tokens"] == cov
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(["t1", "t2", "t3", "hot", "x", "y"]),
+        min_size=1,
+        max_size=400,
+    ),
+    st.integers(min_value=2, max_value=8),
+)
+def test_exact_heavy_hitters_equals_counter(ray_session, vals, k):
+    import ray
+
+    from phrasekit_ray.stages.agg import exact_heavy_hitters
+
+    t = pa.table({"tok": pa.array(vals)})
+    got = exact_heavy_hitters(ray.data.from_arrow(t), "tok", k=k)
+    counts = collections.Counter(vals)
+    n = len(vals)
+    want = sorted(
+        ((c, v) for v, c in counts.items() if c * k > n),
+        key=lambda x: (-x[0], x[1]),
+    )
+    assert got["key"].to_pylist() == [v for _, v in want]
+    assert got["count"].to_pylist() == [c for c, _ in want]
