@@ -1190,6 +1190,22 @@ def q_events_tumbling(sf_dir: str):
     )
 
 
+def q_events_session_ids(sf_dir: str):
+    """Per-event session assignment (1 + cumsum of >30min gaps per user;
+    SQL window oracle)."""
+    import ray
+
+    from phrasekit_ray.stages import windows
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return _i64(
+        _collect(windows.assign_sessions(ev)),
+        "event_id", "user_id", "session_seq",
+    )
+
+
 def q_events_numbered(sf_dir: str):
     """Per-user event numbering + inter-event gap (row_number()/lag()
     window pair, partition-vectorized; SQL window oracle)."""
@@ -1610,6 +1626,7 @@ QUERIES = {
     "q_tag_policies": q_tag_policies,
     "q_events_tumbling": q_events_tumbling,
     "q_events_numbered": q_events_numbered,
+    "q_events_session_ids": q_events_session_ids,
     "q_events_hopping": q_events_hopping,
     "q_events_asof_join": q_events_asof_join,
 }
@@ -2067,6 +2084,15 @@ ORACLE_SQL = {
         "CAST(window_start_us AS BIGINT) AS window_start_us, "
         "count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_value_cents "
         "FROM exp GROUP BY 1, 2"
+    ),
+    "q_events_session_ids": (
+        "WITH g AS (SELECT event_id, user_id, ts, "
+        "  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap "
+        "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+        "SELECT event_id, user_id, "
+        "1 + CAST(SUM(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END) "
+        "  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
+        "AS session_seq FROM g"
     ),
     "q_events_numbered": (
         "SELECT event_id, user_id, "

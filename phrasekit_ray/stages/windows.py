@@ -457,3 +457,79 @@ def numbered_events(
             batch_format="pyarrow",
         )
     )
+
+
+def assign_sessions(
+    ds,
+    gap_minutes: float = 30.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_partitions: int | None = None,
+):
+    """Per-EVENT session assignment: events → (event_id, user_id,
+    session_seq) where session_seq is the user's 1-based session index
+    (a new session starts when the gap to the previous event exceeds
+    ``gap_minutes``) — the row-level counterpart of ``sessionize``'s
+    per-user summary, i.e. SQL's
+    ``1 + SUM(gap > g) OVER (PARTITION BY user ORDER BY ts, id)``.
+
+    Same partition shape as the other window ops: hash-partition by
+    user, ONE vectorized kernel per partition (lexsort + break-flag
+    cumsum with per-user reset via segment bases).
+    """
+    num_partitions = default_partitions(num_partitions)
+    gap_us = np.int64(gap_minutes * 60_000_000)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        uid = batch[user_col].combine_chunks().cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "ts": batch[ts_col].combine_chunks().cast(pa.int64()),
+                "event_id": batch[id_col].combine_chunks().cast(pa.int64()),
+                "_part": pa.array(_user_part(uid, num_partitions), pa.int32()),
+            }
+        )
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].combine_chunks().to_numpy()
+        ts = group["ts"].combine_chunks().to_numpy()
+        eid = group["event_id"].combine_chunks().to_numpy()
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "session_seq": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((eid, ts, uid))
+        uid_s, ts_s, eid_s = uid[order], ts[order], eid[order]
+        new_user = np.concatenate(([True], uid_s[1:] != uid_s[:-1]))
+        brk = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            brk[1:] = (~new_user[1:]) & (ts_s[1:] - ts_s[:-1] > gap_us)
+        cum = np.cumsum(brk)
+        idx = np.arange(n, dtype=np.int64)
+        seg_base = np.zeros(n, dtype=np.int64)
+        seg_base[new_user] = cum[new_user]
+        seg_base = np.maximum.accumulate(seg_base)
+        seq = cum - seg_base + 1
+        return pa.table(
+            {
+                "event_id": pa.array(eid_s, pa.int64()),
+                "user_id": pa.array(uid_s, pa.int64()),
+                "session_seq": pa.array(seq, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(
+            lambda g: per_partition(g.drop_columns(["_part"])),
+            batch_format="pyarrow",
+        )
+    )

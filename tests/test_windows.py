@@ -172,3 +172,36 @@ def test_asof_join_preserves_large_int_ids(ray_session):
     )
     assert out["event_id"].to_pylist() == [big]
     assert out["value_asof"].to_pylist() == [3.5]
+
+
+def test_assign_sessions_consistent_with_sessionize(ray_session):
+    import numpy as np
+    import ray
+
+    from phrasekit_ray.stages.windows import assign_sessions, sessionize
+
+    rng = np.random.default_rng(31)
+    n = 600
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "user_id": pa.array(rng.integers(0, 20, n), pa.int64()),
+            "ts": pa.array(
+                np.sort(rng.integers(0, 10**12, n)).astype("datetime64[us]")
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    per_event = assign_sessions(ds, gap_minutes=30.0).to_pandas()
+    per_user = {
+        r["user_id"]: r["n_sessions"]
+        for r in sessionize(ds, gap_minutes=30.0).iter_rows()
+    }
+    got = per_event.groupby("user_id")["session_seq"].max().to_dict()
+    assert got == per_user
+    # session_seq is nondecreasing in time order per user
+    ts_map = dict(zip(t["event_id"].to_pylist(), t["ts"].to_pylist()))
+    per_event["ts"] = per_event["event_id"].map(ts_map)
+    for _, grp in per_event.groupby("user_id"):
+        seqs = grp.sort_values(["ts", "event_id"])["session_seq"].to_numpy()
+        assert (np.diff(seqs) >= 0).all()
