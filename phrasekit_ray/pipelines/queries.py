@@ -720,6 +720,21 @@ def q_langid(sf_dir: str):
     return _i64(t.select(["doc_id", "lang_pred"]), "doc_id")
 
 
+def q_clean_corpus(sf_dir: str):
+    """Composed corpus-cleaning pipeline (quality gate ∧ exact-dedup rep
+    ∧ Gopher repetition rule, text PII/blocklist-redacted) — the full
+    conjunction re-derived in one SQL oracle."""
+    import ray
+
+    from phrasekit_ray.pipelines.clean import clean_corpus
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    t = _collect(clean_corpus(docs, materialize_input=True))
+    return _i64(t, "doc_id", "n_tokens", "n_blocked")
+
+
 def q_events_rollup(sf_dir: str):
     """GROUP BY ROLLUP(event_type, user_bucket) over event value cents —
     the rollup levels re-aggregate the finest aggregate, never the raw
@@ -1600,6 +1615,7 @@ QUERIES = {
     "q_embed_quantize": q_embed_quantize,
     "q_decontaminate": q_decontaminate,
     "q_events_rollup": q_events_rollup,
+    "q_clean_corpus": q_clean_corpus,
     "q_fingerprints": q_fingerprints,
     "q_knn_cosine": q_knn_cosine,
     "q_knn_lsh": q_knn_lsh,
@@ -1747,6 +1763,45 @@ ORACLE_SQL = {
         "SELECT doc_id, CAST(len(regexp_extract_all(text, "
         "'[A-Za-z]+|[0-9]+|[^ \\tA-Za-z0-9]')) AS BIGINT) AS n_bpe_tokens "
         "FROM documents"
+    ),
+    # the cleaning conjunction: quality ints (same expressions as
+    # q_quality), duplicated-trigram coverage (same as q_repetition),
+    # exact-dup representative (min doc_id per identical text), and the
+    # q_redact replacement chain for the surviving text
+    "q_clean_corpus": (
+        f"WITH toks AS ({sql_toks()}), "
+        "q AS (SELECT doc_id, count(*) AS n_tok, "
+        "  sum(CASE WHEN regexp_matches(tok, '^[A-Za-z]+$') THEN 1 ELSE 0 END) "
+        "    AS n_alpha, "
+        "  sum(length(tok)) AS sum_len FROM toks GROUP BY 1), "
+        "tri AS (SELECT t0.doc_id, t0.pos, "
+        "  t0.tok || ' ' || t1.tok || ' ' || t2.tok AS g FROM toks t0 "
+        "  JOIN toks t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1 "
+        "  JOIN toks t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2), "
+        "tcnt AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2), "
+        "cov AS (SELECT DISTINCT tr.doc_id, tr.pos + u.i AS p "
+        "  FROM tri tr JOIN tcnt c ON c.doc_id = tr.doc_id AND c.g = tr.g "
+        "  AND c.c >= 2 CROSS JOIN (SELECT unnest(range(3)) AS i) u), "
+        "covn AS (SELECT doc_id, count(*) AS dup FROM cov GROUP BY 1), "
+        "reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text), "
+        "s1 AS (SELECT doc_id, "
+        " regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+        "   '[MASKED]', 'g') AS t FROM documents), "
+        "s2 AS (SELECT doc_id, "
+        " regexp_replace(t, '\\+?\\d[\\d() -]{6,}\\d', '[MASKED]', 'g') AS t "
+        " FROM s1), "
+        "s3 AS (SELECT doc_id, "
+        " regexp_replace(t, '\\b(?:customer|dup)\\b', '[MASKED]', 'g') AS t, "
+        " len(regexp_extract_all(t, '\\b(?:customer|dup)\\b')) AS n_blocked "
+        " FROM s2) "
+        "SELECT s3.doc_id, s3.t AS text_redacted, q.n_tok AS n_tokens, "
+        "CAST(s3.n_blocked AS BIGINT) AS n_blocked "
+        "FROM s3 JOIN q ON q.doc_id = s3.doc_id "
+        "LEFT JOIN covn ON covn.doc_id = s3.doc_id "
+        "WHERE s3.doc_id IN (SELECT doc_id FROM reps) "
+        "AND q.n_tok >= 5 AND 2 * q.n_alpha >= q.n_tok "
+        "AND q.sum_len >= 2 * q.n_tok AND q.sum_len <= 15 * q.n_tok "
+        "AND CAST(COALESCE(covn.dup, 0) AS DOUBLE) / q.n_tok <= 0.2"
     ),
     "q_events_rollup": (
         "WITH p AS (SELECT event_type, "
