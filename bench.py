@@ -124,6 +124,7 @@ def bench_queries(sf_dir: str) -> dict:
         "q_events_value_quantiles",
         "q_events_numbered",
         "q_redact",
+        "q_clean_corpus",
         "q_heavy_hitter_tokens",
         "q_pages_per_section",
         "q_join_customer_orders",
