@@ -908,6 +908,15 @@ def q_heavy_hitter_tokens(sf_dir: str):
     return pa.table({"tok": t["key"], "count": t["count"]})
 
 
+def q_nfc_normalize(sf_dir: str):
+    """Unicode NFC canonical-form normalization (ASCII fast path +
+    unicodedata for the rest; DuckDB nfc_normalize oracle)."""
+    t = _collect(textstats.nfc_normalize_texts(_docs(sf_dir)))
+    return _cast(
+        _i64(t, "doc_id"), changed=pa.bool_()
+    )
+
+
 def q_repetition(sf_dir: str):
     """Gopher-style repetition filters (top-bigram concentration +
     duplicated-trigram coverage) — integer components plus one exact
@@ -1606,6 +1615,7 @@ QUERIES = {
     "q_quality": q_quality,
     "q_langid": q_langid,
     "q_repetition": q_repetition,
+    "q_nfc_normalize": q_nfc_normalize,
     "q_heavy_hitter_tokens": q_heavy_hitter_tokens,
     "q_redact": q_redact,
     "q_pages_per_section": q_pages_per_section,
@@ -1903,6 +1913,10 @@ ORACLE_SQL = {
         "tot AS (SELECT count(*) AS n FROM toks), "
         "c AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1) "
         "SELECT c.tok, c.cnt AS count FROM c, tot WHERE c.cnt * 50 > tot.n"
+    ),
+    "q_nfc_normalize": (
+        "SELECT doc_id, nfc_normalize(text) AS text_nfc, "
+        "nfc_normalize(text) != text AS changed FROM documents"
     ),
     "q_repetition": (
         f"WITH toks AS ({sql_toks()}), "

@@ -350,3 +350,39 @@ def redact_patterns(
         return pa.table(out)
 
     return ds.map_batches(fn, batch_format="pyarrow", **kw)
+
+
+def nfc_normalize_texts(ds, text_col: str = "text", id_col: str = "doc_id", **kw):
+    """Unicode NFC normalization of a text column — the canonical-form
+    step upstream of any byte-identical-text invariant (SURVEY.md §1.4):
+    Dataset → (doc_id, text_nfc, changed).
+
+    ASCII fast path: rows proven ASCII by one vectorized
+    ``string_is_ascii`` kernel pass through untouched; only the
+    non-ASCII minority (web text is overwhelmingly ASCII at the byte
+    level) goes through ``unicodedata.normalize`` (CPython's C
+    implementation, which matches DuckDB's ``nfc_normalize`` exactly —
+    pyarrow's own utf8_normalize does not compose and is NOT used).
+    """
+    import unicodedata
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch[text_col].combine_chunks()
+        is_ascii = pc.string_is_ascii(text).to_numpy(zero_copy_only=False)
+        vals = text.to_pylist()
+        out = [
+            v if a or v is None else unicodedata.normalize("NFC", v)
+            for v, a in zip(vals, is_ascii)
+        ]
+        changed = pa.array(
+            [o is not None and o != v for o, v in zip(out, vals)], pa.bool_()
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "text_nfc": pa.array(out, pa.string()),
+                "changed": changed,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", **kw)

@@ -157,3 +157,20 @@ def test_redact_patterns_engineered(ray_session):
     assert got.loc[1, "text_redacted"] == "call [MASKED] now"
     assert got.loc[2, "text_redacted"] == "the [MASKED] and the [MASKED] row"
     assert got.loc[3, "text_redacted"] == texts[3]
+
+
+def test_nfc_normalize_engineered(ray_session):
+    import ray
+    import unicodedata
+
+    texts = ["plain ascii", "café", "already é", "Å ring"]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(texts)})
+    got = (
+        textstats.nfc_normalize_texts(ray.data.from_arrow(t))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got["text_nfc"].tolist() == [
+        unicodedata.normalize("NFC", s) for s in texts
+    ]
+    assert got["changed"].tolist() == [False, True, False, True]
