@@ -2192,3 +2192,14 @@ ORACLE_SQL = {
     # q_knn_lsh / q_knn_ivf (approximate; pytest recall vs brute force),
     # q_match_runtime (runtime matcher goldens; pytest)
 }
+
+
+def _register_ext() -> None:
+    # late import: queries_ext imports helpers from this module
+    from phrasekit_ray.pipelines import queries_ext
+
+    QUERIES.update(queries_ext.EXT_QUERIES)
+    ORACLE_SQL.update(queries_ext.EXT_ORACLE_SQL)
+
+
+_register_ext()

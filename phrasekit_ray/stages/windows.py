@@ -533,3 +533,107 @@ def assign_sessions(
             batch_format="pyarrow",
         )
     )
+
+
+def range_window_stats(
+    ds,
+    window_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    num_partitions: int | None = None,
+):
+    """Per-event trailing RANGE window: for each event, the count and
+    integer-cent sum of the SAME user's events with ``ts`` in
+    ``[ts - window_us, ts]`` — SQL ``RANGE BETWEEN <w> PRECEDING AND
+    CURRENT ROW`` semantics (all peers of an equal timestamp are in each
+    other's frames).
+
+    Scale shape: a range-window self-join executed with ZERO joins — one
+    vectorized UDF per hash partition of the user key. Within a
+    partition, rows are lexsorted (user, ts, id) and every user segment
+    is shifted into a disjoint integer band (band width > ts-range +
+    window), so a SINGLE ``np.searchsorted`` over the banded key answers
+    the window boundary for every row of every user at once; window sums
+    come from one prefix-cumsum difference. When segment-count × band
+    would overflow int64, segments are processed in bounded chunks (the
+    same two searchsorted calls per chunk — still never per-key Python).
+
+    Partitioning assumption: one partition holds the full history of
+    every user hashed into it (same contract as ``sessionize``).
+    """
+    num_partitions = default_partitions(num_partitions)
+    w = np.int64(window_us)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        uid = batch[user_col].combine_chunks().cast(pa.int64()).to_numpy()
+        cents = pc.cast(
+            pc.round(pc.multiply(batch[value_col].combine_chunks(), 100.0)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "ts": batch[ts_col].combine_chunks().cast(pa.int64()),
+                "event_id": batch[id_col].combine_chunks().cast(pa.int64()),
+                "cents": cents,
+                "_part": pa.array(_user_part(uid, num_partitions), pa.int32()),
+            }
+        )
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].combine_chunks().to_numpy()
+        ts = group["ts"].combine_chunks().to_numpy()
+        eid = group["event_id"].combine_chunks().to_numpy()
+        cents = group["cents"].combine_chunks().to_numpy()
+        n = len(uid)
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "n_win": pa.array([], pa.int64()),
+                "sum_cents_win": pa.array([], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        order = np.lexsort((eid, ts, uid))
+        uid_s, ts_s, eid_s, cents_s = uid[order], ts[order], eid[order], cents[order]
+        new_user = np.concatenate(([True], uid_s[1:] != uid_s[:-1]))
+        sid = np.cumsum(new_user) - 1  # dense segment index per row
+        tsn = ts_s - ts_s.min()
+        band = np.int64(tsn.max()) + w + np.int64(2)
+        # segments per chunk bounded so (local segment idx) * band < 2^62
+        segs_per_chunk = max(1, int((np.int64(1) << 62) // band))
+        n_segs = int(sid[-1]) + 1
+        n_out = np.empty(n, dtype=np.int64)
+        sum_out = np.empty(n, dtype=np.int64)
+        for s0 in range(0, n_segs, segs_per_chunk):
+            rows = slice(
+                np.searchsorted(sid, s0, "left"),
+                np.searchsorted(sid, s0 + segs_per_chunk, "left"),
+            )
+            key = tsn[rows] + (sid[rows] - s0) * band
+            left = np.searchsorted(key, key - w, "left")
+            right = np.searchsorted(key, key, "right")
+            n_out[rows] = right - left
+            cs = np.concatenate(([0], np.cumsum(cents_s[rows])))
+            sum_out[rows] = cs[right] - cs[left]
+        return pa.table(
+            {
+                "event_id": pa.array(eid_s, pa.int64()),
+                "user_id": pa.array(uid_s, pa.int64()),
+                "n_win": pa.array(n_out, pa.int64()),
+                "sum_cents_win": pa.array(sum_out, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(
+            lambda g: per_partition(g.drop_columns(["_part"])),
+            batch_format="pyarrow",
+        )
+    )

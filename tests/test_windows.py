@@ -205,3 +205,82 @@ def test_assign_sessions_consistent_with_sessionize(ray_session):
     for _, grp in per_event.groupby("user_id"):
         seqs = grp.sort_values(["ts", "event_id"])["session_seq"].to_numpy()
         assert (np.diff(seqs) >= 0).all()
+
+
+def _naive_range_window(rows, w):
+    """Per-user O(n^2) reference for range_window_stats."""
+    out = {}
+    for eid, uid, ts, cents in rows:
+        n = s = 0
+        for eid2, uid2, ts2, cents2 in rows:
+            if uid2 == uid and ts - w <= ts2 <= ts:
+                n += 1
+                s += cents2
+        out[eid] = (n, s)
+    return out
+
+
+def test_range_window_stats_vs_naive(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.windows import range_window_stats
+
+    rng = np.random.default_rng(7)
+    n = 400
+    uid = rng.integers(0, 12, n)
+    ts = rng.integers(0, 10_000, n) * 1_000_000
+    vals = rng.integers(-500, 500, n)
+    rows = [
+        (i, int(uid[i]), int(ts[i]), int(vals[i]))
+        for i in range(n)
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "ts": pa.array(ts, pa.int64()),
+                "value": pa.array(vals / 100.0, pa.float64()),
+            }
+        )
+    ).repartition(5)
+    w = 600 * 1_000_000
+    got = range_window_stats(ds, w, num_partitions=3).to_pandas()
+    want = _naive_range_window(rows, w)
+    assert len(got) == n
+    for _, r in got.iterrows():
+        wn, ws = want[r.event_id]
+        assert (r.n_win, r.sum_cents_win) == (wn, ws), r.event_id
+
+
+def test_range_window_stats_banded_chunk_path(ray_session):
+    """ts spread so wide that segment bands must be processed in chunks
+    (the int64-overflow guard) — results must match the naive reference."""
+    import ray
+
+    from phrasekit_ray.stages.windows import range_window_stats
+
+    rng = np.random.default_rng(11)
+    n = 120
+    uid = rng.integers(0, 16, n)
+    # ~5e17 span: band ≈ 5e17 → only ~9 segments per chunk
+    ts = rng.integers(0, 5 * 10**17, n)
+    vals = rng.integers(-500, 500, n)
+    rows = [(i, int(uid[i]), int(ts[i]), int(vals[i])) for i in range(n)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "ts": pa.array(ts, pa.int64()),
+                "value": pa.array(vals / 100.0, pa.float64()),
+            }
+        )
+    )
+    w = 10**17
+    got = range_window_stats(ds, w, num_partitions=2).to_pandas()
+    want = _naive_range_window(rows, w)
+    assert len(got) == n
+    for _, r in got.iterrows():
+        wn, ws = want[r.event_id]
+        assert (r.n_win, r.sum_cents_win) == (wn, ws), r.event_id
