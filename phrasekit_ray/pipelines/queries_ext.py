@@ -140,12 +140,39 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+def q_chunk_dedup(sf_dir: str):
+    """CCNet-style chunk-level dedup: 20-token chunks, global
+    first-occurrence wins, documents rebuilt from surviving chunks
+    (stages/dedup.chunk_dedup — one string aggregate, zero corpus joins)."""
+    from phrasekit_ray.stages.dedup import chunk_dedup
+
+    return _i64(_collect(chunk_dedup(_docs(sf_dir))), "n_kept", "n_total")
+
+
+SQL_CHUNK_DEDUP = """
+WITH t AS (SELECT doc_id, CAST(doc_id AS BIGINT) AS did,
+                  string_split(text,' ') AS toks FROM documents),
+n AS (SELECT *, CAST(ceil(len(toks)/20.0) AS BIGINT) AS n_total FROM t),
+c AS (SELECT doc_id, did, n_total, toks,
+             unnest(generate_series(0, CAST(n_total-1 AS INT))) AS ci FROM n),
+ch AS (SELECT doc_id, did, n_total, ci,
+              array_to_string(toks[ci*20+1:(ci+1)*20], ' ') AS chunk FROM c),
+k AS (SELECT *, did*1048576+ci AS ok,
+             min(did*1048576+ci) OVER (PARTITION BY chunk) AS mn FROM ch)
+SELECT doc_id, array_to_string(list(chunk ORDER BY ci), ' ') AS clean_text,
+       count(*) AS n_kept, any_value(n_total) AS n_total
+FROM k WHERE ok = mn GROUP BY doc_id
+"""
+
+
 EXT_QUERIES = {
     "q_shipping_priority": q_shipping_priority,
     "q_events_range_window": q_events_range_window,
+    "q_chunk_dedup": q_chunk_dedup,
 }
 
 EXT_ORACLE_SQL = {
     "q_shipping_priority": SQL_SHIPPING_PRIORITY,
     "q_events_range_window": SQL_EVENTS_RANGE_WINDOW,
+    "q_chunk_dedup": SQL_CHUNK_DEDUP,
 }

@@ -1046,3 +1046,148 @@ def contaminated_docs(
     )
     return grouped_count(flagged, ["doc_id"], count_col="n_shared",
                          num_partitions=num_partitions)
+
+
+def chunk_dedup(
+    ds,
+    chunk_tokens: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+):
+    """Corpus-wide chunk-level (paragraph-style) dedup, CCNet-shaped:
+    split every document into consecutive ``chunk_tokens``-token chunks,
+    keep only the globally FIRST occurrence of each distinct chunk text
+    (order = (doc_id, chunk_idx)), and reconstruct each document from its
+    surviving chunks.
+
+    Scale shape: ZERO joins on the corpus — the groupby(chunk).min(order
+    key) argmin IS the kept instance (doc id and chunk position decode
+    from the packed order key), so the only all-to-all is one string-key
+    aggregate whose in-block combine already collapses repeats; document
+    reconstruction is a partition-by-doc map with one vectorized
+    ListArray+binary_join per partition (never per-doc Python). Chunk
+    texts are compared EXACTLY (full string as the group key, no hash
+    truncation → no collision risk).
+
+    Requires integer-string doc ids (the testdata contract) and
+    chunk_idx < 2^20 per document (1M chunks ≈ 20M tokens/doc).
+    """
+    from phrasekit_ray.stages.agg import default_partitions, hash_aggregate, lookup_join
+
+    num_partitions = default_partitions(num_partitions)
+    # doc ids round-trip through the packed int64 order key; emit them in
+    # the INPUT's type (string at some scale factors, int at others)
+    in_schema = ds.schema(fetch_if_missing=True)
+    id_type = dict(zip(in_schema.names, in_schema.types))[id_col]
+    id_type = id_type if isinstance(id_type, pa.DataType) else pa.int64()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch[text_col].combine_chunks(), " ")
+        did = batch[id_col].combine_chunks().cast(pa.int64()).to_numpy()
+        sizes = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        n_chunks = np.maximum((sizes + chunk_tokens - 1) // chunk_tokens, 1)
+        max_c = int(n_chunks.max()) if len(n_chunks) else 0
+        okeys, chunks = [], []
+        for ci in range(max_c):
+            live = np.flatnonzero(n_chunks > ci)
+            sl = pc.list_slice(
+                toks, ci * chunk_tokens, (ci + 1) * chunk_tokens
+            )
+            joined = pc.binary_join(sl, " ")
+            chunks.append(joined.take(pa.array(live)))
+            okeys.append(did[live] * np.int64(1 << 20) + np.int64(ci))
+        if not okeys:
+            return pa.table(
+                {"chunk": pa.array([], pa.string()), "okey": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "chunk": pa.concat_arrays(
+                    [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                     for c in chunks]
+                ),
+                "okey": pa.array(np.concatenate(okeys), pa.int64()),
+            }
+        )
+
+    def totals(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch[text_col].combine_chunks(), " ")
+        did = batch[id_col].combine_chunks().cast(pa.int64())
+        sizes = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        n_chunks = np.maximum((sizes + chunk_tokens - 1) // chunk_tokens, 1)
+        return pa.table(
+            {"did": did, "n_total": pa.array(n_chunks.astype(np.int64), pa.int64())}
+        )
+
+    kept = hash_aggregate(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        "chunk",
+        [("okey", "min")],
+        num_partitions=num_partitions,
+    )
+
+    def part_by_doc(batch: pa.Table) -> pa.Table:
+        okey = batch["okey"].combine_chunks().to_numpy()
+        did = okey >> np.int64(20)
+        h = (did.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+        part = (h % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("_part", pa.array(part, pa.int32()))
+
+    def rebuild(group: pa.Table) -> pa.Table:
+        okey = group["okey"].combine_chunks().to_numpy()
+        if len(okey) == 0:
+            return pa.table(
+                {
+                    "did": pa.array([], pa.int64()),
+                    "clean_text": pa.array([], pa.string()),
+                    "n_kept": pa.array([], pa.int64()),
+                }
+            )
+        order = np.argsort(okey, kind="stable")
+        okey_s = okey[order]
+        chunks_s = group["chunk"].combine_chunks().take(pa.array(order))
+        did_s = okey_s >> np.int64(20)
+        new_doc = np.concatenate(([True], did_s[1:] != did_s[:-1]))
+        seg_starts = np.flatnonzero(new_doc)
+        offsets = np.concatenate((seg_starts, [len(okey_s)])).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets), chunks_s)
+        joined = pc.binary_join(lists, " ")
+        return pa.table(
+            {
+                "did": pa.array(did_s[seg_starts], pa.int64()),
+                "clean_text": joined,
+                "n_kept": pa.array(np.diff(offsets).astype(np.int64), pa.int64()),
+            }
+        )
+
+    docs_out = (
+        kept.map_batches(part_by_doc, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(
+            lambda g: rebuild(g.drop_columns(["_part"])), batch_format="pyarrow"
+        )
+    )
+    with_totals = lookup_join(
+        docs_out,
+        ds.map_batches(totals, batch_format="pyarrow"),
+        "did",
+        "did",
+        num_partitions=num_partitions,
+        left_schema=pa.schema(
+            [("did", pa.int64()), ("clean_text", pa.string()), ("n_kept", pa.int64())]
+        ),
+        right_schema=pa.schema([("did", pa.int64()), ("n_total", pa.int64())]),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["did"].cast(id_type),
+                "clean_text": batch["clean_text"],
+                "n_kept": batch["n_kept"],
+                "n_total": batch["n_total"],
+            }
+        )
+
+    return with_totals.map_batches(finish, batch_format="pyarrow")

@@ -365,3 +365,54 @@ def test_contaminated_docs_both_paths_agree(ray_session):
     # force the distributed conformed-union fallback
     slow = collect(contaminated_docs(train, bench, k=3, broadcast_shingles=0))
     assert fast == slow == {1: 1, 3: 1}
+
+
+def test_chunk_dedup_first_occurrence_wins(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.dedup import chunk_dedup
+
+    # chunk size 3: doc 0 = [A B C | D E F], doc 1 repeats chunk "a b c"
+    # then unique, doc 2 is entirely duplicates of earlier chunks
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b c d e f",
+                    "a b c x y z",
+                    "a b c d e f",
+                ]
+            ),
+            "lang": pa.array(["en"] * 3),
+        }
+    )
+    out = (
+        chunk_dedup(ray.data.from_arrow(docs), chunk_tokens=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc 2 vanishes (no surviving chunks)
+    assert out.doc_id.tolist() == [0, 1]
+    assert out.clean_text.tolist() == ["a b c d e f", "x y z"]
+    assert out.n_kept.tolist() == [2, 1]
+    assert out.n_total.tolist() == [2, 2]
+
+
+def test_chunk_dedup_dedups_within_one_doc(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.dedup import chunk_dedup
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([7], pa.int64()),
+            "text": pa.array(["p q p q p"]),  # chunks of 2: [p q][p q][p]
+            "lang": pa.array(["en"]),
+        }
+    )
+    out = chunk_dedup(ray.data.from_arrow(docs), chunk_tokens=2).to_pandas()
+    assert out.clean_text.tolist() == ["p q p"]
+    assert out.n_kept.tolist() == [2]
+    assert out.n_total.tolist() == [3]
