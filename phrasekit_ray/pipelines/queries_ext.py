@@ -165,14 +165,269 @@ FROM k WHERE ok = mn GROUP BY doc_id
 """
 
 
+
+_Y96_US = 820454400_000_000  # 1996-01-01T00:00:00Z epoch microseconds
+_Y97_US = 852076800_000_000  # 1997-01-01T00:00:00Z
+
+
+def q_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5-shaped 6-table join: revenue from lineitems where the
+    supplier and the ordering customer share an ASIA nation, grouped by
+    nation, one order-year window.
+
+    Scale shape — the join chain never shuffles a dimension table:
+    region⋈nation (tiny) are read once on the driver and become an int
+    set; supplier becomes a broadcast suppkey→nationkey int array
+    (``ray.put`` once, searchsorted per batch); customer attaches
+    c_nationkey to the date-filtered orders via ONE distributed
+    ``lookup_join``; lineitem picks up the customer nation via a second
+    ``lookup_join`` on orderkey (the only two shuffles, both on the
+    already-filtered fact rows); the s_nationkey = c_nationkey condition
+    is a vectorized batch filter; revenue pre-combines per nation
+    in-block before a 25-row final aggregate."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from phrasekit_ray.stages.agg import hash_aggregate, lookup_join
+    from phrasekit_ray.stages.score import _get_broadcast
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    asia_keys = set(
+        region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"].to_pylist()
+    )
+    asia_mask = pc.is_in(
+        nation["n_regionkey"], value_set=pa.array(list(asia_keys), pa.int32())
+    )
+    asia_nation = nation.filter(asia_mask)
+    nation_ids = np.sort(
+        asia_nation["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    names = dict(
+        zip(
+            asia_nation["n_nationkey"].to_pylist(),
+            asia_nation["n_name"].to_pylist(),
+        )
+    )
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sk = supp["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sn = supp["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(sk)
+    supp_ref = ray.put((sk[o], sn[o]))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "o_custkey": b["o_custkey"].cast(pa.int64()),
+            }
+        ).filter(
+            pc.and_(
+                pc.greater_equal(
+                    b["o_orderdate"], pa.scalar(_Y96_US, pa.timestamp("us"))
+                ),
+                pc.less(b["o_orderdate"], pa.scalar(_Y97_US, pa.timestamp("us"))),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": b["c_custkey"].cast(pa.int64()),
+                "c_nation": b["c_nationkey"].cast(pa.int64()),
+            }
+        ).filter(
+            pa.array(
+                np.isin(
+                    b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    nation_ids,
+                )
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    o_schema = pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())])
+    c_schema = pa.schema([("c_custkey", pa.int64()), ("c_nation", pa.int64())])
+    orders_n = lookup_join(
+        orders, cust, "o_custkey", "c_custkey",
+        left_schema=o_schema, right_schema=c_schema,
+    ).map_batches(
+        lambda b: b.select(["o_orderkey", "c_nation"]), batch_format="pyarrow"
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "l_orderkey": b["l_orderkey"].cast(pa.int64()),
+                "l_suppkey": b["l_suppkey"].cast(pa.int64()),
+                "l_extendedprice": b["l_extendedprice"],
+                "l_discount": b["l_discount"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    li_schema = pa.schema(
+        [
+            ("l_orderkey", pa.int64()),
+            ("l_suppkey", pa.int64()),
+            ("l_extendedprice", pa.float64()),
+            ("l_discount", pa.float64()),
+        ]
+    )
+    on_schema = pa.schema([("o_orderkey", pa.int64()), ("c_nation", pa.int64())])
+    joined = lookup_join(
+        li, orders_n, "l_orderkey", "o_orderkey",
+        left_schema=li_schema, right_schema=on_schema,
+    )
+
+    def local_revenue(b: pa.Table) -> pa.Table:
+        skeys, snats = _get_broadcast(supp_ref)
+        lk = b["l_suppkey"].combine_chunks().to_numpy()
+        if len(skeys):
+            pos = np.minimum(np.searchsorted(skeys, lk), len(skeys) - 1)
+            s_nat = np.where(skeys[pos] == lk, snats[pos], np.int64(-1))
+        else:
+            s_nat = np.full(len(lk), -1, dtype=np.int64)
+        keep = s_nat == b["c_nation"].combine_chunks().to_numpy()
+        b = b.filter(pa.array(keep))
+        rev = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        cents = pc.cast(pc.round(pc.multiply(rev, 100.0)), pa.int64())
+        return pa.table({"nation": b["c_nation"], "revenue_cents": cents})
+
+    agg = hash_aggregate(
+        joined.map_batches(local_revenue, batch_format="pyarrow"),
+        "nation",
+        [("revenue_cents", "sum")],
+    )
+    t = _collect(agg)
+    t = pa.table(
+        {
+            "n_name": pa.array(
+                [names[int(n)] for n in t["nation"].to_pylist()], pa.string()
+            ),
+            "revenue_cents": t["revenue_cents"],
+        }
+    )
+    return _i64(t, "revenue_cents")
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = """
+SELECT n.n_name AS n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100.0)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+
+def _basket_edges_ds(sf_dir: str):
+    """Part co-occurrence graph: undirected edges between parts that
+    appear in the same order (lineitem market basket) — a natural dense
+    graph at every scale factor (the co-mention KG graph is degenerate
+    below sf0.01)."""
+    import ray
+
+    from phrasekit_ray.stages.kg import cooccurrence_edges
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return cooccurrence_edges(li, "l_orderkey", "l_partkey")
+
+
+def q_graph_triangles(sf_dir: str):
+    """Per-node triangle counts over the part co-occurrence graph — the
+    distributed degree-ordered wedge-join algorithm
+    (stages/kg.triangle_counts)."""
+    from phrasekit_ray.stages.kg import triangle_counts
+
+    return _i64(
+        _collect(triangle_counts(_basket_edges_ds(sf_dir))), "node", "n_triangles"
+    )
+
+
+def q_graph_khop(sf_dir: str):
+    """BFS distance labels within 3 undirected hops of the min part id
+    (iterative frontier semi/anti joins, stages/kg.k_hop)."""
+    from phrasekit_ray.stages.kg import k_hop
+
+    return _i64(_collect(k_hop(_basket_edges_ds(sf_dir), hops=3)), "node", "dist")
+
+
+_SQL_BASKET_EDGES = '''lp AS (
+  SELECT DISTINCT l_orderkey AS g, l_partkey AS pk FROM lineitem),
+e AS (
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM lp a JOIN lp b ON a.g = b.g AND a.pk < b.pk)'''
+
+
+SQL_GRAPH_TRIANGLES = (
+    "WITH "
+    + _SQL_BASKET_EDGES
+    + ''',
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+            JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+SELECT node, count(*) AS n_triangles
+FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+GROUP BY node'''
+)
+
+
+SQL_GRAPH_KHOP = (
+    "WITH RECURSIVE "
+    + _SQL_BASKET_EDGES
+    + ''',
+adj AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+seed AS (SELECT min(src) AS s FROM adj),
+bfs AS (
+  SELECT s AS node, 0 AS dist FROM seed
+  UNION
+  SELECT adj.dst, bfs.dist + 1
+  FROM bfs JOIN adj ON adj.src = bfs.node WHERE bfs.dist < 3)
+SELECT node, min(dist) AS dist FROM bfs GROUP BY node'''
+)
+
+
 EXT_QUERIES = {
     "q_shipping_priority": q_shipping_priority,
     "q_events_range_window": q_events_range_window,
     "q_chunk_dedup": q_chunk_dedup,
+    "q_graph_triangles": q_graph_triangles,
+    "q_graph_khop": q_graph_khop,
+    "q_local_supplier_volume": q_local_supplier_volume,
 }
 
 EXT_ORACLE_SQL = {
     "q_shipping_priority": SQL_SHIPPING_PRIORITY,
     "q_events_range_window": SQL_EVENTS_RANGE_WINDOW,
     "q_chunk_dedup": SQL_CHUNK_DEDUP,
+    "q_graph_triangles": SQL_GRAPH_TRIANGLES,
+    "q_graph_khop": SQL_GRAPH_KHOP,
+    "q_local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
 }

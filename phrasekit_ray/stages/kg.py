@@ -605,3 +605,365 @@ def pagerank(
 
         ranks = sums.map_batches(renorm, batch_format="pyarrow").materialize()
     return ranks
+
+
+# --- graph analytics over the edge table ------------------------------------
+
+def _segment_pair_positions(keys_sorted: np.ndarray):
+    """All within-segment position pairs (i, j), i < j, of a SORTED key
+    array — a stride loop over neighbor offsets (O(max segment length)
+    fully-vectorized passes; total work equals the number of emitted
+    pairs), never per-segment Python."""
+    n = len(keys_sorted)
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    new_seg = np.concatenate(([True], keys_sorted[1:] != keys_sorted[:-1]))
+    idx = np.arange(n, dtype=np.int64)
+    seg_base = np.zeros(n, dtype=np.int64)
+    seg_base[new_seg] = idx[new_seg]
+    seg_base = np.maximum.accumulate(seg_base)
+    pos = idx - seg_base
+    starts = np.flatnonzero(new_seg)
+    lens = np.diff(np.concatenate((starts, [n])))
+    seg_len = np.repeat(lens, lens)
+    out_i = []
+    for k in range(1, int(lens.max())):
+        ok = pos + k < seg_len
+        if not ok.any():
+            break
+        out_i.append(np.flatnonzero(ok))
+    if not out_i:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    ks = np.concatenate(
+        [np.full(len(a), k + 1, dtype=np.int64) for k, a in enumerate(out_i)]
+    )
+    i = np.concatenate(out_i)
+    return i, i + ks
+
+
+def cooccurrence_edges(ds, group_col: str, item_col: str,
+                       num_partitions: int | None = None):
+    """Market-basket co-occurrence graph: undirected edges (subj, obj),
+    subj < obj, between item values sharing a group value.
+
+    Hash-partition by group (a group never straddles partitions), then
+    ONE vectorized UDF per partition: sort by (group, item), drop
+    in-group duplicates, enumerate within-segment pairs with
+    ``_segment_pair_positions``. Per-group pair blowup is C(basket, 2) —
+    bounded by the max basket size, not the corpus. Output may repeat a
+    pair seen in different groups; feed through ``_canonical_undirected``
+    (or ``edge_table``) for DISTINCT/weighted edges."""
+    from phrasekit_ray.stages.agg import default_partitions
+
+    num_partitions = default_partitions(num_partitions)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        g = batch[group_col].combine_chunks().cast(pa.int64()).to_numpy()
+        i = batch[item_col].combine_chunks().cast(pa.int64()).to_numpy()
+        h = (g.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+        return pa.table(
+            {
+                "g": pa.array(g, pa.int64()),
+                "i": pa.array(i, pa.int64()),
+                "_part": pa.array(
+                    (h % np.uint64(num_partitions)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        g = group["g"].combine_chunks().to_numpy()
+        it = group["i"].combine_chunks().to_numpy()
+        order = np.lexsort((it, g))
+        g, it = g[order], it[order]
+        uniq = np.concatenate(
+            ([True], (g[1:] != g[:-1]) | (it[1:] != it[:-1]))
+        ) if len(g) else np.zeros(0, bool)
+        g, it = g[uniq], it[uniq]
+        i, j = _segment_pair_positions(g)
+        return pa.table(
+            {
+                "subj": pa.array(it[i], pa.int64()),
+                "obj": pa.array(it[j], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(
+            lambda grp: pairs(grp.drop_columns(["_part"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def _canonical_undirected(edges_ds, num_partitions=None):
+    """edges(subj,obj,...) → distinct undirected pairs (u,v) with u<v,
+    self-loops dropped. One count-aggregate (in-block combine first)."""
+    from phrasekit_ray.stages.agg import grouped_count
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch["subj"].combine_chunks().cast(pa.int64()).to_numpy()
+        o = batch["obj"].combine_chunks().cast(pa.int64()).to_numpy()
+        keep = s != o
+        s, o = s[keep], o[keep]
+        return pa.table(
+            {
+                "u": pa.array(np.minimum(s, o), pa.int64()),
+                "v": pa.array(np.maximum(s, o), pa.int64()),
+            }
+        )
+
+    dist = grouped_count(
+        edges_ds.map_batches(canon, batch_format="pyarrow"),
+        ["u", "v"],
+        num_partitions=num_partitions,
+    )
+    return dist.map_batches(
+        lambda b: b.select(["u", "v"]), batch_format="pyarrow"
+    )
+
+
+def triangle_counts(edges_ds, num_partitions: int | None = None):
+    """Per-node triangle counts over the undirected edge graph →
+    (node, n_triangles), nodes in ≥1 triangle.
+
+    Distributed degree-ordered algorithm (the MapReduce-classic shape
+    that bounds wedge blowup on skewed graphs): orient every edge from
+    lower to higher (degree, id) rank so each node's OUT-degree is
+    O(sqrt(m)); generate wedges only at each edge's low-rank endpoint
+    (vectorized pair enumeration per hash partition — a stride loop over
+    neighbor positions, never per-node Python); then one distributed
+    SEMI join of packed wedge keys against packed oriented-edge keys.
+    Every triangle is found exactly once (its rank-lowest corner).
+
+    Node ids must fit 31 bits (packed pair keys); entity ids do.
+    """
+    from phrasekit_ray.stages.agg import (
+        default_partitions,
+        grouped_count,
+        hash_aggregate,
+        key_filter_join,
+        lookup_join,
+    )
+
+    num_partitions = default_partitions(num_partitions)
+    und = _canonical_undirected(edges_ds, num_partitions)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        batch["u"].combine_chunks(),
+                        batch["v"].combine_chunks(),
+                    ]
+                )
+            }
+        )
+
+    degrees = grouped_count(
+        und.map_batches(explode, batch_format="pyarrow"),
+        ["node"],
+        count_col="deg",
+        num_partitions=num_partitions,
+    )
+
+    e_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+    d_schema = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+    with_du = lookup_join(
+        und, degrees.map_batches(
+            lambda b: pa.table({"node": b["node"], "deg_u": b["deg"]}),
+            batch_format="pyarrow",
+        ),
+        "u", "node", num_partitions,
+        left_schema=e_schema,
+        right_schema=pa.schema([("node", pa.int64()), ("deg_u", pa.int64())]),
+    )
+    with_dd = lookup_join(
+        with_du, degrees.map_batches(
+            lambda b: pa.table({"node": b["node"], "deg_v": b["deg"]}),
+            batch_format="pyarrow",
+        ),
+        "v", "node", num_partitions,
+        left_schema=pa.schema(
+            [("u", pa.int64()), ("v", pa.int64()), ("deg_u", pa.int64())]
+        ),
+        right_schema=pa.schema([("node", pa.int64()), ("deg_v", pa.int64())]),
+    )
+
+    def orient(batch: pa.Table) -> pa.Table:
+        u = batch["u"].combine_chunks().to_numpy()
+        v = batch["v"].combine_chunks().to_numpy()
+        du = batch["deg_u"].combine_chunks().to_numpy()
+        dv = batch["deg_v"].combine_chunks().to_numpy()
+        # rank = (deg, id) packed; orient low rank → high rank
+        ru = (du << np.int64(32)) | u
+        rv = (dv << np.int64(32)) | v
+        lo = np.where(ru < rv, u, v)
+        hi = np.where(ru < rv, v, u)
+        rhi = np.maximum(ru, rv)
+        h = (lo.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+        return pa.table(
+            {
+                "lo": pa.array(lo, pa.int64()),
+                "hi": pa.array(hi, pa.int64()),
+                "rhi": pa.array(rhi, pa.int64()),
+                "ekey": pa.array((lo << np.int64(32)) | hi, pa.int64()),
+                "_part": pa.array(
+                    (h % np.uint64(num_partitions)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    oriented = with_dd.map_batches(orient, batch_format="pyarrow")
+
+    def wedges(group: pa.Table) -> pa.Table:
+        lo = group["lo"].combine_chunks().to_numpy()
+        hi = group["hi"].combine_chunks().to_numpy()
+        rhi = group["rhi"].combine_chunks().to_numpy()
+        n = len(lo)
+        empty = pa.table(
+            {
+                "wkey": pa.array([], pa.int64()),
+                "u": pa.array([], pa.int64()),
+                "v": pa.array([], pa.int64()),
+                "w": pa.array([], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        # neighbors of each lo node, ordered by the HI endpoint's rank so
+        # emitted pairs (v, w) satisfy rank(v) < rank(w) = oriented order
+        order = np.lexsort((rhi, lo))
+        lo_s, hi_s = lo[order], hi[order]
+        i, j = _segment_pair_positions(lo_s)
+        if not len(i):
+            return empty
+        u, v, w = lo_s[i], hi_s[i], hi_s[j]
+        return pa.table(
+            {
+                "wkey": pa.array((v << np.int64(32)) | w, pa.int64()),
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "w": pa.array(w, pa.int64()),
+            }
+        )
+
+    wedge_ds = oriented.groupby("_part").map_groups(
+        lambda g: wedges(g.drop_columns(["_part"])), batch_format="pyarrow"
+    )
+    tri = key_filter_join(
+        wedge_ds,
+        oriented.map_batches(
+            lambda b: pa.table({"ekey": b["ekey"]}), batch_format="pyarrow"
+        ),
+        "wkey",
+        "ekey",
+        anti=False,
+        num_partitions=num_partitions,
+        left_schema=pa.schema(
+            [("wkey", pa.int64()), ("u", pa.int64()), ("v", pa.int64()),
+             ("w", pa.int64())]
+        ),
+    )
+
+    def corners(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        batch["u"].combine_chunks(),
+                        batch["v"].combine_chunks(),
+                        batch["w"].combine_chunks(),
+                    ]
+                )
+            }
+        )
+
+    return grouped_count(
+        tri.map_batches(corners, batch_format="pyarrow"),
+        ["node"],
+        count_col="n_triangles",
+        num_partitions=num_partitions,
+    )
+
+
+def k_hop(edges_ds, hops: int = 3, seed: int | None = None,
+          num_partitions: int | None = None):
+    """BFS distance labels (node, dist) for every node within ``hops``
+    undirected hops of ``seed`` (default: the graph's min node id).
+
+    Iterative frontier expansion — per hop one SEMI join (edges whose
+    source is in the frontier; broadcast while the frontier is small,
+    partitioned above the threshold) and one ANTI join against the
+    visited set. ``hops`` is small and fixed; the corpus-side edge set
+    never moves to the driver."""
+    from phrasekit_ray.stages.agg import (
+        default_partitions,
+        grouped_count,
+        key_filter_join,
+    )
+
+    num_partitions = default_partitions(num_partitions)
+    und = _canonical_undirected(edges_ds, num_partitions)
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        u = batch["u"].combine_chunks()
+        v = batch["v"].combine_chunks()
+        return pa.table(
+            {
+                "src": pa.concat_arrays([u, v]),
+                "dst": pa.concat_arrays([v, u]),
+            }
+        )
+
+    adj = und.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    if seed is None:
+        seed = int(adj.min("src"))
+
+    import ray
+
+    frontier = ray.data.from_arrow(
+        pa.table({"node": pa.array([seed], pa.int64()),
+                  "dist": pa.array([0], pa.int64())})
+    )
+    visited = frontier
+    out = [frontier]
+    a_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    for h in range(1, hops + 1):
+        hit = key_filter_join(
+            adj, frontier, "src", "node",
+            num_partitions=num_partitions, left_schema=a_schema,
+        )
+        cand = grouped_count(
+            hit.map_batches(
+                lambda b: pa.table({"node": b["dst"]}), batch_format="pyarrow"
+            ),
+            ["node"],
+            num_partitions=num_partitions,
+        ).map_batches(
+            lambda b, d=h: pa.table(
+                {
+                    "node": b["node"],
+                    "dist": pa.array(
+                        np.full(b.num_rows, d, dtype=np.int64), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        nd_schema = pa.schema([("node", pa.int64()), ("dist", pa.int64())])
+        frontier = key_filter_join(
+            cand, visited, "node", "node", anti=True,
+            num_partitions=num_partitions, left_schema=nd_schema,
+        ).materialize()
+        if frontier.count() == 0:
+            break
+        visited = visited.union(frontier).materialize()
+        out.append(frontier)
+    res = out[0]
+    for f in out[1:]:
+        res = res.union(f)
+    return res

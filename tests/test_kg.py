@@ -3,6 +3,7 @@ node/edge aggregates, resumable lineage writes (FIXTURES.md §8)."""
 
 import os
 
+import numpy as np
 import pyarrow as pa
 import pytest
 
@@ -394,3 +395,121 @@ def test_bucketed_join_layout_mismatch_raises(ray_session, tmp_path):
     write_dataset_resumable(ray.data.from_arrow(t), root, "r", {"v": 1}, "k", 2)
     with pytest.raises(FileNotFoundError):
         bucketed_join(root, "l", root, "r", "k", "k", 4)
+
+
+# --- graph analytics: triangles / k-hop / co-occurrence ---------------------
+
+def _random_edges(seed=7, n_nodes=60, n_edges=400):
+    rng = np.random.default_rng(seed)
+    s = rng.integers(0, n_nodes, n_edges)
+    o = rng.integers(0, n_nodes, n_edges)
+    return pa.table(
+        {
+            "subj": pa.array(s, pa.int64()),
+            "obj": pa.array(o, pa.int64()),
+        }
+    )
+
+
+def _ref_undirected(tbl):
+    pairs = set()
+    for u, v in zip(tbl["subj"].to_pylist(), tbl["obj"].to_pylist()):
+        if u != v:
+            pairs.add((min(u, v), max(u, v)))
+    return pairs
+
+
+def test_segment_pair_positions_matches_itertools():
+    import itertools
+
+    from phrasekit_ray.stages.kg import _segment_pair_positions
+
+    keys = np.array([0, 0, 0, 2, 2, 5, 7, 7, 7, 7], dtype=np.int64)
+    i, j = _segment_pair_positions(keys)
+    got = sorted(zip(i.tolist(), j.tolist()))
+    want = []
+    for _, grp in itertools.groupby(range(len(keys)), key=lambda p: keys[p]):
+        want.extend(itertools.combinations(list(grp), 2))
+    assert got == sorted(want)
+    e_i, e_j = _segment_pair_positions(np.zeros(0, np.int64))
+    assert len(e_i) == 0 and len(e_j) == 0
+
+
+def test_triangle_counts_matches_driver_reference(ray_session):
+    import collections
+
+    import ray
+
+    from phrasekit_ray.stages.kg import triangle_counts
+
+    tbl = _random_edges()
+    pairs = _ref_undirected(tbl)
+    adj = collections.defaultdict(set)
+    for u, v in pairs:
+        adj[u].add(v)
+        adj[v].add(u)
+    ref = collections.Counter()
+    for u, v in pairs:
+        for w in adj[u] & adj[v]:
+            if w > v:
+                ref[u] += 1
+                ref[v] += 1
+                ref[w] += 1
+    got = triangle_counts(ray.data.from_arrow(tbl).repartition(6)).to_pandas()
+    assert dict(zip(got.node, got.n_triangles)) == dict(ref)
+    assert sum(ref.values()) % 3 == 0 and sum(ref.values()) > 0
+
+
+def test_k_hop_matches_bfs_reference(ray_session):
+    import collections
+
+    import ray
+
+    from phrasekit_ray.stages.kg import k_hop
+
+    tbl = _random_edges(seed=11, n_nodes=200, n_edges=220)  # sparse: real hops
+    pairs = _ref_undirected(tbl)
+    adj = collections.defaultdict(set)
+    for u, v in pairs:
+        adj[u].add(v)
+        adj[v].add(u)
+    seed = min(adj)
+    dist = {seed: 0}
+    frontier = [seed]
+    for d in range(1, 4):
+        nxt = []
+        for x in frontier:
+            for y in adj[x]:
+                if y not in dist:
+                    dist[y] = d
+                    nxt.append(y)
+        frontier = nxt
+    got = k_hop(ray.data.from_arrow(tbl).repartition(6), hops=3).to_pandas()
+    assert dict(zip(got.node, got.dist)) == dist
+    assert max(dist.values()) >= 2  # fixture actually exercises >1 hop
+
+
+def test_cooccurrence_edges_matches_reference(ray_session):
+    import itertools
+
+    import ray
+
+    from phrasekit_ray.stages.kg import cooccurrence_edges
+
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 40, 500)
+    items = rng.integers(0, 30, 500)
+    baskets = {}
+    for gg, ii in zip(g.tolist(), items.tolist()):
+        baskets.setdefault(gg, set()).add(ii)
+    want = set()
+    for members in baskets.values():
+        for a, b in itertools.combinations(sorted(members), 2):
+            want.add((a, b))
+    ds = ray.data.from_arrow(
+        pa.table({"ok": pa.array(g, pa.int64()), "pk": pa.array(items, pa.int64())})
+    ).repartition(5)
+    got = cooccurrence_edges(ds, "ok", "pk").to_pandas()
+    got_pairs = set(zip(got.subj, got.obj))  # may repeat across groups
+    assert got_pairs == want
+    assert all(a < b for a, b in got_pairs)
