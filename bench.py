@@ -128,6 +128,7 @@ def bench_queries(sf_dir: str) -> dict:
         "q_heavy_hitter_tokens",
         "q_pages_per_section",
         "q_graph_triangles",
+        "q_lm_nll",
         "q_join_customer_orders",
         "q_lineitem_pricing",
         "q_orders_priority_revenue",

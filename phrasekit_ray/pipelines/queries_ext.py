@@ -414,6 +414,61 @@ SELECT node, min(dist) AS dist FROM bfs GROUP BY node'''
 )
 
 
+def q_lm_nll(sf_dir: str):
+    """Per-document unigram-LM negative log likelihood (CCNet-style
+    quality signal) in integer micro-nats — corpus-trained add-one
+    smoothed LM, vocab = count ≥ 2 capped at 1M by (count desc, tok asc)
+    (stages/lm.unigram_nll_scores)."""
+    from phrasekit_ray.stages.lm import unigram_nll_scores
+
+    return _i64(_collect(unigram_nll_scores(_docs(sf_dir))), "doc_id")
+
+
+SQL_LM_NLL = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok
+        HAVING count(*) >= 2),
+vocab AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok ASC LIMIT 1000000),
+tot AS (SELECT CAST(sum(c) + count(*) AS DOUBLE) AS denom FROM vocab),
+lp AS (SELECT t.doc_id,
+         CAST(round(ln((COALESCE(v.c, 0) + 1.0) / tot.denom) * 1000000.0)
+              AS BIGINT) AS lpm
+       FROM toks t LEFT JOIN vocab v ON v.tok = t.tok CROSS JOIN tot)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       COALESCE(s.n_tokens, 0) AS n_tokens,
+       COALESCE(s.nll_micro, 0) AS nll_micro
+FROM documents d LEFT JOIN (
+  SELECT doc_id, count(*) AS n_tokens,
+         CAST(-sum(lpm) AS BIGINT) AS nll_micro
+  FROM lp GROUP BY doc_id
+) s ON s.doc_id = d.doc_id
+"""
+
+
+def q_search_top2(sf_dir: str):
+    """Conjunctive retrieval: documents containing BOTH of the two most
+    frequent corpus tokens — deterministic query-term selection (count
+    desc, token asc), vectorized scan plan (stages/lm.conjunctive_search)."""
+    from phrasekit_ray.stages.lm import conjunctive_search, top_tokens
+
+    docs = _docs(sf_dir)
+    terms = top_tokens(docs, k=2)
+    return _i64(_collect(conjunctive_search(docs, terms)), "doc_id")
+
+
+SQL_SEARCH_TOP2 = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+top2 AS (SELECT tok FROM cnt ORDER BY c DESC, tok ASC LIMIT 2),
+hit AS (SELECT DISTINCT t.doc_id, t.tok FROM toks t
+        JOIN top2 u ON u.tok = t.tok)
+SELECT CAST(doc_id AS BIGINT) AS doc_id
+FROM hit GROUP BY doc_id HAVING count(*) = 2
+"""
+
+
 EXT_QUERIES = {
     "q_shipping_priority": q_shipping_priority,
     "q_events_range_window": q_events_range_window,
@@ -421,6 +476,8 @@ EXT_QUERIES = {
     "q_graph_triangles": q_graph_triangles,
     "q_graph_khop": q_graph_khop,
     "q_local_supplier_volume": q_local_supplier_volume,
+    "q_lm_nll": q_lm_nll,
+    "q_search_top2": q_search_top2,
 }
 
 EXT_ORACLE_SQL = {
@@ -430,4 +487,6 @@ EXT_ORACLE_SQL = {
     "q_graph_triangles": SQL_GRAPH_TRIANGLES,
     "q_graph_khop": SQL_GRAPH_KHOP,
     "q_local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
+    "q_lm_nll": SQL_LM_NLL,
+    "q_search_top2": SQL_SEARCH_TOP2,
 }

@@ -1,0 +1,179 @@
+"""Unigram language-model corpus scoring and conjunctive retrieval.
+
+CCNet-style quality signal (reference has no LM scorer; this is one of
+the LLM-training-data extensions): train an add-one-smoothed unigram LM
+on the corpus itself, then score every document's negative log
+likelihood — low-likelihood documents are gibberish/boilerplate
+candidates, the same role KenLM perplexity plays in CCNet/RefinedWeb
+filtering pipelines.
+
+Scale shape:
+- counts are ONE two-phase hash aggregate over exploded tokens (in-block
+  combine before the shuffle, string keys hash to int32 partitions);
+- the vocabulary is capped at ``max_vocab`` tokens by (count desc, token
+  asc) — the standard LM vocab cap — so the broadcast log-prob table is
+  bounded regardless of corpus size (OOV mass goes through the smoothing
+  term exactly like any unseen token);
+- scoring is stateless ``map_batches``: tokens dictionary-encode per
+  batch, the broadcast table is probed once per UNIQUE token (the
+  spell-correct pattern), per-doc sums are one vectorized cumsum
+  difference over the list offsets.
+
+Log-probs are fixed to integer MICRO-nats per token (round(ln(p)·1e6))
+before summation so the result is addition-order-proof and
+SQL-oracle-exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from phrasekit_ray.core import normalize
+
+
+def _explode_tokens(ds, text_col: str, lowercase: bool = False):
+    def fn(b: pa.Table) -> pa.Table:
+        toks = normalize.tokenize_string_array(
+            b[text_col].combine_chunks(), lowercase=lowercase
+        )
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        flat = toks.values.slice(offsets[0], int(offsets[-1] - offsets[0]))
+        return pa.table({"tok": flat})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def unigram_logprob_table(
+    docs,
+    text_col: str = "text",
+    min_count: int = 2,
+    max_vocab: int = 1_000_000,
+    num_partitions: int | None = None,
+):
+    """Train the unigram LM: returns (vocab dict tok → lp_micro int,
+    oov_lp_micro int, n_total int, vocab_size int).
+
+    Vocab = tokens with count ≥ ``min_count``, capped at ``max_vocab`` by
+    (count desc, token asc). lp(tok) = ln((c+1)/(N+V)) with N = total
+    count over the kept vocab, V = kept vocab size; OOV uses c = 0. The
+    table is collected to the driver ONCE (bounded by ``max_vocab``) for
+    broadcast — everything upstream is distributed."""
+    from phrasekit_ray.stages.agg import grouped_count
+
+    counts = grouped_count(
+        _explode_tokens(docs, text_col), "tok", count_col="c",
+        num_partitions=num_partitions,
+    ).map_batches(
+        lambda b: b.filter(pc.greater_equal(b["c"], min_count)),
+        batch_format="pyarrow",
+    )
+    vocab = counts.sort(["c", "tok"], descending=[True, False]).limit(max_vocab)
+    toks: list[str] = []
+    cs: list[np.ndarray] = []
+    for b in vocab.iter_batches(batch_format="pyarrow"):
+        toks.extend(b["tok"].to_pylist())
+        cs.append(b["c"].to_numpy(zero_copy_only=False).astype(np.int64))
+    c = np.concatenate(cs) if cs else np.zeros(0, np.int64)
+    n_total = int(c.sum())
+    v = len(toks)
+    denom = np.float64(n_total + v)
+    lp_micro = np.round(np.log((c + 1.0) / denom) * 1e6).astype(np.int64)
+    oov = int(np.round(np.log(1.0 / denom) * 1e6)) if v else 0
+    return dict(zip(toks, lp_micro.tolist())), oov, n_total, v
+
+
+def unigram_nll_scores(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    max_vocab: int = 1_000_000,
+    num_partitions: int | None = None,
+):
+    """Dataset(doc_id, text) → Dataset(doc_id, n_tokens, nll_micro):
+    per-document unigram negative log likelihood in integer micro-nats
+    (sum over tokens of −lp_micro; empty docs score 0)."""
+    import ray
+
+    table, oov, _, _ = unigram_logprob_table(
+        docs, text_col, min_count, max_vocab, num_partitions
+    )
+    table_ref = ray.put(table)
+
+    def score(b: pa.Table) -> pa.Table:
+        from phrasekit_ray.stages.score import _get_broadcast
+
+        lp_map = _get_broadcast(table_ref)
+        toks = normalize.tokenize_string_array(
+            b[text_col].combine_chunks(), lowercase=False
+        )
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = offsets - offsets[0]
+        flat = toks.values.slice(offsets[0], int(offsets[-1] - offsets[0]))
+        enc = pc.dictionary_encode(flat)
+        uniq = enc.dictionary.to_pylist() if len(flat) else []
+        lp_uniq = np.fromiter(
+            (lp_map.get(t, oov) for t in uniq), dtype=np.int64, count=len(uniq)
+        )
+        if len(flat):
+            lp = lp_uniq[enc.indices.to_numpy(zero_copy_only=False)]
+        else:
+            lp = np.zeros(0, np.int64)
+        csum = np.concatenate(([0], np.cumsum(lp)))
+        doc_sum = csum[off[1:]] - csum[off[:-1]]
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_tokens": pa.array(np.diff(off), pa.int64()),
+                "nll_micro": pa.array(-doc_sum, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+def conjunctive_search(docs, query_tokens, text_col: str = "text",
+                       id_col: str = "doc_id"):
+    """Dataset(doc_id, text) → Dataset(doc_id) of documents containing
+    ALL ``query_tokens`` (whitespace tokens, exact match).
+
+    For a single ad-hoc query the right distributed plan is a vectorized
+    SCAN, not an index: per batch, one ``pc.is_in`` over the flat token
+    values per query token + a segment-max per document — no shuffle, no
+    state, prunes to one column at the read."""
+    query_tokens = list(query_tokens)
+
+    def fn(b: pa.Table) -> pa.Table:
+        toks = normalize.tokenize_string_array(
+            b[text_col].combine_chunks(), lowercase=False
+        )
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = offsets - offsets[0]
+        flat = toks.values.slice(offsets[0], int(offsets[-1] - offsets[0]))
+        keep = np.ones(b.num_rows, dtype=bool)
+        for qt in query_tokens:
+            hit = pc.equal(flat, qt).to_numpy(zero_copy_only=False).astype(np.int64)
+            csum = np.concatenate(([0], np.cumsum(hit)))
+            keep &= (csum[off[1:]] - csum[off[:-1]]) > 0
+        return pa.table({id_col: b[id_col].filter(pa.array(keep))})
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def top_tokens(docs, k: int = 2, text_col: str = "text",
+               num_partitions: int | None = None) -> list[str]:
+    """The k most frequent corpus tokens, ties broken by token asc —
+    deterministic query-term selection for the retrieval oracle."""
+    from phrasekit_ray.stages.agg import grouped_count
+
+    counts = grouped_count(
+        _explode_tokens(docs, text_col), "tok", count_col="c",
+        num_partitions=num_partitions,
+    )
+    top = counts.sort(["c", "tok"], descending=[True, False]).limit(k)
+    out: list[str] = []
+    for b in top.iter_batches(batch_format="pyarrow"):
+        out.extend(b["tok"].to_pylist())
+    return out

@@ -1,0 +1,67 @@
+"""Unigram-LM scoring + conjunctive retrieval (stages/lm)."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_ds(texts):
+    import ray
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(3)
+
+
+def test_unigram_nll_matches_driver_reference(ray_session):
+    from phrasekit_ray.stages.lm import unigram_nll_scores
+
+    texts = [
+        "a a a b b c",
+        "a b rare1",      # rare1 count 1 < min_count → OOV
+        "",               # empty doc scores 0
+        "c c b a a rare1 rare2",
+    ]
+    got = unigram_nll_scores(_docs_ds(texts), min_count=2).to_pandas()
+    got = got.set_index("doc_id").sort_index()
+
+    # driver reference
+    from collections import Counter
+
+    cnt = Counter(t for x in texts for t in x.split())
+    vocab = {t: c for t, c in cnt.items() if c >= 2}
+    n, v = sum(vocab.values()), len(vocab)
+    lp = {t: round(math.log((c + 1) / (n + v)) * 1e6) for t, c in vocab.items()}
+    oov = round(math.log(1 / (n + v)) * 1e6)
+    for i, x in enumerate(texts):
+        toks = x.split()
+        assert got.loc[i, "n_tokens"] == len(toks)
+        assert got.loc[i, "nll_micro"] == -sum(lp.get(t, oov) for t in toks)
+
+
+def test_unigram_vocab_cap_is_deterministic(ray_session):
+    from phrasekit_ray.stages.lm import unigram_logprob_table
+
+    # ties on count broken by token asc: cap at 2 keeps {'a','b'} not 'c'
+    table, oov, n, v = unigram_logprob_table(
+        _docs_ds(["a b c", "a b c", "a b c"]), min_count=2, max_vocab=2
+    )
+    assert sorted(table) == ["a", "b"]
+    assert (n, v) == (6, 2)
+    assert oov == round(math.log(1 / 8) * 1e6)
+
+
+def test_conjunctive_search_all_terms_required(ray_session):
+    from phrasekit_ray.stages.lm import conjunctive_search, top_tokens
+
+    ds = _docs_ds(["x y z", "x z", "y", "z x y x", ""])
+    got = sorted(conjunctive_search(ds, ["x", "y"]).to_pandas().doc_id)
+    assert got == [0, 3]
+    assert top_tokens(ds, k=2) == ["x", "y"]  # x:4; y:3 == z:3 tie → tok asc
