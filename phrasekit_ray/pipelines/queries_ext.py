@@ -469,6 +469,41 @@ FROM hit GROUP BY doc_id HAVING count(*) = 2
 """
 
 
+def q_bm25_search(sf_dir: str):
+    """BM25 top-20 retrieval for a deterministic 3-token query (corpus
+    frequency ranks 10-12, ties by token asc) — one corpus scan, tiny
+    int intermediate, micro-unit integer scores (stages/lm.bm25_topk)."""
+    from phrasekit_ray.stages.lm import bm25_topk, top_tokens
+
+    docs = _docs(sf_dir)
+    terms = top_tokens(docs, k=3, offset=9)
+    return _i64(_collect(bm25_topk(docs, terms)), "doc_id")
+
+
+SQL_BM25_SEARCH = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+qt AS (SELECT tok FROM cnt ORDER BY c DESC, tok ASC LIMIT 3 OFFSET 9),
+df AS (SELECT t.tok, count(DISTINCT t.doc_id) AS df FROM toks t
+       JOIN qt USING (tok) GROUP BY t.tok),
+tf AS (SELECT t.doc_id, t.tok, CAST(count(*) AS DOUBLE) AS tf FROM toks t
+       JOIN qt USING (tok) GROUP BY 1, 2),
+sc AS (SELECT tf.doc_id,
+         CAST(round(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+               * 1000000.0) AS BIGINT) AS s
+       FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(sum(s) AS BIGINT) AS bm25_micro
+FROM sc GROUP BY doc_id HAVING sum(s) > 0
+ORDER BY bm25_micro DESC, doc_id ASC LIMIT 20
+"""
+
+
 EXT_QUERIES = {
     "q_shipping_priority": q_shipping_priority,
     "q_events_range_window": q_events_range_window,
@@ -478,6 +513,7 @@ EXT_QUERIES = {
     "q_local_supplier_volume": q_local_supplier_volume,
     "q_lm_nll": q_lm_nll,
     "q_search_top2": q_search_top2,
+    "q_bm25_search": q_bm25_search,
 }
 
 EXT_ORACLE_SQL = {
@@ -489,4 +525,5 @@ EXT_ORACLE_SQL = {
     "q_local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
     "q_lm_nll": SQL_LM_NLL,
     "q_search_top2": SQL_SEARCH_TOP2,
+    "q_bm25_search": SQL_BM25_SEARCH,
 }

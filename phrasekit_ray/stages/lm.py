@@ -162,18 +162,99 @@ def conjunctive_search(docs, query_tokens, text_col: str = "text",
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
-def top_tokens(docs, k: int = 2, text_col: str = "text",
+def top_tokens(docs, k: int = 2, text_col: str = "text", offset: int = 0,
                num_partitions: int | None = None) -> list[str]:
-    """The k most frequent corpus tokens, ties broken by token asc —
-    deterministic query-term selection for the retrieval oracle."""
+    """The k most frequent corpus tokens starting at rank ``offset``,
+    ties broken by token asc — deterministic query-term selection for
+    the retrieval oracles."""
     from phrasekit_ray.stages.agg import grouped_count
 
     counts = grouped_count(
         _explode_tokens(docs, text_col), "tok", count_col="c",
         num_partitions=num_partitions,
     )
-    top = counts.sort(["c", "tok"], descending=[True, False]).limit(k)
+    top = counts.sort(["c", "tok"], descending=[True, False]).limit(k + offset)
     out: list[str] = []
     for b in top.iter_batches(batch_format="pyarrow"):
         out.extend(b["tok"].to_pylist())
-    return out
+    return out[offset:offset + k]
+
+
+def bm25_topk(
+    docs,
+    query_tokens,
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """BM25-ranked retrieval: top-``topk`` documents for a bag-of-tokens
+    query → Dataset(doc_id, bm25_micro), Lucene-style idf
+    ln((N−df+0.5)/(df+0.5)+1).
+
+    Scale shape — the corpus TEXT is read exactly once: pass A is a
+    stateless scan producing the tiny int intermediate (doc_id, dl,
+    tf_i, present_i per query term); N, Σdl and per-term document
+    frequencies are single-row aggregates over that intermediate; pass B
+    scores it with driver-computed scalar idfs (closure constants — a
+    handful of floats, no broadcast object needed) and sorts for the
+    top k. Per-term scores are fixed to integer micro-units BEFORE the
+    sum so ranking is addition-order-proof and SQL-oracle-exact."""
+    query_tokens = list(query_tokens)
+    nq = len(query_tokens)
+
+    def pass_a(bt: pa.Table) -> pa.Table:
+        toks = normalize.tokenize_string_array(
+            bt[text_col].combine_chunks(), lowercase=False
+        )
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = offsets - offsets[0]
+        flat = toks.values.slice(offsets[0], int(offsets[-1] - offsets[0]))
+        cols = {
+            id_col: bt[id_col],
+            "dl": pa.array(np.diff(off), pa.int64()),
+        }
+        for qi, qt in enumerate(query_tokens):
+            hit = pc.equal(flat, qt).to_numpy(zero_copy_only=False).astype(np.int64)
+            csum = np.concatenate(([0], np.cumsum(hit)))
+            tf = csum[off[1:]] - csum[off[:-1]]
+            cols[f"tf{qi}"] = pa.array(tf, pa.int64())
+            cols[f"p{qi}"] = pa.array((tf > 0).astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    inter = docs.map_batches(pass_a, batch_format="pyarrow").materialize()
+    n_docs = inter.count()
+    sums = inter.sum(["dl"] + [f"p{qi}" for qi in range(nq)])
+    avgdl = np.float64(sums["sum(dl)"]) / np.float64(n_docs)
+    idf = [
+        np.log(
+            (n_docs - sums[f"sum(p{qi})"] + 0.5) / (sums[f"sum(p{qi})"] + 0.5)
+            + 1.0
+        )
+        for qi in range(nq)
+    ]
+    tf_num = np.float64(k1 + 1.0)
+    one_minus_b = np.float64(1.0 - b)
+
+    def score(bt: pa.Table) -> pa.Table:
+        dl = bt["dl"].combine_chunks().to_numpy().astype(np.float64)
+        norm = np.float64(k1) * (one_minus_b + np.float64(b) * dl / avgdl)
+        total = np.zeros(len(dl), dtype=np.int64)
+        for qi in range(nq):
+            tf = bt[f"tf{qi}"].combine_chunks().to_numpy().astype(np.float64)
+            s = np.float64(idf[qi]) * (tf * tf_num) / (tf + norm)
+            total += np.round(s * 1e6).astype(np.int64)
+        keep = total > 0
+        return pa.table(
+            {
+                id_col: bt[id_col].filter(pa.array(keep)),
+                "bm25_micro": pa.array(total[keep], pa.int64()),
+            }
+        )
+
+    return (
+        inter.map_batches(score, batch_format="pyarrow")
+        .sort(["bm25_micro", id_col], descending=[True, False])
+        .limit(topk)
+    )

@@ -65,3 +65,38 @@ def test_conjunctive_search_all_terms_required(ray_session):
     got = sorted(conjunctive_search(ds, ["x", "y"]).to_pandas().doc_id)
     assert got == [0, 3]
     assert top_tokens(ds, k=2) == ["x", "y"]  # x:4; y:3 == z:3 tie → tok asc
+
+
+def test_bm25_matches_driver_reference(ray_session):
+    from phrasekit_ray.stages.lm import bm25_topk
+
+    texts = [
+        "apple banana apple cherry",
+        "banana banana banana",
+        "cherry apple",
+        "durian durian",
+        "",
+    ]
+    q = ["apple", "banana", "zzz_absent"]
+    got = bm25_topk(_docs_ds(texts), q, topk=10).to_pandas()
+
+    n = len(texts)
+    dls = [len(t.split()) for t in texts]
+    avgdl = np.float64(sum(dls)) / np.float64(n)
+    ref = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        total = 0
+        for term in q:
+            tf = np.float64(toks.count(term))
+            df = sum(1 for x in texts if term in x.split())
+            idf = np.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            s = np.float64(idf) * (tf * np.float64(2.2)) / (
+                tf + np.float64(1.2) * (np.float64(0.25) + np.float64(0.75) * np.float64(dls[i]) / avgdl)
+            )
+            total += int(np.round(s * 1e6))
+        if total > 0:
+            ref[i] = total
+    assert dict(zip(got.doc_id, got.bm25_micro)) == ref
+    # ranking is score desc
+    assert list(got.bm25_micro) == sorted(got.bm25_micro, reverse=True)
