@@ -504,6 +504,45 @@ ORDER BY bm25_micro DESC, doc_id ASC LIMIT 20
 """
 
 
+def q_lm_bigram_nll(sf_dir: str):
+    """Per-document conditional bigram-LM NLL in integer micro-nats —
+    add-one smoothing over the kept unigram vocab, bounded broadcast
+    count tables (stages/lm.bigram_nll_scores)."""
+    from phrasekit_ray.stages.lm import bigram_nll_scores
+
+    return _i64(_collect(bigram_nll_scores(_docs(sf_dir))), "doc_id")
+
+
+SQL_LM_BIGRAM_NLL = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+              generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents),
+cnt1 AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok
+         HAVING count(*) >= 2),
+uni AS (SELECT tok, c FROM cnt1 ORDER BY c DESC, tok ASC LIMIT 1000000),
+v AS (SELECT count(*) AS v FROM uni),
+bi AS (SELECT t1.doc_id, t1.tok AS w1, t1.tok || ' ' || t2.tok AS pair
+       FROM toks t1 JOIN toks t2
+         ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1),
+cnt2 AS (SELECT pair, count(*) AS c FROM bi GROUP BY pair
+         HAVING count(*) >= 2),
+big AS (SELECT pair, c FROM cnt2 ORDER BY c DESC, pair ASC LIMIT 1000000),
+lp AS (SELECT bi.doc_id,
+         CAST(round(ln((COALESCE(b.c, 0) + 1.0)
+                       / (COALESCE(u.c, 0) + v.v)) * 1000000.0)
+              AS BIGINT) AS lpm
+       FROM bi LEFT JOIN big b ON b.pair = bi.pair
+               LEFT JOIN uni u ON u.tok = bi.w1 CROSS JOIN v)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       COALESCE(s.nll_micro, 0) AS nll_micro
+FROM documents d LEFT JOIN (
+  SELECT doc_id, count(*) AS n_bigrams,
+         CAST(-sum(lpm) AS BIGINT) AS nll_micro
+  FROM lp GROUP BY doc_id) s ON s.doc_id = d.doc_id
+"""
+
+
 EXT_QUERIES = {
     "q_shipping_priority": q_shipping_priority,
     "q_events_range_window": q_events_range_window,
@@ -514,6 +553,7 @@ EXT_QUERIES = {
     "q_lm_nll": q_lm_nll,
     "q_search_top2": q_search_top2,
     "q_bm25_search": q_bm25_search,
+    "q_lm_bigram_nll": q_lm_bigram_nll,
 }
 
 EXT_ORACLE_SQL = {
@@ -526,4 +566,5 @@ EXT_ORACLE_SQL = {
     "q_lm_nll": SQL_LM_NLL,
     "q_search_top2": SQL_SEARCH_TOP2,
     "q_bm25_search": SQL_BM25_SEARCH,
+    "q_lm_bigram_nll": SQL_LM_BIGRAM_NLL,
 }

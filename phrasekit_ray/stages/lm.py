@@ -134,6 +134,160 @@ def unigram_nll_scores(
     return docs.map_batches(score, batch_format="pyarrow")
 
 
+def _explode_bigrams(ds, text_col: str):
+    """(doc_id-less) flat bigram strings 'w1 w2' over within-doc adjacent
+    token pairs — vectorized shift + mask on the list offsets."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        toks = normalize.tokenize_string_array(
+            b[text_col].combine_chunks(), lowercase=False
+        )
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = offsets - offsets[0]
+        flat = toks.values.slice(offsets[0], int(offsets[-1] - offsets[0]))
+        n = len(flat)
+        if n < 2:
+            return pa.table({"tok": pa.array([], pa.string())})
+        # position i starts a bigram unless it is a doc's last token
+        is_last = np.zeros(n, dtype=bool)
+        ends = off[1:][off[1:] > 0] - 1
+        is_last[ends] = True
+        keep = ~is_last[:-1]
+        w1 = flat.slice(0, n - 1).filter(pa.array(keep))
+        w2 = flat.slice(1, n - 1).filter(pa.array(keep))
+        return pa.table(
+            {"tok": pc.binary_join_element_wise(w1, w2, " ")}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bigram_logprob_tables(
+    docs,
+    text_col: str = "text",
+    min_count: int = 2,
+    max_vocab: int = 1_000_000,
+    max_bigrams: int = 1_000_000,
+    num_partitions: int | None = None,
+):
+    """Train the conditional bigram LM. Returns (uni dict tok→count,
+    big dict 'w1 w2'→count, V).
+
+    p(w2|w1) = (c(w1,w2)+1) / (c(w1)+V): add-one smoothing over the
+    kept unigram vocabulary (count ≥ min_count, capped at ``max_vocab``
+    by count desc / tok asc); the bigram table is capped the same way at
+    ``max_bigrams`` — missing entries read as count 0, so both broadcast
+    tables are bounded regardless of corpus size."""
+    from phrasekit_ray.stages.agg import grouped_count
+
+    def top_counts(ds_counts, cap):
+        top = ds_counts.sort(["c", "tok"], descending=[True, False]).limit(cap)
+        out = {}
+        for b in top.iter_batches(batch_format="pyarrow"):
+            out.update(zip(b["tok"].to_pylist(), b["c"].to_pylist()))
+        return out
+
+    uni_counts = grouped_count(
+        _explode_tokens(docs, text_col), "tok", count_col="c",
+        num_partitions=num_partitions,
+    ).map_batches(
+        lambda b: b.filter(pc.greater_equal(b["c"], min_count)),
+        batch_format="pyarrow",
+    )
+    uni = top_counts(uni_counts, max_vocab)
+
+    big_counts = grouped_count(
+        _explode_bigrams(docs, text_col), "tok", count_col="c",
+        num_partitions=num_partitions,
+    ).map_batches(
+        lambda b: b.filter(pc.greater_equal(b["c"], min_count)),
+        batch_format="pyarrow",
+    )
+    big = top_counts(big_counts, max_bigrams)
+    return uni, big, len(uni)
+
+
+def bigram_nll_scores(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    max_vocab: int = 1_000_000,
+    max_bigrams: int = 1_000_000,
+    num_partitions: int | None = None,
+):
+    """Dataset(doc_id, text) → Dataset(doc_id, n_bigrams, nll_micro):
+    per-document conditional bigram NLL in integer micro-nats, summed
+    over within-doc adjacent token pairs (docs with < 2 tokens score 0).
+
+    Same scale shape as the unigram scorer: two bounded broadcast count
+    tables, stateless scoring scan, per-UNIQUE-bigram probing
+    (dictionary encode), per-doc sums via one cumsum difference."""
+    import ray
+
+    uni, big, v = bigram_logprob_tables(
+        docs, text_col, min_count, max_vocab, max_bigrams, num_partitions
+    )
+    tables_ref = ray.put((uni, big))
+
+    def score(b: pa.Table) -> pa.Table:
+        from phrasekit_ray.stages.score import _get_broadcast
+
+        uni_map, big_map = _get_broadcast(tables_ref)
+        toks = normalize.tokenize_string_array(
+            b[text_col].combine_chunks(), lowercase=False
+        )
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = offsets - offsets[0]
+        flat = toks.values.slice(offsets[0], int(offsets[-1] - offsets[0]))
+        n = len(flat)
+        dl = np.diff(off)
+        n_big = np.maximum(dl - 1, 0)
+        if n < 2 or int(n_big.sum()) == 0:
+            return pa.table(
+                {
+                    id_col: b[id_col],
+                    "n_bigrams": pa.array(n_big, pa.int64()),
+                    "nll_micro": pa.array(np.zeros(len(dl), np.int64), pa.int64()),
+                }
+            )
+        is_last = np.zeros(n, dtype=bool)
+        ends = off[1:][off[1:] > 0] - 1
+        is_last[ends] = True
+        keep = ~is_last[:-1]
+        w1 = flat.slice(0, n - 1).filter(pa.array(keep))
+        w2 = flat.slice(1, n - 1).filter(pa.array(keep))
+        pairs = pc.binary_join_element_wise(w1, w2, " ")
+
+        enc2 = pc.dictionary_encode(pairs)
+        uniq2 = enc2.dictionary.to_pylist()
+        c2_uniq = np.fromiter(
+            (big_map.get(t, 0) for t in uniq2), dtype=np.int64, count=len(uniq2)
+        )
+        c2 = c2_uniq[enc2.indices.to_numpy(zero_copy_only=False)]
+        enc1 = pc.dictionary_encode(w1)
+        uniq1 = enc1.dictionary.to_pylist()
+        c1_uniq = np.fromiter(
+            (uni_map.get(t, 0) for t in uniq1), dtype=np.int64, count=len(uniq1)
+        )
+        c1 = c1_uniq[enc1.indices.to_numpy(zero_copy_only=False)]
+        lp = np.round(
+            np.log((c2 + 1.0) / (c1 + np.float64(v))) * 1e6
+        ).astype(np.int64)
+        csum = np.concatenate(([0], np.cumsum(lp)))
+        bnd = np.concatenate(([0], np.cumsum(n_big)))
+        doc_sum = csum[bnd[1:]] - csum[bnd[:-1]]
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_bigrams": pa.array(n_big, pa.int64()),
+                "nll_micro": pa.array(-doc_sum, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
 def conjunctive_search(docs, query_tokens, text_col: str = "text",
                        id_col: str = "doc_id"):
     """Dataset(doc_id, text) → Dataset(doc_id) of documents containing

@@ -100,3 +100,43 @@ def test_bm25_matches_driver_reference(ray_session):
     assert dict(zip(got.doc_id, got.bm25_micro)) == ref
     # ranking is score desc
     assert list(got.bm25_micro) == sorted(got.bm25_micro, reverse=True)
+
+
+def test_bigram_nll_matches_driver_reference(ray_session):
+    from phrasekit_ray.stages.lm import bigram_nll_scores
+
+    texts = [
+        "a b a b c",
+        "a b",
+        "x",          # 1 token → 0 bigrams, score 0
+        "",           # empty → 0
+        "b c b c a b",
+    ]
+    got = bigram_nll_scores(_docs_ds(texts), min_count=2).to_pandas()
+    got = got.set_index("doc_id").sort_index()
+
+    from collections import Counter
+
+    uni = Counter(t for x in texts for t in x.split())
+    uni = {t: c for t, c in uni.items() if c >= 2}
+    v = len(uni)
+    big = Counter(
+        f"{ts[i]} {ts[i+1]}"
+        for x in texts for ts in [x.split()] for i in range(len(ts) - 1)
+    )
+    big = {p: c for p, c in big.items() if c >= 2}
+    for i, x in enumerate(texts):
+        ts = x.split()
+        nb = max(len(ts) - 1, 0)
+        nll = -sum(
+            round(
+                math.log(
+                    (big.get(f"{ts[j]} {ts[j+1]}", 0) + 1.0)
+                    / (uni.get(ts[j], 0) + v)
+                )
+                * 1e6
+            )
+            for j in range(nb)
+        )
+        assert got.loc[i, "n_bigrams"] == nb, i
+        assert got.loc[i, "nll_micro"] == nll, i
