@@ -145,6 +145,32 @@ def bench_queries(sf_dir: str) -> dict:
     return out
 
 
+def _host_cpu_sample() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — the sandbox VM shares a
+    host, and steal time is the ground truth for 'this run was slowed by
+    a noisy neighbor, not by the code'."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except Exception:
+        return 0, 0
+
+
+def _cpu_probe_sec() -> float:
+    """Fixed single-core workload (~0.3 s on an idle host): calibrates
+    how contended the host is at measurement time."""
+    import hashlib
+
+    blob = b"x" * 1_000_000
+    t0 = time.perf_counter()
+    for _ in range(200):
+        hashlib.md5(blob).digest()
+    return round(time.perf_counter() - t0, 3)
+
+
 def run_once(headline_only: bool = False) -> dict:
     import ray
 
@@ -152,10 +178,13 @@ def run_once(headline_only: bool = False) -> dict:
     cpus = _num_cpus()
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=cpus, include_dashboard=False)
+    probe0 = _cpu_probe_sec()
+    steal0, jiff0 = _host_cpu_sample()
     t0 = time.perf_counter()
     head = run_headline(sf_dir)
     queries = {} if headline_only else bench_queries(sf_dir)
     total = time.perf_counter() - t0
+    steal1, jiff1 = _host_cpu_sample()
     result = {
         "metric": "pages/sec end-to-end triple extraction (KG pipeline) + operator pack",
         "value": round(total, 3),
@@ -167,6 +196,13 @@ def run_once(headline_only: bool = False) -> dict:
         "repeat": int(os.environ.get("GRAFT_BENCH_REPEAT", "400")),
         "pages_per_sec": round(head["pages_per_sec"], 2),
         "edges": head["edges"],
+        # host-contention telemetry: steal_pct = share of this run's
+        # host CPU jiffies stolen by the hypervisor/neighbors;
+        # cpu_probe_sec ≈ 0.3 on an idle host, scales with contention
+        "steal_pct": round(
+            100.0 * (steal1 - steal0) / max(jiff1 - jiff0, 1), 2
+        ),
+        "cpu_probe_sec": probe0,
     }
     ray.shutdown()
     return result

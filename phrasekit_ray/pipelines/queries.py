@@ -2198,8 +2198,14 @@ def _register_ext() -> None:
     # late import: queries_ext imports helpers from this module
     from phrasekit_ray.pipelines import queries_ext
 
-    QUERIES.update(queries_ext.EXT_QUERIES)
-    ORACLE_SQL.update(queries_ext.EXT_ORACLE_SQL)
+    try:
+        QUERIES.update(queries_ext.EXT_QUERIES)
+        ORACLE_SQL.update(queries_ext.EXT_ORACLE_SQL)
+    except AttributeError:
+        # queries_ext was imported FIRST and is mid-initialization (it
+        # imports helpers from this module); its own bottom-of-module
+        # hook registers once its maps exist
+        pass
 
 
 _register_ext()

@@ -568,3 +568,15 @@ EXT_ORACLE_SQL = {
     "q_bm25_search": SQL_BM25_SEARCH,
     "q_lm_bigram_nll": SQL_LM_BIGRAM_NLL,
 }
+
+
+def _self_register() -> None:
+    """Covers the import order where THIS module is imported first (the
+    main module's bottom hook then sees a partial module and skips)."""
+    from phrasekit_ray.pipelines import queries as _q
+
+    _q.QUERIES.update(EXT_QUERIES)
+    _q.ORACLE_SQL.update(EXT_ORACLE_SQL)
+
+
+_self_register()

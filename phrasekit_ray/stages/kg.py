@@ -749,7 +749,9 @@ def triangle_counts(edges_ds, num_partitions: int | None = None):
     )
 
     num_partitions = default_partitions(num_partitions)
-    und = _canonical_undirected(edges_ds, num_partitions)
+    # consumed twice (degree count + degree attach): materialize so the
+    # upstream distinct-aggregate runs once
+    und = _canonical_undirected(edges_ds, num_partitions).materialize()
 
     def explode(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -768,30 +770,66 @@ def triangle_counts(edges_ds, num_partitions: int | None = None):
         ["node"],
         count_col="deg",
         num_partitions=num_partitions,
-    )
+    ).materialize()
+    n_nodes = degrees.count()
 
-    e_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
-    d_schema = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
-    with_du = lookup_join(
-        und, degrees.map_batches(
-            lambda b: pa.table({"node": b["node"], "deg_u": b["deg"]}),
-            batch_format="pyarrow",
-        ),
-        "u", "node", num_partitions,
-        left_schema=e_schema,
-        right_schema=pa.schema([("node", pa.int64()), ("deg_u", pa.int64())]),
-    )
-    with_dd = lookup_join(
-        with_du, degrees.map_batches(
-            lambda b: pa.table({"node": b["node"], "deg_v": b["deg"]}),
-            batch_format="pyarrow",
-        ),
-        "v", "node", num_partitions,
-        left_schema=pa.schema(
-            [("u", pa.int64()), ("v", pa.int64()), ("deg_u", pa.int64())]
-        ),
-        right_schema=pa.schema([("node", pa.int64()), ("deg_v", pa.int64())]),
-    )
+    # degree attachment: the degree table is node-count-sized (≪ edges);
+    # under the broadcast bound it ships ONCE as two sorted int arrays
+    # and orientation is a stateless map — zero join shuffles. Above it,
+    # two distributed lookup_joins (the general path).
+    broadcast_nodes = 10_000_000  # ~160 MB of int64 pairs
+    if n_nodes <= broadcast_nodes:
+        import ray as _ray
+
+        nk, dg = [], []
+        for b in degrees.iter_batches(batch_format="pyarrow"):
+            nk.append(b["node"].to_numpy(zero_copy_only=False))
+            dg.append(b["deg"].to_numpy(zero_copy_only=False))
+        nk = np.concatenate(nk) if nk else np.zeros(0, np.int64)
+        dg = np.concatenate(dg) if dg else np.zeros(0, np.int64)
+        o = np.argsort(nk)
+        deg_ref = _ray.put((nk[o], dg[o]))
+
+        def attach(batch: pa.Table) -> pa.Table:
+            from phrasekit_ray.stages.score import _get_broadcast
+
+            keys, degs = _get_broadcast(deg_ref)
+            u = batch["u"].combine_chunks().to_numpy()
+            v = batch["v"].combine_chunks().to_numpy()
+            du = degs[np.searchsorted(keys, u)]
+            dv = degs[np.searchsorted(keys, v)]
+            return pa.table(
+                {
+                    "u": pa.array(u, pa.int64()),
+                    "v": pa.array(v, pa.int64()),
+                    "deg_u": pa.array(du, pa.int64()),
+                    "deg_v": pa.array(dv, pa.int64()),
+                }
+            )
+
+        with_dd = und.map_batches(attach, batch_format="pyarrow")
+    else:
+        e_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+        with_du = lookup_join(
+            und, degrees.map_batches(
+                lambda b: pa.table({"node": b["node"], "deg_u": b["deg"]}),
+                batch_format="pyarrow",
+            ),
+            "u", "node", num_partitions,
+            left_schema=e_schema,
+            right_schema=pa.schema([("node", pa.int64()), ("deg_u", pa.int64())]),
+        )
+        with_dd = lookup_join(
+            with_du, degrees.map_batches(
+                lambda b: pa.table({"node": b["node"], "deg_v": b["deg"]}),
+                batch_format="pyarrow",
+            ),
+            "v", "node", num_partitions,
+            left_schema=pa.schema(
+                [("u", pa.int64()), ("v", pa.int64()), ("deg_u", pa.int64())]
+            ),
+            right_schema=pa.schema([("node", pa.int64()), ("deg_v", pa.int64())]),
+        )
 
     def orient(batch: pa.Table) -> pa.Table:
         u = batch["u"].combine_chunks().to_numpy()
@@ -817,27 +855,88 @@ def triangle_counts(edges_ds, num_partitions: int | None = None):
             }
         )
 
-    oriented = with_dd.map_batches(orient, batch_format="pyarrow")
+    # consumed twice (wedge generation + the closing-edge key set)
+    oriented = with_dd.map_batches(orient, batch_format="pyarrow").materialize()
+
+    # closing-edge membership: when the DISTINCT edge-key set fits the
+    # broadcast bound, ship it once (sorted int64 array) and close
+    # triangles INSIDE the wedge UDF — the ~(edges·out-degree/2) wedge
+    # stream never touches the object store, only actual triangles do.
+    # Above the bound: emit wedges and resolve with a distributed semi
+    # join (the general path).
+    broadcast_edges = 20_000_000  # 160 MB of packed int64 keys
+    n_edges = oriented.count()
+    ekeys_ref = None
+    if n_edges <= broadcast_edges:
+        import ray as _ray
+
+        eks = [
+            b["ekey"].to_numpy(zero_copy_only=False)
+            for b in oriented.select_columns(["ekey"]).iter_batches(
+                batch_format="pyarrow"
+            )
+        ]
+        ekeys = np.sort(np.concatenate(eks)) if eks else np.zeros(0, np.int64)
+        ekeys_ref = _ray.put(ekeys)
 
     def wedges(group: pa.Table) -> pa.Table:
         lo = group["lo"].combine_chunks().to_numpy()
         hi = group["hi"].combine_chunks().to_numpy()
         rhi = group["rhi"].combine_chunks().to_numpy()
         n = len(lo)
-        empty = pa.table(
-            {
-                "wkey": pa.array([], pa.int64()),
-                "u": pa.array([], pa.int64()),
-                "v": pa.array([], pa.int64()),
-                "w": pa.array([], pa.int64()),
-            }
-        )
+        inline = ekeys_ref is not None
+        cols = (["u", "v", "w"] if inline else ["wkey", "u", "v", "w"])
+        empty = pa.table({c: pa.array([], pa.int64()) for c in cols})
         if n == 0:
             return empty
+        allow = None
+        if inline:
+            from phrasekit_ray.stages.score import _get_broadcast
+
+            allow = _get_broadcast(ekeys_ref)
         # neighbors of each lo node, ordered by the HI endpoint's rank so
         # emitted pairs (v, w) satisfy rank(v) < rank(w) = oriented order
         order = np.lexsort((rhi, lo))
         lo_s, hi_s = lo[order], hi[order]
+        if inline:
+            # stride loop with per-offset inline closure: each pass emits
+            # only surviving triangles, so peak memory is one wedge slab
+            new_seg = np.concatenate(([True], lo_s[1:] != lo_s[:-1]))
+            idx = np.arange(n, dtype=np.int64)
+            seg_base = np.zeros(n, dtype=np.int64)
+            seg_base[new_seg] = idx[new_seg]
+            seg_base = np.maximum.accumulate(seg_base)
+            pos = idx - seg_base
+            starts = np.flatnonzero(new_seg)
+            lens = np.diff(np.concatenate((starts, [n])))
+            seg_len = np.repeat(lens, lens)
+            us, vs, ws = [], [], []
+            for k in range(1, int(lens.max())):
+                ok = pos + k < seg_len
+                if not ok.any():
+                    break
+                i = np.flatnonzero(ok)
+                v = hi_s[i]
+                w = hi_s[i + k]
+                wk = (v << np.int64(32)) | w
+                if len(allow):
+                    p = np.minimum(np.searchsorted(allow, wk), len(allow) - 1)
+                    hit = allow[p] == wk
+                else:
+                    hit = np.zeros(len(wk), dtype=bool)
+                if hit.any():
+                    us.append(lo_s[i][hit])
+                    vs.append(v[hit])
+                    ws.append(w[hit])
+            if not us:
+                return empty
+            return pa.table(
+                {
+                    "u": pa.array(np.concatenate(us), pa.int64()),
+                    "v": pa.array(np.concatenate(vs), pa.int64()),
+                    "w": pa.array(np.concatenate(ws), pa.int64()),
+                }
+            )
         i, j = _segment_pair_positions(lo_s)
         if not len(i):
             return empty
@@ -854,20 +953,23 @@ def triangle_counts(edges_ds, num_partitions: int | None = None):
     wedge_ds = oriented.groupby("_part").map_groups(
         lambda g: wedges(g.drop_columns(["_part"])), batch_format="pyarrow"
     )
-    tri = key_filter_join(
-        wedge_ds,
-        oriented.map_batches(
-            lambda b: pa.table({"ekey": b["ekey"]}), batch_format="pyarrow"
-        ),
-        "wkey",
-        "ekey",
-        anti=False,
-        num_partitions=num_partitions,
-        left_schema=pa.schema(
-            [("wkey", pa.int64()), ("u", pa.int64()), ("v", pa.int64()),
-             ("w", pa.int64())]
-        ),
-    )
+    if ekeys_ref is not None:
+        tri = wedge_ds
+    else:
+        tri = key_filter_join(
+            wedge_ds,
+            oriented.map_batches(
+                lambda b: pa.table({"ekey": b["ekey"]}), batch_format="pyarrow"
+            ),
+            "wkey",
+            "ekey",
+            anti=False,
+            num_partitions=num_partitions,
+            left_schema=pa.schema(
+                [("wkey", pa.int64()), ("u", pa.int64()), ("v", pa.int64()),
+                 ("w", pa.int64())]
+            ),
+        )
 
     def corners(batch: pa.Table) -> pa.Table:
         return pa.table(
