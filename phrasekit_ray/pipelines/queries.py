@@ -2198,14 +2198,19 @@ def _register_ext() -> None:
     # late import: queries_ext imports helpers from this module
     from phrasekit_ray.pipelines import queries_ext
 
-    try:
-        QUERIES.update(queries_ext.EXT_QUERIES)
-        ORACLE_SQL.update(queries_ext.EXT_ORACLE_SQL)
-    except AttributeError:
+    ext_q = getattr(queries_ext, "EXT_QUERIES", None)
+    if ext_q is None:
         # queries_ext was imported FIRST and is mid-initialization (it
         # imports helpers from this module); its own bottom-of-module
-        # hook registers once its maps exist
-        pass
+        # hook registers once its maps exist. Any other failure mode
+        # (renamed/missing maps) must raise, not silently drop queries.
+        if getattr(queries_ext, "_EXT_MODULE_LOADED", False):
+            raise AttributeError(
+                "queries_ext finished importing without EXT_QUERIES"
+            )
+        return
+    QUERIES.update(ext_q)
+    ORACLE_SQL.update(queries_ext.EXT_ORACLE_SQL)
 
 
 _register_ext()

@@ -570,6 +570,9 @@ EXT_ORACLE_SQL = {
 }
 
 
+_EXT_MODULE_LOADED = True  # sentinel: import completed past the maps
+
+
 def _self_register() -> None:
     """Covers the import order where THIS module is imported first (the
     main module's bottom hook then sees a partial module and skips)."""

@@ -158,6 +158,12 @@ def minhash_band_rows(
     tokens = batch[tokens_col].combine_chunks()
     sig = minhash_signatures(tokens, num_perm, shingle_k)
     n_docs = sig.shape[0]
+    if bands <= 0 or num_perm % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must be a positive divisor of "
+            f"num_perm ({num_perm}): every permutation belongs to "
+            f"exactly one band"
+        )
     r = num_perm // bands
     band_ids = np.repeat(np.arange(bands, dtype=np.int32), n_docs)
     digests = np.empty(bands * n_docs, dtype=np.uint64)
@@ -198,6 +204,12 @@ def minhash_candidate_pairs(
     pure numpy — never one Python call per bucket (a web corpus has
     ~docs×bands buckets)."""
 
+    if bands <= 0 or num_perm % bands != 0:
+        # fail at pipeline construction, not inside every worker task
+        raise ValueError(
+            f"bands ({bands}) must be a positive divisor of "
+            f"num_perm ({num_perm})"
+        )
     num_partitions = default_partitions(num_partitions)
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -523,7 +535,11 @@ def simhash_fingerprints(ds, id_col: str = "doc_id", tokens_col: str = "tokens")
         n_docs = len(starts)
         fp = np.zeros(n_docs, dtype=np.uint64)
         if len(th):
-            votes = np.add.reduceat(bits, starts, axis=0)
+            # trailing zero-token docs have start == len(bits), which
+            # reduceat rejects; clamp (their rows are masked below)
+            votes = np.add.reduceat(
+                bits, np.minimum(starts, len(th) - 1), axis=0
+            )
             # docs with zero tokens: reduceat duplicates next row; mask below
             sizes = np.diff(offsets)
             fpbits = (votes > 0).astype(np.uint64)

@@ -609,14 +609,11 @@ def pagerank(
 
 # --- graph analytics over the edge table ------------------------------------
 
-def _segment_pair_positions(keys_sorted: np.ndarray):
-    """All within-segment position pairs (i, j), i < j, of a SORTED key
-    array — a stride loop over neighbor offsets (O(max segment length)
-    fully-vectorized passes; total work equals the number of emitted
-    pairs), never per-segment Python."""
+def _segment_positions(keys_sorted: np.ndarray):
+    """Per-row (pos-within-segment, segment-length) plus per-segment
+    lengths of a SORTED key array — the shared prologue of every
+    stride-loop pair enumeration below."""
     n = len(keys_sorted)
-    if n == 0:
-        return np.zeros(0, np.int64), np.zeros(0, np.int64)
     new_seg = np.concatenate(([True], keys_sorted[1:] != keys_sorted[:-1]))
     idx = np.arange(n, dtype=np.int64)
     seg_base = np.zeros(n, dtype=np.int64)
@@ -626,6 +623,18 @@ def _segment_pair_positions(keys_sorted: np.ndarray):
     starts = np.flatnonzero(new_seg)
     lens = np.diff(np.concatenate((starts, [n])))
     seg_len = np.repeat(lens, lens)
+    return pos, seg_len, lens
+
+
+def _segment_pair_positions(keys_sorted: np.ndarray):
+    """All within-segment position pairs (i, j), i < j, of a SORTED key
+    array — a stride loop over neighbor offsets (O(max segment length)
+    fully-vectorized passes; total work equals the number of emitted
+    pairs), never per-segment Python."""
+    n = len(keys_sorted)
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    pos, seg_len, lens = _segment_positions(keys_sorted)
     out_i = []
     for k in range(1, int(lens.max())):
         ok = pos + k < seg_len
@@ -725,9 +734,19 @@ def _canonical_undirected(edges_ds, num_partitions=None):
     )
 
 
-def triangle_counts(edges_ds, num_partitions: int | None = None):
+def triangle_counts(
+    edges_ds,
+    num_partitions: int | None = None,
+    broadcast_nodes: int = 10_000_000,
+    broadcast_edges: int = 20_000_000,
+):
     """Per-node triangle counts over the undirected edge graph →
     (node, n_triangles), nodes in ≥1 triangle.
+
+    ``broadcast_nodes`` / ``broadcast_edges`` bound the degree table and
+    distinct-edge-key set (~160 MB of int64s each at the defaults) that
+    may be pulled to the driver and re-broadcast; above them the
+    operator falls back to fully-distributed joins.
 
     Distributed degree-ordered algorithm (the MapReduce-classic shape
     that bounds wedge blowup on skewed graphs): orient every edge from
@@ -777,7 +796,6 @@ def triangle_counts(edges_ds, num_partitions: int | None = None):
     # under the broadcast bound it ships ONCE as two sorted int arrays
     # and orientation is a stateless map — zero join shuffles. Above it,
     # two distributed lookup_joins (the general path).
-    broadcast_nodes = 10_000_000  # ~160 MB of int64 pairs
     if n_nodes <= broadcast_nodes:
         import ray as _ray
 
@@ -864,7 +882,6 @@ def triangle_counts(edges_ds, num_partitions: int | None = None):
     # stream never touches the object store, only actual triangles do.
     # Above the bound: emit wedges and resolve with a distributed semi
     # join (the general path).
-    broadcast_edges = 20_000_000  # 160 MB of packed int64 keys
     n_edges = oriented.count()
     ekeys_ref = None
     if n_edges <= broadcast_edges:
@@ -901,15 +918,7 @@ def triangle_counts(edges_ds, num_partitions: int | None = None):
         if inline:
             # stride loop with per-offset inline closure: each pass emits
             # only surviving triangles, so peak memory is one wedge slab
-            new_seg = np.concatenate(([True], lo_s[1:] != lo_s[:-1]))
-            idx = np.arange(n, dtype=np.int64)
-            seg_base = np.zeros(n, dtype=np.int64)
-            seg_base[new_seg] = idx[new_seg]
-            seg_base = np.maximum.accumulate(seg_base)
-            pos = idx - seg_base
-            starts = np.flatnonzero(new_seg)
-            lens = np.diff(np.concatenate((starts, [n])))
-            seg_len = np.repeat(lens, lens)
+            pos, seg_len, lens = _segment_positions(lo_s)
             us, vs, ws = [], [], []
             for k in range(1, int(lens.max())):
                 ok = pos + k < seg_len
@@ -1022,10 +1031,17 @@ def k_hop(edges_ds, hops: int = 3, seed: int | None = None,
         )
 
     adj = und.map_batches(both_dirs, batch_format="pyarrow").materialize()
-    if seed is None:
-        seed = int(adj.min("src"))
-
     import ray
+
+    if seed is None:
+        lo = adj.min("src") if adj.count() else None
+        if lo is None:
+            # empty graph: no seed to expand from → empty labels
+            return ray.data.from_arrow(
+                pa.table({"node": pa.array([], pa.int64()),
+                          "dist": pa.array([], pa.int64())})
+            )
+        seed = int(lo)
 
     frontier = ray.data.from_arrow(
         pa.table({"node": pa.array([seed], pa.int64()),

@@ -379,6 +379,23 @@ def bm25_topk(
 
     inter = docs.map_batches(pass_a, batch_format="pyarrow").materialize()
     n_docs = inter.count()
+    if n_docs == 0:
+        # Dataset.sum on an empty dataset returns None and avgdl would
+        # be 0/0; the correct answer is simply "no results"
+        import ray
+
+        try:
+            id_type = inter.schema().base_schema.field(id_col).type
+        except Exception:
+            id_type = pa.int64()
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], id_type),
+                    "bm25_micro": pa.array([], pa.int64()),
+                }
+            )
+        )
     sums = inter.sum(["dl"] + [f"p{qi}" for qi in range(nq)])
     avgdl = np.float64(sums["sum(dl)"]) / np.float64(n_docs)
     idf = [

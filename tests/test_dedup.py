@@ -416,3 +416,42 @@ def test_chunk_dedup_dedups_within_one_doc(ray_session):
     assert out.clean_text.tolist() == ["p q p"]
     assert out.n_kept.tolist() == [2]
     assert out.n_total.tolist() == [3]
+
+
+def test_simhash_trailing_empty_doc(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.dedup import simhash_fingerprints
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "tokens": pa.array([["a", "b"], ["c"], []], pa.list_(pa.string())),
+        }
+    )
+    out = (
+        simhash_fingerprints(ray.data.from_arrow(docs))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    # zero-token docs fingerprint to 0; non-empty docs are unaffected
+    assert out.simhash.tolist()[2] == 0
+    assert out.simhash.tolist()[0] != 0
+
+
+def test_minhash_bands_must_divide_num_perm(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.dedup import minhash_candidate_pairs
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "tokens": pa.array([["a", "b", "c", "d"]], pa.list_(pa.string())),
+        }
+    )
+    ds = ray.data.from_arrow(docs)
+    with pytest.raises(ValueError):
+        minhash_candidate_pairs(ds, bands=12, num_perm=64)
+    with pytest.raises(ValueError):
+        minhash_candidate_pairs(ds, bands=0, num_perm=64)

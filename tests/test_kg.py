@@ -513,3 +513,16 @@ def test_cooccurrence_edges_matches_reference(ray_session):
     got_pairs = set(zip(got.subj, got.obj))  # may repeat across groups
     assert got_pairs == want
     assert all(a < b for a, b in got_pairs)
+
+
+def test_k_hop_empty_graph(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.kg import k_hop
+
+    empty = ray.data.from_arrow(
+        pa.table(
+            {"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}
+        )
+    )
+    assert k_hop(empty, hops=2).count() == 0

@@ -140,3 +140,19 @@ def test_bigram_nll_matches_driver_reference(ray_session):
         )
         assert got.loc[i, "n_bigrams"] == nb, i
         assert got.loc[i, "nll_micro"] == nll, i
+
+
+def test_bm25_empty_corpus(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.lm import bm25_topk
+
+    empty = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+            }
+        )
+    )
+    assert bm25_topk(empty, ["x", "y"]).count() == 0
