@@ -53,14 +53,22 @@ def _part_column(tbl: pa.Table, keys: list[str], num_partitions: int) -> pa.Arra
     for k in keys:
         col = tbl[k]
         if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            # null keys are legal group keys (arrow group_by keeps them as
+            # their own group); hash them to a fixed sentinel
             h = np.fromiter(
-                (zlib.crc32(s.encode()) for s in col.to_pylist()),
+                (
+                    zlib.crc32(s.encode()) if s is not None else 0x9E3779B9
+                    for s in col.to_pylist()
+                ),
                 dtype=np.uint32,
                 count=n,
             )
         else:
+            # fill_null BEFORE the numpy cast: a null otherwise becomes
+            # NaN whose uint64 cast is platform-undefined — null rows
+            # would land on arbitrary partitions and split their group
             h = (
-                col.cast(pa.int64(), safe=False)
+                pc.fill_null(col.cast(pa.int64(), safe=False), -(2**63))
                 .to_numpy(zero_copy_only=False)
                 .astype(np.uint64)
             )
@@ -69,6 +77,22 @@ def _part_column(tbl: pa.Table, keys: list[str], num_partitions: int) -> pa.Arra
             )
         acc = acc * np.uint32(31) + h
     return pa.array((acc % np.uint32(num_partitions)).astype(np.int32))
+
+
+def _group_ordinals(tbl: pa.Table, gk: list[str]) -> np.ndarray:
+    """Row → group ordinal by mixing per-column dictionary codes — exact
+    (no string concatenation, so no separator-collision merging of
+    distinct groups); null keys get the ordinal past the dictionary."""
+    gidx = np.zeros(tbl.num_rows, dtype=np.int64)
+    for c in gk:
+        e = tbl[c].combine_chunks().dictionary_encode()
+        idxs = (
+            pc.fill_null(e.indices, len(e.dictionary))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        gidx = gidx * np.int64(len(e.dictionary) + 1) + idxs
+    return gidx
 
 
 def _arrow_aggregate(
@@ -447,6 +471,10 @@ def approx_count_distinct(
     reg_cols = [f"_r{i}" for i in range(m)]
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch[value_col].null_count:
+            # DISTINCT ignores NULL values (same convention as the exact
+            # grouped_count_distinct and SQL count(DISTINCT ...))
+            batch = batch.filter(pc.is_valid(batch[value_col]))
         vals = batch[value_col]
         if pa.types.is_string(vals.type) or pa.types.is_large_string(vals.type):
             h = np.fromiter(
@@ -496,9 +524,12 @@ def approx_count_distinct(
         encs = [batch[c].combine_chunks().dictionary_encode() for c in gk]
         gidx = np.zeros(batch.num_rows, dtype=np.int64)
         for e in encs:
-            gidx = gidx * np.int64(len(e.dictionary)) + e.indices.to_numpy(
+            # null group keys get the ordinal past the dictionary end
+            # (a NaN-float cast would corrupt the group id)
+            idxs = pc.fill_null(e.indices, len(e.dictionary)).to_numpy(
                 zero_copy_only=False
             )
+            gidx = gidx * np.int64(len(e.dictionary) + 1) + idxs
         _, gidx = np.unique(gidx, return_inverse=True)
         first = np.full(gidx.max() + 1 if len(gidx) else 0, batch.num_rows,
                         dtype=np.int64)
@@ -570,17 +601,7 @@ def grouped_median_int(
     def medians_of_partition(group: pa.Table) -> pa.Table:
         v = group[value_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
         n = group["_n"].to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(gk) == 1:
-            enc = group[gk[0]].combine_chunks().dictionary_encode()
-            gids = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        else:
-            import pyarrow.compute as _pc
-
-            joined = _pc.binary_join_element_wise(
-                *[group[c].cast(pa.string()).combine_chunks() for c in gk], "\x1f"
-            )
-            enc = joined.dictionary_encode()
-            gids = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        gids = _group_ordinals(group, gk)
         order = np.lexsort((v, gids))
         gids_s, v_s, n_s = gids[order], v[order], n[order]
         m = len(gids_s)
@@ -666,15 +687,7 @@ def grouped_quantiles_int(
     def quantiles_of_partition(group: pa.Table) -> pa.Table:
         v = group[value_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
         n = group["_n"].to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(gk) == 1:
-            enc = group[gk[0]].combine_chunks().dictionary_encode()
-        else:
-            import pyarrow.compute as _pc
-
-            enc = _pc.binary_join_element_wise(
-                *[group[c].cast(pa.string()).combine_chunks() for c in gk], "\x1f"
-            ).dictionary_encode()
-        gids = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        gids = _group_ordinals(group, gk)
         order = np.lexsort((v, gids))
         gids_s, v_s, n_s = gids[order], v[order], n[order]
         m = len(gids_s)
@@ -734,9 +747,12 @@ def stratified_sample(
     the shuffle carries ≤ n_per_group × blocks rows per group."""
     num_partitions = default_partitions(num_partitions)
 
-    def _topn_per_group(t: pa.Table, extra_drop: list[str]) -> pa.Table:
+    def _topn_per_group(
+        t: pa.Table, extra_drop: list[str], keep_rank: bool = False
+    ) -> pa.Table:
         """Vectorized n-smallest-rank per group: lexsort (group, rank),
         positions within each group segment < n."""
+        drop = extra_drop if keep_rank else ["_rank"] + extra_drop
         enc = t[group_col].cast(pa.string()).combine_chunks().dictionary_encode()
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         h = t["_rank"].to_numpy(zero_copy_only=False)
@@ -744,16 +760,14 @@ def stratified_sample(
         codes_s = codes[order]
         m = len(codes_s)
         if m == 0:
-            return t.drop_columns(["_rank"] + extra_drop)
+            return t.drop_columns(drop)
         seg = np.flatnonzero(
             np.concatenate(([True], codes_s[1:] != codes_s[:-1]))
         )
         sizes = np.diff(np.concatenate((seg, [m])))
         pos = np.arange(m) - np.repeat(seg, sizes)
         sel = order[pos < n_per_group]
-        return t.take(pa.array(np.sort(sel))).drop_columns(
-            ["_rank"] + extra_drop
-        )
+        return t.take(pa.array(np.sort(sel))).drop_columns(drop)
 
     def rank_and_prune(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -762,17 +776,9 @@ def stratified_sample(
         )
         h = (h ^ (h >> np.uint64(31))) * np.uint64(0xBF58476D1CE4E5B9)
         t = batch.append_column("_rank", pa.array(h.astype(np.uint64), pa.uint64()))
-        pruned = _topn_per_group(t, [])
-        # re-derive rank + partition for the shuffle (rank is a pure
-        # function of (id, seed))
-        ids2 = pruned[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        h2 = (ids2.astype(np.uint64) + np.uint64(seed)) * np.uint64(
-            0x9E3779B97F4A7C15
-        )
-        h2 = (h2 ^ (h2 >> np.uint64(31))) * np.uint64(0xBF58476D1CE4E5B9)
-        pruned = pruned.append_column(
-            "_rank", pa.array(h2.astype(np.uint64), pa.uint64())
-        )
+        # keep _rank through the prune — it is a pure function of
+        # (id, seed), so rehashing the survivors would be wasted work
+        pruned = _topn_per_group(t, [], keep_rank=True)
         return pruned.append_column(
             "_part", _part_column(pruned, [group_col], num_partitions)
         )

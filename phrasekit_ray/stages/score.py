@@ -29,19 +29,26 @@ from phrasekit_ray.config import ScoreConfig
 from phrasekit_ray.core import salience as saliencemod
 from phrasekit_ray.state.rowindex import with_row_index
 
-# Per-worker-process cache of the broadcast background dict: `ray.get` of
-# the same ref re-deserializes a Python dict on every call, so the first
-# batch in each worker pays it once and later batches hit this cache.
-_BG_CACHE: dict[str, dict] = {}
+# Per-worker-process cache of broadcast objects: `ray.get` of the same
+# ref re-deserializes a Python object on every call, so the first batch
+# in each worker pays it once and later batches hit this cache. Several
+# refs can be live at once in one worker (e.g. ivf_topk fetches
+# centroids + queries + probe lists per batch; fused pipelines may
+# interleave two stages' broadcasts), so this is a small FIFO of refs,
+# NOT a single slot — a single slot would thrash and re-deserialize a
+# multi-hundred-MB object on every batch.
+_BG_CACHE: dict[str, object] = {}
+_BG_CACHE_SLOTS = 8
 
 
-def _get_broadcast(ref) -> dict:
+def _get_broadcast(ref):
     import ray
 
     key = ref.hex()
     hit = _BG_CACHE.get(key)
     if hit is None:
-        _BG_CACHE.clear()  # at most one live broadcast per worker
+        while len(_BG_CACHE) >= _BG_CACHE_SLOTS:
+            _BG_CACHE.pop(next(iter(_BG_CACHE)))
         hit = _BG_CACHE[key] = ray.get(ref)
     return hit
 
@@ -179,7 +186,17 @@ def score_ngrams(
         d = batch["count"].to_numpy().astype(np.uint64)
         ngrams = batch["ngram"].to_pylist()
         b = np.fromiter(
-            (bg_map.get(ng, 0) for ng in ngrams), dtype=np.uint64, count=len(ngrams)
+            # the bg dict's keys are lowercase+whitespace-normalized
+            # (reference load_phrases lowercases BOTH sides,
+            # phrasekit_score.rs:158-160); probe with the same
+            # normalization so cased domain input cannot silently read
+            # background_count=0 for every phrase
+            (
+                bg_map.get(ng, 0) or bg_map.get(" ".join(ng.split()).lower(), 0)
+                for ng in ngrams
+            ),
+            dtype=np.uint64,
+            count=len(ngrams),
         )
         sal = saliencemod.compute_salience(method, d, b, total_domain, total_background)
         keep2 = sal >= min_sal
@@ -229,7 +246,17 @@ def score_stats(
         keep = d >= min_domain
         ngrams = batch["ngram"].to_pylist()
         b = np.fromiter(
-            (bg_map.get(ng, 0) for ng in ngrams), dtype=np.uint64, count=len(ngrams)
+            # the bg dict's keys are lowercase+whitespace-normalized
+            # (reference load_phrases lowercases BOTH sides,
+            # phrasekit_score.rs:158-160); probe with the same
+            # normalization so cased domain input cannot silently read
+            # background_count=0 for every phrase
+            (
+                bg_map.get(ng, 0) or bg_map.get(" ".join(ng.split()).lower(), 0)
+                for ng in ngrams
+            ),
+            dtype=np.uint64,
+            count=len(ngrams),
         )
         sal = saliencemod.compute_salience(
             method, d[keep], b[keep], total_domain, total_background
@@ -295,6 +322,8 @@ def score_ngrams_join(
     min_domain = config.min_domain_count
     min_sal = np.float32(config.min_salience)
 
+    from phrasekit_ray.stages.agg import hash_aggregate, join_partitions
+
     bg = background_ds.map_batches(
         lambda b: pa.table(
             {
@@ -304,7 +333,13 @@ def score_ngrams_join(
         ),
         batch_format="pyarrow",
     )
-    from phrasekit_ray.stages.agg import join_partitions
+    # duplicate background keys must collapse BEFORE the join or each
+    # duplicate would multiply its matching domain row. The broadcast
+    # twin (background_to_dict) is last-wins per the reference; "last"
+    # has no distributed meaning, so this path resolves duplicates with
+    # max(count) — identical whenever duplicates agree, deterministic
+    # when they don't.
+    bg = hash_aggregate(bg, "ngram", [("bg_count", "max")])
 
     joined = domain_ds.join(
         bg,

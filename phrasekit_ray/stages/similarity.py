@@ -33,54 +33,21 @@ def _normalize_rows(mat: np.ndarray) -> np.ndarray:
     return mat / norms[:, None]
 
 
-def brute_force_topk(
-    ds,
-    queries: np.ndarray,
-    query_ids: list[int],
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    exclude_self: bool = True,
-):
-    """Exact cosine top-k: Dataset(vec_id, embedding) × query matrix →
-    pyarrow Table(query_id, vec_id, cosine, rank).
+def _empty_topk_table(id_col: str) -> pa.Table:
+    return pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float32()),
+            "rank": pa.array([], pa.int32()),
+        }
+    )
 
-    The corpus streams through map_batches emitting per-batch top-k
-    (k·|queries| rows per batch); the driver merges the per-batch heaps —
-    driver traffic is O(batches · q · k), never the corpus.
-    """
-    import ray
 
-    qmat = _normalize_rows(np.asarray(queries, dtype=np.float32))
-    q_ref = ray.put(qmat)
-    qids = list(query_ids)
-
-    def partial(batch: pa.Table) -> pa.Table:
-        from phrasekit_ray.stages.score import _get_broadcast
-
-        q = _get_broadcast(q_ref)
-        mat = _normalize_rows(_matrix(batch[vec_col].combine_chunks()))
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-        sims = q @ mat.T  # (nq, nb)
-        nq, nb = sims.shape
-        kk = min(k + (1 if exclude_self else 0), nb)
-        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        rows_q, rows_v, rows_s = [], [], []
-        for qi in range(nq):
-            rows_q.append(np.full(kk, qi, dtype=np.int64))
-            rows_v.append(ids[idx[qi]])
-            rows_s.append(sims[qi, idx[qi]])
-        return pa.table(
-            {
-                "qi": pa.array(np.concatenate(rows_q), pa.int64()),
-                id_col: pa.array(np.concatenate(rows_v), pa.int64()),
-                "cosine": pa.array(
-                    np.concatenate(rows_s).astype(np.float32), pa.float32()
-                ),
-            }
-        )
-
-    parts = ds.map_batches(partial, batch_format="pyarrow")
+def _merge_topk(parts, qids, k, exclude_self, id_col) -> pa.Table:
+    """Driver-side merge of per-batch candidate rows (qi, id, cosine)
+    into ranked top-k per query — shared by the brute-force and IVF
+    paths so the heap/tie-break/rank logic cannot diverge."""
     heaps: dict[int, list] = {i: [] for i in range(len(qids))}
     for b in parts.iter_batches(batch_format="pyarrow"):
         for qi, vid, cs in zip(
@@ -110,6 +77,61 @@ def brute_force_topk(
             "rank": pa.array(out_r, pa.int32()),
         }
     )
+
+
+def brute_force_topk(
+    ds,
+    queries: np.ndarray,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+):
+    """Exact cosine top-k: Dataset(vec_id, embedding) × query matrix →
+    pyarrow Table(query_id, vec_id, cosine, rank).
+
+    The corpus streams through map_batches emitting per-batch top-k
+    (k·|queries| rows per batch); the driver merges the per-batch heaps —
+    driver traffic is O(batches · q · k), never the corpus.
+    """
+    import ray
+
+    qmat = _normalize_rows(np.asarray(queries, dtype=np.float32))
+    qids = list(query_ids)
+    if not qids:
+        # zero queries: skip the corpus scan entirely (the per-batch
+        # np.concatenate over zero query rows would crash)
+        return _empty_topk_table(id_col)
+    q_ref = ray.put(qmat)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from phrasekit_ray.stages.score import _get_broadcast
+
+        q = _get_broadcast(q_ref)
+        mat = _normalize_rows(_matrix(batch[vec_col].combine_chunks()))
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        sims = q @ mat.T  # (nq, nb)
+        nq, nb = sims.shape
+        kk = min(k + (1 if exclude_self else 0), nb)
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows_q, rows_v, rows_s = [], [], []
+        for qi in range(nq):
+            rows_q.append(np.full(kk, qi, dtype=np.int64))
+            rows_v.append(ids[idx[qi]])
+            rows_s.append(sims[qi, idx[qi]])
+        return pa.table(
+            {
+                "qi": pa.array(np.concatenate(rows_q), pa.int64()),
+                id_col: pa.array(np.concatenate(rows_v), pa.int64()),
+                "cosine": pa.array(
+                    np.concatenate(rows_s).astype(np.float32), pa.float32()
+                ),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return _merge_topk(parts, qids, k, exclude_self, id_col)
 
 
 def exact_near_dup_pairs(
@@ -177,6 +199,11 @@ def lsh_topk(
     as brute_force_topk; recall < 1 by construction (scale path) — raise
     ``probes`` (or lower ``num_planes``) to trade compute for recall."""
     import ray
+
+    if not list(query_ids):
+        # zero queries ⇒ empty allow-set; the prefilter's searchsorted
+        # against an empty array would index allow[-1]
+        return _empty_topk_table(id_col)
 
     qmat = _normalize_rows(np.asarray(queries, dtype=np.float32))
     dim = qmat.shape[1]
@@ -257,16 +284,9 @@ def ivf_topk(
         seen += len(b)
         if seen >= sample_size:
             break
-    if not sample or seen == 0:
-        # empty input dataset: empty result, stable schema
-        return pa.table(
-            {
-                "query_id": pa.array([], pa.int64()),
-                id_col: pa.array([], pa.int64()),
-                "cosine": pa.array([], pa.float32()),
-                "rank": pa.array([], pa.int32()),
-            }
-        )
+    if not sample or seen == 0 or not qids:
+        # empty corpus or zero queries: empty result, stable schema
+        return _empty_topk_table(id_col)
     X = np.concatenate(sample)[:sample_size]
     rng = np.random.default_rng(seed)
     ncent = min(num_centroids, len(X))
@@ -328,35 +348,7 @@ def ivf_topk(
         )
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
-    heaps: dict[int, list] = {i: [] for i in range(len(qids))}
-    for b in parts.iter_batches(batch_format="pyarrow"):
-        for qi, vid, cs in zip(
-            b["qi"].to_pylist(), b[id_col].to_pylist(), b["cosine"].to_pylist()
-        ):
-            if exclude_self and vid == qids[qi]:
-                continue
-            h = heaps[qi]
-            item = (cs, -vid)
-            if len(h) < k:
-                heapq.heappush(h, item)
-            elif item > h[0]:
-                heapq.heapreplace(h, item)
-    out_q, out_v, out_s, out_r = [], [], [], []
-    for qi, h in heaps.items():
-        ranked = sorted(h, key=lambda x: (-x[0], -x[1]))
-        for rank, (cs, negv) in enumerate(ranked, 1):
-            out_q.append(qids[qi])
-            out_v.append(-negv)
-            out_s.append(cs)
-            out_r.append(rank)
-    return pa.table(
-        {
-            "query_id": pa.array(out_q, pa.int64()),
-            id_col: pa.array(out_v, pa.int64()),
-            "cosine": pa.array(np.asarray(out_s, dtype=np.float32), pa.float32()),
-            "rank": pa.array(out_r, pa.int32()),
-        }
-    )
+    return _merge_topk(parts, qids, k, exclude_self, id_col)
 
 
 def grouped_vector_mean(

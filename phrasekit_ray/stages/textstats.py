@@ -114,22 +114,26 @@ def quality_scores(ds, text_col: str = "text", id_col: str = "doc_id", **kw):
         starts = offsets[:-1]
         n_tok = sizes.astype(np.int64)
         safe = np.maximum(n_tok, 1)
+        # trailing zero-token docs have start == len(flat), which reduceat
+        # rejects; clamp (their rows are zeroed by the n_tok mask below)
+        starts_c = np.minimum(starts, max(len(flat) - 1, 0))
+        is_sw = (
+            pc.is_in(flat, value_set=pa.array(sorted(en_sw)))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         sum_len = (
-            np.add.reduceat(tok_len, starts) if len(flat) else np.zeros_like(n_tok)
+            np.add.reduceat(tok_len, starts_c) if len(flat) else np.zeros_like(n_tok)
         )
         sum_alpha = (
-            np.add.reduceat(is_alpha, starts) if len(flat) else np.zeros_like(n_tok)
+            np.add.reduceat(is_alpha, starts_c) if len(flat) else np.zeros_like(n_tok)
+        )
+        sw_hits = (
+            np.add.reduceat(is_sw, starts_c) if len(flat) else np.zeros_like(n_tok)
         )
         sum_len = np.where(n_tok > 0, sum_len, 0)
         sum_alpha = np.where(n_tok > 0, sum_alpha, 0)
-        sw_hits = np.fromiter(
-            (
-                sum(1 for t in doc if t in en_sw)
-                for doc in toks.to_pylist()
-            ),
-            dtype=np.int64,
-            count=len(n_tok),
-        )
+        sw_hits = np.where(n_tok > 0, sw_hits, 0)
         mean_len = (sum_len / safe).astype(np.float32)
         alpha_ratio = (sum_alpha / safe).astype(np.float32)
         sw_ratio = (sw_hits / safe).astype(np.float32)

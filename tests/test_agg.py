@@ -452,3 +452,74 @@ def test_grouped_rollup_levels(ray_session):
     assert rows[("x", None)] == 30 and rows[("y", None)] == 5
     assert rows[(None, None)] == 35
     assert len(rows) == 6
+
+
+def test_grouped_count_null_string_key(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_count
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", None, "a", None, "b"], pa.string()),
+            "v": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        }
+    )
+    out = grouped_count(ray.data.from_arrow(t), "k").to_pandas()
+    got = {row.k: row.count for row in out.itertuples()}
+    assert got["a"] == 2 and got["b"] == 1
+    # the null key forms its own group and is not dropped
+    nulls = out[out.k.isna()]
+    assert len(nulls) == 1 and nulls["count"].iloc[0] == 2
+
+
+def test_grouped_count_null_int_key(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_count
+
+    t = pa.table(
+        {
+            "k": pa.array([1, None, 1, None], pa.int64()),
+            "v": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    out = grouped_count(ray.data.from_arrow(t), "k").to_pandas()
+    assert sorted(out["count"].tolist()) == [2, 2]
+
+
+def test_grouped_median_separator_keys_stay_distinct(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_median_int
+
+    # these two key pairs concatenate identically under any separator
+    # scheme ('a\x1f' + '\x1f' + 'b' == 'a' + '\x1f' + '\x1fb')
+    t = pa.table(
+        {
+            "k1": pa.array(["a\x1f", "a\x1f", "a", "a"], pa.string()),
+            "k2": pa.array(["b", "b", "\x1fb", "\x1fb"], pa.string()),
+            "v": pa.array([10, 20, 100, 200], pa.int64()),
+        }
+    )
+    out = grouped_median_int(
+        ray.data.from_arrow(t), ["k1", "k2"], "v"
+    ).to_pandas()
+    assert len(out) == 2
+    assert sorted(out["median"].tolist()) == [15.0, 150.0]
+
+
+def test_approx_count_distinct_ignores_null_values(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.agg import approx_count_distinct
+
+    t = pa.table(
+        {
+            "g": pa.array(["x"] * 4, pa.string()),
+            "v": pa.array(["p", None, "q", None], pa.string()),
+        }
+    )
+    out = approx_count_distinct(ray.data.from_arrow(t), "g", "v").to_pandas()
+    # HLL at this cardinality is exact: 2 distinct non-null values
+    assert out["approx_distinct"].iloc[0] == 2

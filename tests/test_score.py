@@ -202,3 +202,59 @@ def test_score_stats_counts(ray_session):
     assert stats["after_domain_filter"] == 4
     assert stats["after_salience_filter"] == 3
     assert stats["background_phrases"] > 0
+
+
+def test_score_probe_normalizes_cased_domain(ray_session):
+    import ray
+
+    from phrasekit_ray.config import ScoreConfig
+    from phrasekit_ray.stages.score import score_ngrams
+
+    domain = ray.data.from_arrow(
+        pa.table(
+            {
+                "ngram": pa.array(["The Cat"], pa.string()),
+                "count": pa.array([10], pa.uint32()),
+            }
+        )
+    )
+    out = score_ngrams(
+        domain,
+        {"the cat": 5},
+        ScoreConfig(method="ratio", min_domain_count=1, min_salience=0.0),
+    ).to_pandas()
+    # the background dict is lowercased (reference parity); a cased
+    # domain ngram must still find its background count
+    assert out.background_count.tolist() == [5]
+
+
+def test_score_join_duplicate_background_keys(ray_session):
+    import ray
+
+    from phrasekit_ray.config import ScoreConfig
+    from phrasekit_ray.stages.score import score_ngrams_join
+
+    domain = ray.data.from_arrow(
+        pa.table(
+            {
+                "ngram": pa.array(["x y"], pa.string()),
+                "count": pa.array([10], pa.uint32()),
+            }
+        )
+    )
+    bg = ray.data.from_arrow(
+        pa.table(
+            {
+                "ngram": pa.array(["x y", "x y"], pa.string()),
+                "count": pa.array([3, 5], pa.uint32()),
+            }
+        )
+    )
+    out = score_ngrams_join(
+        domain,
+        bg,
+        ScoreConfig(method="ratio", min_domain_count=1, min_salience=0.0),
+    ).to_pandas()
+    # duplicate bg keys collapse (max) instead of multiplying the row
+    assert len(out) == 1
+    assert out.background_count.tolist() == [5]

@@ -201,3 +201,28 @@ def test_scalar_quantize_embeddings(ray_session):
     # min/max of each varying dim hit the rails exactly
     for d in [0, 1, 2, 4, 5, 6, 7]:
         assert codes[:, d].min() == 0 and codes[:, d].max() == 255
+
+
+def test_topk_empty_query_set(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    emb = pa.table(
+        {
+            "vec_id": pa.array([1, 2], pa.int64()),
+            "embedding": pa.array(
+                [[1.0, 0.0], [0.0, 1.0]], pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(emb)
+    q = np.zeros((0, 2), dtype=np.float32)
+    for fn in (brute_force_topk, lsh_topk, ivf_topk):
+        out = fn(ds, q, [], k=3)
+        assert out.num_rows == 0
+        assert out.column_names == ["query_id", "vec_id", "cosine", "rank"]

@@ -174,3 +174,24 @@ def test_nfc_normalize_engineered(ray_session):
         unicodedata.normalize("NFC", s) for s in texts
     ]
     assert got["changed"].tolist() == [False, True, False, True]
+
+
+def test_quality_scores_trailing_empty_doc(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.textstats import quality_scores
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["the cat sat", ""]),
+        }
+    )
+    out = (
+        quality_scores(ray.data.from_arrow(docs))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.n_tokens.tolist() == [3, 0]
+    assert out.mean_token_len.tolist()[1] == 0.0
