@@ -25,10 +25,19 @@ import sys
 
 
 def _init_ray() -> None:
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False)
+        # honor RAY_ADDRESS (set by `ray job submit` / cluster launchers)
+        # so CLI pipelines attach to the cluster; an explicit
+        # address="local" would silently start a fresh single-node
+        # instance on the driver instead
+        ray.init(
+            address=os.environ.get("RAY_ADDRESS") or "local",
+            include_dashboard=False,
+        )
 
 
 def _load_config(path: str | None, cls):
@@ -48,7 +57,11 @@ def cmd_mine(args) -> int:
     _init_ray()
     cfg = _load_config(args.config, MineConfig)
     ds = ray.data.read_parquet(args.input)
-    docs = tokenize_documents(ds, text_col=args.text_col, id_col=args.id_col)
+    # materialize once: mine_ngrams and mine_stats both consume the
+    # tokenized docs (same pattern as cmd_score/cmd_tag)
+    docs = tokenize_documents(
+        ds, text_col=args.text_col, id_col=args.id_col
+    ).materialize()
     mined = mine_ngrams(docs, cfg, sort_output=True)
     mined.write_parquet(args.output)
     stats = mine_stats(docs, cfg)

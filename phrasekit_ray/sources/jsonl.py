@@ -16,15 +16,27 @@ import json
 import pyarrow as pa
 
 
-def _parse_lines(path: str, strict: bool) -> list[dict]:
+def _parse_lines(
+    path: str, strict: bool, required: tuple[str, ...] = ()
+) -> list[dict]:
     rows = []
     with open(path) as f:
         for line_num, line in enumerate(f, 1):
             if not line.strip():
                 continue  # blank lines skipped (mine.rs:128-130)
             try:
-                rows.append(json.loads(line))
-            except json.JSONDecodeError as e:
+                row = json.loads(line)
+                # missing required fields are a deserialize failure in
+                # the reference (serde missing-field error) and take the
+                # same skip-with-warning path as unparseable JSON
+                missing = [
+                    k for k in required
+                    if not isinstance(row, dict) or k not in row
+                ]
+                if missing:
+                    raise ValueError(f"missing field(s) {missing}")
+                rows.append(row)
+            except (json.JSONDecodeError, ValueError) as e:
                 if strict:
                     raise ValueError(f"Line {line_num}: failed to parse: {e}")
                 import warnings
@@ -37,7 +49,7 @@ def read_corpus_jsonl(path: str, strict: bool = False):
     """{doc_id?, tokens} JSONL → Dataset(doc_id, tokens)."""
     import ray
 
-    rows = _parse_lines(path, strict)
+    rows = _parse_lines(path, strict, required=("tokens",))
     table = pa.table(
         {
             "doc_id": pa.array(
@@ -58,7 +70,7 @@ def read_ngrams_jsonl(path: str, strict: bool = False):
     (phrasekit_score.rs:160-161)."""
     import ray
 
-    rows = _parse_lines(path, strict)
+    rows = _parse_lines(path, strict, required=("tokens", "count"))
     dedup: dict[str, int] = {}
     for r in rows:
         key = " ".join(t.lower() for t in r["tokens"])
@@ -152,7 +164,11 @@ def read_corpus_jsonl_distributed(paths, strict: bool = False):
                 continue  # blank lines skipped (mine.rs:128-130)
             try:
                 r = json.loads(line)
-            except json.JSONDecodeError as e:
+                if not isinstance(r, dict) or "tokens" not in r:
+                    # missing field = serde deserialize failure in the
+                    # reference → same skip path as unparseable JSON
+                    raise ValueError("missing field 'tokens'")
+            except (json.JSONDecodeError, ValueError) as e:
                 if strict:
                     raise ValueError(f"failed to parse JSONL line: {e}")
                 import warnings

@@ -101,7 +101,9 @@ def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
         (csize,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         body = payload[pos + 8 : pos + 8 + csize]
         if cid == b"fmt ":
-            if csize < 16:
+            if csize < 16 or len(body) < 16:
+                # len guard: a declared-but-missing body would otherwise
+                # raise struct.error, escaping the actors' except ValueError
                 raise ValueError("short fmt chunk")
             audio_fmt, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
             if audio_fmt != 1 or bits != 16 or channels < 1:
@@ -112,6 +114,10 @@ def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
         elif cid == b"data":
             if fmt is None:
                 raise ValueError("WAV data chunk before fmt")
+            if len(body) < csize:
+                # same policy as decode_pnm/decode_y4m: a declared size
+                # past payload end is a malformed file, not a short clip
+                raise ValueError("truncated WAV data chunk")
             channels, rate = fmt
             n = len(body) // (2 * channels)
             if n == 0:
@@ -147,6 +153,9 @@ def decode_y4m(payload: bytes) -> tuple[list[np.ndarray], float]:
             h = int(val)
         elif key == b"F":
             num, den = val.split(b":")
+            if int(den) == 0 or int(num) == 0:
+                # 0 fps would divide-by-zero in frame timestamping
+                raise ValueError(f"invalid y4m frame rate {val!r}")
             fps = int(num) / int(den)
         elif key == b"C":
             chroma = val.decode()
@@ -200,6 +209,12 @@ def _pool2d_to_dim(img: np.ndarray, dim: int) -> np.ndarray:
     g×g grid with g*g >= dim (reduceat bin means), take the first dim."""
     g = int(np.ceil(np.sqrt(dim)))
     h, w = img.shape
+    if h < g or w < g:
+        # image smaller than the pooling grid: area bins would be empty
+        # (zero counts → inf features); sample nearest-neighbor instead
+        rr = (np.arange(g, dtype=np.int64) * h) // g
+        cc = (np.arange(g, dtype=np.int64) * w) // g
+        return img.astype(np.float32)[rr][:, cc].ravel()[:dim]
     ye = (np.arange(g, dtype=np.int64) * h) // g
     xe = (np.arange(g, dtype=np.int64) * w) // g
     sums = np.add.reduceat(np.add.reduceat(img.astype(np.float64), ye, axis=0), xe, axis=1)

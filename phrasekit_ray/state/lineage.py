@@ -186,11 +186,20 @@ def read_partitioned(root: str, stage: str):
     import ray
 
     paths = []
+    first = None
     stage_dir = os.path.join(root, stage)
     for part in sorted(os.listdir(stage_dir)):
         p = os.path.join(stage_dir, part, "data.parquet")
-        if os.path.exists(p) and pq.ParquetFile(p).metadata.num_rows > 0:
-            paths.append(p)
+        if os.path.exists(p):
+            first = first or p
+            if pq.ParquetFile(p).metadata.num_rows > 0:
+                paths.append(p)
+    if not paths:
+        # a stage may legitimately produce zero rows everywhere;
+        # read_parquet([]) raises, so fall back to one (empty) file
+        if first is not None:
+            return ray.data.read_parquet([first])
+        return ray.data.from_arrow(pa.table({}))
     return ray.data.read_parquet(paths)
 
 
@@ -234,8 +243,17 @@ def bucketed_join(
 
         lt = pq.read_table(lp)
         rt = pq.read_table(rp)
-        lk = lt[left_key].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        rk = rt[right_key].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lcol = lt[left_key].combine_chunks()
+        rcol = rt[right_key].combine_chunks()
+        if pa.types.is_integer(lcol.type) and pa.types.is_integer(rcol.type):
+            lk = lcol.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            rk = rcol.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        else:
+            # string partition keys are first-class in the writer
+            # (_hash_partition_ids md5 path); numpy unicode arrays sort
+            # and searchsorted the same way
+            lk = np.asarray(lcol.to_pylist(), dtype=np.str_)
+            rk = np.asarray(rcol.to_pylist(), dtype=np.str_)
         order = np.argsort(rk, kind="stable")
         rk_s = rk[order]
         pos = np.searchsorted(rk_s, lk)

@@ -71,6 +71,14 @@ def with_row_index(ds, col: str = "row_index", start: int = 0):
         counts = ray.get([count_task.remote(r) for r in block_refs])
         LAST_PATH = "arrow_refs"
 
+    total = int(sum(counts))
+    if start + total > 2**32 - 1:
+        # the ordinal column is uint32 for reference phrase_id parity;
+        # np.arange would wrap silently past 2^32 and emit duplicates
+        raise OverflowError(
+            f"row index overflow: start={start} + {total} rows exceeds "
+            f"uint32; enumerate a bounded (filtered/top-k) dataset"
+        )
     offsets = np.concatenate(([0], np.cumsum(counts)[:-1])) if counts else []
     add = ray.remote(num_cpus=0.5)(_add_index_block)
     out_refs = [

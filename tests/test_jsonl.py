@@ -137,3 +137,23 @@ def test_read_corpus_jsonl_distributed_strict_raises(ray_session, tmp_path):
     p.write_text('{"tokens": ["ok"]}\nnot json\n')
     with pytest.raises(Exception):
         read_corpus_jsonl_distributed(str(p), strict=True).take_all()
+
+
+def test_missing_required_field_skipped_non_strict(tmp_path):
+    import warnings
+
+    from phrasekit_ray.sources.jsonl import read_corpus_jsonl
+
+    p = tmp_path / "c.jsonl"
+    p.write_text(
+        '{"doc_id": "a", "tokens": ["x"]}\n'
+        '{"doc_id": "nofield"}\n'  # valid JSON, no tokens
+        '{"doc_id": "b", "tokens": ["y"]}\n'
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ds = read_corpus_jsonl(str(p))
+        assert ds.count() == 2
+        assert any("missing field" in str(x.message) for x in w)
+    with pytest.raises(ValueError):
+        read_corpus_jsonl(str(p), strict=True)

@@ -224,3 +224,40 @@ def test_numpy_backend_video_actor(ray_session):
     ff = out.loc[0, "frame_features"]
     assert np.allclose(ff[0], 10.0) and np.allclose(ff[1], 200.0)
     assert out.loc[0, "frame_ts_ms"].tolist() == [0, 100]
+
+
+def test_malformed_media_raises_value_error_only():
+    import struct
+
+    # truncated fmt chunk: declared csize=16, body ends early — must be
+    # ValueError (the actors' skip-handler), never struct.error
+    bad_wav = (
+        b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + b"\x01\x00\x02\x00"
+    )
+    with pytest.raises(ValueError):
+        multimodal.decode_wav_pcm16(bad_wav)
+
+    # data chunk claiming more bytes than the payload holds
+    hdr = (
+        b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    )
+    trunc = hdr + b"data" + struct.pack("<I", 100000) + b"\x00" * 100
+    with pytest.raises(ValueError):
+        multimodal.decode_wav_pcm16(trunc)
+
+    # zero denominator / zero fps frame rates — must be ValueError,
+    # never ZeroDivisionError
+    for f in (b"F25:0", b"F0:1"):
+        payload = b"YUV4MPEG2 W2 H2 " + f + b" Cmono\nFRAME\n" + b"\x00" * 4
+        with pytest.raises(ValueError):
+            multimodal.decode_y4m(payload)
+
+
+def test_pool2d_smaller_than_grid_is_finite():
+    img = np.arange(16, dtype=np.float32).reshape(4, 4)
+    out = multimodal._pool2d_to_dim(img, 32)  # grid g=6 > 4
+    assert out.shape == (32,)
+    assert np.isfinite(out).all()

@@ -229,3 +229,67 @@ def test_kg_run_manifest_stage_metrics(pages_ds, tmp_path):
     assert m["phrases_scored"] == man["build_stats"]["total_input"]
     assert m["tagging"]["documents"] > 0
     assert m["tagging"]["total_spans"] >= m["tagging"]["documents_with_spans"]
+
+
+def test_read_partitioned_all_empty_stage(ray_session, tmp_path):
+    import ray
+
+    from phrasekit_ray.state import lineage
+
+    empty = ray.data.from_arrow(
+        pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    )
+    lineage.write_dataset_resumable(
+        empty, str(tmp_path), "nothing", {"cfg": 1}, partition_col="k",
+        num_partitions=4
+    )
+    back = lineage.read_partitioned(str(tmp_path), "nothing")
+    assert back.count() == 0
+
+
+def test_bucketed_join_string_keys(ray_session, tmp_path):
+    import ray
+
+    from phrasekit_ray.state import lineage
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(["a", "b", "c"], pa.string()),
+                "lv": pa.array([1, 2, 3], pa.int64()),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(["b", "c", "d"], pa.string()),
+                "rv": pa.array([20, 30, 40], pa.int64()),
+            }
+        )
+    )
+    lineage.write_dataset_resumable(
+        left, str(tmp_path), "L", {"cfg": 1}, partition_col="k",
+        num_partitions=4
+    )
+    lineage.write_dataset_resumable(
+        right, str(tmp_path), "R", {"cfg": 1}, partition_col="k",
+        num_partitions=4
+    )
+    out = lineage.bucketed_join(
+        str(tmp_path), "L", str(tmp_path), "R", "k", "k", 4
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert out.k.tolist() == ["b", "c"]
+    assert out.rv.tolist() == [20, 30]
+
+
+def test_with_row_index_uint32_overflow_raises(ray_session):
+    import ray
+
+    from phrasekit_ray.state.rowindex import with_row_index
+
+    ds = ray.data.from_arrow(
+        pa.table({"v": pa.array(list(range(5)), pa.int64())})
+    )
+    with pytest.raises(OverflowError):
+        with_row_index(ds, start=2**32 - 2)
