@@ -52,12 +52,20 @@ def lower_string_array(arr: pa.Array) -> pa.Array:
     return lowered
 
 
+def _list_from_arrays_like(src: pa.ListArray, offsets, values) -> pa.ListArray:
+    """Rebuild a list array, carrying over ``src``'s validity bitmap (plain
+    from_arrays silently turns null rows into empty lists)."""
+    if src.null_count:
+        return type(src).from_arrays(offsets, values, mask=pc.is_null(src))
+    return type(src).from_arrays(offsets, values)
+
+
 def lower_token_lists(arr: pa.Array) -> pa.Array:
     """Lowercase every token in a list<string> column, preserving offsets."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     values = lower_string_array(arr.values)
-    return type(arr).from_arrays(arr.offsets, values)
+    return _list_from_arrays_like(arr, arr.offsets, values)
 
 
 def _rebuild_list_filtered(arr: pa.ListArray, keep: np.ndarray) -> pa.ListArray:
@@ -68,7 +76,9 @@ def _rebuild_list_filtered(arr: pa.ListArray, keep: np.ndarray) -> pa.ListArray:
     kept_per_list = np.bincount(parent[keep], minlength=len(sizes))
     new_offsets = np.concatenate(([0], np.cumsum(kept_per_list))).astype(np.int32)
     new_values = arr.values.filter(pa.array(keep))
-    return pa.ListArray.from_arrays(pa.array(new_offsets, type=pa.int32()), new_values)
+    return _list_from_arrays_like(
+        arr, pa.array(new_offsets, type=pa.int32()), new_values
+    )
 
 
 def tokenize_string_array(arr: pa.Array, lowercase: bool = True) -> pa.Array:
@@ -93,7 +103,7 @@ def tokenize_string_array(arr: pa.Array, lowercase: bool = True) -> pa.Array:
         split = _rebuild_list_filtered(split, keep)
         flat = split.values
     if lowercase:
-        split = type(split).from_arrays(split.offsets, lower_string_array(flat))
+        split = _list_from_arrays_like(split, split.offsets, lower_string_array(flat))
     return split
 
 

@@ -199,18 +199,25 @@ def run_kg_increment(
     from phrasekit_ray.stages.tag import tag_corpus
 
     kg_config = kg_config or KGConfig()
+    import ray as _ray
+
+    # Accept either an ObjectRef or a plain MatcherArtifact (KGResult.artifact
+    # is the plain object): TaggerActor.__init__ ray.get()s whatever it is
+    # handed, so a plain artifact must be put into the object store first.
+    if isinstance(artifact_ref, MatcherArtifact):
+        tag_ref = _ray.put(artifact_ref)
+    else:
+        tag_ref = artifact_ref
     docs = extract_tokens(pages_ds, id_col=id_col, lang_allow=lang_allow)
     tagged = tag_corpus(
         docs,
-        artifact_ref,
+        tag_ref,
         tag_config,
         concurrency=tag_concurrency,
         batch_size=tag_batch_size,
         keep_tokens=False,
         id_col="doc_id",
     )
-    import ray as _ray
-
     artifact = _ray.get(artifact_ref) if not isinstance(artifact_ref, MatcherArtifact) else artifact_ref
     names = kgmod.canonical_names_from_artifact(artifact, mapping)
     mentions = kgmod.mentions_from_tagged(tagged)

@@ -35,6 +35,12 @@ EN = " WHERE lang = 'en'"
 NON_EN = " WHERE lang <> 'en'"
 
 
+def _round_away(arr):
+    """Round half away from zero (DuckDB round() semantics; pyarrow defaults
+    to half-to-even, which diverges on exact .5 cents values)."""
+    return pc.round(arr, round_mode="half_towards_infinity")
+
+
 def _docs(sf_dir: str, lang: str | None = None, exclude_lang: str | None = None):
     import ray
 
@@ -754,7 +760,7 @@ def q_events_rollup(sf_dir: str):
                 "user_bucket": pc.cast(
                     pc.bit_wise_and(b["user_id"], 7), pa.int64()
                 ),
-                "cents": pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64()),
+                "cents": pc.cast(_round_away(pc.multiply(b["value"], 100.0)), pa.int64()),
             }
         )
 
@@ -979,8 +985,8 @@ def q_lineitem_pricing(sf_dir: str):
     )
 
     def partial(b: pa.Table) -> pa.Table:
-        qty = pc.cast(pc.round(b["l_quantity"]), pa.int64())
-        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64())
+        qty = pc.cast(_round_away(b["l_quantity"]), pa.int64())
+        cents = pc.cast(_round_away(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64())
         t = pa.table(
             {
                 "l_returnflag": b["l_returnflag"],
@@ -1031,7 +1037,7 @@ def q_orders_priority_revenue(sf_dir: str):
         m = _get_broadcast(lut_ref)
         keys = b["l_orderkey"].to_pylist()
         prio = pa.array([m.get(k, "NONE") for k in keys], pa.string())
-        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64())
+        cents = pc.cast(_round_away(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64())
         t = pa.table(
             {
                 "o_orderpriority": prio,
@@ -1060,7 +1066,7 @@ def q_events_type_stats(sf_dir: str):
     )
 
     def partial(b: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64())
+        cents = pc.cast(_round_away(pc.multiply(b["value"], 100.0)), pa.int64())
         t = pa.table(
             {
                 "event_type": b["event_type"],
@@ -1151,7 +1157,7 @@ def q_events_asof_join(sf_dir: str):
                 "user_id": b["user_id"].cast(pa.int64()),
                 "ts": b["ts"].cast(pa.int64()),
                 "cents": pc.cast(
-                    pc.round(pc.multiply(b["value"], 100.0)), pa.int64()
+                    _round_away(pc.multiply(b["value"], 100.0)), pa.int64()
                 ),
             }
         )
@@ -1273,7 +1279,7 @@ def q_join_customer_orders(sf_dir: str):
     )
 
     def partial(b: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0)), pa.int64())
+        cents = pc.cast(_round_away(pc.multiply(b["o_totalprice"], 100.0)), pa.int64())
         return pa.table(
             {
                 "c_mktsegment": b["c_mktsegment"],
@@ -1389,7 +1395,7 @@ def q_events_value_quantiles(sf_dir: str):
         return pa.table(
             {
                 "event_type": b["event_type"],
-                "cents": pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64()),
+                "cents": pc.cast(_round_away(pc.multiply(b["value"], 100.0)), pa.int64()),
             }
         )
 
@@ -1417,7 +1423,7 @@ def q_events_median_value(sf_dir: str):
         return pa.table(
             {
                 "event_type": b["event_type"],
-                "cents": pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64()),
+                "cents": pc.cast(_round_away(pc.multiply(b["value"], 100.0)), pa.int64()),
             }
         )
 

@@ -17,10 +17,16 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from phrasekit_ray.pipelines.queries import _cast, _collect, _docs, _i64
+from phrasekit_ray.pipelines.queries import _collect, _docs, _i64
 
 _CUTOFF = "1998-06-01"
 _CUTOFF_US = 896659200_000_000  # 1998-06-01T00:00:00Z in epoch microseconds
+
+
+def _round_away(arr):
+    """Round half away from zero (DuckDB round() semantics; pyarrow defaults
+    to half-to-even, which diverges on exact .5 cents values)."""
+    return pc.round(arr, round_mode="half_towards_infinity")
 
 
 def q_shipping_priority(sf_dir: str):
@@ -78,7 +84,7 @@ def q_shipping_priority(sf_dir: str):
         rev = pc.multiply(
             b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
         )
-        cents = pc.cast(pc.round(pc.multiply(rev, 100.0)), pa.int64())
+        cents = pc.cast(_round_away(pc.multiply(rev, 100.0)), pa.int64())
         return pa.table(
             {
                 "l_orderkey": b["l_orderkey"],
@@ -306,7 +312,7 @@ def q_local_supplier_volume(sf_dir: str):
         rev = pc.multiply(
             b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
         )
-        cents = pc.cast(pc.round(pc.multiply(rev, 100.0)), pa.int64())
+        cents = pc.cast(_round_away(pc.multiply(rev, 100.0)), pa.int64())
         return pa.table({"nation": b["c_nation"], "revenue_cents": cents})
 
     agg = hash_aggregate(

@@ -140,6 +140,8 @@ def synthesize_pages_table(
 
 def background_table(which: str = "demo") -> pa.Table:
     """The reference's background phrase corpora as Arrow tables."""
+    if which != "demo":
+        raise ValueError(f"unknown background corpus {which!r} (only 'demo' exists)")
     rows = DEMO_BACKGROUND
     return pa.table(
         {

@@ -14,7 +14,6 @@ whose `text` is null.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -28,16 +27,25 @@ def _extract_batch(
         mask = pc.is_in(batch["lang"], value_set=pa.array(lang_allow))
         batch = batch.filter(mask)
     text = batch["text"].combine_chunks() if "text" in batch.column_names else None
-    if text is None or (text.null_count and "html" in batch.column_names):
-        # fill missing text from html (deterministic extraction)
+    if text is None:
         html = batch["html"].combine_chunks()
-        texts = text.to_pylist() if text is not None else [None] * len(batch)
-        htmls = html.to_pylist()
-        filled = [
-            t if t is not None else normalize.extract_text_from_html(h or b"")
-            for t, h in zip(texts, htmls)
-        ]
-        text = pa.array(filled, type=pa.string())
+        text = pa.array(
+            [normalize.extract_text_from_html(h or b"") for h in html.to_pylist()],
+            type=pa.string(),
+        )
+    elif text.null_count and "html" in batch.column_names:
+        # Fill missing text from html: materialize ONLY the null-text rows
+        # (html blobs are wide — touching the full column per batch is the
+        # cost this stage exists to avoid), then patch them back in place.
+        null_mask = pc.is_null(text)
+        null_idx = pc.indices_nonzero(null_mask)
+        null_htmls = batch["html"].take(null_idx).to_pylist()
+        extracted = pa.array(
+            [normalize.extract_text_from_html(h or b"") for h in null_htmls],
+            type=pa.string(),
+        )
+        # replace_with_mask consumes replacements in mask order
+        text = pc.replace_with_mask(text, null_mask, extracted)
     tokens = normalize.tokenize_string_array(text)
     out = {
         "doc_id": batch[id_col],

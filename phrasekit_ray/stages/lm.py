@@ -33,6 +33,12 @@ import pyarrow.compute as pc
 from phrasekit_ray.core import normalize
 
 
+def _round_away_np(x):
+    """Round half away from zero (DuckDB round() semantics; np.round is
+    half-to-even, which diverges on exact .5 micro-unit values)."""
+    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+
 def _explode_tokens(ds, text_col: str, lowercase: bool = False):
     def fn(b: pa.Table) -> pa.Table:
         toks = normalize.tokenize_string_array(
@@ -79,8 +85,8 @@ def unigram_logprob_table(
     n_total = int(c.sum())
     v = len(toks)
     denom = np.float64(n_total + v)
-    lp_micro = np.round(np.log((c + 1.0) / denom) * 1e6).astype(np.int64)
-    oov = int(np.round(np.log(1.0 / denom) * 1e6)) if v else 0
+    lp_micro = _round_away_np(np.log((c + 1.0) / denom) * 1e6).astype(np.int64)
+    oov = int(_round_away_np(np.log(1.0 / denom) * 1e6)) if v else 0
     return dict(zip(toks, lp_micro.tolist())), oov, n_total, v
 
 
@@ -271,7 +277,7 @@ def bigram_nll_scores(
             (uni_map.get(t, 0) for t in uniq1), dtype=np.int64, count=len(uniq1)
         )
         c1 = c1_uniq[enc1.indices.to_numpy(zero_copy_only=False)]
-        lp = np.round(
+        lp = _round_away_np(
             np.log((c2 + 1.0) / (c1 + np.float64(v))) * 1e6
         ).astype(np.int64)
         csum = np.concatenate(([0], np.cumsum(lp)))
@@ -415,7 +421,7 @@ def bm25_topk(
         for qi in range(nq):
             tf = bt[f"tf{qi}"].combine_chunks().to_numpy().astype(np.float64)
             s = np.float64(idf[qi]) * (tf * tf_num) / (tf + norm)
-            total += np.round(s * 1e6).astype(np.int64)
+            total += _round_away_np(s * 1e6).astype(np.int64)
         keep = total > 0
         return pa.table(
             {

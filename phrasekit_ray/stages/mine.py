@@ -31,6 +31,36 @@ from phrasekit_ray.stages.agg import hash_aggregate
 COUNT_TYPE = pa.uint64()
 
 
+def _materialize_ngram_counts(flat: pa.Array, m: int, n: int, sel) -> pa.StructArray | None:
+    """String-join the n-token windows selected by ``sel`` (None = all) and
+    value-count them. Shared by the direct miner and the hash-prefiltered
+    miner's exact pass — the 'output is IDENTICAL' oracle property rests on
+    both paths using this one materialization (join separator, count dtype)."""
+    if n == 1:
+        joined = flat.slice(0, m)
+    else:
+        parts = [flat.slice(k, m) for k in range(n)]
+        joined = pc.binary_join_element_wise(*parts, " ")
+    if sel is not None and not sel.all():
+        joined = joined.filter(pa.array(sel))
+    if len(joined) == 0:
+        return None
+    return joined.value_counts()  # StructArray{values, counts}
+
+
+def _ngram_count_table(ngram_chunks, count_chunks) -> pa.Table:
+    if not ngram_chunks:
+        return pa.table(
+            {"ngram": pa.array([], pa.string()), "count": pa.array([], COUNT_TYPE)}
+        )
+    return pa.table(
+        {
+            "ngram": pa.concat_arrays([c.cast(pa.string()) for c in ngram_chunks]),
+            "count": pa.concat_arrays(count_chunks),
+        }
+    )
+
+
 def _batch_ngram_counts(
     batch: pa.Table, config: MineConfig, tokens_col: str, lowercase: bool
 ) -> pa.Table:
@@ -54,33 +84,14 @@ def _batch_ngram_counts(
         m = L - n + 1
         if m <= 0:
             continue
-        if n == 1:
-            joined = flat.slice(0, m)
-            valid = None
-        else:
-            parts = [flat.slice(k, m) for k in range(n)]
-            joined = pc.binary_join_element_wise(*parts, " ")
-            valid = doc_index[:m] == doc_index[n - 1 :]
-        if valid is not None and not valid.all():
-            joined = joined.filter(pa.array(valid))
-        if len(joined) == 0:
+        sel = None if n == 1 else doc_index[:m] == doc_index[n - 1 :]
+        vc = _materialize_ngram_counts(flat, m, n, sel)
+        if vc is None:
             continue
-        vc = joined.value_counts()  # StructArray{values, counts}
         ngram_chunks.append(vc.field("values"))
         count_chunks.append(vc.field("counts").cast(COUNT_TYPE))
 
-    if not ngram_chunks:
-        return pa.table(
-            {"ngram": pa.array([], pa.string()), "count": pa.array([], COUNT_TYPE)}
-        )
-    return pa.table(
-        {
-            "ngram": pa.concat_arrays(
-                [c.cast(pa.string()) for c in ngram_chunks]
-            ),
-            "count": pa.concat_arrays(count_chunks),
-        }
-    )
+    return _ngram_count_table(ngram_chunks, count_chunks)
 
 
 def mine_ngrams(
@@ -247,28 +258,12 @@ def mine_ngrams_hash_prefilter(
                 sel &= doc_index[:m] == doc_index[n - 1 :]
             if not sel.any():
                 continue
-            if n == 1:
-                joined = flat.slice(0, m).filter(pa.array(sel))
-            else:
-                parts = [flat.slice(k, m) for k in range(n)]
-                joined = pc.binary_join_element_wise(*parts, " ").filter(
-                    pa.array(sel)
-                )
-            vc = joined.value_counts()
+            vc = _materialize_ngram_counts(flat, m, n, sel)
+            if vc is None:
+                continue
             ngram_chunks.append(vc.field("values"))
             count_chunks.append(vc.field("counts").cast(COUNT_TYPE))
-        if not ngram_chunks:
-            return pa.table(
-                {"ngram": pa.array([], pa.string()), "count": pa.array([], COUNT_TYPE)}
-            )
-        return pa.table(
-            {
-                "ngram": pa.concat_arrays(
-                    [c.cast(pa.string()) for c in ngram_chunks]
-                ),
-                "count": pa.concat_arrays(count_chunks),
-            }
-        )
+        return _ngram_count_table(ngram_chunks, count_chunks)
 
     partial = ds.map_batches(phase2, batch_format="pyarrow", **map_kwargs)
     agg = hash_aggregate(

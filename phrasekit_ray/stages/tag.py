@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from phrasekit_ray.config import TagConfig, UNK_ID
 from phrasekit_ray.core import normalize
@@ -67,11 +66,16 @@ class TaggerActor:
 
     def _encode_flat(self, flat: pa.Array) -> np.ndarray:
         """Vectorized token→id encode: dictionary-encode the batch so the
-        Python dict lookup runs once per UNIQUE token, not per token."""
-        if self.lowercase:
-            flat = normalize.lower_string_array(flat)
+        Python dict lookup (and the lowercase normalization, when enabled)
+        runs once per UNIQUE token, not per token."""
         dict_arr = flat.dictionary_encode()
-        uniq = dict_arr.dictionary.to_pylist()
+        uniq_arr = dict_arr.dictionary
+        if self.lowercase:
+            # lowercase only the uniques — same ids as lowering the full
+            # flat array (lookup key is lower(token) either way), but the
+            # kernel touches |uniques| strings instead of |tokens|
+            uniq_arr = normalize.lower_string_array(uniq_arr)
+        uniq = uniq_arr.to_pylist()
         v = self._vocab
         lut = np.fromiter(
             (v.get(t, UNK_ID) for t in uniq), dtype=np.uint32, count=len(uniq)

@@ -29,6 +29,12 @@ from phrasekit_ray.stages.agg import default_partitions
 _I64_MIN = np.int64(np.iinfo(np.int64).min)
 
 
+def _round_away(arr):
+    """Round half away from zero (DuckDB round() semantics; pyarrow defaults
+    to half-to-even, which diverges on exact .5 cents values)."""
+    return pc.round(arr, round_mode="half_towards_infinity")
+
+
 def _user_part(uid: np.ndarray, num_partitions: int) -> np.ndarray:
     h = (uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
     return (h % np.uint64(num_partitions)).astype(np.int32)
@@ -202,7 +208,7 @@ def tumbling_window_agg(
         ts = batch[ts_col].combine_chunks().cast(pa.int64()).to_numpy()
         win = (ts // win_us) * win_us
         cents = pc.cast(
-            pc.round(pc.multiply(batch[value_col], 100.0)), pa.int64()
+            _round_away(pc.multiply(batch[value_col], 100.0)), pa.int64()
         )
         return pa.table(
             {
@@ -250,7 +256,7 @@ def hopping_window_agg(
         ts = batch[ts_col].combine_chunks().cast(pa.int64()).to_numpy()
         uid = batch[user_col].combine_chunks().cast(pa.int64()).to_numpy()
         cents = (
-            pc.cast(pc.round(pc.multiply(batch[value_col], 100.0)), pa.int64())
+            pc.cast(_round_away(pc.multiply(batch[value_col], 100.0)), pa.int64())
             .to_numpy(zero_copy_only=False)
         )
         n = len(ts)
@@ -569,7 +575,7 @@ def range_window_stats(
     def derive(batch: pa.Table) -> pa.Table:
         uid = batch[user_col].combine_chunks().cast(pa.int64()).to_numpy()
         cents = pc.cast(
-            pc.round(pc.multiply(batch[value_col].combine_chunks(), 100.0)),
+            _round_away(pc.multiply(batch[value_col].combine_chunks(), 100.0)),
             pa.int64(),
         )
         return pa.table(

@@ -526,3 +526,27 @@ def test_k_hop_empty_graph(ray_session):
         )
     )
     assert k_hop(empty, hops=2).count() == 0
+
+
+def test_run_kg_increment_accepts_plain_artifact(ray_session):
+    """KGResult.artifact is a plain MatcherArtifact — run_kg_increment must
+    ray.put it before handing it to the tagger actors (regression: passing
+    it straight through crashed TaggerActor.__init__'s ray.get)."""
+    import ray
+
+    from phrasekit_ray.config import MineConfig, ScoreConfig
+    from phrasekit_ray.pipelines.kg import run_kg_increment, run_kg_pipeline
+    from phrasekit_ray.sources import pages as pagesmod
+
+    full_tbl = pagesmod.synthesize_pages_table()
+    full = ray.data.from_arrow(full_tbl)
+    res = run_kg_pipeline(
+        full,
+        pagesmod.background_table(),
+        MineConfig(min_n=2, max_n=5, min_count=2),
+        ScoreConfig(min_domain_count=2),
+    )
+    inc = run_kg_increment(
+        ray.data.from_arrow(full_tbl.slice(0, 4)), res.artifact, res.mapping
+    )
+    assert inc.nodes.count() >= 0  # executes the tag stage without crashing

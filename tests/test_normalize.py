@@ -71,3 +71,28 @@ def test_extract_text_roundtrip_is_deterministic():
     a = normalize.extract_text_from_html(html)
     b = normalize.extract_text_from_html(html)
     assert a == b == "add protein assay buffer"
+
+
+def test_null_rows_preserved_across_paths():
+    """Null string rows must stay null (not become empty lists) on every
+    tokenize/lowercase path — validity bitmap carried through from_arrays."""
+    import pyarrow as pa
+
+    arr = pa.array(["A b", None])
+    assert normalize.tokenize_string_array(arr, lowercase=True).to_pylist() == [
+        ["a", "b"],
+        None,
+    ]
+    assert normalize.tokenize_string_array(arr, lowercase=False).to_pylist() == [
+        ["A", "b"],
+        None,
+    ]
+    # empty-token filter path (leading/trailing whitespace) with nulls
+    messy = pa.array(["  A  b ", None, " "])
+    assert normalize.tokenize_string_array(messy).to_pylist() == [
+        ["a", "b"],
+        None,
+        [],
+    ]
+    lists = pa.array([["A"], None, ["B", "C"]])
+    assert normalize.lower_token_lists(lists).to_pylist() == [["a"], None, ["b", "c"]]

@@ -293,3 +293,27 @@ def test_with_row_index_uint32_overflow_raises(ray_session):
     )
     with pytest.raises(OverflowError):
         with_row_index(ds, start=2**32 - 2)
+
+
+def test_extract_fills_null_text_from_html_selectively(ray_session):
+    """Rows with null text are filled from html; rows with text never touch
+    html (the fill path materializes only the null-text rows)."""
+    import numpy as np
+
+    tbl = pa.table(
+        {
+            "url": ["u1", "u2", "u3"],
+            "warc_ts": pa.array(np.array([0, 1, 2], dtype="int64"), pa.timestamp("us")),
+            "html": [b"", b"<html><body>From HTML body</body></html>", b""],
+            "text": pa.array(["hello world", None, "Third Doc"], pa.string()),
+            "lang": ["en", "en", "en"],
+        }
+    )
+    import ray
+
+    out = extract_tokens(ray.data.from_arrow(tbl), keep_text=True).take_all()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id["u2"]["text"] == "From HTML body"
+    assert by_id["u2"]["tokens"] == ["from", "html", "body"]
+    assert by_id["u1"]["tokens"] == ["hello", "world"]
+    assert by_id["u3"]["text"] == "Third Doc"

@@ -83,3 +83,27 @@ def test_entry_smoke(ray_session):
     df = to_df(res)
     assert len(df) >= 0
     assert set(df.columns) == {"subj", "pred", "obj", "weight"}
+
+
+def test_round_away_matches_duckdb_on_half_ties():
+    """pc.round defaults to half-to-even; DuckDB round() is half away from
+    zero. The oracle-facing helper must match DuckDB on exact .5 values
+    (regression: 404 diverging lineitem cents rows at sf0.01)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    from phrasekit_ray.pipelines.queries import _round_away
+    from phrasekit_ray.stages.lm import _round_away_np
+
+    vals = [184.5, -184.5, 2.5, -2.5, 3.5, 0.5, -0.5, 1.25, 4260514.5]
+    duck = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT round(v) FROM (SELECT unnest(?::DOUBLE[]) AS v)", params=[vals]
+        ).fetchall()
+    ]
+    got = _round_away(pa.array(vals, pa.float64())).to_pylist()
+    assert got == duck
+    got_np = _round_away_np(np.array(vals)).tolist()
+    assert got_np == duck
