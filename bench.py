@@ -72,25 +72,32 @@ def run_headline(sf_dir: str) -> dict:
     # block size targets ~4 tag tasks per actor: too small floods the
     # scheduler with micro-tasks, too large starves the pool
     est_bytes = pages_n * 350
-    DataContext.get_current().target_max_block_size = max(
+    ctx = DataContext.get_current()
+    saved_block_size = ctx.target_max_block_size
+    ctx.target_max_block_size = max(
         2 * 1024 * 1024, min(64 * 1024 * 1024, est_bytes // (cpus * 4))
     )
-    res = run_kg_pipeline(
-        pages_from_documents(sf_dir, repeat=repeat),
-        {" ".join(t): c for t, c in DEMO_BACKGROUND},
-        MineConfig(min_n=2, max_n=5, min_count=3 * repeat),
-        ScoreConfig(min_domain_count=3 * repeat),
-        # full-width pool at half a CPU per actor: tagging shares cores
-        # with the task stages feeding it instead of pinning idle CPUs
-        tag_concurrency=(cpus, cpus),
-        tag_num_cpus=0.5,
-        tag_batch_size=2048,
-        tag_saturate_pool=True,
-        # tokenized corpus ≪ object store at bench scale; avoids running
-        # the extract chain twice (mine + tag both consume it)
-        materialize_docs=True,
-    )
-    n_edges = res.edges.count()
+    try:
+        res = run_kg_pipeline(
+            pages_from_documents(sf_dir, repeat=repeat),
+            {" ".join(t): c for t, c in DEMO_BACKGROUND},
+            MineConfig(min_n=2, max_n=5, min_count=3 * repeat),
+            ScoreConfig(min_domain_count=3 * repeat),
+            # full-width pool at half a CPU per actor: tagging shares cores
+            # with the task stages feeding it instead of pinning idle CPUs
+            tag_concurrency=(cpus, cpus),
+            tag_num_cpus=0.5,
+            tag_batch_size=2048,
+            tag_saturate_pool=True,
+            # tokenized corpus ≪ object store at bench scale; avoids running
+            # the extract chain twice (mine + tag both consume it)
+            materialize_docs=True,
+        )
+        n_edges = res.edges.count()
+    finally:
+        # the headline-tuned block size must not leak into bench_queries —
+        # the pack runs over un-expanded inputs where the default is right
+        ctx.target_max_block_size = saved_block_size
     dt = time.perf_counter() - t0
     return {
         "sec": dt,
@@ -258,6 +265,23 @@ def run_skew_worker() -> dict:
     }
 
 
+def _parse_worker_json(proc, label: str) -> dict:
+    """Parse the one-line JSON a bench worker subprocess prints; surface the
+    worker's stderr on failure instead of an opaque IndexError."""
+    lines = proc.stdout.strip().splitlines()
+    if proc.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"bench {label} failed (rc={proc.returncode}); stderr tail:\n"
+            + "\n".join(proc.stderr.strip().splitlines()[-20:])
+        )
+    try:
+        return json.loads(lines[-1])
+    except json.JSONDecodeError as e:
+        raise RuntimeError(
+            f"bench {label} printed non-JSON output: {lines[-1]!r}"
+        ) from e
+
+
 def run_skew() -> dict:
     """Hot-key aggregate at two parallelism levels (VERDICT item 9)."""
     lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
@@ -272,7 +296,7 @@ def run_skew() -> dict:
             text=True,
             timeout=3600,
         )
-        runs[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+        runs[cpus] = _parse_worker_json(proc, f"skew-worker cpus={cpus}")
     thr_lo, thr_hi = runs[lo]["rows_per_sec"], runs[hi]["rows_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo) if thr_lo > 0 else 0.0
     return {
@@ -312,8 +336,7 @@ def run_scaling() -> dict:
             text=True,
             timeout=3600,
         )
-        line = proc.stdout.strip().splitlines()[-1]
-        runs[cpus] = json.loads(line)
+        runs[cpus] = _parse_worker_json(proc, f"worker cpus={cpus}")
     thr_lo = runs[lo]["pages_per_sec"]
     thr_hi = runs[hi]["pages_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo) if thr_lo > 0 else 0.0

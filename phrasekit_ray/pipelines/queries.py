@@ -35,10 +35,7 @@ EN = " WHERE lang = 'en'"
 NON_EN = " WHERE lang <> 'en'"
 
 
-def _round_away(arr):
-    """Round half away from zero (DuckDB round() semantics; pyarrow defaults
-    to half-to-even, which diverges on exact .5 cents values)."""
-    return pc.round(arr, round_mode="half_towards_infinity")
+from phrasekit_ray.stages.agg import round_away as _round_away  # noqa: E402
 
 
 def _docs(sf_dir: str, lang: str | None = None, exclude_lang: str | None = None):
@@ -456,10 +453,16 @@ def _scored_bigrams(sf_dir: str, min_dom: int = 3, min_sal: float = 2.0):
     in float64 for oracle-exact comparison (ratio = one IEEE division)."""
     domain = _mined(sf_dir, 2, 2, 1, where_lang="en")
     background = _collect(_mined(sf_dir, 2, 2, 1, exclude_lang="en"))
+    # an all-'en' corpus yields a schema-less empty collect — score against
+    # an empty background rather than crashing on the missing columns
+    bg_map = (
+        dict(zip(background["ngram"].to_pylist(), background["count"].to_pylist()))
+        if "ngram" in background.column_names
+        else {}
+    )
     scored = score_ngrams(
         domain,
-        dict(zip(background["ngram"].to_pylist(),
-                 (background["count"].to_pylist() if "count" in background.column_names else []))),
+        bg_map,
         ScoreConfig(method="ratio", min_domain_count=min_dom, min_salience=min_sal,
                     starting_phrase_id=1000),
     )
@@ -1036,7 +1039,9 @@ def q_orders_priority_revenue(sf_dir: str):
 
         m = _get_broadcast(lut_ref)
         keys = b["l_orderkey"].to_pylist()
-        prio = pa.array([m.get(k, "NONE") for k in keys], pa.string())
+        # INNER-join semantics to match the SQL oracle: drop lineitems whose
+        # orderkey is absent from orders (don't invent a 'NONE' group)
+        prio = pa.array([m.get(k) for k in keys], pa.string())
         cents = pc.cast(_round_away(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64())
         t = pa.table(
             {
@@ -1045,6 +1050,8 @@ def q_orders_priority_revenue(sf_dir: str):
                 "n_items": pa.array(np.ones(len(b), dtype=np.int64)),
             }
         )
+        if prio.null_count:
+            t = t.filter(pc.is_valid(t["o_orderpriority"]))
         return t.group_by(["o_orderpriority"]).aggregate(
             [("sum_cents", "sum"), ("n_items", "sum")]
         ).rename_columns(["o_orderpriority", "sum_cents", "n_items"])
@@ -1506,7 +1513,7 @@ def q_tag_policies(sf_dir: str):
         tagged = tag_corpus(
             docs,
             ref,
-            TagConfig(policy=policy, max_spans=1000),
+            TagConfig(policy=policy, max_spans=1_000_000),
             concurrency=(1, 4),
             batch_size=512,
         )

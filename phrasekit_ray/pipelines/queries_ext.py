@@ -23,10 +23,7 @@ _CUTOFF = "1998-06-01"
 _CUTOFF_US = 896659200_000_000  # 1998-06-01T00:00:00Z in epoch microseconds
 
 
-def _round_away(arr):
-    """Round half away from zero (DuckDB round() semantics; pyarrow defaults
-    to half-to-even, which diverges on exact .5 cents values)."""
-    return pc.round(arr, round_mode="half_towards_infinity")
+from phrasekit_ray.stages.agg import round_away as _round_away  # noqa: E402
 
 
 def q_shipping_priority(sf_dir: str):

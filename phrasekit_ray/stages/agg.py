@@ -30,6 +30,13 @@ import pyarrow.compute as pc
 _AGG_FUNCS = {"sum", "min", "max"}
 
 
+def round_away(arr):
+    """Round half away from zero (DuckDB round() semantics; pyarrow defaults
+    to half-to-even, which diverges on exact .5 cents values). The single
+    shared definition for every oracle-facing rounding site."""
+    return pc.round(arr, round_mode="half_towards_infinity")
+
+
 def default_partitions(requested: int | None = None, floor: int = 32) -> int:
     """Shuffle width for the two-phase aggregate: explicit request wins;
     otherwise 2× the cluster's CPU count (never below ``floor``), so the

@@ -41,8 +41,17 @@ def correct_documents(
         uniq = dict_arr.dictionary.to_pylist()
         corrected = pa.array([corrector.correct(t) for t in uniq], pa.string())
         new_flat = corrected.take(dict_arr.indices)
-        new_lists = pa.ListArray.from_arrays(tokens.offsets, new_flat)
+        # carry the validity bitmap: a null text row must stay null, not
+        # collapse to corrected_text='' (the SQL twin emits no row for it)
+        from phrasekit_ray.core.normalize import _list_from_arrays_like
+
+        new_lists = _list_from_arrays_like(tokens, tokens.offsets, new_flat)
         joined = pc.binary_join(new_lists, " ")
-        return pa.table({id_col: batch[id_col], "corrected_text": joined})
+        out = pa.table({id_col: batch[id_col], "corrected_text": joined})
+        if joined.null_count:
+            # SQL-twin parity: unnest of a NULL text yields no rows, so the
+            # oracle emits no output row for that document at all
+            out = out.filter(pc.is_valid(out["corrected_text"]))
+        return out
 
     return ds.map_batches(fn, batch_format="pyarrow", **map_kwargs)

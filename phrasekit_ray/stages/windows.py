@@ -29,10 +29,7 @@ from phrasekit_ray.stages.agg import default_partitions
 _I64_MIN = np.int64(np.iinfo(np.int64).min)
 
 
-def _round_away(arr):
-    """Round half away from zero (DuckDB round() semantics; pyarrow defaults
-    to half-to-even, which diverges on exact .5 cents values)."""
-    return pc.round(arr, round_mode="half_towards_infinity")
+from phrasekit_ray.stages.agg import round_away as _round_away  # noqa: E402
 
 
 def _user_part(uid: np.ndarray, num_partitions: int) -> np.ndarray:

@@ -42,8 +42,13 @@ def parse_dataset_stats(stats_text: str) -> list[dict]:
             out.append(current)
             continue
         w = _WALL_RE.match(line)
-        if w and current is not None and current["remote_wall_s"] is None:
-            current["remote_wall_s"] = float(w.group("total")) * _UNIT[w.group("unit")]
+        if w and current is not None:
+            # SUM across suboperators: a multi-stage operator (e.g. Sort =
+            # SortMap + SortReduce) prints one Remote-wall line per
+            # sub-stage; keeping only the first under-reports remote time
+            current["remote_wall_s"] = (current["remote_wall_s"] or 0.0) + float(
+                w.group("total")
+            ) * _UNIT[w.group("unit")]
     return out
 
 

@@ -44,3 +44,25 @@ def test_protected_term_bypasses_correction(ray_session):
     )
     out = list(correct_documents(ray.data.from_arrow(tbl), corrector=stub).iter_rows())
     assert out[0]["corrected_text"] == "rat CDK10 assay"
+
+
+def test_correct_documents_drops_null_text_rows(ray_session):
+    """A null text row yields NO output row (SQL-twin parity: unnest of
+    NULL produces no rows), not corrected_text=''."""
+    import pyarrow as pa
+    import ray
+
+    from phrasekit_ray.stages.spell import correct_documents
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": ["a", "b"],
+                "text": pa.array(["the profein assay", None], pa.string()),
+            }
+        )
+    )
+    rows = correct_documents(ds).take_all()
+    assert len(rows) == 1
+    assert rows[0]["doc_id"] == "a"
+    assert rows[0]["corrected_text"] == "the protein assay"
