@@ -38,6 +38,18 @@ NON_EN = " WHERE lang <> 'en'"
 from phrasekit_ray.stages.agg import round_away as _round_away  # noqa: E402
 
 
+def _explode_lang_tokens(batch: pa.Table) -> pa.Table:
+    """(lang, text) batch → one (lang, tok) row per space-split token —
+    shared by the per-lang distinct/top-k/approx queries so the tokenizer
+    the oracles mirror lives in one place."""
+    toks = pc.split_pattern(batch["text"].combine_chunks(), " ")
+    sizes = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+    langs = batch["lang"].combine_chunks().take(
+        pa.array(np.repeat(np.arange(len(sizes)), sizes))
+    )
+    return pa.table({"lang": langs, "tok": toks.values})
+
+
 def _docs(sf_dir: str, lang: str | None = None, exclude_lang: str | None = None):
     import ray
 
@@ -1351,13 +1363,7 @@ def q_approx_unique_tokens_per_lang(sf_dir: str):
 
     docs = _docs(sf_dir)
 
-    def explode(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(batch["text"].combine_chunks(), " ")
-        sizes = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
-        langs = batch["lang"].combine_chunks().take(
-            pa.array(np.repeat(np.arange(len(sizes)), sizes))
-        )
-        return pa.table({"lang": langs, "tok": toks.values})
+    explode = _explode_lang_tokens
 
     out = approx_count_distinct(
         docs.map_batches(explode, batch_format="pyarrow"), "lang", "tok",
@@ -1372,13 +1378,7 @@ def q_unique_tokens_per_lang(sf_dir: str):
 
     docs = _docs(sf_dir)
 
-    def explode(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(batch["text"].combine_chunks(), " ")
-        sizes = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
-        langs = batch["lang"].combine_chunks().take(
-            pa.array(np.repeat(np.arange(len(sizes)), sizes))
-        )
-        return pa.table({"lang": langs, "tok": toks.values})
+    explode = _explode_lang_tokens
 
     out = grouped_count_distinct(
         docs.map_batches(explode, batch_format="pyarrow"), "lang", "tok",
@@ -1550,13 +1550,7 @@ def q_top_terms_per_lang(sf_dir: str):
 
     docs = _docs(sf_dir)
 
-    def explode(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(batch["text"].combine_chunks(), " ")
-        sizes = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
-        langs = batch["lang"].combine_chunks().take(
-            pa.array(np.repeat(np.arange(len(sizes)), sizes))
-        )
-        return pa.table({"lang": langs, "tok": toks.values})
+    explode = _explode_lang_tokens
 
     counts = grouped_count(
         docs.map_batches(explode, batch_format="pyarrow"), ["lang", "tok"]
