@@ -994,6 +994,83 @@ def profile_table(ds, columns: list[str] | None = None, schema=None) -> pa.Table
     )
 
 
+def grouped_cube(
+    ds,
+    keys: list[str],
+    value_col: str,
+    agg_fn: str = "sum",
+    num_partitions: int | None = None,
+):
+    """SQL ``GROUP BY CUBE(keys...)`` — aggregates at EVERY key subset
+    (2^k levels), absent keys NULL-filled.
+
+    Same distributed shape as ``grouped_rollup``: the raw data is
+    aggregated exactly once at the finest level (two-phase hash
+    aggregate); every coarser subset re-aggregates that group-count-sized
+    result, so 2^k levels cost one corpus pass + (2^k - 1) tiny passes.
+    Decomposable aggregates only (sum/min/max).
+
+    Returns one Dataset with all levels unioned; ``keys`` columns are
+    cast to string (NULL = rolled up) so every level conforms.
+    """
+    if agg_fn not in _AGG_FUNCS:
+        raise ValueError(f"unsupported cube aggregate: {agg_fn}")
+    if len(keys) > 6:
+        raise ValueError("cube over >6 keys (64+ levels) — use rollup or prune")
+    num_partitions = default_partitions(num_partitions)
+
+    def to_str_keys(batch: pa.Table) -> pa.Table:
+        cols = {k: batch[k].cast(pa.string()) for k in keys}
+        cols[value_col] = batch[value_col]
+        return pa.table(cols)
+
+    finest = hash_aggregate(
+        ds.map_batches(to_str_keys, batch_format="pyarrow"),
+        keys,
+        [(value_col, agg_fn)],
+        num_partitions=num_partitions,
+    ).materialize()
+
+    levels = [finest]
+    n = len(keys)
+    for mask in range((1 << n) - 2, -1, -1):
+        kept = tuple(k for i, k in enumerate(keys) if mask & (1 << i))
+
+        def project(batch: pa.Table, _kept=kept) -> pa.Table:
+            cols = {k: batch[k] for k in _kept}
+            cols[value_col] = batch[value_col]
+            if not _kept:
+                cols["_g"] = pa.array(
+                    np.zeros(batch.num_rows, np.int64), pa.int64()
+                )
+            return pa.table(cols)
+
+        gkeys = list(kept) if kept else ["_g"]
+        lvl = hash_aggregate(
+            finest.map_batches(project, batch_format="pyarrow"),
+            gkeys,
+            [(value_col, agg_fn)],
+            num_partitions=min(num_partitions, 8),
+        )
+
+        def conform(batch: pa.Table, _kept=kept) -> pa.Table:
+            cols = {}
+            for k in keys:
+                if k in _kept:
+                    cols[k] = batch[k]
+                else:
+                    cols[k] = pa.array([None] * batch.num_rows, pa.string())
+            cols[value_col] = batch[value_col]
+            return pa.table(cols)
+
+        levels.append(lvl.map_batches(conform, batch_format="pyarrow"))
+
+    out = levels[0]
+    for other in levels[1:]:
+        out = out.union(other)
+    return out
+
+
 def grouped_rollup(
     ds,
     keys: list[str],

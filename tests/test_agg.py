@@ -523,3 +523,40 @@ def test_approx_count_distinct_ignores_null_values(ray_session):
     out = approx_count_distinct(ray.data.from_arrow(t), "g", "v").to_pandas()
     # HLL at this cardinality is exact: 2 distinct non-null values
     assert out["approx_distinct"].iloc[0] == 2
+
+
+def test_grouped_cube_levels(ray_session):
+    """CUBE = every key subset: finest, (a), (b), grand total."""
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_cube
+
+    t = pa.table(
+        {
+            "a": pa.array(["x", "x", "y"], pa.string()),
+            "b": pa.array([1, 2, 1], pa.int64()),
+            "v": pa.array([10, 20, 5], pa.int64()),
+        }
+    )
+    out = grouped_cube(ray.data.from_arrow(t), ["a", "b"], "v").to_pandas()
+    rows = {(r["a"], r["b"]): r["v"] for _, r in out.iterrows()}
+    # finest
+    assert rows[("x", "1")] == 10 and rows[("x", "2")] == 20 and rows[("y", "1")] == 5
+    # rollup-style (a) levels
+    assert rows[("x", None)] == 30 and rows[("y", None)] == 5
+    # the (b)-only level rollup lacks
+    assert rows[(None, "1")] == 15 and rows[(None, "2")] == 20
+    # grand total
+    assert rows[(None, None)] == 35
+    assert len(rows) == 8
+
+
+def test_grouped_cube_rejects_wide_keysets(ray_session):
+    import pytest
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_cube
+
+    t = pa.table({c: pa.array(["x"], pa.string()) for c in "abcdefg"} | {"v": pa.array([1], pa.int64())})
+    with pytest.raises(ValueError):
+        grouped_cube(ray.data.from_arrow(t), list("abcdefg"), "v")
