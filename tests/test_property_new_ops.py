@@ -78,3 +78,36 @@ def test_exact_heavy_hitters_equals_counter(ray_session, vals, k):
     )
     assert got["key"].to_pylist() == [v for _, v in want]
     assert got["count"].to_pylist() == [c for c, _ in want]
+
+
+def test_grouped_cube_equals_naive(ray_session):
+    """grouped_cube over seeded random (a, b, v) rows equals the
+    brute-force per-subset groupby-sum (all four grouping sets of a
+    2-key cube). Seeded loop, not hypothesis: each example executes a
+    full 4-aggregate Ray pipeline, too heavy for example fuzzing."""
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_cube
+
+    rng = np.random.RandomState(7)
+    for _ in range(3):
+        n = int(rng.randint(1, 40))
+        rows = [
+            ("xyz"[rng.randint(3)], int(rng.randint(0, 4)), int(rng.randint(-100, 101)))
+            for _ in range(n)
+        ]
+        t = pa.table(
+            {
+                "a": pa.array([r[0] for r in rows], pa.string()),
+                "b": pa.array([r[1] for r in rows], pa.int64()),
+                "v": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+        out = grouped_cube(ray.data.from_arrow(t), ["a", "b"], "v").to_pandas()
+        got = {(r["a"], r["b"]): r["v"] for _, r in out.iterrows()}
+
+        want: dict = {}
+        for a, b, v in rows:
+            for key in [(a, str(b)), (a, None), (None, str(b)), (None, None)]:
+                want[key] = want.get(key, 0) + v
+        assert got == want
