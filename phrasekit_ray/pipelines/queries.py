@@ -818,6 +818,38 @@ def q_events_cube(sf_dir: str):
     return _i64(_collect(out), "cents")
 
 
+def q_events_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS ((event_type, user_bucket), (user_bucket), ())
+    over event value cents — arbitrary set list, each re-aggregating the
+    one corpus-level aggregate; DuckDB GROUPING SETS oracle."""
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_sets
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "value"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "user_bucket": pc.cast(
+                    pc.bit_wise_and(b["user_id"], 7), pa.int64()
+                ),
+                "cents": pc.cast(_round_away(pc.multiply(b["value"], 100.0)), pa.int64()),
+            }
+        )
+
+    out = grouped_sets(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "user_bucket"],
+        [["event_type", "user_bucket"], ["user_bucket"], []],
+        "cents",
+    )
+    return _i64(_collect(out), "cents")
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: en training docs sharing >= 1 distinct
     3-token shingle with the de 'benchmark' corpus, with the distinct
@@ -1664,6 +1696,7 @@ QUERIES = {
     "q_decontaminate": q_decontaminate,
     "q_events_rollup": q_events_rollup,
     "q_events_cube": q_events_cube,
+    "q_events_grouping_sets": q_events_grouping_sets,
     "q_clean_corpus": q_clean_corpus,
     "q_fingerprints": q_fingerprints,
     "q_knn_cosine": q_knn_cosine,
@@ -1869,6 +1902,15 @@ ORACLE_SQL = {
         "CAST(user_bucket AS VARCHAR) AS user_bucket, "
         "CAST(sum(cents) AS BIGINT) AS cents FROM p "
         "GROUP BY CUBE (event_type, user_bucket)"
+    ),
+    "q_events_grouping_sets": (
+        "WITH p AS (SELECT event_type, "
+        "  CAST(user_id & 7 AS BIGINT) AS user_bucket, "
+        "  CAST(round(value * 100.0) AS BIGINT) AS cents FROM events) "
+        "SELECT CAST(event_type AS VARCHAR) AS event_type, "
+        "CAST(user_bucket AS VARCHAR) AS user_bucket, "
+        "CAST(sum(cents) AS BIGINT) AS cents FROM p "
+        "GROUP BY GROUPING SETS ((event_type, user_bucket), (user_bucket), ())"
     ),
     "q_decontaminate": (
         "WITH tt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok, "

@@ -1071,6 +1071,88 @@ def grouped_cube(
     return out
 
 
+def grouped_sets(
+    ds,
+    keys: list[str],
+    sets: list[list[str]],
+    value_col: str,
+    agg_fn: str = "sum",
+    num_partitions: int | None = None,
+):
+    """SQL ``GROUP BY GROUPING SETS (...)`` — aggregates at each requested
+    key subset; ROLLUP and CUBE are special cases of this. Same shape as
+    grouped_cube: ONE corpus-level aggregate over the union of all
+    requested keys, then each set re-aggregates that group-sized result.
+    Decomposable aggregates only (sum/min/max). Every set must be a
+    subset of ``keys``; output conforms all sets to the full key schema
+    (absent keys NULL, cast to string)."""
+    if agg_fn not in _AGG_FUNCS:
+        raise ValueError(f"unsupported grouping-sets aggregate: {agg_fn}")
+    seen = set()
+    for s in sets:
+        extra = set(s) - set(keys)
+        if extra:
+            raise ValueError(f"grouping set {s} has keys outside {keys}: {extra}")
+        t = tuple(sorted(s))
+        if t in seen:
+            raise ValueError(f"duplicate grouping set: {s}")
+        seen.add(t)
+    num_partitions = default_partitions(num_partitions)
+
+    def to_str_keys(batch: pa.Table) -> pa.Table:
+        cols = {k: batch[k].cast(pa.string()) for k in keys}
+        cols[value_col] = batch[value_col]
+        return pa.table(cols)
+
+    finest = hash_aggregate(
+        ds.map_batches(to_str_keys, batch_format="pyarrow"),
+        keys,
+        [(value_col, agg_fn)],
+        num_partitions=num_partitions,
+    ).materialize()
+
+    levels = []
+    for s in sets:
+        kept = tuple(k for k in keys if k in s)
+
+        if kept == tuple(keys):
+            lvl = finest
+        else:
+            def project(batch: pa.Table, _kept=kept) -> pa.Table:
+                cols = {k: batch[k] for k in _kept}
+                cols[value_col] = batch[value_col]
+                if not _kept:
+                    cols["_g"] = pa.array(
+                        np.zeros(batch.num_rows, np.int64), pa.int64()
+                    )
+                return pa.table(cols)
+
+            gkeys = list(kept) if kept else ["_g"]
+            lvl = hash_aggregate(
+                finest.map_batches(project, batch_format="pyarrow"),
+                gkeys,
+                [(value_col, agg_fn)],
+                num_partitions=min(num_partitions, 8),
+            )
+
+        def conform(batch: pa.Table, _kept=kept) -> pa.Table:
+            cols = {}
+            for k in keys:
+                if k in _kept:
+                    cols[k] = batch[k]
+                else:
+                    cols[k] = pa.array([None] * batch.num_rows, pa.string())
+            cols[value_col] = batch[value_col]
+            return pa.table(cols)
+
+        levels.append(lvl.map_batches(conform, batch_format="pyarrow"))
+
+    out = levels[0]
+    for other in levels[1:]:
+        out = out.union(other)
+    return out
+
+
 def grouped_rollup(
     ds,
     keys: list[str],

@@ -560,3 +560,33 @@ def test_grouped_cube_rejects_wide_keysets(ray_session):
     t = pa.table({c: pa.array(["x"], pa.string()) for c in "abcdefg"} | {"v": pa.array([1], pa.int64())})
     with pytest.raises(ValueError):
         grouped_cube(ray.data.from_arrow(t), list("abcdefg"), "v")
+
+
+def test_grouped_sets_arbitrary_subsets(ray_session):
+    """GROUPING SETS over ((a,b), (b), ()): finest rows, the b-only level,
+    and the grand total — and nothing else (no (a) level)."""
+    import pytest
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_sets
+
+    t = pa.table(
+        {
+            "a": pa.array(["x", "x", "y"], pa.string()),
+            "b": pa.array([1, 2, 1], pa.int64()),
+            "v": pa.array([10, 20, 5], pa.int64()),
+        }
+    )
+    out = grouped_sets(
+        ray.data.from_arrow(t), ["a", "b"], [["a", "b"], ["b"], []], "v"
+    ).to_pandas()
+    rows = {(r["a"], r["b"]): r["v"] for _, r in out.iterrows()}
+    assert rows[("x", "1")] == 10 and rows[("x", "2")] == 20 and rows[("y", "1")] == 5
+    assert rows[(None, "1")] == 15 and rows[(None, "2")] == 20
+    assert rows[(None, None)] == 35
+    assert ("x", None) not in rows  # the (a) level was not requested
+    assert len(rows) == 6
+    with pytest.raises(ValueError):
+        grouped_sets(ray.data.from_arrow(t), ["a", "b"], [["c"]], "v")
+    with pytest.raises(ValueError):
+        grouped_sets(ray.data.from_arrow(t), ["a", "b"], [["b"], ["b"]], "v")
