@@ -994,6 +994,26 @@ def profile_table(ds, columns: list[str] | None = None, schema=None) -> pa.Table
     )
 
 
+def _empty_grand_total(src, keys: list[str], value_col: str):
+    """One all-NULL-keys, NULL-aggregate row — what SQL CUBE / ROLLUP /
+    GROUPING SETS (with the () set) emit for an EMPTY input table, where
+    the grouped levels emit zero rows but the global-aggregate level
+    still produces its single row (sum over empty = NULL). ``src`` is the
+    pre-aggregation input (an empty aggregate has no schema of its own);
+    the NULL aggregate is emitted in the input value type."""
+    import ray
+
+    schema = src.schema(fetch_if_missing=True)
+    vtype = pa.int64()
+    if schema is not None:
+        vtype = dict(zip(schema.names, schema.types)).get(value_col, vtype)
+    if not isinstance(vtype, pa.DataType):
+        vtype = pa.int64()
+    cols = {k: pa.array([None], pa.string()) for k in keys}
+    cols[value_col] = pa.array([None], vtype)
+    return ray.data.from_arrow(pa.table(cols))
+
+
 def grouped_cube(
     ds,
     keys: list[str],
@@ -1030,6 +1050,10 @@ def grouped_cube(
         [(value_col, agg_fn)],
         num_partitions=num_partitions,
     ).materialize()
+    if finest.count() == 0:
+        # SQL parity on empty input: only the () grouping set emits its
+        # (NULL-aggregate) grand-total row; every grouped level is empty
+        return _empty_grand_total(ds, keys, value_col)
 
     levels = [finest]
     n = len(keys)
@@ -1110,6 +1134,10 @@ def grouped_sets(
         [(value_col, agg_fn)],
         num_partitions=num_partitions,
     ).materialize()
+    if finest.count() == 0 and any(len(s) == 0 for s in sets):
+        # SQL parity: the requested () set still emits its grand-total
+        # row on an empty input; all other sets are empty
+        return _empty_grand_total(ds, keys, value_col)
 
     levels = []
     for s in sets:
@@ -1189,6 +1217,10 @@ def grouped_rollup(
         [(value_col, agg_fn)],
         num_partitions=num_partitions,
     ).materialize()
+    if finest.count() == 0:
+        # SQL parity on empty input: ROLLUP's () level still emits its
+        # (NULL-aggregate) grand-total row
+        return _empty_grand_total(ds, keys, value_col)
 
     levels = [finest]
     prev = finest

@@ -1104,6 +1104,14 @@ def chunk_dedup(
         sizes = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
         n_chunks = np.maximum((sizes + chunk_tokens - 1) // chunk_tokens, 1)
         max_c = int(n_chunks.max()) if len(n_chunks) else 0
+        if max_c >= 1 << 20:
+            # the packed order key is did*2^20 + chunk_idx; a bigger doc
+            # would silently collide into the next doc_id's key space
+            raise ValueError(
+                f"chunk_dedup: document with {max_c} chunks exceeds the "
+                f"2^20 packed-key limit (~{chunk_tokens * (1 << 20)} "
+                "tokens/doc); raise chunk_tokens or pre-split the doc"
+            )
         okeys, chunks = [], []
         for ci in range(max_c):
             live = np.flatnonzero(n_chunks > ci)

@@ -39,13 +39,26 @@ def _round_away_np(x):
     return np.sign(x) * np.floor(np.abs(x) + 0.5)
 
 
+def _split_space(arr):
+    """SQL ``string_split(text, ' ')`` parity: split on the LITERAL single
+    space, keeping empty tokens ('' → ['']) — unlike Python ``str.split()``
+    used by the phrase-mining path, so LM/BM25 token counts match the
+    DuckDB oracles even on leading/double-space or empty text."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    out = pc.split_pattern(arr, " ")
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    return out
+
+
 def _explode_tokens(ds, text_col: str, lowercase: bool = False):
     def fn(b: pa.Table) -> pa.Table:
-        toks = normalize.tokenize_string_array(
-            b[text_col].combine_chunks(), lowercase=lowercase
-        )
+        toks = _split_space(b[text_col])
         offsets = toks.offsets.to_numpy(zero_copy_only=False)
         flat = toks.values.slice(offsets[0], int(offsets[-1] - offsets[0]))
+        if lowercase:
+            flat = normalize.lower_string_array(flat)
         return pa.table({"tok": flat})
 
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -112,9 +125,7 @@ def unigram_nll_scores(
         from phrasekit_ray.stages.score import _get_broadcast
 
         lp_map = _get_broadcast(table_ref)
-        toks = normalize.tokenize_string_array(
-            b[text_col].combine_chunks(), lowercase=False
-        )
+        toks = _split_space(b[text_col])
         offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         off = offsets - offsets[0]
         flat = toks.values.slice(offsets[0], int(offsets[-1] - offsets[0]))
@@ -145,9 +156,7 @@ def _explode_bigrams(ds, text_col: str):
     token pairs — vectorized shift + mask on the list offsets."""
 
     def fn(b: pa.Table) -> pa.Table:
-        toks = normalize.tokenize_string_array(
-            b[text_col].combine_chunks(), lowercase=False
-        )
+        toks = _split_space(b[text_col])
         offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         off = offsets - offsets[0]
         flat = toks.values.slice(offsets[0], int(offsets[-1] - offsets[0]))
@@ -240,9 +249,7 @@ def bigram_nll_scores(
         from phrasekit_ray.stages.score import _get_broadcast
 
         uni_map, big_map = _get_broadcast(tables_ref)
-        toks = normalize.tokenize_string_array(
-            b[text_col].combine_chunks(), lowercase=False
-        )
+        toks = _split_space(b[text_col])
         offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         off = offsets - offsets[0]
         flat = toks.values.slice(offsets[0], int(offsets[-1] - offsets[0]))
@@ -306,9 +313,7 @@ def conjunctive_search(docs, query_tokens, text_col: str = "text",
     query_tokens = list(query_tokens)
 
     def fn(b: pa.Table) -> pa.Table:
-        toks = normalize.tokenize_string_array(
-            b[text_col].combine_chunks(), lowercase=False
-        )
+        toks = _split_space(b[text_col])
         offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         off = offsets - offsets[0]
         flat = toks.values.slice(offsets[0], int(offsets[-1] - offsets[0]))
@@ -365,9 +370,7 @@ def bm25_topk(
     nq = len(query_tokens)
 
     def pass_a(bt: pa.Table) -> pa.Table:
-        toks = normalize.tokenize_string_array(
-            bt[text_col].combine_chunks(), lowercase=False
-        )
+        toks = _split_space(bt[text_col])
         offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         off = offsets - offsets[0]
         flat = toks.values.slice(offsets[0], int(offsets[-1] - offsets[0]))

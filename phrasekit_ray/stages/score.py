@@ -185,18 +185,22 @@ def score_ngrams(
             )
         d = batch["count"].to_numpy().astype(np.uint64)
         ngrams = batch["ngram"].to_pylist()
+        # the bg dict's keys are lowercased (reference load_phrases
+        # lowercases BOTH sides, phrasekit_score.rs:158-160) — probe the
+        # lowercased key ONLY, so a caller dict carrying both casings
+        # reads the normalized entry, matching the reference. The mining
+        # path already emits lowercase n-grams, so detect cased input
+        # once per batch (one vectorized kernel) instead of paying a
+        # per-miss Python fallback in the hot loop.
+        ng_col = batch["ngram"]
+        already_lower = pc.all(
+            pc.equal(pc.utf8_lower(ng_col), ng_col)
+        ).as_py()
+        keys = ngrams if already_lower else [s.lower() for s in ngrams]
         b = np.fromiter(
-            # the bg dict's keys are lowercase+whitespace-normalized
-            # (reference load_phrases lowercases BOTH sides,
-            # phrasekit_score.rs:158-160); probe with the same
-            # normalization so cased domain input cannot silently read
-            # background_count=0 for every phrase
-            (
-                bg_map.get(ng, 0) or bg_map.get(" ".join(ng.split()).lower(), 0)
-                for ng in ngrams
-            ),
+            (bg_map.get(k, 0) for k in keys),
             dtype=np.uint64,
-            count=len(ngrams),
+            count=len(keys),
         )
         sal = saliencemod.compute_salience(method, d, b, total_domain, total_background)
         keep2 = sal >= min_sal

@@ -72,9 +72,11 @@ def with_row_index(ds, col: str = "row_index", start: int = 0):
         LAST_PATH = "arrow_refs"
 
     total = int(sum(counts))
-    if start + total > 2**32 - 1:
+    if start + total > 2**32:
         # the ordinal column is uint32 for reference phrase_id parity;
         # np.arange would wrap silently past 2^32 and emit duplicates
+        # (max emitted index is start+total-1, so exactly 2^32 rows from
+        # start=0 still fit)
         raise OverflowError(
             f"row index overflow: start={start} + {total} rows exceeds "
             f"uint32; enumerate a bounded (filtered/top-k) dataset"

@@ -35,13 +35,13 @@ def test_unigram_nll_matches_driver_reference(ray_session):
     # driver reference
     from collections import Counter
 
-    cnt = Counter(t for x in texts for t in x.split())
+    cnt = Counter(t for x in texts for t in x.split(" "))
     vocab = {t: c for t, c in cnt.items() if c >= 2}
     n, v = sum(vocab.values()), len(vocab)
     lp = {t: round(math.log((c + 1) / (n + v)) * 1e6) for t, c in vocab.items()}
     oov = round(math.log(1 / (n + v)) * 1e6)
     for i, x in enumerate(texts):
-        toks = x.split()
+        toks = x.split(" ")
         assert got.loc[i, "n_tokens"] == len(toks)
         assert got.loc[i, "nll_micro"] == -sum(lp.get(t, oov) for t in toks)
 
@@ -81,15 +81,15 @@ def test_bm25_matches_driver_reference(ray_session):
     got = bm25_topk(_docs_ds(texts), q, topk=10).to_pandas()
 
     n = len(texts)
-    dls = [len(t.split()) for t in texts]
+    dls = [len(t.split(" ")) for t in texts]
     avgdl = np.float64(sum(dls)) / np.float64(n)
     ref = {}
     for i, t in enumerate(texts):
-        toks = t.split()
+        toks = t.split(" ")
         total = 0
         for term in q:
             tf = np.float64(toks.count(term))
-            df = sum(1 for x in texts if term in x.split())
+            df = sum(1 for x in texts if term in x.split(" "))
             idf = np.log((n - df + 0.5) / (df + 0.5) + 1.0)
             s = np.float64(idf) * (tf * np.float64(2.2)) / (
                 tf + np.float64(1.2) * (np.float64(0.25) + np.float64(0.75) * np.float64(dls[i]) / avgdl)
@@ -117,16 +117,16 @@ def test_bigram_nll_matches_driver_reference(ray_session):
 
     from collections import Counter
 
-    uni = Counter(t for x in texts for t in x.split())
+    uni = Counter(t for x in texts for t in x.split(" "))
     uni = {t: c for t, c in uni.items() if c >= 2}
     v = len(uni)
     big = Counter(
         f"{ts[i]} {ts[i+1]}"
-        for x in texts for ts in [x.split()] for i in range(len(ts) - 1)
+        for x in texts for ts in [x.split(" ")] for i in range(len(ts) - 1)
     )
     big = {p: c for p, c in big.items() if c >= 2}
     for i, x in enumerate(texts):
-        ts = x.split()
+        ts = x.split(" ")
         nb = max(len(ts) - 1, 0)
         nll = -sum(
             round(
