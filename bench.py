@@ -107,8 +107,8 @@ def run_headline(sf_dir: str) -> dict:
     }
 
 
-def bench_queries(sf_dir: str) -> dict:
-    """Per-operator wall times for the headline query pack."""
+def bench_queries(sf_dir: str, meter=None) -> tuple[dict, dict]:
+    """Per-operator wall times + own-CPU utilization for the query pack."""
     from phrasekit_ray.pipelines.queries import QUERIES
 
     names = [
@@ -141,15 +141,81 @@ def bench_queries(sf_dir: str) -> dict:
         "q_orders_priority_revenue",
         "q_events_type_stats",
     ]
-    out = {}
+    cpus = _num_cpus()
+    meter = meter or _TreeCpuMeter()
+    meter.delta_sec()  # prime: discard CPU accumulated before the pack
+    out, util = {}, {}
     for name in names:
         t0 = time.perf_counter()
         res = QUERIES[name](sf_dir)
         # force lazy datasets to execute
         if hasattr(res, "count") and not hasattr(res, "column_names"):
             res.count()
-        out[name] = round(time.perf_counter() - t0, 3)
-    return out
+        wall = time.perf_counter() - t0
+        out[name] = round(wall, 3)
+        util[name] = round(meter.delta_sec() / (wall * cpus), 3)
+    return out, util
+
+
+def _loadavg1() -> float:
+    """1-minute load average — co-tenant load that hypervisor steal jiffies
+    cannot see (in-VM neighbors) shows up here."""
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except Exception:
+        return -1.0
+
+
+class _TreeCpuMeter:
+    """Own-process-tree CPU meter: samples utime+stime of this process and
+    every live descendant (the whole local Ray runtime — raylet, workers)
+    and accumulates PER-PID increments, so a worker exiting between
+    samples can never drive the delta negative (its unreported tail is a
+    small undercount). utilization = Δtree_cpu / (wall × num_cpus) ≈ 1
+    proves the run owned its CPUs; ≪ 1 at low steal_pct proves in-VM
+    co-tenant contention (the round-2 bench ambiguity this telemetry
+    exists to resolve)."""
+
+    def __init__(self) -> None:
+        self._hz = os.sysconf("SC_CLK_TCK")
+        self._prev: dict[int, int] = {}
+
+    def _snapshot(self) -> dict[int, int]:
+        procs: dict[int, tuple[int, int]] = {}
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    s = f.read()
+                rest = s[s.rindex(")") + 2:].split()
+                procs[int(pid)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+            except (OSError, ValueError, IndexError):
+                continue
+        kids: dict[int, list[int]] = {}
+        for pid, (ppid, _) in procs.items():
+            kids.setdefault(ppid, []).append(pid)
+        tree, stack = {}, [os.getpid()]
+        while stack:
+            p = stack.pop()
+            if p in procs:
+                tree[p] = procs[p][1]
+                stack.extend(kids.get(p, []))
+        return tree
+
+    def delta_sec(self) -> float:
+        """CPU seconds the tree burned since the previous call."""
+        cur = self._snapshot()
+        d = 0
+        for pid, cpu in cur.items():
+            prev = self._prev.get(pid)
+            if prev is None:
+                d += cpu
+            elif cpu >= prev:
+                d += cpu - prev
+        self._prev = cur
+        return d / self._hz
 
 
 def _host_cpu_sample() -> tuple[int, int]:
@@ -187,11 +253,20 @@ def run_once(headline_only: bool = False) -> dict:
         ray.init(address="local", num_cpus=cpus, include_dashboard=False)
     probe0 = _cpu_probe_sec()
     steal0, jiff0 = _host_cpu_sample()
+    load0 = _loadavg1()
+    meter = _TreeCpuMeter()
+    meter.delta_sec()  # prime: discard CPU accumulated by ray.init
     t0 = time.perf_counter()
     head = run_headline(sf_dir)
-    queries = {} if headline_only else bench_queries(sf_dir)
+    head_wall = time.perf_counter() - t0
+    head_util = round(meter.delta_sec() / (head_wall * cpus), 3)
+    if headline_only:
+        queries, q_util = {}, {}
+    else:
+        queries, q_util = bench_queries(sf_dir, meter)
     total = time.perf_counter() - t0
     steal1, jiff1 = _host_cpu_sample()
+    load1 = _loadavg1()
     result = {
         "metric": "pages/sec end-to-end triple extraction (KG pipeline) + operator pack",
         "value": round(total, 3),
@@ -210,6 +285,11 @@ def run_once(headline_only: bool = False) -> dict:
             100.0 * (steal1 - steal0) / max(jiff1 - jiff0, 1), 2
         ),
         "cpu_probe_sec": probe0,
+        # own-process-tree CPU utilization per query: Δ(Σ worker cpu-time)
+        # / (wall × num_cpus). ≈1 → the run owned its CPUs; ≪1 with low
+        # steal_pct → in-VM co-tenant contention (not a code regression)
+        "cpu_util": {"kg_headline": head_util, **q_util},
+        "loadavg": [load0, load1],
     }
     ray.shutdown()
     return result

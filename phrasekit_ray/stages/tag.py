@@ -202,7 +202,12 @@ def tag_corpus(
     )
 
 
+# Small FIFO (mirrors score._BG_CACHE): two pipelines alternating
+# artifacts in one worker (e.g. incremental + full KG runs interleaved in
+# tasks mode) must each deserialize once per worker, not once per batch —
+# a single slot thrashes exactly that pattern.
 _TAGGER_CACHE: dict = {}
+_TAGGER_CACHE_SLOTS = 8
 
 
 def _cached_tagger(artifact_ref, config, **kwargs):
@@ -213,8 +218,9 @@ def _cached_tagger(artifact_ref, config, **kwargs):
     )
     inst = _TAGGER_CACHE.get(key)
     if inst is None:
+        while len(_TAGGER_CACHE) >= _TAGGER_CACHE_SLOTS:
+            _TAGGER_CACHE.pop(next(iter(_TAGGER_CACHE)))
         inst = TaggerActor(artifact_ref=artifact_ref, config=config, **kwargs)
-        _TAGGER_CACHE.clear()  # one live artifact per worker is the norm
         _TAGGER_CACHE[key] = inst
     return inst
 

@@ -166,3 +166,36 @@ def test_tag_stats(ray_session, artifact):
     assert s["documents_with_spans"] >= 1
     assert s["total_spans"] >= 1
     assert s["avg_spans_per_document"] == s["total_spans"] / 2
+
+
+def test_cached_tagger_fifo_keeps_alternating_artifacts(ray_session, artifact):
+    """Two artifacts alternating in one worker must each deserialize ONCE
+    (8-slot FIFO, mirroring score._BG_CACHE) — the old single-slot clear()
+    re-deserialized on every batch when pipelines interleave."""
+    from phrasekit_ray.stages.tag import _TAGGER_CACHE, _cached_tagger
+
+    art2, _ = build_artifact(
+        [{"tokens": ["other", "phrase"], "phrase_id": 7, "salience": 1.0,
+          "count": 1}],
+        BuildConfig(),
+    )
+    ref_a, ref_b = put_artifact(artifact), put_artifact(art2)
+    _TAGGER_CACHE.clear()
+    cfg = TagConfig()
+    a1 = _cached_tagger(ref_a, cfg)
+    b1 = _cached_tagger(ref_b, cfg)
+    # alternating lookups hit the same instances — no re-deserialization
+    assert _cached_tagger(ref_a, cfg) is a1
+    assert _cached_tagger(ref_b, cfg) is b1
+    assert _cached_tagger(ref_a, cfg) is a1
+    # FIFO evicts oldest beyond 8 slots, never grows unbounded
+    from phrasekit_ray.stages.tag import _TAGGER_CACHE_SLOTS
+
+    for i in range(_TAGGER_CACHE_SLOTS + 2):
+        art_i, _ = build_artifact(
+            [{"tokens": ["t%d" % i], "phrase_id": 100 + i, "salience": 1.0,
+              "count": 1}],
+            BuildConfig(),
+        )
+        _cached_tagger(put_artifact(art_i), cfg)
+    assert len(_TAGGER_CACHE) <= _TAGGER_CACHE_SLOTS
