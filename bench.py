@@ -244,6 +244,24 @@ def _cpu_probe_sec() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _mem_probe_sec() -> float:
+    """Fixed RANDOM-ACCESS memory workload (~0.15 s healthy): 8M
+    searchsorted probes over an 8 MB sorted array. This sandbox's host
+    intermittently degrades random DRAM access ~40× (co-tenant memory
+    contention) while sequential compute and steal_pct stay NORMAL — the
+    md5 probe and steal telemetry cannot see it, but every sort / hash /
+    join kernel is hit. A slow mem_probe with a quiet cpu_probe marks
+    the run as memory-contended, not code-regressed."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    table = np.sort(rng.integers(0, 1 << 62, 1_000_000))
+    probes = rng.integers(0, 1 << 62, 8_000_000)
+    t0 = time.perf_counter()
+    np.searchsorted(table, probes)
+    return round(time.perf_counter() - t0, 3)
+
+
 def run_once(headline_only: bool = False) -> dict:
     import ray
 
@@ -252,6 +270,7 @@ def run_once(headline_only: bool = False) -> dict:
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=cpus, include_dashboard=False)
     probe0 = _cpu_probe_sec()
+    mem0 = _mem_probe_sec()
     steal0, jiff0 = _host_cpu_sample()
     load0 = _loadavg1()
     meter = _TreeCpuMeter()
@@ -285,6 +304,11 @@ def run_once(headline_only: bool = False) -> dict:
             100.0 * (steal1 - steal0) / max(jiff1 - jiff0, 1), 2
         ),
         "cpu_probe_sec": probe0,
+        # random-access memory probe at start/end: ~0.15 s healthy; the
+        # host intermittently degrades random DRAM access ~40× with
+        # steal_pct and cpu_probe NORMAL — this is the only signal that
+        # catches it
+        "mem_probe_sec": [mem0, _mem_probe_sec()],
         # own-process-tree CPU utilization per query: Δ(Σ worker cpu-time)
         # / (wall × num_cpus). ≈1 → the run owned its CPUs; ≪1 with low
         # steal_pct → in-VM co-tenant contention (not a code regression)

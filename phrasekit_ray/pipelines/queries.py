@@ -1038,7 +1038,11 @@ def q_knn_lsh(sf_dir: str):
     first = _collect(ds).sort_by("vec_id").slice(0, 5)
     qids = first["vec_id"].to_pylist()
     qvecs = np.asarray(first["embedding"].to_pylist(), dtype=np.float32)
-    t = similarity.lsh_topk(ds, qvecs, qids, k=10, num_planes=8, probes=37)
+    # 6 tables × 17 probes measured recall@10 = 0.98 on this table (vs
+    # 0.70 for the old single-table probes=37) at lower candidate cost
+    t = similarity.lsh_topk(
+        ds, qvecs, qids, k=10, num_planes=8, probes=17, num_tables=6
+    )
     return _i64(t.select(["query_id", "vec_id"]), "query_id", "vec_id")
 
 

@@ -352,13 +352,18 @@ def _basket_edges_ds(sf_dir: str):
     graph at every scale factor (the co-mention KG graph is degenerate
     below sf0.01)."""
     import ray
+    import pyarrow.parquet as pq
 
     from phrasekit_ray.stages.kg import cooccurrence_edges
 
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
     )
-    return cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    # row count is free parquet metadata → enables the bounded driver
+    # fast path; at scale the count exceeds the threshold and the
+    # distributed hash-partition path runs instead
+    n_rows = pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows
+    return cooccurrence_edges(li, "l_orderkey", "l_partkey", input_rows=n_rows)
 
 
 def q_graph_triangles(sf_dir: str):

