@@ -550,3 +550,52 @@ def test_run_kg_increment_accepts_plain_artifact(ray_session):
         ray.data.from_arrow(full_tbl.slice(0, 4)), res.artifact, res.mapping
     )
     assert inc.nodes.count() >= 0  # executes the tag stage without crashing
+
+
+def test_resumable_write_crash_mid_write_redoes_byte_identically(
+    ray_session, tmp_path
+):
+    """Crash-mid-write drill (VERDICT r2 item 9): after a simulated kill
+    that leaves partition 2 with a half-written data file and NO manifest
+    and partition 3 missing entirely, a re-run must (a) leave the
+    manifest-complete partitions' files untouched, (b) rewrite the
+    crashed partitions byte-identically to an uninterrupted run."""
+    import ray
+
+    t = pa.table(
+        {
+            "entity_id": pa.array(range(128), pa.uint64()),
+            "n": pa.array(list(range(128)), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+
+    def data_path(root, i):
+        return os.path.join(lineage.partition_dir(root, "nodes", i), "data.parquet")
+
+    # reference: one uninterrupted run
+    ref_root = str(tmp_path / "ref")
+    lineage.write_dataset_resumable(ds, ref_root, "nodes", {"v": 1}, "entity_id", 4)
+    ref_bytes = {i: open(data_path(ref_root, i), "rb").read() for i in range(4)}
+
+    # crashed run: partitions 0/1 completed, 2 half-written (no manifest),
+    # 3 never started
+    root = str(tmp_path / "crashed")
+    lineage.write_dataset_resumable(ds, root, "nodes", {"v": 1}, "entity_id", 4)
+    os.remove(lineage.manifest_path(root, "nodes", 2))
+    with open(data_path(root, 2), "wb") as f:
+        f.write(ref_bytes[2][: len(ref_bytes[2]) // 2])  # torn write
+    os.remove(lineage.manifest_path(root, "nodes", 3))
+    os.remove(data_path(root, 3))
+    survivors = {i: os.stat(data_path(root, i)).st_mtime_ns for i in (0, 1)}
+
+    s = lineage.write_dataset_resumable(ds, root, "nodes", {"v": 1}, "entity_id", 4)
+    assert s["skipped"] == 2 and s["written"] == 2
+    # complete partitions untouched
+    for i in (0, 1):
+        assert os.stat(data_path(root, i)).st_mtime_ns == survivors[i]
+    # crashed partitions redone byte-identically to the clean run
+    for i in (2, 3):
+        assert open(data_path(root, i), "rb").read() == ref_bytes[i], i
+    back = lineage.read_partitioned(root, "nodes")
+    assert sorted(r["entity_id"] for r in back.iter_rows()) == list(range(128))

@@ -2,6 +2,7 @@
 vocab.json / manifest.json schemas, export→import roundtrip)."""
 
 import json
+import os
 import struct
 
 import numpy as np
@@ -99,3 +100,58 @@ def test_import_rejects_manifest_count_mismatch(tmp_path):
     mpath.write_text(json.dumps(m))
     with pytest.raises(ValueError, match="num_patterns"):
         refartifact.import_reference_artifact(d)
+
+
+FROZEN_DIR = os.path.join(os.path.dirname(__file__), "data", "ref_artifact")
+
+
+def test_frozen_fixture_imports_and_reexports_byte_identically():
+    """Interop pinned against the COMMITTED binary fixture
+    (tests/data/ref_artifact, VERDICT r2 item 10): any change to the
+    17-byte payload record layout (payload.rs:27-52), the vocab.json
+    schema, or the build semantics breaks this test against frozen bytes
+    rather than self-generated goldens."""
+    art = refartifact.import_reference_artifact(FROZEN_DIR)
+    assert art.num_patterns == 4
+    # frozen byte-level expectations, independent of our writer
+    raw = open(os.path.join(FROZEN_DIR, "payloads.bin"), "rb").read()
+    assert len(raw) == 4 * 17
+    assert raw[0:4] == struct.pack("<I", 1000)
+    assert raw[4:8] == struct.pack("<f", np.float32(5.4))
+    assert raw[8:12] == struct.pack("<I", 30)
+    assert raw[12:16] == b"\x00" * 4 and raw[16] == 2
+    assert raw[3 * 17 + 16] == 1  # single-token phrase 1003
+    # matching behavior of the imported artifact
+    spans = art.match_tokens(
+        ["the", "rat", "cdk10", "oligo"], policy="leftmost_longest"
+    )
+    assert [(s["start"], s["end"], s["phrase_id"]) for s in spans] == [(1, 3, 1000)]
+    # re-export reproduces the frozen bytes exactly
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        refartifact.export_reference_artifact(art, td)
+        assert open(os.path.join(td, "payloads.bin"), "rb").read() == raw
+        assert json.load(open(os.path.join(td, "vocab.json"))) == json.load(
+            open(os.path.join(FROZEN_DIR, "vocab.json"))
+        )
+        assert json.load(open(os.path.join(td, "manifest.json"))) == json.load(
+            open(os.path.join(FROZEN_DIR, "manifest.json"))
+        )
+
+
+def test_frozen_fixture_rejects_mismatched_input(tmp_path):
+    """A wrong phrases_input.jsonl must be rejected by the payload-table
+    verification, not silently mis-tagged."""
+    import shutil
+
+    d = tmp_path / "bad"
+    shutil.copytree(FROZEN_DIR, d)
+    with open(d / "phrases_input.jsonl") as f:
+        lines = f.read().splitlines()
+    row = json.loads(lines[0])
+    row["count"] = 999  # diverges from payloads.bin
+    lines[0] = json.dumps(row)
+    (d / "phrases_input.jsonl").write_text("\n".join(lines) + "\n")
+    with pytest.raises(ValueError, match="payloads.bin"):
+        refartifact.import_reference_artifact(str(d))
