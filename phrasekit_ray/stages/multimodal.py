@@ -2,18 +2,19 @@
 
 Training-data extension. Three decode backends per actor:
 
-- ``backend="numpy"`` — a REAL decoder for uncompressed container
-  formats, implemented with numpy alone (no PIL/libsndfile/ffmpeg):
-  PNM images (P5 PGM / P6 PPM, binary variants) with true bilinear
+- ``backend="numpy"`` — a REAL decoder implemented with numpy alone (no
+  PIL/libsndfile/ffmpeg): PNM images (P5 PGM / P6 PPM, binary variants)
+  AND baseline JPEG (pure-numpy codec, core/jpeg.py) with true bilinear
   resize + area-pooled features, RIFF/WAV PCM-16 audio with per-segment
   mean-|amplitude| filterbank features and real duration, and
   YUV4MPEG2 (y4m) video with uniform frame sampling over the Y plane.
   Malformed payloads decode to ``decoded_ok=false`` rows, never raise.
 - ``backend="fake"`` (default) — a deterministic content-hash-derived
   feature, so the Ray-side plumbing is testable with arbitrary bytes.
-- ``backend="real"`` — the integration point for COMPRESSED codecs
-  (JPEG/FLAC/H.264 via PIL/libsndfile/ffmpeg, not in this container);
-  raises NotImplementedError at exactly the external-library call site.
+- ``backend="real"`` — optional-library backends, feature-detected at
+  actor construction (Pillow for images, soundfile for audio, PyAV for
+  video — none baked into this container): a clear ImportError naming
+  the dependency when absent, the full decode path when present.
 
 Everything around the kernel — schema, actor-pool shape, batch sizing for
 large binary payloads, output layout — is identical across backends.
@@ -252,13 +253,31 @@ def _fake_features(payloads: list[bytes | None], dim: int) -> np.ndarray:
     return out
 
 
+def decode_image(payload: bytes) -> np.ndarray:
+    """Dispatch on magic bytes → float32 grayscale (h, w): binary PNM
+    (P5/P6) or baseline JPEG (pure-numpy codec, core/jpeg.py). Raises
+    ValueError on unknown/malformed payloads."""
+    if payload[:2] == b"\xff\xd8":
+        from phrasekit_ray.core.jpeg import decode_jpeg
+
+        img = decode_jpeg(payload)
+        if img.ndim == 3:  # luma per BT.601, matching decode_pnm's gray
+            img = (
+                0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+            ).astype(np.float32)
+        return img
+    return decode_pnm(payload)
+
+
 class ImageDecodeActor:
     """media rows → decoded feature rows (actor pool stage).
 
-    backend="numpy" really decodes binary PNM (P5/P6) payloads: bilinear
-    resize to ``resize`` + area-pooled grayscale features. backend="real"
-    is the integration point for compressed codecs (PIL/turbojpeg) —
-    stubbed: raises NotImplementedError (library not in this container).
+    backend="numpy" really decodes binary PNM (P5/P6) AND baseline JPEG
+    payloads (pure-numpy codec, core/jpeg.py — no external library):
+    bilinear resize to ``resize`` + area-pooled grayscale features.
+    backend="real" uses PIL when installed (feature-detected) for the
+    formats the numpy path doesn't cover (PNG/WebP/progressive JPEG) and
+    raises ImportError with the dependency name when it is not.
     """
 
     def __init__(self, backend: str = "fake", feature_dim: int = 64, resize=(64, 64)):
@@ -267,26 +286,40 @@ class ImageDecodeActor:
         self.backend = backend
         self.feature_dim = feature_dim
         self.resize = resize
+        self._pil = None
+        if backend == "real":
+            try:
+                from PIL import Image  # optional dependency
+
+                self._pil = Image
+            except ImportError as e:
+                raise ImportError(
+                    "backend='real' needs Pillow (pip install pillow); "
+                    "backend='numpy' decodes PNM + baseline JPEG without it"
+                ) from e
+
+    def _decode_gray(self, payload: bytes) -> np.ndarray:
+        if self.backend == "real":
+            import io
+
+            img = self._pil.open(io.BytesIO(payload)).convert("L")
+            return np.asarray(img, dtype=np.float32)
+        return decode_image(payload)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
-        if self.backend == "real":
-            raise NotImplementedError(
-                "real compressed-image decode requires PIL/turbojpeg (not in "
-                "container); use backend='numpy' for PNM or 'fake' for plumbing"
-            )
         out_w, out_h = int(self.resize[0]), int(self.resize[1])
-        if self.backend == "numpy":
+        if self.backend in ("numpy", "real"):
             ok_l, feats_l, w_l, h_l = [], [], [], []
             for p in payloads:
                 try:
-                    gray = decode_pnm(p or b"")
+                    gray = self._decode_gray(p or b"")
                     resized = resize_bilinear(gray, out_h, out_w)
                     feats_l.append(_pool2d_to_dim(resized, self.feature_dim))
                     ok_l.append(True)
                     w_l.append(out_w)
                     h_l.append(out_h)
-                except ValueError:
+                except (ValueError, OSError):  # malformed → flagged row
                     feats_l.append(np.zeros(self.feature_dim, dtype=np.float32))
                     ok_l.append(False)
                     w_l.append(-1)
@@ -316,7 +349,9 @@ class AudioFrameSampleActor:
     backend="numpy" really decodes RIFF/WAV PCM-16 payloads: mono-mix,
     split into ``frames`` equal segments, per-segment mean-|amplitude|
     filterbank of ``feature_dim`` bins. backend="real" is the
-    libsndfile/ffmpeg integration point for compressed audio — stubbed.
+    soundfile (libsndfile) backend for compressed audio,
+    feature-detected at construction (ImportError naming the dependency
+    when absent).
     """
 
     def __init__(self, backend: str = "fake", frames: int = 16, feature_dim: int = 16):
@@ -325,19 +360,36 @@ class AudioFrameSampleActor:
         self.backend = backend
         self.frames = frames
         self.feature_dim = feature_dim
+        self._sf = None
+        if backend == "real":
+            try:
+                import soundfile  # optional dependency (libsndfile)
+
+                self._sf = soundfile
+            except ImportError as e:
+                raise ImportError(
+                    "backend='real' needs soundfile (pip install soundfile) "
+                    "for compressed audio (FLAC/OGG/MP3); backend='numpy' "
+                    "decodes WAV PCM-16 without it"
+                ) from e
+
+    def _decode(self, payload: bytes):
+        if self.backend == "real":
+            import io
+
+            samples, rate = self._sf.read(io.BytesIO(payload), dtype="float32")
+            if samples.ndim == 2:  # mono-mix, matching decode_wav_pcm16
+                samples = samples.mean(axis=1)
+            return samples, rate
+        return decode_wav_pcm16(payload)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.backend == "real":
-            raise NotImplementedError(
-                "compressed-audio decode requires libsndfile/ffmpeg (not in "
-                "container); use backend='numpy' for WAV PCM-16"
-            )
         payloads = batch["payload"].to_pylist()
-        if self.backend == "numpy":
+        if self.backend in ("numpy", "real"):
             ok_l, ff_l = [], []
             for p in payloads:
                 try:
-                    samples, _rate = decode_wav_pcm16(p or b"")
+                    samples, _rate = self._decode(p or b"")
                     amp = np.abs(samples)
                     n = len(amp)
                     edges = (np.arange(self.frames, dtype=np.int64) * n) // self.frames
@@ -350,7 +402,7 @@ class AudioFrameSampleActor:
                     ]
                     ff_l.append(segs)
                     ok_l.append(True)
-                except ValueError:
+                except (ValueError, OSError, RuntimeError):  # malformed
                     ff_l.append(
                         [[0.0] * self.feature_dim for _ in range(self.frames)]
                     )
@@ -383,7 +435,8 @@ class VideoFrameSampleActor:
     backend="numpy" really decodes YUV4MPEG2 (y4m) payloads: uniform
     sampling of ``frames`` frames, per-frame area-pooled Y-plane features,
     timestamps from the stream's real frame rate. backend="real" is the
-    ffmpeg/pyav integration point for compressed video — stubbed. With
+    PyAV (ffmpeg) backend for compressed video, feature-detected at
+    construction (ImportError naming the dependency when absent). With
     the fake decoder, frame timestamps are derived from ``duration_ms``
     (uniform sampling), so the output layout is real there too.
     """
@@ -396,20 +449,43 @@ class VideoFrameSampleActor:
         self.backend = backend
         self.frames = frames
         self.feature_dim = feature_dim
+        self._av = None
+        if backend == "real":
+            try:
+                import av  # optional dependency (PyAV/ffmpeg)
+
+                self._av = av
+            except ImportError as e:
+                raise ImportError(
+                    "backend='real' needs PyAV (pip install av) for "
+                    "compressed video (MP4/H.264); backend='numpy' decodes "
+                    "YUV4MPEG2 without it"
+                ) from e
+
+    def _decode(self, payload: bytes):
+        if self.backend == "real":
+            import io
+
+            container = self._av.open(io.BytesIO(payload))
+            stream = container.streams.video[0]
+            fps = float(stream.average_rate or 25)
+            planes = [
+                np.asarray(f.to_ndarray(format="gray"), dtype=np.float32)
+                for f in container.decode(stream)
+            ]
+            if not planes:
+                raise ValueError("no decodable video frames")
+            return planes, fps
+        return decode_y4m(payload)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.backend == "real":
-            raise NotImplementedError(
-                "compressed-video decode requires ffmpeg/pyav (not in "
-                "container); use backend='numpy' for y4m"
-            )
         payloads = batch["payload"].to_pylist()
         durations = batch["duration_ms"].to_pylist()
-        if self.backend == "numpy":
+        if self.backend in ("numpy", "real"):
             ok_l, ts_l, ff_l = [], [], []
             for p in payloads:
                 try:
-                    planes, fps = decode_y4m(p or b"")
+                    planes, fps = self._decode(p or b"")
                     n = len(planes)
                     idx = np.minimum(
                         ((np.arange(self.frames) + 0.5) * n / self.frames).astype(
@@ -425,7 +501,7 @@ class VideoFrameSampleActor:
                         ]
                     )
                     ok_l.append(True)
-                except ValueError:
+                except (ValueError, OSError, RuntimeError):  # malformed
                     ts_l.append([0] * self.frames)
                     ff_l.append(
                         [[0.0] * self.feature_dim for _ in range(self.frames)]

@@ -1,0 +1,169 @@
+"""Pure-numpy baseline JPEG codec (core/jpeg.py) — spec goldens,
+roundtrips, subsampling, restart markers, rejection of non-baseline
+streams, and the multimodal actor integration (VERDICT r2 item 5)."""
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from phrasekit_ray.core import jpeg
+
+
+def _smooth_rgb(h=44, w=60):
+    x, y = np.meshgrid(np.arange(w), np.arange(h))
+    return np.stack(
+        [128 + 100 * np.sin(x / 11.0),
+         128 + 100 * np.cos(y / 13.0),
+         128 + 60 * np.sin((x + y) / 17.0)],
+        axis=-1,
+    )
+
+
+def _handcrafted_dc_only(dc_mag_bits="1000"):
+    """A minimal 8×8 grayscale stream assembled BYTE BY BYTE from T.81
+    (not via our encoder): flat quant 16, Annex K Huffman tables, one
+    block with DC diff +8 and EOB. Expected pixels: DC coef = 8·16 =
+    128 → IDCT flat 128/8 = 16 → +128 level shift = 144."""
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes([16] * 64)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc4" + struct.pack(">H", 19 + 12) + bytes([0x00]) \
+        + bytes(jpeg.DC_LUM_BITS) + bytes(jpeg.DC_LUM_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 19 + len(jpeg.AC_LUM_VALS)) \
+        + bytes([0x10]) + bytes(jpeg.AC_LUM_BITS) + bytes(jpeg.AC_LUM_VALS)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00]) + b"\x00\x3f\x00"
+    # DC sym 4 (code 101) + mag 1000 (+8); AC EOB (code 1010); pad 1s
+    out += bytes([0b10110001, 0b01011111])
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_decode_handcrafted_spec_golden():
+    img = jpeg.decode_jpeg(_handcrafted_dc_only())
+    assert img.shape == (8, 8)
+    assert np.allclose(img, 144.0)
+
+
+def test_roundtrip_gray_flat_and_gradient():
+    flat = np.full((16, 24), 200.0)
+    assert np.abs(jpeg.decode_jpeg(jpeg.encode_jpeg(flat, 50)) - flat).max() < 1
+    grad = np.tile(np.arange(64, dtype=np.float64) * 3, (32, 1))
+    d = jpeg.decode_jpeg(jpeg.encode_jpeg(grad, quality=95))
+    assert np.sqrt(((d - grad) ** 2).mean()) < 3.0
+
+
+@pytest.mark.parametrize("sub,rmse_bound", [("444", 6.0), ("420", 12.0)])
+def test_roundtrip_rgb_subsampling(sub, rmse_bound):
+    rgb = _smooth_rgb()
+    enc = jpeg.encode_jpeg(rgb, quality=90, subsampling=sub)
+    dec = jpeg.decode_jpeg(enc)
+    assert dec.shape == rgb.shape
+    assert np.sqrt(((dec - rgb) ** 2).mean()) < rmse_bound
+    # 4:2:0 carries a quarter of the chroma samples → smaller stream
+    if sub == "420":
+        assert len(enc) < len(jpeg.encode_jpeg(rgb, quality=90))
+
+
+def test_roundtrip_odd_dimensions_preserved():
+    rgb = _smooth_rgb(37, 41)
+    for sub in ("444", "420"):
+        dec = jpeg.decode_jpeg(jpeg.encode_jpeg(rgb, 85, subsampling=sub))
+        assert dec.shape == (37, 41, 3)
+
+
+def test_restart_markers_reset_dc_predictors():
+    """DRI=1 stream with two MCUs separated by RST0, assembled from the
+    module's own tables: each block's DC is coded ABSOLUTE (predictor
+    reset), so a decoder ignoring restarts would read block 2 wrong."""
+    enc = jpeg._build_huff_encode(jpeg.DC_LUM_BITS, jpeg.DC_LUM_VALS)
+    ac = jpeg._build_huff_encode(jpeg.AC_LUM_BITS, jpeg.AC_LUM_VALS)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes([16] * 64)
+    out += b"\xff\xdd" + struct.pack(">HH", 4, 1)  # DRI = 1 MCU
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, 16, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc4" + struct.pack(">H", 19 + 12) + bytes([0x00]) \
+        + bytes(jpeg.DC_LUM_BITS) + bytes(jpeg.DC_LUM_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 19 + len(jpeg.AC_LUM_VALS)) \
+        + bytes([0x10]) + bytes(jpeg.AC_LUM_BITS) + bytes(jpeg.AC_LUM_VALS)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00]) + b"\x00\x3f\x00"
+
+    def block_bits(dc):
+        w = jpeg._BitWriter()
+        t, mag = jpeg._magnitude(dc)
+        code, ln = enc[t]
+        w.write(code, ln)
+        if t:
+            w.write(mag, t)
+        code, ln = ac[0x00]
+        w.write(code, ln)
+        w.flush()
+        return bytes(w.out)
+
+    out += block_bits(8)       # MCU 0: DC +8 → 144
+    out += b"\xff\xd0"         # RST0, predictors reset
+    out += block_bits(-8)      # MCU 1: DC −8 ABSOLUTE → 112
+    out += b"\xff\xd9"
+    img = jpeg.decode_jpeg(bytes(out))
+    assert img.shape == (8, 16)
+    assert np.allclose(img[:, :8], 144.0)
+    assert np.allclose(img[:, 8:], 112.0)
+
+
+def test_rejects_progressive_and_malformed():
+    rgb_bytes = jpeg.encode_jpeg(_smooth_rgb(16, 16), 80)
+    progressive = rgb_bytes.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="baseline"):
+        jpeg.decode_jpeg(progressive)
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(b"\x89PNG\r\n")
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(b"\xff\xd8\xff")
+
+
+def test_image_actor_decodes_jpeg_payloads(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.multimodal import ImageDecodeActor
+
+    rgb = _smooth_rgb(32, 32)
+    good = jpeg.encode_jpeg(rgb, 85)
+    rows = pa.table(
+        {
+            "media_id": pa.array(["a", "b", "c"]),
+            "media_type": pa.array(["image"] * 3),
+            "payload": pa.array([good, b"\xff\xd8garbage", good], pa.binary()),
+            "width": pa.array([32, -1, 32], pa.int32()),
+            "height": pa.array([32, -1, 32], pa.int32()),
+            "duration_ms": pa.array([-1, -1, -1], pa.int32()),
+        }
+    )
+    out = (
+        ray.data.from_arrow(rows)
+        .map_batches(
+            ImageDecodeActor,
+            fn_constructor_kwargs=dict(backend="numpy", feature_dim=16),
+            batch_format="pyarrow",
+            concurrency=1,
+            batch_size=8,
+        )
+        .to_pandas()
+        .set_index("media_id")
+    )
+    assert bool(out.loc["a", "decoded_ok"]) and bool(out.loc["c", "decoded_ok"])
+    assert not bool(out.loc["b", "decoded_ok"])  # malformed → flagged
+    assert len(out.loc["a", "features"]) == 16
+    assert np.allclose(out.loc["a", "features"], out.loc["c", "features"])
+
+
+def test_real_backend_feature_detection():
+    from phrasekit_ray.stages.multimodal import ImageDecodeActor
+
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("Pillow installed — real backend available")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="Pillow"):
+        ImageDecodeActor(backend="real")

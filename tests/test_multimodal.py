@@ -32,10 +32,14 @@ def test_fake_decode_deterministic():
     assert a["features"].to_pylist() == b["features"].to_pylist()
 
 
-def test_real_backend_raises():
-    actor = multimodal.ImageDecodeActor(backend="real")
-    with pytest.raises(NotImplementedError):
-        actor(multimodal.synth_media_table(1))
+def test_real_backend_feature_detects():
+    # backend="real" is PIL-backed: construction raises a clear
+    # ImportError naming the dependency when it is absent (this image)
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="Pillow"):
+            multimodal.ImageDecodeActor(backend="real")
     with pytest.raises(ValueError):
         multimodal.ImageDecodeActor(backend="bogus")
 
@@ -79,9 +83,11 @@ def test_video_frame_sample_actor_pool(ray_session):
 
     import pytest as _pytest
 
-    actor = VideoFrameSampleActor(backend="real")
-    with _pytest.raises(NotImplementedError):
-        actor(tbl)
+    try:
+        import av  # noqa: F401
+    except ImportError:
+        with _pytest.raises(ImportError, match="PyAV"):
+            VideoFrameSampleActor(backend="real")
 
 
 # --- real numpy-backend decoders -------------------------------------------
