@@ -591,3 +591,236 @@ def _self_register() -> None:
 
 
 _self_register()
+
+
+# --- round-3 additions: window lead/lag, grouped corr, set ops, full outer -
+
+
+def q_events_lead_lag(sf_dir: str):
+    """LAG/LEAD of event value (cents) per user ordered by (ts, event_id)
+    — partition-run vectorized window (stages/windows.lead_lag)."""
+    import ray
+
+    from phrasekit_ray.stages.windows import lead_lag
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    return _i64(
+        _collect(lead_lag(events)),
+        "event_id", "lag_value_cents", "lead_value_cents",
+    )
+
+
+SQL_EVENTS_LEAD_LAG = """
+SELECT event_id,
+       LAG(CAST(round(value * 100.0) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag_value_cents,
+       LEAD(CAST(round(value * 100.0) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lead_value_cents
+FROM events
+"""
+
+
+def q_lineitem_corr(sf_dir: str):
+    """Per-returnflag corr/covar_pop of (quantity, discount) — exact
+    int64 moment sums through the shuffle, micro-fixed finalize
+    (stages/agg.grouped_corr)."""
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_corr
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_discount"],
+    )
+    return _i64(
+        _collect(grouped_corr(li, "l_returnflag", "l_quantity", "l_discount")),
+        "n", "corr_micro", "covar_pop_micro",
+    )
+
+
+SQL_LINEITEM_CORR = """
+WITH t AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity * 100.0) AS BIGINT) / 100.0 AS x,
+         CAST(round(l_discount * 100.0) AS BIGINT) / 100.0 AS y
+  FROM lineitem)
+SELECT l_returnflag, count(*) AS n,
+       CAST(round(corr(x, y) * 1000000.0) AS BIGINT) AS corr_micro,
+       CAST(round(covar_pop(x, y) * 1000000.0) AS BIGINT) AS covar_pop_micro
+FROM t GROUP BY l_returnflag
+"""
+
+
+_DAY_US = 86_400_000_000
+
+
+def _event_user_days(sf_dir: str, etype: str):
+    """Distinct-able (user_id, day) activity pairs for one event type."""
+    import ray
+    import pyarrow.compute as _pc
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+
+    def prep(b: pa.Table, _t=etype) -> pa.Table:
+        keep = _pc.equal(b["event_type"], _t)
+        ts = b["ts"].filter(keep).cast(pa.int64()).combine_chunks().to_numpy()
+        uid = b["user_id"].filter(keep).cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": uid,
+                "day_us": pa.array((ts // _DAY_US) * _DAY_US, pa.int64()),
+            }
+        )
+
+    return ev.map_batches(prep, batch_format="pyarrow")
+
+
+def q_users_click_and_purchase(sf_dir: str):
+    """SQL INTERSECT: distinct (user, day) pairs with BOTH a click and a
+    purchase that day — single-shuffle presence-flag set op
+    (stages/agg.intersect_distinct)."""
+    from phrasekit_ray.stages.agg import intersect_distinct
+
+    return _i64(
+        _collect(
+            intersect_distinct(
+                _event_user_days(sf_dir, "click"),
+                _event_user_days(sf_dir, "purchase"),
+                ["user_id", "day_us"],
+            )
+        ),
+        "user_id", "day_us",
+    )
+
+
+_SQL_USER_DAYS = (
+    "SELECT CAST(user_id AS BIGINT) AS user_id, "
+    "epoch_us(date_trunc('day', ts)) AS day_us "
+    "FROM events WHERE event_type = '{t}'"
+)
+
+
+SQL_USERS_CLICK_AND_PURCHASE = (
+    _SQL_USER_DAYS.format(t="click")
+    + " INTERSECT "
+    + _SQL_USER_DAYS.format(t="purchase")
+)
+
+
+def q_users_click_not_purchase(sf_dir: str):
+    """SQL EXCEPT: distinct (user, day) click pairs with no same-day
+    purchase (stages/agg.except_distinct)."""
+    from phrasekit_ray.stages.agg import except_distinct
+
+    return _i64(
+        _collect(
+            except_distinct(
+                _event_user_days(sf_dir, "click"),
+                _event_user_days(sf_dir, "purchase"),
+                ["user_id", "day_us"],
+            )
+        ),
+        "user_id", "day_us",
+    )
+
+
+SQL_USERS_CLICK_NOT_PURCHASE = (
+    _SQL_USER_DAYS.format(t="click")
+    + " EXCEPT "
+    + _SQL_USER_DAYS.format(t="purchase")
+)
+
+
+def q_full_outer_revenue(sf_dir: str):
+    """FULL OUTER join: BUILDING-segment customers ⟗ per-customer order
+    revenue — rows survive from BOTH unmatched sides (customers without
+    orders, orders whose customer is outside the segment). Ray Data's
+    native full_outer hash join over the pre-aggregated (tiny) sides."""
+    import ray
+
+    from phrasekit_ray.stages.agg import hash_aggregate, join_partitions
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda b: pa.table(
+            {"c_custkey": b["c_custkey"].filter(
+                pc.equal(b["c_mktsegment"], "BUILDING")
+            )}
+        ),
+        batch_format="pyarrow",
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_custkey": b["o_custkey"],
+                "revenue_cents": pc.cast(
+                    _round_away(pc.multiply(b["o_totalprice"], 100.0)), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    rev = hash_aggregate(orders, "o_custkey", [("revenue_cents", "sum")])
+    joined = cust.join(
+        rev,
+        join_type="full_outer",
+        num_partitions=join_partitions(8),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    # Ray's outer join COALESCES the key pair into the left key column,
+    # so the surviving schema is (c_custkey, revenue_cents); left-only
+    # customers read revenue_cents NULL
+    def conform(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": b["c_custkey"],
+                "revenue_cents": b["revenue_cents"],
+            }
+        )
+
+    return _i64(
+        _collect(joined.map_batches(conform, batch_format="pyarrow")),
+        "c_custkey", "revenue_cents",
+    )
+
+
+SQL_FULL_OUTER_REVENUE = """
+WITH c AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+r AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS revenue_cents
+  FROM orders GROUP BY o_custkey)
+SELECT COALESCE(c.c_custkey, r.o_custkey) AS c_custkey, r.revenue_cents
+FROM c FULL OUTER JOIN r ON c.c_custkey = r.o_custkey
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "q_events_lead_lag": q_events_lead_lag,
+        "q_lineitem_corr": q_lineitem_corr,
+        "q_users_click_and_purchase": q_users_click_and_purchase,
+        "q_users_click_not_purchase": q_users_click_not_purchase,
+        "q_full_outer_revenue": q_full_outer_revenue,
+    }
+)
+EXT_ORACLE_SQL.update(
+    {
+        "q_events_lead_lag": SQL_EVENTS_LEAD_LAG,
+        "q_lineitem_corr": SQL_LINEITEM_CORR,
+        "q_users_click_and_purchase": SQL_USERS_CLICK_AND_PURCHASE,
+        "q_users_click_not_purchase": SQL_USERS_CLICK_NOT_PURCHASE,
+        "q_full_outer_revenue": SQL_FULL_OUTER_REVENUE,
+    }
+)

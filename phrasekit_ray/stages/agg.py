@@ -1262,3 +1262,129 @@ def grouped_rollup(
     for other in levels[1:]:
         out = out.union(other)
     return out
+
+
+def grouped_corr(
+    ds,
+    key: str,
+    x_col: str,
+    y_col: str,
+    num_partitions: int | None = None,
+):
+    """SQL ``corr(x, y)`` / ``covar_pop(x, y)`` GROUP BY key →
+    (key, n, corr_micro, covar_pop_micro).
+
+    The textbook decomposable-moment treatment: x/y are fixed to integer
+    cents in the map stage, so the shuffled state per group is five
+    EXACT int64 sums (n, Σx, Σy, Σxy, Σx², Σy²) that any accumulation
+    order reproduces bit-identically; one tiny finalize computes the
+    floating formula and fixes it to micro-units. No corpus-sized float
+    accumulation → no order-dependent drift vs the oracle.
+    """
+    num_partitions = default_partitions(num_partitions)
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = (
+            round_away(pc.multiply(batch[x_col].cast(pa.float64()), 100.0))
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy()
+        )
+        y = (
+            round_away(pc.multiply(batch[y_col].cast(pa.float64()), 100.0))
+            .cast(pa.int64())
+            .combine_chunks()
+            .to_numpy()
+        )
+        return pa.table(
+            {
+                key: batch[key],
+                "n": pa.array(np.ones(len(x), np.int64), pa.int64()),
+                "sx": pa.array(x, pa.int64()),
+                "sy": pa.array(y, pa.int64()),
+                "sxy": pa.array(x * y, pa.int64()),
+                "sxx": pa.array(x * x, pa.int64()),
+                "syy": pa.array(y * y, pa.int64()),
+            }
+        )
+
+    sums = hash_aggregate(
+        ds.map_batches(moments, batch_format="pyarrow"),
+        key,
+        [(c, "sum") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")],
+        num_partitions=num_partitions,
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch["n"].combine_chunks().to_numpy().astype(np.float64)
+        sx = batch["sx"].combine_chunks().to_numpy().astype(np.float64)
+        sy = batch["sy"].combine_chunks().to_numpy().astype(np.float64)
+        sxy = batch["sxy"].combine_chunks().to_numpy().astype(np.float64)
+        sxx = batch["sxx"].combine_chunks().to_numpy().astype(np.float64)
+        syy = batch["syy"].combine_chunks().to_numpy().astype(np.float64)
+        # cents → original units: covar scales by 1e-4
+        cov = (sxy - sx * sy / n) / n * 1e-4
+        varx = sxx - sx * sx / n
+        vary = syy - sy * sy / n
+        denom = np.sqrt(varx * vary)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            corr = np.where(denom > 0, (sxy - sx * sy / n) / denom, np.nan)
+        def micro(a):
+            out = np.round(np.where(np.isnan(a), 0, a) * 1e6).astype(np.int64)
+            return pa.array(out, pa.int64(), mask=np.isnan(a))
+        return pa.table(
+            {
+                key: batch[key],
+                "n": batch["n"],
+                "corr_micro": micro(corr),
+                "covar_pop_micro": micro(cov),
+            }
+        )
+
+    return sums.map_batches(finalize, batch_format="pyarrow")
+
+
+def _tagged_distinct(ds, cols: list[str], tag: str):
+    def prep(batch: pa.Table) -> pa.Table:
+        t = batch.select(cols)
+        t = t.append_column(
+            "in_a", pa.array(np.full(t.num_rows, 1 if tag == "a" else 0, np.int64))
+        )
+        t = t.append_column(
+            "in_b", pa.array(np.full(t.num_rows, 1 if tag == "b" else 0, np.int64))
+        )
+        # in-block distinct BEFORE the shuffle
+        return _arrow_aggregate(t, cols, [("in_a", "max"), ("in_b", "max")])
+
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
+def _set_op(a, b, cols, keep, num_partitions):
+    num_partitions = default_partitions(num_partitions)
+    both = _tagged_distinct(a, cols, "a").union(_tagged_distinct(b, cols, "b"))
+    merged = hash_aggregate(
+        both, cols, [("in_a", "max"), ("in_b", "max")],
+        num_partitions=num_partitions,
+    )
+
+    def filt(batch: pa.Table) -> pa.Table:
+        ia = batch["in_a"].combine_chunks().to_numpy()
+        ib = batch["in_b"].combine_chunks().to_numpy()
+        return batch.select(cols).filter(pa.array(keep(ia, ib)))
+
+    return merged.map_batches(filt, batch_format="pyarrow")
+
+
+def intersect_distinct(a, b, cols: list[str], num_partitions: int | None = None):
+    """SQL ``SELECT cols FROM a INTERSECT SELECT cols FROM b`` —
+    distinct rows present on BOTH sides. Shape: per-side in-block
+    distinct + presence flags, ONE shared hash aggregate (max of flags),
+    stateless filter — each side's rows shuffle exactly once."""
+    return _set_op(a, b, cols, lambda ia, ib: (ia > 0) & (ib > 0), num_partitions)
+
+
+def except_distinct(a, b, cols: list[str], num_partitions: int | None = None):
+    """SQL ``SELECT cols FROM a EXCEPT SELECT cols FROM b`` — distinct
+    rows of a absent from b. Same single-shuffle shape as
+    intersect_distinct."""
+    return _set_op(a, b, cols, lambda ia, ib: (ia > 0) & (ib == 0), num_partitions)

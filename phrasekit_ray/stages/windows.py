@@ -640,3 +640,82 @@ def range_window_stats(
             batch_format="pyarrow",
         )
     )
+
+
+def lead_lag(
+    ds,
+    value_col: str = "value",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_partitions: int | None = None,
+):
+    """SQL ``LAG(v) / LEAD(v) OVER (PARTITION BY user ORDER BY ts, id)``
+    → (event_id, lag_value_cents, lead_value_cents; nulls at partition
+    edges). The value is fixed to integer cents before shifting so the
+    result is float-order-proof and SQL-oracle-exact.
+
+    Scale shape: the standard partition-run treatment (sessionize/asof) —
+    hash-partition by user (a user never straddles partitions), ONE
+    vectorized UDF per partition: lexsort (user, ts, id), shift by one
+    with per-user edge masking. No corpus-wide sort.
+    """
+    from phrasekit_ray.stages.agg import round_away
+
+    num_partitions = default_partitions(num_partitions)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        uid = batch[user_col].combine_chunks().cast(pa.int64()).to_numpy()
+        cents = round_away(
+            pc.multiply(batch[value_col].combine_chunks().cast(pa.float64()), 100.0)
+        ).cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "ts": batch[ts_col].combine_chunks().cast(pa.int64()),
+                "event_id": batch[id_col].combine_chunks().cast(pa.int64()),
+                "cents": cents,
+                "_part": pa.array(_user_part(uid, num_partitions), pa.int32()),
+            }
+        )
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].combine_chunks().to_numpy()
+        ts = group["ts"].combine_chunks().to_numpy()
+        eid = group["event_id"].combine_chunks().to_numpy()
+        cents = group["cents"].combine_chunks().to_numpy()
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "lag_value_cents": pa.array([], pa.int64()),
+                    "lead_value_cents": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((eid, ts, uid))
+        uid_s, eid_s, c_s = uid[order], eid[order], cents[order]
+        same_prev = np.concatenate(([False], uid_s[1:] == uid_s[:-1]))
+        same_next = np.concatenate((uid_s[1:] == uid_s[:-1], [False]))
+        lag = np.concatenate(([0], c_s[:-1]))
+        lead = np.concatenate((c_s[1:], [0]))
+        return pa.table(
+            {
+                "event_id": pa.array(eid_s, pa.int64()),
+                "lag_value_cents": pa.array(
+                    lag, pa.int64(), mask=~same_prev
+                ),
+                "lead_value_cents": pa.array(
+                    lead, pa.int64(), mask=~same_next
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(
+            lambda g: per_partition(g.drop_columns(["_part"])),
+            batch_format="pyarrow",
+        )
+    )

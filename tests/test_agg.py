@@ -590,3 +590,59 @@ def test_grouped_sets_arbitrary_subsets(ray_session):
         grouped_sets(ray.data.from_arrow(t), ["a", "b"], [["c"]], "v")
     with pytest.raises(ValueError):
         grouped_sets(ray.data.from_arrow(t), ["a", "b"], [["b"], ["b"]], "v")
+
+
+def test_grouped_corr_matches_numpy(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_corr
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    k = rng.integers(0, 3, n)
+    x = np.round(rng.normal(50, 10, n), 2)
+    y = np.round(x * 0.5 + rng.normal(0, 5, n), 2)
+    t = pa.table(
+        {
+            "k": pa.array([f"g{i}" for i in k]),
+            "x": pa.array(x),
+            "y": pa.array(y),
+        }
+    )
+    out = (
+        grouped_corr(ray.data.from_arrow(t).repartition(7), "k", "x", "y")
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    for g in ("g0", "g1", "g2"):
+        m = k == int(g[1])
+        want_corr = np.corrcoef(x[m], y[m])[0, 1]
+        want_cov = np.cov(x[m], y[m], bias=True)[0, 1]
+        assert out.loc[g, "n"] == int(m.sum())
+        assert abs(out.loc[g, "corr_micro"] - round(want_corr * 1e6)) <= 1
+        assert abs(out.loc[g, "covar_pop_micro"] - round(want_cov * 1e6)) <= 1
+
+
+def test_set_ops_match_python_sets(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.agg import except_distinct, intersect_distinct
+
+    a_rows = [(1, 10), (1, 10), (2, 20), (3, 30)]
+    b_rows = [(2, 20), (4, 40), (3, 31)]
+
+    def ds(rows):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "u": pa.array([r[0] for r in rows], pa.int64()),
+                    "d": pa.array([r[1] for r in rows], pa.int64()),
+                }
+            )
+        ).repartition(2)
+
+    inter = intersect_distinct(ds(a_rows), ds(b_rows), ["u", "d"]).to_pandas()
+    assert set(map(tuple, inter.values)) == {(2, 20)}
+    exc = except_distinct(ds(a_rows), ds(b_rows), ["u", "d"]).to_pandas()
+    assert set(map(tuple, exc.values)) == {(1, 10), (3, 30)}

@@ -284,3 +284,35 @@ def test_range_window_stats_banded_chunk_path(ray_session):
     for _, r in got.iterrows():
         wn, ws = want[r.event_id]
         assert (r.n_win, r.sum_cents_win) == (wn, ws), r.event_id
+
+
+def test_lead_lag_partition_edges(ray_session):
+    import ray
+    import pyarrow as pa
+
+    from phrasekit_ray.stages.windows import lead_lag
+
+    t = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "ts": pa.array([10, 20, 30, 10, 10], pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 1, 2, 3], pa.int64()),
+            "value": pa.array([1.0, 2.0, 3.005, 4.0, 5.0]),
+        }
+    )
+    out = (
+        lead_lag(ray.data.from_arrow(t).repartition(3))
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    # user 1: chain of three; users 2/3: singletons → both edges null
+    assert out.loc[0, "lag_value_cents"] is None or bool(
+        out.loc[0:0, "lag_value_cents"].isna().all()
+    )
+    assert out.loc[1, "lag_value_cents"] == 100
+    assert out.loc[1, "lead_value_cents"] == 301  # 3.005 → half-away 301
+    assert out.loc[2, "lead_value_cents"] is None or bool(
+        out.loc[2:2, "lead_value_cents"].isna().all()
+    )
+    assert bool(out.loc[3:4, ["lag_value_cents", "lead_value_cents"]].isna().values.all())
