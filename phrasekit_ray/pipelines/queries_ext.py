@@ -824,3 +824,25 @@ EXT_ORACLE_SQL.update(
         "q_full_outer_revenue": SQL_FULL_OUTER_REVENUE,
     }
 )
+
+
+def q_bpe_merges(sf_dir: str):
+    """BPE tokenizer training over the documents corpus: distributed
+    word-count aggregate → driver merge loop (bounded table) → ordered
+    merge list with per-merge rank. Not SQL-expressible (iterative
+    argmax); verified by the differential suite in tests/test_bpe.py
+    (incremental trainer ≡ from-scratch Sennrich reference, partitioning
+    invariance, greedy-encode goldens)."""
+    from phrasekit_ray.stages.bpe import train_bpe
+
+    merges = train_bpe(_docs(sf_dir), num_merges=100, min_word_count=2)
+    return pa.table(
+        {
+            "rank": pa.array(range(len(merges)), pa.int64()),
+            "left": pa.array([a for a, _ in merges]),
+            "right": pa.array([b for _, b in merges]),
+        }
+    )
+
+
+EXT_QUERIES.update({"q_bpe_merges": q_bpe_merges})
