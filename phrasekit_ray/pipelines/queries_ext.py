@@ -846,3 +846,40 @@ def q_bpe_merges(sf_dir: str):
 
 
 EXT_QUERIES.update({"q_bpe_merges": q_bpe_merges})
+
+
+def q_fuzzy_part_tokens(sf_dir: str):
+    """Edit-distance-≤1 fuzzy self-join over distinct part-name tokens —
+    SymSpell deletion-neighborhood blocking + exact verify
+    (stages/dedup.fuzzy_token_pairs); oracle = DuckDB levenshtein."""
+    import ray
+
+    from phrasekit_ray.stages.dedup import fuzzy_token_pairs
+
+    parts = ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["p_name"].combine_chunks(), " ")
+        off = toks.offsets.to_numpy(zero_copy_only=False)
+        return pa.table({"tok": toks.values.slice(off[0], int(off[-1] - off[0]))})
+
+    return _collect(
+        fuzzy_token_pairs(
+            parts.map_batches(explode, batch_format="pyarrow"), min_len=3
+        )
+    )
+
+
+SQL_FUZZY_PART_TOKENS = """
+WITH t AS (SELECT unnest(string_split(p_name, ' ')) AS tok FROM part),
+c AS (SELECT DISTINCT tok FROM t WHERE length(tok) >= 3)
+SELECT a.tok AS left_tok, b.tok AS right_tok
+FROM c a JOIN c b
+  ON a.tok < b.tok
+ AND abs(length(a.tok) - length(b.tok)) <= 1
+ AND levenshtein(a.tok, b.tok) <= 1
+"""
+
+
+EXT_QUERIES.update({"q_fuzzy_part_tokens": q_fuzzy_part_tokens})
+EXT_ORACLE_SQL.update({"q_fuzzy_part_tokens": SQL_FUZZY_PART_TOKENS})

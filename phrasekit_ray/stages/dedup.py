@@ -1215,3 +1215,153 @@ def chunk_dedup(
         )
 
     return with_totals.map_batches(finish, batch_format="pyarrow")
+
+
+def _ed_le1(a: str, b: str) -> bool:
+    """Exact Levenshtein ≤ 1 check (lengths already within 1)."""
+    la, lb = len(a), len(b)
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # b is one longer: single-gap walk
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def fuzzy_token_pairs(
+    ds,
+    tok_col: str = "tok",
+    min_len: int = 3,
+    num_partitions: int | None = None,
+    hot_variant_cap: int = 10_000,
+):
+    """All unordered DISTINCT token pairs (a < b) with Levenshtein
+    distance ≤ 1 — the SymSpell deletion-neighborhood fuzzy self-join
+    (public algorithm): ed(a,b) ≤ 1 ⟺ ({a} ∪ del1(a)) ∩ ({b} ∪ del1(b))
+    ≠ ∅, so candidates are exactly the pairs sharing a deletion-variant
+    key, then verified exactly.
+
+    Scale shape: distinct tokens via one hash aggregate; variants are
+    generated VECTORIZED (one utf8_slice + concat kernel pass per
+    deletion position, like the chunk stride loop); candidate pairs come
+    from per-variant segment enumeration inside hash partitions with a
+    ``hot_variant_cap`` guard (a variant shared by k tokens contributes
+    C(k,2) pairs — the cap bounds the one quadratic step); the exact
+    ≤1 check runs only on surviving candidates. Variant keys slice by
+    UTF-8 code units — exact for ASCII tokens; multi-byte code points
+    may over-generate candidates but never break the exact verify.
+    """
+    from phrasekit_ray.stages.agg import default_partitions, hash_aggregate
+
+    num_partitions = default_partitions(num_partitions)
+
+    from phrasekit_ray.stages.agg import grouped_count
+
+    def distinct_prep(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_trim_whitespace(batch[tok_col].combine_chunks())
+        keep = pc.greater_equal(pc.utf8_length(toks), min_len)
+        # in-block distinct before the shuffle
+        return pa.table({"tok": toks.filter(keep)}).group_by(["tok"]).aggregate([])
+
+    tokens = grouped_count(
+        ds.map_batches(distinct_prep, batch_format="pyarrow"),
+        "tok",
+        num_partitions=num_partitions,
+    ).map_batches(lambda b: b.select(["tok"]), batch_format="pyarrow")
+
+    def variants(batch: pa.Table) -> pa.Table:
+        toks = batch["tok"].combine_chunks()
+        lens = pc.utf8_length(toks).to_numpy(zero_copy_only=False)
+        outs_v, outs_t = [pa.array(toks.to_pylist())], [toks]
+        max_len = int(lens.max()) if len(lens) else 0
+        for d in range(max_len):
+            live = pa.array(lens > d)
+            sub = toks.filter(live)
+            head = pc.utf8_slice_codeunits(sub, 0, d)
+            tail = pc.utf8_slice_codeunits(sub, d + 1, 1 << 30)
+            outs_v.append(pc.binary_join_element_wise(head, tail, ""))
+            outs_t.append(sub)
+        v = pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in outs_v])
+        t = pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in outs_t])
+        import zlib
+
+        # deterministic cross-process hash (Python hash() is seeded per
+        # process - same variant MUST land on the same partition)
+        h = np.fromiter(
+            (zlib.crc32(x.encode()) for x in v.to_pylist()),
+            dtype=np.int64, count=len(v),
+        )
+        return pa.table(
+            {
+                "v": v,
+                "tok": t,
+                "_part": pa.array(
+                    (h % num_partitions).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        v = group["v"].to_pandas()
+        t = group["tok"].to_pandas()
+        order = np.lexsort((t.to_numpy(), v.to_numpy()))
+        v_s = v.to_numpy()[order]
+        t_s = t.to_numpy()[order]
+        # dedup (variant, token) then enumerate within-variant pairs
+        keep = np.concatenate(
+            ([True], (v_s[1:] != v_s[:-1]) | (t_s[1:] != t_s[:-1]))
+        ) if len(v_s) else np.zeros(0, bool)
+        v_s, t_s = v_s[keep], t_s[keep]
+        starts = np.flatnonzero(
+            np.concatenate(([True], v_s[1:] != v_s[:-1]))
+        ) if len(v_s) else np.zeros(0, np.int64)
+        lens = np.diff(np.concatenate((starts, [len(v_s)])))
+        if (lens > hot_variant_cap).any():
+            raise ValueError(
+                f"fuzzy_token_pairs: a deletion variant is shared by "
+                f"{int(lens.max())} tokens (> cap {hot_variant_cap})"
+            )
+        left, right = [], []
+        for s, ln in zip(starts, lens):
+            if ln < 2:
+                continue
+            seg = t_s[s:s + ln]
+            for i in range(ln - 1):
+                for j in range(i + 1, ln):
+                    a, b = seg[i], seg[j]
+                    if a > b:
+                        a, b = b, a
+                    left.append(a)
+                    right.append(b)
+        return pa.table(
+            {
+                "left_tok": pa.array(left, pa.string()),
+                "right_tok": pa.array(right, pa.string()),
+            }
+        )
+
+    cand = (
+        tokens.map_batches(variants, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(
+            lambda g: pairs(g.drop_columns(["_part"])), batch_format="pyarrow"
+        )
+        .groupby(["left_tok", "right_tok"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )  # distinct candidate pairs (a pair can share several variants)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ls = batch["left_tok"].to_pylist()
+        rs = batch["right_tok"].to_pylist()
+        keep = np.fromiter(
+            (abs(len(a) - len(b)) <= 1 and _ed_le1(a, b) for a, b in zip(ls, rs)),
+            dtype=bool, count=len(ls),
+        )
+        return batch.filter(pa.array(keep))
+
+    return cand.map_batches(verify, batch_format="pyarrow")

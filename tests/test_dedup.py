@@ -455,3 +455,42 @@ def test_minhash_bands_must_divide_num_perm(ray_session):
         minhash_candidate_pairs(ds, bands=12, num_perm=64)
     with pytest.raises(ValueError):
         minhash_candidate_pairs(ds, bands=0, num_perm=64)
+
+
+def test_fuzzy_token_pairs_matches_bruteforce(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.dedup import _ed_le1, fuzzy_token_pairs
+
+    toks = [
+        "color", "colour", "colr", "cold", "bold", "bolt", "belt",
+        "apple", "appl", "ample", "zebra", "zebra", "axe", "age",
+    ]
+    ds = ray.data.from_arrow(pa.table({"tok": pa.array(toks)})).repartition(3)
+    got = {
+        tuple(r)
+        for r in fuzzy_token_pairs(ds, min_len=3).to_pandas().values
+    }
+    uniq = sorted(set(toks))
+
+    def ed(a, b):  # independent reference: full Levenshtein DP
+        m, n = len(a), len(b)
+        d = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, n + 1):
+                prev, d[j] = d[j], min(
+                    d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                )
+        return d[n]
+
+    want = {
+        (a, b)
+        for i, a in enumerate(uniq)
+        for b in uniq[i + 1:]
+        if ed(a, b) <= 1
+    }
+    assert got == want
+    # the fast path agrees with the DP on tricky shapes
+    for a, b in [("abc", "abd"), ("abc", "abcd"), ("abc", "bc"), ("ab", "ba")]:
+        assert _ed_le1(a, b) == (ed(a, b) <= 1), (a, b)
