@@ -599,3 +599,48 @@ def test_resumable_write_crash_mid_write_redoes_byte_identically(
         assert open(data_path(root, i), "rb").read() == ref_bytes[i], i
     back = lineage.read_partitioned(root, "nodes")
     assert sorted(r["entity_id"] for r in back.iter_rows()) == list(range(128))
+
+
+def test_triangle_counts_distributed_path_matches_fast_path(ray_session):
+    """Force the fully-distributed path (broadcast bounds 0: lookup_join
+    degrees, wedge semi-join, no driver orchestration) and check it
+    against the bounded driver fast path on the same graph."""
+    import ray
+
+    from phrasekit_ray.stages.kg import triangle_counts
+
+    tbl = _random_edges(seed=11, n_nodes=40, n_edges=300)
+    fast = triangle_counts(ray.data.from_arrow(tbl).repartition(5)).to_pandas()
+    dist = triangle_counts(
+        ray.data.from_arrow(tbl).repartition(5),
+        broadcast_nodes=0,
+        broadcast_edges=0,
+    ).to_pandas()
+    assert dict(zip(fast.node, fast.n_triangles)) == dict(
+        zip(dist.node, dist.n_triangles)
+    )
+    assert len(fast) > 0
+
+
+def test_cooccurrence_driver_path_matches_shuffle_path(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.kg import cooccurrence_edges
+
+    rng = np.random.default_rng(3)
+    t = pa.table(
+        {
+            "g": pa.array(rng.integers(0, 50, 400), pa.int64()),
+            "i": pa.array(rng.integers(0, 30, 400), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+
+    def pairs(res):
+        df = res.to_pandas()
+        return sorted(map(tuple, df[["subj", "obj"]].values))
+
+    shuffle = pairs(cooccurrence_edges(ds, "g", "i"))
+    driver = pairs(cooccurrence_edges(ds, "g", "i", input_rows=400))
+    # same multiset of (subj, obj) pairs (dupes across groups legal)
+    assert shuffle == driver and len(driver) > 0
