@@ -50,9 +50,57 @@ def default_partitions(requested: int | None = None, floor: int = 32) -> int:
     return max(floor, cpus * 2)
 
 
+_FNV = np.uint64(1099511628211)
+
+
+def _hash_string_array(col) -> np.ndarray:
+    """Deterministic uint32 hash per row of a string column, fully
+    vectorized over the Arrow offsets/data buffers — the old per-row
+    Python crc32 loop ran once per combined group in the shuffle hot
+    path (every unique n-gram of the corpus). Polynomial rolling hash
+    h(s) = Σ (b_j + 1)·P^(L−1−j) mod 2^64 (FNV prime P), computed as a
+    cumsum difference (wraparound-exact mod 2^64), then mixed to 32
+    bits. Nulls → fixed sentinel (their own group, stable partition)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    is_null = pc.is_null(arr).to_numpy(zero_copy_only=False)
+    n = len(arr)
+    odtype = (
+        np.int64
+        if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type)
+        else np.int32
+    )
+    bufs = arr.buffers()
+    raw_off = np.frombuffer(bufs[1], dtype=odtype)
+    offsets = raw_off[arr.offset: arr.offset + n + 1].astype(np.int64)
+    base = offsets[0]
+    off = offsets - base
+    lens = np.diff(off)
+    total = int(off[-1])
+    if total == 0:
+        h64 = np.zeros(n, np.uint64)
+    else:
+        data_all = np.frombuffer(bufs[2], dtype=np.uint8)
+        data = data_all[base: base + total].astype(np.uint64) + np.uint64(1)
+        max_len = int(lens.max())
+        pw = np.ones(max_len, np.uint64)
+        if max_len > 1:
+            pw[1:] = _FNV
+            np.multiply.accumulate(pw, out=pw)
+        row = np.repeat(np.arange(n, dtype=np.int64), lens)
+        pos = np.arange(total, dtype=np.int64) - off[row]
+        contrib = data * pw[lens[row] - 1 - pos]
+        csum = np.concatenate(([np.uint64(0)], np.cumsum(contrib, dtype=np.uint64)))
+        h64 = csum[off[1:]] - csum[off[:-1]]
+    # final avalanche so short strings spread across partitions
+    h64 = (h64 ^ (h64 >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    h32 = ((h64 >> np.uint64(32)) ^ h64).astype(np.uint32)
+    h32[is_null] = np.uint32(0x9E3779B9)
+    return h32
+
+
 def _part_column(tbl: pa.Table, keys: list[str], num_partitions: int) -> pa.Array:
-    """int32 partition id from crc32 of the concatenated key columns
-    (runs once per combined row, post partial-combine)."""
+    """int32 partition id from a vectorized hash of the concatenated key
+    columns (runs once per combined row, post partial-combine)."""
     n = tbl.num_rows
     if n == 0:
         return pa.array([], pa.int32())
@@ -62,14 +110,7 @@ def _part_column(tbl: pa.Table, keys: list[str], num_partitions: int) -> pa.Arra
         if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
             # null keys are legal group keys (arrow group_by keeps them as
             # their own group); hash them to a fixed sentinel
-            h = np.fromiter(
-                (
-                    zlib.crc32(s.encode()) if s is not None else 0x9E3779B9
-                    for s in col.to_pylist()
-                ),
-                dtype=np.uint32,
-                count=n,
-            )
+            h = _hash_string_array(col)
         else:
             # fill_null BEFORE the numpy cast: a null otherwise becomes
             # NaN whose uint64 cast is platform-undefined — null rows
