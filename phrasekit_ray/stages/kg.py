@@ -814,7 +814,15 @@ def _triangle_counts_driver(und, broadcast_nodes: int):
     ``broadcast_nodes`` (caller falls back to the distributed path)."""
     import ray
 
-    tbl = pa.concat_tables(ray.get(und.to_arrow_refs()))
+    tbls = [t for t in ray.get(und.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return ray.data.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "n_triangles": pa.array([], pa.int64())}
+            )
+        )
+    tbl = pa.concat_tables(tbls)
     u = tbl.column("u").combine_chunks().to_numpy()
     v = tbl.column("v").combine_chunks().to_numpy()
     nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)

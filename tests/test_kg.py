@@ -644,3 +644,22 @@ def test_cooccurrence_driver_path_matches_shuffle_path(ray_session):
     driver = pairs(cooccurrence_edges(ds, "g", "i", input_rows=400))
     # same multiset of (subj, obj) pairs (dupes across groups legal)
     assert shuffle == driver and len(driver) > 0
+
+
+def test_triangle_counts_empty_and_triangle_free(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.kg import triangle_counts
+
+    empty = pa.table(
+        {"subj": pa.array([], pa.int64()), "obj": pa.array([], pa.int64())}
+    )
+    assert triangle_counts(ray.data.from_arrow(empty)).count() == 0
+    # a path graph has zero triangles
+    path = pa.table(
+        {
+            "subj": pa.array([1, 2, 3, 4], pa.int64()),
+            "obj": pa.array([2, 3, 4, 5], pa.int64()),
+        }
+    )
+    assert triangle_counts(ray.data.from_arrow(path)).count() == 0
