@@ -1148,8 +1148,80 @@ def triangle_counts(
     )
 
 
+def _k_hop_driver(und, hops: int, seed: int | None):
+    """Driver BFS for an edge set under the broadcast bound: one pull of
+    the (already distinct) undirected edges, CSR adjacency, numpy
+    frontier sweeps — the same bounded-driver pattern as
+    _triangle_counts_driver. Returns None when the pull is empty and a
+    seed was given (caller emits just the seed)."""
+    import ray
+
+    tbls = [t for t in ray.get(und.to_arrow_refs()) if t.num_rows]
+    u = (
+        np.concatenate([t.column("u").combine_chunks().to_numpy() for t in tbls])
+        if tbls else np.zeros(0, np.int64)
+    )
+    v = (
+        np.concatenate([t.column("v").combine_chunks().to_numpy() for t in tbls])
+        if tbls else np.zeros(0, np.int64)
+    )
+    src = np.concatenate([u, v])
+    dst = np.concatenate([v, u])
+    nodes, inv_src = np.unique(src, return_inverse=True)
+    if seed is None:
+        if not len(nodes):
+            return ray.data.from_arrow(
+                pa.table({"node": pa.array([], pa.int64()),
+                          "dist": pa.array([], pa.int64())})
+            )
+        seed = int(nodes.min())
+    order = np.argsort(inv_src, kind="stable")
+    dst_sorted = dst[order]
+    starts = np.searchsorted(inv_src[order], np.arange(len(nodes) + 1))
+    dist = np.full(len(nodes), -1, np.int64)
+    out_nodes, out_dists = [np.array([seed], np.int64)], [np.zeros(1, np.int64)]
+    si = np.searchsorted(nodes, seed)
+    frontier = np.zeros(0, np.int64)
+    if si < len(nodes) and nodes[si] == seed:
+        dist[si] = 0
+        frontier = np.array([si], np.int64)
+    for h in range(1, hops + 1):
+        if not len(frontier):
+            break
+        # gather all frontier adjacency ranges vectorized (range-expand
+        # via repeat + cumsum, no per-node Python)
+        lens_f = starts[frontier + 1] - starts[frontier]
+        total_f = int(lens_f.sum())
+        if not total_f:
+            break
+        seg_off = np.concatenate(([0], np.cumsum(lens_f)[:-1]))
+        idx = (
+            np.repeat(starts[frontier], lens_f)
+            + np.arange(total_f)
+            - np.repeat(seg_off, lens_f)
+        )
+        neigh = np.unique(dst_sorted[idx])
+        ni = np.searchsorted(nodes, neigh)
+        fresh = ni[dist[ni] < 0]
+        if not len(fresh):
+            break
+        dist[fresh] = h
+        out_nodes.append(nodes[fresh])
+        out_dists.append(np.full(len(fresh), h, np.int64))
+        frontier = fresh
+    node_arr = np.concatenate(out_nodes)
+    dist_arr = np.concatenate(out_dists)
+    return ray.data.from_arrow(
+        pa.table(
+            {"node": pa.array(node_arr, pa.int64()),
+             "dist": pa.array(dist_arr, pa.int64())}
+        )
+    )
+
+
 def k_hop(edges_ds, hops: int = 3, seed: int | None = None,
-          num_partitions: int | None = None):
+          num_partitions: int | None = None,
+          broadcast_edges: int = 20_000_000):
     """BFS distance labels (node, dist) for every node within ``hops``
     undirected hops of ``seed`` (default: the graph's min node id).
 
@@ -1157,7 +1229,11 @@ def k_hop(edges_ds, hops: int = 3, seed: int | None = None,
     source is in the frontier; broadcast while the frontier is small,
     partitioned above the threshold) and one ANTI join against the
     visited set. ``hops`` is small and fixed; the corpus-side edge set
-    never moves to the driver."""
+    never moves to the driver on the distributed path. Under
+    ``broadcast_edges`` the whole BFS runs on the driver over one edge
+    pull (CSR + numpy sweeps) — 2·hops shuffle-join barriers replaced
+    by array ops, same bounded-fast-path/distributed-fallback shape as
+    triangle_counts."""
     from phrasekit_ray.stages.agg import (
         default_partitions,
         grouped_count,
@@ -1166,6 +1242,11 @@ def k_hop(edges_ds, hops: int = 3, seed: int | None = None,
 
     num_partitions = default_partitions(num_partitions)
     und = _canonical_undirected(edges_ds, num_partitions)
+
+    und_mat = und.materialize()
+    if und_mat.count() <= broadcast_edges:
+        return _k_hop_driver(und_mat, hops, seed)
+    und = und_mat
 
     def both_dirs(batch: pa.Table) -> pa.Table:
         u = batch["u"].combine_chunks()

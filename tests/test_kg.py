@@ -663,3 +663,19 @@ def test_triangle_counts_empty_and_triangle_free(ray_session):
         }
     )
     assert triangle_counts(ray.data.from_arrow(path)).count() == 0
+
+
+def test_k_hop_driver_path_matches_distributed(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.kg import k_hop
+
+    tbl = _random_edges(seed=5, n_nodes=30, n_edges=120)
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    fast = k_hop(ds, hops=3).to_pandas()
+    dist = k_hop(ds, hops=3, broadcast_edges=0).to_pandas()
+    assert dict(zip(fast.node, fast.dist)) == dict(zip(dist.node, dist.dist))
+    assert (fast.dist == 0).sum() == 1
+    # isolated seed: emits only (seed, 0)
+    lone = k_hop(ds, hops=2, seed=10_000).to_pandas()
+    assert list(map(tuple, lone.values)) == [(10_000, 0)]
