@@ -136,6 +136,9 @@ def bench_queries(sf_dir: str, meter=None) -> tuple[dict, dict]:
         "q_pages_per_section",
         "q_graph_triangles",
         "q_lm_nll",
+        "q_events_lead_lag",
+        "q_lineitem_corr",
+        "q_fuzzy_part_tokens",
         "q_join_customer_orders",
         "q_lineitem_pricing",
         "q_orders_priority_revenue",
