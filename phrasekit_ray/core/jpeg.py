@@ -275,6 +275,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cs, tda = seg[1 + 2 * i], seg[2 + 2 * i]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append({**comp, "td": tda >> 4, "ta": tda & 15})
+            if ns < len(frame["comps"]):
+                # T.81 allows one scan per component in baseline, but this
+                # decoder handles a single interleaved scan only; returning
+                # after the first scan would silently drop chroma.
+                raise ValueError(
+                    "non-interleaved multi-scan baseline JPEG not supported"
+                )
             data_start = pos + seglen
             return _decode_scan(
                 payload, data_start, frame, scan, qtables, htables,
@@ -496,7 +503,7 @@ def encode_jpeg(
         + struct.pack(">HH", 1, 1) + b"\x00\x00"
     for tq, q in ([(0, qlum)] if gray else [(0, qlum), (1, qchrom)]):
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) \
-            + bytes(int(x) for x in q)
+            + bytes(int(x) for x in q[ZIGZAG])
     nc = len(planes)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
     for i in range(nc):

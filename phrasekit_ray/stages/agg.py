@@ -1050,7 +1050,10 @@ def _empty_grand_total(src, keys: list[str], value_col: str):
         vtype = dict(zip(schema.names, schema.types)).get(value_col, vtype)
     if not isinstance(vtype, pa.DataType):
         vtype = pa.int64()
-    cols = {k: pa.array([None], pa.string()) for k in keys}
+    types = dict(zip(schema.names, schema.types)) if schema is not None else {}
+    cols = {
+        k: pa.array([None], types.get(k, pa.string())) for k in keys
+    }
     cols[value_col] = pa.array([None], vtype)
     return ray.data.from_arrow(pa.table(cols))
 
@@ -1371,7 +1374,17 @@ def grouped_corr(
         with np.errstate(divide="ignore", invalid="ignore"):
             corr = np.where(denom > 0, (sxy - sx * sy / n) / denom, np.nan)
         def micro(a):
-            out = np.round(np.where(np.isnan(a), 0, a) * 1e6).astype(np.int64)
+            # round_away, not np.round, for consistency with every other
+            # oracle-facing rounding site (ENGINEERING_NOTES "Rounding
+            # parity with DuckDB oracles"). Caveat: exact-.5 landings are
+            # not a parity guarantee either way — DuckDB's streaming
+            # co-moment accumulation differs from these exact int sums in
+            # the last ulp near ties (measured: engineered tie 5762.5 here
+            # vs 5762.4999999999998 in DuckDB), so tie-adjacent values are
+            # inherently oracle-fragile at micro precision regardless of
+            # rounding mode.
+            rounded = round_away(pa.array(np.where(np.isnan(a), 0.0, a) * 1e6))
+            out = pc.cast(rounded, pa.int64()).to_numpy()
             return pa.array(out, pa.int64(), mask=np.isnan(a))
         return pa.table(
             {

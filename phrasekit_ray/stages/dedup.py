@@ -1104,9 +1104,11 @@ def chunk_dedup(
         sizes = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
         n_chunks = np.maximum((sizes + chunk_tokens - 1) // chunk_tokens, 1)
         max_c = int(n_chunks.max()) if len(n_chunks) else 0
-        if max_c >= 1 << 20:
-            # the packed order key is did*2^20 + chunk_idx; a bigger doc
-            # would silently collide into the next doc_id's key space
+        if max_c > 1 << 20:
+            # the packed order key is did*2^20 + chunk_idx with chunk_idx
+            # < n_chunks, so exactly 2^20 chunks (max idx 2^20-1) still
+            # fits; beyond that a doc would silently collide into the
+            # next doc_id's key space
             raise ValueError(
                 f"chunk_dedup: document with {max_c} chunks exceeds the "
                 f"2^20 packed-key limit (~{chunk_tokens * (1 << 20)} "
@@ -1275,7 +1277,7 @@ def fuzzy_token_pairs(
     def variants(batch: pa.Table) -> pa.Table:
         toks = batch["tok"].combine_chunks()
         lens = pc.utf8_length(toks).to_numpy(zero_copy_only=False)
-        outs_v, outs_t = [pa.array(toks.to_pylist())], [toks]
+        outs_v, outs_t = [toks], [toks]
         max_len = int(lens.max()) if len(lens) else 0
         for d in range(max_len):
             live = pa.array(lens > d)
@@ -1286,14 +1288,12 @@ def fuzzy_token_pairs(
             outs_t.append(sub)
         v = pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in outs_v])
         t = pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in outs_t])
-        import zlib
+        from phrasekit_ray.stages.agg import _hash_string_array
 
-        # deterministic cross-process hash (Python hash() is seeded per
-        # process - same variant MUST land on the same partition)
-        h = np.fromiter(
-            (zlib.crc32(x.encode()) for x in v.to_pylist()),
-            dtype=np.int64, count=len(v),
-        )
+        # deterministic cross-process hash, vectorized over the Arrow
+        # buffers (same variant MUST land on the same partition; Python
+        # hash() is seeded per process)
+        h = _hash_string_array(v).astype(np.int64)
         return pa.table(
             {
                 "v": v,

@@ -683,7 +683,12 @@ def lead_lag(
         uid = group["user_id"].combine_chunks().to_numpy()
         ts = group["ts"].combine_chunks().to_numpy()
         eid = group["event_id"].combine_chunks().to_numpy()
-        cents = group["cents"].combine_chunks().to_numpy()
+        # NULL values must propagate through the shift like SQL LAG/LEAD
+        # (a zero-copy to_numpy() raises on any null); key columns are
+        # assumed non-null per the events data contract.
+        c_arr = group["cents"].combine_chunks()
+        c_null = pc.is_null(c_arr).to_numpy(zero_copy_only=False)
+        cents = pc.fill_null(c_arr, 0).to_numpy()
         n = len(uid)
         if n == 0:
             return pa.table(
@@ -695,19 +700,18 @@ def lead_lag(
             )
         order = np.lexsort((eid, ts, uid))
         uid_s, eid_s, c_s = uid[order], eid[order], cents[order]
+        null_s = c_null[order]
         same_prev = np.concatenate(([False], uid_s[1:] == uid_s[:-1]))
         same_next = np.concatenate((uid_s[1:] == uid_s[:-1], [False]))
         lag = np.concatenate(([0], c_s[:-1]))
         lead = np.concatenate((c_s[1:], [0]))
+        lag_null = ~same_prev | np.concatenate(([False], null_s[:-1]))
+        lead_null = ~same_next | np.concatenate((null_s[1:], [False]))
         return pa.table(
             {
                 "event_id": pa.array(eid_s, pa.int64()),
-                "lag_value_cents": pa.array(
-                    lag, pa.int64(), mask=~same_prev
-                ),
-                "lead_value_cents": pa.array(
-                    lead, pa.int64(), mask=~same_next
-                ),
+                "lag_value_cents": pa.array(lag, pa.int64(), mask=lag_null),
+                "lead_value_cents": pa.array(lead, pa.int64(), mask=lead_null),
             }
         )
 

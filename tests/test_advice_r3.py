@@ -57,8 +57,10 @@ def test_chunk_dedup_rejects_over_20bit_chunk_count(ray_session):
 
     from phrasekit_ray.stages.dedup import chunk_dedup
 
-    # chunk_tokens=1 → one chunk per token; 2^20 tokens crosses the limit
-    big = " ".join(["x"] * (1 << 20))
+    # chunk_tokens=1 → one chunk per token; max chunk_idx is n_chunks-1,
+    # so exactly 2^20 chunks still fits the packed key and 2^20+1 is the
+    # first rejected count
+    big = " ".join(["x"] * ((1 << 20) + 1))
     docs = ray.data.from_arrow(
         pa.table({"doc_id": pa.array(["1"]), "text": pa.array([big])})
     )
@@ -161,3 +163,28 @@ def test_score_probe_prefers_normalized_background_key(ray_session):
         )
     )
     assert out["background_count"].to_pylist() == [7]
+
+
+def test_empty_input_grand_total_preserves_key_types(ray_session):
+    """Review fix: the empty-input grand-total row must carry the SOURCE
+    key types (the registered cube/rollup/sets queries key on int64
+    user_bucket), not hardcoded string — a string-typed null key breaks
+    the oracle schema compare and any union with a non-empty partition."""
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_cube
+
+    empty = ray.data.from_arrow(
+        pa.table(
+            {
+                "et": pa.array([], pa.string()),
+                "user_bucket": pa.array([], pa.int64()),
+                "v": pa.array([], pa.int64()),
+            }
+        )
+    )
+    out = _collect(grouped_cube(empty, ["et", "user_bucket"], "v"))
+    assert out.schema.field("et").type == pa.string()
+    assert out.schema.field("user_bucket").type == pa.int64()
+    assert out.schema.field("v").type == pa.int64()
+    assert out.num_rows == 1

@@ -167,3 +167,39 @@ def test_real_backend_feature_detection():
         pass
     with pytest.raises(ImportError, match="Pillow"):
         ImageDecodeActor(backend="real")
+
+
+def test_dqt_emitted_in_zigzag_order_and_hf_roundtrip():
+    """Review fix: DQT bytes must be zigzag-ordered (T.81 B.2.4.1) — the
+    decoder (ours and every external one) dequantizes zigzag-ordered
+    coefficients directly against the DQT bytes. Natural-order emission
+    roundtripped smooth images fine (low zigzag positions coincide) but
+    mangled high-frequency content ~30× in RMSE."""
+    x = np.arange(8)
+    # single strong AC(0,3) horizontal cosine — energy far from the
+    # zigzag prefix where natural/zigzag orders coincide
+    row = (128 + 100 * np.cos((2 * x + 1) * 3 * np.pi / 16)).clip(0, 255)
+    img = np.tile(row.astype(np.uint8), (16, 4))
+    enc = jpeg.encode_jpeg(img, quality=90)
+    i = enc.find(b"\xff\xdb")
+    dqt = np.frombuffer(enc[i + 5:i + 5 + 64], np.uint8)
+    q = jpeg._scaled_quant(jpeg.QUANT_LUM, 90)
+    assert np.array_equal(dqt, q[jpeg.ZIGZAG].astype(np.uint8))
+    dec = jpeg.decode_jpeg(enc)
+    rmse = float(np.sqrt(((dec.astype(float) - img.astype(float)) ** 2).mean()))
+    assert rmse < 3.0, rmse
+
+
+def test_rejects_non_interleaved_multi_scan():
+    """Review fix: a baseline color stream whose first SOS covers fewer
+    components than the frame declares (one-scan-per-component layout,
+    legal per T.81) must raise rather than silently return Y-only."""
+    enc = bytearray(jpeg.encode_jpeg(_smooth_rgb(16, 16), quality=85))
+    i = enc.find(b"\xff\xda")
+    assert i > 0
+    # original SOS: len=12, ns=3; rewrite to a single-component scan
+    single = b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00]) + b"\x00\x3f\x00"
+    seglen = struct.unpack(">H", enc[i + 2:i + 4])[0]
+    patched = bytes(enc[:i]) + single + bytes(enc[i + 2 + seglen:])
+    with pytest.raises(ValueError, match="non-interleaved"):
+        jpeg.decode_jpeg(patched)

@@ -316,3 +316,35 @@ def test_lead_lag_partition_edges(ray_session):
         out.loc[2:2, "lead_value_cents"].isna().all()
     )
     assert bool(out.loc[3:4, ["lag_value_cents", "lead_value_cents"]].isna().values.all())
+
+
+def test_lead_lag_propagates_null_values(ray_session):
+    """Review fix: a NULL value must propagate through the shift like SQL
+    LAG/LEAD (previously the zero-copy to_numpy() raised ArrowInvalid on
+    any null, aborting the query)."""
+    import ray
+    import pyarrow as pa
+
+    from phrasekit_ray.stages.windows import lead_lag
+
+    t = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2], pa.int64()),
+            "ts": pa.array([10, 20, 30], pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 1], pa.int64()),
+            "value": pa.array([1.0, None, 3.0], pa.float64()),
+        }
+    )
+    out = (
+        lead_lag(ray.data.from_arrow(t).repartition(2))
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    # SQL: LAG/LEAD carry the neighbor's (null) value, not a crash
+    assert out.loc[1, "lag_value_cents"] == 100
+    assert out.loc[1, "lead_value_cents"] == 300
+    assert bool(out.loc[0:0, "lead_value_cents"].isna().all())  # neighbor null
+    assert bool(out.loc[2:2, "lag_value_cents"].isna().all())  # neighbor null
+    assert bool(out.loc[0:0, "lag_value_cents"].isna().all())  # edge
+    assert bool(out.loc[2:2, "lead_value_cents"].isna().all())  # edge
