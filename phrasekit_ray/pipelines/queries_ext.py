@@ -883,3 +883,161 @@ FROM c a JOIN c b
 
 EXT_QUERIES.update({"q_fuzzy_part_tokens": q_fuzzy_part_tokens})
 EXT_ORACLE_SQL.update({"q_fuzzy_part_tokens": SQL_FUZZY_PART_TOKENS})
+
+
+def q_events_running_total(sf_dir: str):
+    """Per-user running revenue: SUM(value) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id) in integer cents (stages/windows.running_total
+    — partition-run segmented cumsum, no corpus-wide sort)."""
+    import ray
+
+    from phrasekit_ray.stages.windows import running_total
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    return _i64(_collect(running_total(ev)), "event_id", "running_cents")
+
+
+SQL_EVENTS_RUNNING_TOTAL = """
+WITH t AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100.0) AS BIGINT) AS cents
+  FROM events)
+SELECT event_id,
+       CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS BIGINT) AS running_cents
+FROM t
+"""
+
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_events_pivot(sf_dir: str):
+    """Conditional-aggregate pivot: revenue cents per (user bucket ×
+    event type) as one wide row per bucket (stages/agg.pivot_sum — one
+    masked-column pass + ONE two-phase hash aggregate; no shuffle per
+    category)."""
+    import ray
+
+    from phrasekit_ray.stages.agg import pivot_sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "value"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_bucket": pc.cast(
+                    pc.subtract(
+                        b["user_id"],
+                        pc.multiply(pc.divide(b["user_id"], 100), 100),
+                    ),
+                    pa.int64(),
+                ),
+                "event_type": b["event_type"],
+                "cents": pc.cast(
+                    _round_away(pc.multiply(b["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    wide = pivot_sum(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "user_bucket",
+        "event_type",
+        "cents",
+        _EVENT_TYPES,
+    )
+    return _i64(
+        _collect(wide), "user_bucket", *[f"{c}_sum" for c in _EVENT_TYPES]
+    )
+
+
+SQL_EVENTS_PIVOT = """
+WITH t AS (
+  SELECT user_id % 100 AS user_bucket, event_type,
+         CAST(round(value * 100.0) AS BIGINT) AS cents
+  FROM events)
+SELECT user_bucket,
+       CAST(sum(CASE WHEN event_type = 'click' THEN cents END) AS BIGINT) AS click_sum,
+       CAST(sum(CASE WHEN event_type = 'view' THEN cents END) AS BIGINT) AS view_sum,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN cents END) AS BIGINT) AS purchase_sum,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN cents END) AS BIGINT) AS signup_sum,
+       CAST(sum(CASE WHEN event_type = 'error' THEN cents END) AS BIGINT) AS error_sum
+FROM t GROUP BY user_bucket
+"""
+
+
+def q_corpus_split(sf_dir: str):
+    """Deterministic train/val/test corpus split (80/10/10 by doc_id mod
+    10 — reproducible across runs and partitionings) with per-split doc
+    and char totals. The split label is a stateless map; the stats are
+    one two-phase aggregate. At 100 TB the same map feeds three
+    write_parquet sinks partitioned by split."""
+    import ray
+
+    from phrasekit_ray.stages.agg import hash_aggregate
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def label(b: pa.Table) -> pa.Table:
+        m = pc.cast(
+            pc.subtract(b["doc_id"], pc.multiply(pc.divide(b["doc_id"], 10), 10)),
+            pa.int64(),
+        )
+        split = pc.if_else(
+            pc.less(m, 8),
+            pa.scalar("train"),
+            pc.if_else(pc.equal(m, 8), pa.scalar("val"), pa.scalar("test")),
+        )
+        return pa.table(
+            {
+                "split": split,
+                "n_docs": pa.array(np.ones(b.num_rows, np.int64)),
+                "chars_total": pc.cast(b["n_chars"], pa.int64()),
+            }
+        )
+
+    return _i64(
+        _collect(
+            hash_aggregate(
+                docs.map_batches(label, batch_format="pyarrow"),
+                "split",
+                [("n_docs", "sum"), ("chars_total", "sum")],
+            )
+        ),
+        "n_docs", "chars_total",
+    )
+
+
+SQL_CORPUS_SPLIT = """
+SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+            WHEN doc_id % 10 = 8 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars_total
+FROM documents GROUP BY 1
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "q_events_running_total": q_events_running_total,
+        "q_events_pivot": q_events_pivot,
+        "q_corpus_split": q_corpus_split,
+    }
+)
+EXT_ORACLE_SQL.update(
+    {
+        "q_events_running_total": SQL_EVENTS_RUNNING_TOTAL,
+        "q_events_pivot": SQL_EVENTS_PIVOT,
+        "q_corpus_split": SQL_CORPUS_SPLIT,
+    }
+)

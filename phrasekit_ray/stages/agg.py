@@ -1442,3 +1442,51 @@ def except_distinct(a, b, cols: list[str], num_partitions: int | None = None):
     rows of a absent from b. Same single-shuffle shape as
     intersect_distinct."""
     return _set_op(a, b, cols, lambda ia, ib: (ia > 0) & (ib == 0), num_partitions)
+
+
+def pivot_sum(
+    ds,
+    key: str,
+    cat_col: str,
+    value_col: str,
+    categories: list[str],
+    num_partitions: int | None = None,
+):
+    """SQL conditional-aggregate pivot:
+
+        SELECT key, sum(CASE WHEN cat = c THEN v END) AS <c>_sum, ...
+        GROUP BY key
+
+    → one wide row per key with an int64 sum column per category
+    (``<c>_sum``), NULL where the (key, category) cell has no rows —
+    Arrow's grouped sum skips nulls and yields null for all-null groups,
+    matching SQL, so the masked columns flow through the standard
+    two-phase aggregate unchanged.
+
+    Scale shape: the category list must be SMALL and KNOWN (it defines
+    the output schema — classic pivot precondition); the data makes ONE
+    pass building |categories| masked columns per batch and then ONE
+    two-phase hash aggregate keyed on ``key``. No shuffle per category,
+    no second pass to discover categories (use grouped_count on
+    ``cat_col`` first if the category set is unknown).
+    """
+    if not categories:
+        raise ValueError("pivot_sum: categories must be a non-empty list")
+    out_cols = [f"{c}_sum" for c in categories]
+
+    def mask_cols(batch: pa.Table) -> pa.Table:
+        cat = batch[cat_col].combine_chunks()
+        val = batch[value_col].combine_chunks()
+        cols = {key: batch[key]}
+        for c, out in zip(categories, out_cols):
+            cols[out] = pc.if_else(
+                pc.equal(cat, c), val, pa.scalar(None, val.type)
+            )
+        return pa.table(cols)
+
+    return hash_aggregate(
+        ds.map_batches(mask_cols, batch_format="pyarrow"),
+        key,
+        [(c, "sum") for c in out_cols],
+        num_partitions,
+    )

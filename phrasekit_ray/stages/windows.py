@@ -723,3 +723,88 @@ def lead_lag(
             batch_format="pyarrow",
         )
     )
+
+
+def running_total(
+    ds,
+    value_col: str = "value",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_partitions: int | None = None,
+):
+    """SQL ``SUM(v) OVER (PARTITION BY user ORDER BY ts, id)`` →
+    (event_id, running_cents). Values are fixed to integer cents before
+    accumulating so the running sum is float-order-proof; NULL values
+    contribute nothing (SQL sum skips nulls) and the prefix is NULL
+    until the partition has seen its first non-null value.
+
+    Scale shape: identical to sessionize/lead_lag — hash-partition by
+    user (a user never straddles partitions), ONE vectorized UDF per
+    partition: lexsort (user, ts, id), then a segmented cumulative sum
+    (global cumsum minus the per-user base, no Python loop).
+    """
+    from phrasekit_ray.stages.agg import round_away
+
+    num_partitions = default_partitions(num_partitions)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        uid = batch[user_col].combine_chunks().cast(pa.int64()).to_numpy()
+        cents = round_away(
+            pc.multiply(batch[value_col].combine_chunks().cast(pa.float64()), 100.0)
+        ).cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "ts": batch[ts_col].combine_chunks().cast(pa.int64()),
+                "event_id": batch[id_col].combine_chunks().cast(pa.int64()),
+                "cents": cents,
+                "_part": pa.array(_user_part(uid, num_partitions), pa.int32()),
+            }
+        )
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].combine_chunks().to_numpy()
+        ts = group["ts"].combine_chunks().to_numpy()
+        eid = group["event_id"].combine_chunks().to_numpy()
+        c_arr = group["cents"].combine_chunks()
+        c_null = pc.is_null(c_arr).to_numpy(zero_copy_only=False)
+        cents = pc.fill_null(c_arr, 0).to_numpy()
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "running_cents": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((eid, ts, uid))
+        uid_s, eid_s = uid[order], eid[order]
+        c_s, null_s = cents[order], c_null[order]
+        csum = np.cumsum(c_s)
+        nn_csum = np.cumsum(~null_s)
+        # per-user base: value of the cumsums just before each segment
+        new_seg = np.concatenate(([True], uid_s[1:] != uid_s[:-1]))
+        seg_id = np.cumsum(new_seg) - 1
+        seg_start = np.flatnonzero(new_seg)
+        base = np.where(seg_start > 0, csum[seg_start - 1], 0)
+        nn_base = np.where(seg_start > 0, nn_csum[seg_start - 1], 0)
+        running = csum - base[seg_id]
+        seen_nonnull = (nn_csum - nn_base[seg_id]) > 0
+        return pa.table(
+            {
+                "event_id": pa.array(eid_s, pa.int64()),
+                "running_cents": pa.array(
+                    running, pa.int64(), mask=~seen_nonnull
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(
+            lambda g: per_partition(g.drop_columns(["_part"])),
+            batch_format="pyarrow",
+        )
+    )

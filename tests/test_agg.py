@@ -646,3 +646,30 @@ def test_set_ops_match_python_sets(ray_session):
     assert set(map(tuple, inter.values)) == {(2, 20)}
     exc = except_distinct(ds(a_rows), ds(b_rows), ["u", "d"]).to_pandas()
     assert set(map(tuple, exc.values)) == {(1, 10), (3, 30)}
+
+
+def test_pivot_sum_empty_cells_null_and_validation(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.agg import pivot_sum
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 2], pa.int64()),
+            "cat": pa.array(["a", "b", "a"]),
+            "v": pa.array([10, 20, 30], pa.int64()),
+        }
+    )
+    out = (
+        pivot_sum(ray.data.from_arrow(t).repartition(2), "k", "cat", "v", ["a", "b"])
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    assert out.loc[1, "a_sum"] == 10 and out.loc[1, "b_sum"] == 20
+    assert out.loc[2, "a_sum"] == 30
+    assert bool(out.loc[2:2, "b_sum"].isna().all())  # empty cell → SQL NULL
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        pivot_sum(ray.data.from_arrow(t), "k", "cat", "v", [])

@@ -348,3 +348,33 @@ def test_lead_lag_propagates_null_values(ray_session):
     assert bool(out.loc[2:2, "lag_value_cents"].isna().all())  # neighbor null
     assert bool(out.loc[0:0, "lag_value_cents"].isna().all())  # edge
     assert bool(out.loc[2:2, "lead_value_cents"].isna().all())  # edge
+
+
+def test_running_total_null_prefix_and_segments(ray_session):
+    """running_total: SQL SUM OVER skips nulls, and the prefix stays NULL
+    until the partition's first non-null value; segments reset per user."""
+    import ray
+    import pyarrow as pa
+
+    from phrasekit_ray.stages.windows import running_total
+
+    t = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+            "ts": pa.array([10, 20, 30, 40, 10, 20], pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+            "value": pa.array([None, 2.0, None, 3.0, 5.0, 1.0], pa.float64()),
+        }
+    )
+    out = (
+        running_total(ray.data.from_arrow(t).repartition(3))
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert bool(out.loc[0:0, "running_cents"].isna().all())  # null prefix
+    assert out.loc[1, "running_cents"] == 200
+    assert out.loc[2, "running_cents"] == 200  # null skipped, sum carries
+    assert out.loc[3, "running_cents"] == 500
+    assert out.loc[4, "running_cents"] == 500  # new user resets
+    assert out.loc[5, "running_cents"] == 600
