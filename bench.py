@@ -265,15 +265,37 @@ def _mem_probe_sec() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _wait_clean_window() -> list:
+    """Bounded pre-gate: this sandbox's host has bursty co-tenant
+    contention (steal bursts AND the steal-invisible DRAM-latency mode —
+    see _mem_probe_sec); a run started mid-burst measures the burst, not
+    the code. Sample mem_probe every 15 s for up to
+    $GRAFT_BENCH_WAIT_CLEAN seconds (default 240; 0 disables) and start
+    as soon as it reads healthy (< 0.5 s). Proceed regardless when the
+    budget runs out — the probe history is recorded in the output JSON
+    so a still-contended run is self-identifying."""
+    budget = float(os.environ.get("GRAFT_BENCH_WAIT_CLEAN", "240"))
+    history = []
+    waited = 0.0
+    while True:
+        m = _mem_probe_sec()
+        history.append(m)
+        if m < 0.5 or waited >= budget:
+            return history
+        time.sleep(15.0)
+        waited += 15.0
+
+
 def run_once(headline_only: bool = False) -> dict:
     import ray
 
     sf_dir = _sf_dir()
     cpus = _num_cpus()
+    wait_history = _wait_clean_window()
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=cpus, include_dashboard=False)
     probe0 = _cpu_probe_sec()
-    mem0 = _mem_probe_sec()
+    mem0 = wait_history[-1]
     steal0, jiff0 = _host_cpu_sample()
     load0 = _loadavg1()
     meter = _TreeCpuMeter()
@@ -282,11 +304,14 @@ def run_once(headline_only: bool = False) -> dict:
     head = run_headline(sf_dir)
     head_wall = time.perf_counter() - t0
     head_util = round(meter.delta_sec() / (head_wall * cpus), 3)
+    t_probe = time.perf_counter()
+    mem_mid = _mem_probe_sec()  # catches a burst arriving during the headline
+    probe_overhead = time.perf_counter() - t_probe
     if headline_only:
         queries, q_util = {}, {}
     else:
         queries, q_util = bench_queries(sf_dir, meter)
-    total = time.perf_counter() - t0
+    total = time.perf_counter() - t0 - probe_overhead
     steal1, jiff1 = _host_cpu_sample()
     load1 = _loadavg1()
     result = {
@@ -311,7 +336,8 @@ def run_once(headline_only: bool = False) -> dict:
         # host intermittently degrades random DRAM access ~40× with
         # steal_pct and cpu_probe NORMAL — this is the only signal that
         # catches it
-        "mem_probe_sec": [mem0, _mem_probe_sec()],
+        "mem_probe_sec": [mem0, mem_mid, _mem_probe_sec()],
+        "wait_clean_probes": wait_history,
         # own-process-tree CPU utilization per query: Δ(Σ worker cpu-time)
         # / (wall × num_cpus). ≈1 → the run owned its CPUs; ≪1 with low
         # steal_pct → in-VM co-tenant contention (not a code regression)
