@@ -1041,3 +1041,25 @@ EXT_ORACLE_SQL.update(
         "q_corpus_split": SQL_CORPUS_SPLIT,
     }
 )
+
+
+def q_graph_communities(sf_dir: str):
+    """Deterministic label-propagation communities over the part
+    co-occurrence graph → (label, n_nodes) community sizes. Not
+    SQL-expressible (iterative per-node vote argmax); verified by the
+    differential suite in tests/test_kg.py (distributed ≡ driver
+    reference on the identical synchronous min-tie-break rule,
+    partitioning invariance, two-clique split)."""
+    from phrasekit_ray.stages.agg import grouped_count
+    from phrasekit_ray.stages.kg import label_propagation_communities
+
+    labels = label_propagation_communities(
+        _basket_edges_ds(sf_dir), src_col="subj", dst_col="obj", max_rounds=3
+    )
+    return _i64(
+        _collect(grouped_count(labels, "label", count_col="n_nodes")),
+        "label", "n_nodes",
+    )
+
+
+EXT_QUERIES.update({"q_graph_communities": q_graph_communities})

@@ -1313,3 +1313,137 @@ def k_hop(edges_ds, hops: int = 3, seed: int | None = None,
     for f in out[1:]:
         res = res.union(f)
     return res
+
+
+def label_propagation_communities(
+    edges_ds,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 10,
+    num_partitions: int | None = None,
+):
+    """Community detection by DETERMINISTIC synchronous label propagation
+    over an undirected edge Dataset → (node: int64, label: int64).
+
+    Update rule (fixed, so results are reproducible across runs and
+    partitionings): each round every node adopts the most frequent label
+    among its NEIGHBORS, ties broken by the smallest label; nodes start
+    labeled with their own id. The loop stops early when the global
+    label sum is stable (same cheap scalar convergence test as
+    ``connected_components_distributed``) and is capped at
+    ``max_rounds`` because synchronous LPA can oscillate on bipartite
+    structures — the cap makes the operator total, and the tie-break
+    makes the capped result deterministic.
+
+    Scale shape per round (no driver-side graph state):
+      1. two int-keyed hash joins attach current labels to edge
+         endpoints; each edge sends its endpoint's label to the
+         opposite endpoint,
+      2. ONE hash_aggregate counts votes per (node, label),
+      3. the per-node argmax (count desc, label asc) is a SECOND
+         hash_aggregate over a packed score ``count·2³² − label`` —
+         max(score) IS the lexicographic argmax, so no per-group sort.
+    Bounds (validated): labels < 2³² and vote counts < 2³¹ so the packed
+    score fits int64 — node ids must be < 2³² (remap upstream if not).
+    """
+    num_partitions = num_partitions or 8
+
+    _LBL_MAX = np.int64(1) << np.int64(32)
+
+    def norm_edges(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch[src_col].cast(pa.int64()),
+                "dst": batch[dst_col].cast(pa.int64()),
+            }
+        )
+
+    edges = edges_ds.map_batches(norm_edges, batch_format="pyarrow").materialize()
+
+    def initial_labels(batch: pa.Table) -> pa.Table:
+        nodes = pa.concat_arrays(
+            [batch["src"].combine_chunks(), batch["dst"].combine_chunks()]
+        )
+        mx = pc.max(nodes).as_py()
+        if mx is not None and mx >= int(_LBL_MAX):
+            raise ValueError(
+                "label_propagation_communities: node ids must be < 2^32 "
+                "(packed-argmax bound); remap ids upstream"
+            )
+        return pa.table({"node": nodes, "label": nodes})
+
+    labels = hash_aggregate(
+        edges.map_batches(initial_labels, batch_format="pyarrow"),
+        "node",
+        [("label", "min")],
+    ).materialize()
+    prev_sum = labels.sum("label")
+
+    def msg_to_dst(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch["dst"],
+                "label": batch["label"],
+                "votes": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    def msg_to_src(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch["src"],
+                "label": batch["label"],
+                "votes": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    def pack(batch: pa.Table) -> pa.Table:
+        votes = batch["votes"].combine_chunks().to_numpy()
+        lbl = batch["label"].combine_chunks().to_numpy()
+        if len(votes) and votes.max() >= (1 << 31):
+            raise ValueError(
+                "label_propagation_communities: vote count >= 2^31 "
+                "overflows the packed score"
+            )
+        score = votes * _LBL_MAX - lbl
+        return pa.table(
+            {"node": batch["node"], "score": pa.array(score, pa.int64())}
+        )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        score = batch["score"].combine_chunks().to_numpy()
+        lbl = (-score) % _LBL_MAX
+        return pa.table(
+            {"node": batch["node"], "label": pa.array(lbl, pa.int64())}
+        )
+
+    for _ in range(max_rounds):
+        j_src = edges.join(
+            labels, join_type="inner", num_partitions=num_partitions,
+            on=("src",), right_on=("node",),
+        )
+        j_dst = edges.join(
+            labels, join_type="inner", num_partitions=num_partitions,
+            on=("dst",), right_on=("node",),
+        )
+        votes = hash_aggregate(
+            j_src.map_batches(msg_to_dst, batch_format="pyarrow").union(
+                j_dst.map_batches(msg_to_src, batch_format="pyarrow")
+            ),
+            ["node", "label"],
+            [("votes", "sum")],
+        )
+        labels = (
+            hash_aggregate(
+                votes.map_batches(pack, batch_format="pyarrow"),
+                "node",
+                [("score", "max")],
+            )
+            .map_batches(unpack, batch_format="pyarrow")
+            .materialize()
+        )
+        cur = labels.sum("label")
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels

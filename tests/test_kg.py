@@ -679,3 +679,96 @@ def test_k_hop_driver_path_matches_distributed(ray_session):
     # isolated seed: emits only (seed, 0)
     lone = k_hop(ds, hops=2, seed=10_000).to_pandas()
     assert list(map(tuple, lone.values)) == [(10_000, 0)]
+
+
+def _lpa_reference(edge_list, max_rounds):
+    """Driver reference for the EXACT distributed rule: synchronous, each
+    node adopts the most frequent neighbor label (ties → smallest),
+    early-stop when the global label sum is stable, capped rounds."""
+    from collections import Counter, defaultdict
+
+    nbrs = defaultdict(list)
+    for u, v in edge_list:
+        nbrs[u].append(v)
+        nbrs[v].append(u)
+    labels = {n: n for n in nbrs}
+    prev_sum = sum(labels.values())
+    for _ in range(max_rounds):
+        new = {}
+        for n, ns in nbrs.items():
+            c = Counter(labels[m] for m in ns)
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        labels = new
+        cur = sum(labels.values())
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels
+
+
+def _lpa_run(ray, edge_list, max_rounds=10, parts=1):
+    from phrasekit_ray.stages.kg import label_propagation_communities
+
+    t = pa.table(
+        {
+            "src": pa.array([u for u, _ in edge_list], pa.int64()),
+            "dst": pa.array([v for _, v in edge_list], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    if parts > 1:
+        ds = ds.repartition(parts)
+    out = label_propagation_communities(ds, max_rounds=max_rounds)
+    tbl = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    return dict(zip(tbl["node"].to_pylist(), tbl["label"].to_pylist()))
+
+
+def test_lpa_two_cliques_with_bridge(ray_session):
+    import ray
+
+    k1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    k2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14) if b >= 10]
+    edges = k1 + k2 + [(3, 10)]
+    got = _lpa_run(ray, edges)
+    want = _lpa_reference(edges, 10)
+    assert got == want
+    # the two cliques end in two distinct communities
+    assert len({got[n] for n in range(4)}) == 1
+    assert len({got[n] for n in range(10, 14)}) == 1
+    assert got[0] != got[12]
+
+
+def test_lpa_matches_reference_random_and_partition_invariant(ray_session):
+    import ray
+
+    rng = np.random.default_rng(7)
+    n = 60
+    edges = set()
+    for _ in range(150):
+        u, v = rng.integers(0, n, 2)
+        if u != v:
+            edges.add((int(min(u, v)), int(max(u, v))))
+    edges = sorted(edges)
+    want = _lpa_reference(edges, 6)
+    got1 = _lpa_run(ray, edges, max_rounds=6, parts=1)
+    got7 = _lpa_run(ray, edges, max_rounds=6, parts=7)
+    assert got1 == want
+    assert got7 == want  # partitioning-independent
+
+
+def test_lpa_rejects_oversized_node_ids(ray_session):
+    import ray
+    import pytest as _pytest
+
+    from phrasekit_ray.stages.kg import label_propagation_communities
+
+    t = pa.table(
+        {
+            "src": pa.array([1 << 33], pa.int64()),
+            "dst": pa.array([2], pa.int64()),
+        }
+    )
+    with _pytest.raises(Exception, match="2\\^32"):
+        out = label_propagation_communities(ray.data.from_arrow(t))
+        pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
