@@ -1063,3 +1063,31 @@ def q_graph_communities(sf_dir: str):
 
 
 EXT_QUERIES.update({"q_graph_communities": q_graph_communities})
+
+
+def q_events_rank(sf_dir: str):
+    """Ranking windows per user (ROW_NUMBER / NTILE(4) / percent_rank in
+    micro-units) — stages/windows.rank_window, partition-run segment
+    kernels."""
+    import ray
+
+    from phrasekit_ray.stages.windows import rank_window
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    return _i64(_collect(rank_window(ev)), "event_id", "rn", "ntile", "pr_micro")
+
+
+SQL_EVENTS_RANK = """
+SELECT event_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+       CAST(NTILE(4) OVER w AS BIGINT) AS ntile,
+       CAST(round(percent_rank() OVER w * 1000000.0) AS BIGINT) AS pr_micro
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+EXT_QUERIES.update({"q_events_rank": q_events_rank})
+EXT_ORACLE_SQL.update({"q_events_rank": SQL_EVENTS_RANK})

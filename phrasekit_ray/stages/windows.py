@@ -808,3 +808,97 @@ def running_total(
             batch_format="pyarrow",
         )
     )
+
+
+def rank_window(
+    ds,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    ntile_k: int = 4,
+    num_partitions: int | None = None,
+):
+    """SQL ranking windows over (PARTITION BY user ORDER BY ts, id):
+    ``ROW_NUMBER()``, ``NTILE(k)`` and ``percent_rank()`` →
+    (event_id, rn, ntile, pr_micro). percent_rank is returned in integer
+    micro-units (the order key (ts, id) is unique per the events data
+    contract, so rank == row_number and (rn-1)/(n-1) is an exact small
+    rational both engines compute identically in float64; single-row
+    partitions get 0 like SQL).
+
+    Scale shape: the standard partition-run treatment — ONE vectorized
+    UDF per hash partition; row numbers and partition sizes come from
+    segment boundaries (no per-user Python), NTILE uses the SQL sizing
+    rule (first n mod k buckets get the extra row) as a closed-form
+    vector expression.
+    """
+    from phrasekit_ray.stages.agg import round_away
+
+    if ntile_k < 1:
+        raise ValueError("rank_window: ntile_k must be >= 1")
+    num_partitions = default_partitions(num_partitions)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        uid = batch[user_col].combine_chunks().cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "ts": batch[ts_col].combine_chunks().cast(pa.int64()),
+                "event_id": batch[id_col].combine_chunks().cast(pa.int64()),
+                "_part": pa.array(_user_part(uid, num_partitions), pa.int32()),
+            }
+        )
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].combine_chunks().to_numpy()
+        ts = group["ts"].combine_chunks().to_numpy()
+        eid = group["event_id"].combine_chunks().to_numpy()
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "rn": pa.array([], pa.int64()),
+                    "ntile": pa.array([], pa.int64()),
+                    "pr_micro": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((eid, ts, uid))
+        uid_s, eid_s = uid[order], eid[order]
+        new_seg = np.concatenate(([True], uid_s[1:] != uid_s[:-1]))
+        seg_id = np.cumsum(new_seg) - 1
+        seg_start = np.flatnonzero(new_seg)
+        sizes = np.diff(np.concatenate((seg_start, [n])))
+        pos = np.arange(n, dtype=np.int64) - seg_start[seg_id]  # 0-based
+        sz = sizes[seg_id]
+        # NTILE(k): first n%k buckets have ceil(n/k) rows (SQL sizing)
+        k = np.int64(ntile_k)
+        base, rem = sz // k, sz % k
+        big = rem * (base + 1)  # rows covered by the bigger buckets
+        in_big = pos < big
+        with np.errstate(divide="ignore", invalid="ignore"):
+            nt = np.where(
+                in_big,
+                pos // np.maximum(base + 1, 1),
+                rem + (pos - big) // np.maximum(base, 1),
+            ) + 1
+        # percent_rank: (rn-1)/(n-1), 0 for single-row partitions
+        pr = np.where(sz > 1, pos / np.maximum(sz - 1, 1), 0.0)
+        pr_micro = pc.cast(round_away(pa.array(pr * 1e6)), pa.int64())
+        return pa.table(
+            {
+                "event_id": pa.array(eid_s, pa.int64()),
+                "rn": pa.array(pos + 1, pa.int64()),
+                "ntile": pa.array(nt.astype(np.int64), pa.int64()),
+                "pr_micro": pr_micro,
+            }
+        )
+
+    return (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(
+            lambda g: per_partition(g.drop_columns(["_part"])),
+            batch_format="pyarrow",
+        )
+    )

@@ -378,3 +378,33 @@ def test_running_total_null_prefix_and_segments(ray_session):
     assert out.loc[3, "running_cents"] == 500
     assert out.loc[4, "running_cents"] == 500  # new user resets
     assert out.loc[5, "running_cents"] == 600
+
+
+def test_rank_window_ntile_sizing_and_single_row(ray_session):
+    """NTILE SQL sizing (first n mod k buckets get the extra row) and
+    percent_rank 0 for single-row partitions."""
+    import ray
+    import pyarrow as pa
+
+    from phrasekit_ray.stages.windows import rank_window
+
+    # user 1: 6 rows into 4 tiles -> sizes 2,2,1,1; user 2: single row
+    t = pa.table(
+        {
+            "event_id": pa.array(list(range(7)), pa.int64()),
+            "ts": pa.array([10, 20, 30, 40, 50, 60, 10], pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 1, 1, 1, 1, 2], pa.int64()),
+        }
+    )
+    out = (
+        rank_window(ray.data.from_arrow(t).repartition(3))
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert out["rn"].tolist() == [1, 2, 3, 4, 5, 6, 1]
+    assert out["ntile"].tolist() == [1, 1, 2, 2, 3, 4, 1]
+    assert out.loc[0, "pr_micro"] == 0
+    assert out.loc[5, "pr_micro"] == 1_000_000
+    assert out.loc[1, "pr_micro"] == 200_000  # 1/5
+    assert out.loc[6, "pr_micro"] == 0  # single-row partition
