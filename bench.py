@@ -137,6 +137,10 @@ def bench_queries(sf_dir: str, meter=None) -> tuple[dict, dict]:
         "q_graph_triangles",
         "q_lm_nll",
         "q_events_lead_lag",
+        "q_events_running_total",
+        "q_events_rank",
+        "q_events_pivot",
+        "q_corpus_split",
         "q_lineitem_corr",
         "q_fuzzy_part_tokens",
         "q_join_customer_orders",
