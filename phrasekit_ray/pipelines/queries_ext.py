@@ -1091,3 +1091,25 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 
 EXT_QUERIES.update({"q_events_rank": q_events_rank})
 EXT_ORACLE_SQL.update({"q_events_rank": SQL_EVENTS_RANK})
+
+
+def q_pack_bins(sf_dir: str):
+    """Sequence packing of the documents corpus into 2048-char training
+    bins (stages/packing.pack_sequences — per-partition vectorized FFD,
+    globally unique bin ids, oversized docs flagged in dedicated bins).
+    Not SQL-expressible (sequential first-fit state); verified by the
+    invariant/differential suite in tests/test_packing.py."""
+    import ray
+
+    from phrasekit_ray.stages.packing import pack_sequences
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return _i64(
+        _collect(pack_sequences(docs, 2048, tokens_col="n_chars")),
+        "doc_id", "bin_id",
+    )
+
+
+EXT_QUERIES.update({"q_pack_bins": q_pack_bins})

@@ -1,0 +1,126 @@
+"""Sequence packing: assign documents to fixed token-capacity bins for
+training-batch construction (the classic first-fit-decreasing packing
+pass a pretraining data pipeline runs after filtering/dedup).
+
+No reference analog (phrasekit is a phrase-mining engine; SURVEY.md
+§2.11 extension). Scale shape: packing is PER-PARTITION by design —
+real pipelines pack locally per shard because a global bin assignment
+would serialize the corpus through one solver for zero training-quality
+benefit. Documents are hash-partitioned by id, each partition packs its
+own documents with a vectorized first-fit-decreasing pass, and bin ids
+are globally unique via (partition << 32) | local_bin. The result is
+deterministic for a fixed ``num_partitions`` (the partition hash and
+the in-partition (tokens desc, id asc) order pin every assignment).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from phrasekit_ray.stages.agg import default_partitions
+
+
+def _ffd_pack(tokens: np.ndarray, capacity: int) -> tuple[np.ndarray, int]:
+    """First-fit-decreasing over one partition, input already sorted
+    descending: place each doc in the lowest-numbered bin with room,
+    else open a new bin. Returns (bin_id per input row, n_bins).
+
+    The classic FFD bound holds (≤ 11/9·OPT + 6/9 bins). The loop is
+    O(n·bins_probed) python-side but runs over PARTITION-sized inputs
+    with a numpy fill-level array; for the common case (capacity ≫
+    median doc) bins fill mostly in order and the first-fit probe is
+    short. Oversized docs (tokens > capacity) get a dedicated bin each
+    — flagged upstream rather than silently truncated.
+    """
+    n = len(tokens)
+    bins = np.empty(64, np.int64)  # fill levels, grown on demand
+    n_bins = 0
+    out = np.empty(n, np.int64)
+    for i in range(n):
+        t = tokens[i]
+        placed = -1
+        # first bin with room (fill + t <= capacity)
+        room = np.flatnonzero(bins[:n_bins] + t <= capacity)
+        if room.size:
+            placed = room[0]
+        if placed < 0:
+            if n_bins == len(bins):
+                bins = np.concatenate([bins, np.empty(len(bins), np.int64)])
+            bins[n_bins] = 0
+            placed = n_bins
+            n_bins += 1
+        bins[placed] += t
+        out[i] = placed
+    return out, n_bins
+
+
+def pack_sequences(
+    ds,
+    capacity: int,
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+):
+    """(id, n_tokens) Dataset → (doc_id, bin_id, oversize) with every
+    bin's token total ≤ ``capacity`` (oversized docs get a dedicated
+    bin and oversize=true). Bin ids are globally unique:
+    ``(partition << 32) | local_bin``.
+    """
+    if capacity < 1:
+        raise ValueError("pack_sequences: capacity must be >= 1")
+    num_partitions = default_partitions(num_partitions)
+    if num_partitions >= 1 << 31:
+        raise ValueError("pack_sequences: num_partitions must fit int31")
+
+    def derive(batch: pa.Table) -> pa.Table:
+        did = batch[id_col].combine_chunks().cast(pa.int64()).to_numpy()
+        h = (did.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(
+            32
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "n_tokens": batch[tokens_col].combine_chunks().cast(pa.int64()),
+                "_part": pa.array(
+                    (h % np.uint64(num_partitions)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        part = int(group["_part"][0].as_py())
+        did = group["doc_id"].combine_chunks().to_numpy()
+        tok = group["n_tokens"].combine_chunks().to_numpy()
+        n = len(did)
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "bin_id": pa.array([], pa.int64()),
+                    "oversize": pa.array([], pa.bool_()),
+                }
+            )
+        # FFD order: tokens desc, doc_id asc (deterministic tie-break)
+        order = np.lexsort((did, -tok))
+        did_s, tok_s = did[order], tok[order]
+        over = tok_s > capacity
+        # oversized docs pack as exactly-capacity items: each consumes a
+        # fresh bin on its own (nothing else fits alongside)
+        local, _ = _ffd_pack(np.minimum(tok_s, capacity), capacity)
+        return pa.table(
+            {
+                "doc_id": pa.array(did_s, pa.int64()),
+                "bin_id": pa.array(
+                    (np.int64(part) << np.int64(32)) | local, pa.int64()
+                ),
+                "oversize": pa.array(over),
+            }
+        )
+
+    return (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(per_partition, batch_format="pyarrow")
+    )

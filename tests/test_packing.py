@@ -1,0 +1,109 @@
+"""pack_sequences: FFD bin packing invariants + driver-reference
+differential + input-partitioning invariance."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _collect(ds) -> pa.Table:
+    return pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+
+
+def _run(ray, doc_ids, tokens, capacity, parts=1, num_partitions=4):
+    from phrasekit_ray.stages.packing import pack_sequences
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n_tokens": pa.array(tokens, pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    if parts > 1:
+        ds = ds.repartition(parts)
+    return _collect(pack_sequences(ds, capacity, num_partitions=num_partitions))
+
+
+def test_pack_invariants_and_partitioning_invariance(ray_session):
+    import ray
+
+    rng = np.random.default_rng(11)
+    n = 400
+    ids = list(range(n))
+    toks = rng.integers(1, 900, n).tolist()
+    cap = 2048
+    out1 = _run(ray, ids, toks, cap, parts=1)
+    out7 = _run(ray, ids, toks, cap, parts=7)
+
+    df = out1.to_pandas()
+    # every doc assigned exactly once
+    assert sorted(df["doc_id"]) == ids
+    # bin capacity respected
+    tok_by_id = dict(zip(ids, toks))
+    df["tok"] = df["doc_id"].map(tok_by_id)
+    fills = df.groupby("bin_id")["tok"].sum()
+    assert (fills <= cap).all()
+    assert not df["oversize"].any()
+    # deterministic across INPUT partitionings (partition = hash(doc_id))
+    a = df.sort_values("doc_id").reset_index(drop=True)
+    b = out7.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a[["doc_id", "bin_id", "oversize"]].equals(
+        b[["doc_id", "bin_id", "oversize"]]
+    )
+
+
+def test_pack_oversized_docs_get_dedicated_bins(ray_session):
+    import ray
+
+    out = _run(
+        ray, [1, 2, 3, 4], [5000, 10, 20, 7000], capacity=100, num_partitions=1
+    ).to_pandas().set_index("doc_id")
+    assert bool(out.loc[1, "oversize"]) and bool(out.loc[4, "oversize"])
+    # each oversized doc is alone in its bin
+    counts = out.groupby("bin_id").size()
+    assert counts[out.loc[1, "bin_id"]] == 1
+    assert counts[out.loc[4, "bin_id"]] == 1
+    # the two small docs share one bin (10+20 <= 100)
+    assert out.loc[2, "bin_id"] == out.loc[3, "bin_id"]
+
+
+def test_pack_matches_ffd_reference(ray_session):
+    import ray
+
+    rng = np.random.default_rng(3)
+    ids = list(range(60))
+    toks = rng.integers(1, 80, 60).tolist()
+    cap = 128
+    out = _run(ray, ids, toks, cap, num_partitions=1).to_pandas()
+
+    # driver FFD on the same (tokens desc, id asc) order
+    order = sorted(ids, key=lambda i: (-toks[i], i))
+    bins, assign = [], {}
+    for i in order:
+        t = toks[i]
+        for b, fill in enumerate(bins):
+            if fill + t <= cap:
+                bins[b] += t
+                assign[i] = b
+                break
+        else:
+            assign[i] = len(bins)
+            bins.append(t)
+    got = dict(zip(out["doc_id"], out["bin_id"]))
+    assert got == assign  # partition 0 → bin_id == local bin
+
+
+def test_pack_validation(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.packing import pack_sequences
+
+    with pytest.raises(ValueError, match="capacity"):
+        pack_sequences(
+            ray.data.from_arrow(
+                pa.table({"doc_id": pa.array([1], pa.int64()),
+                          "n_tokens": pa.array([1], pa.int64())})
+            ),
+            0,
+        )
