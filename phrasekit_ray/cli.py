@@ -271,6 +271,37 @@ def cmd_decontaminate(args) -> int:
     return 0
 
 
+def cmd_pack(args) -> int:
+    import ray
+
+    from phrasekit_ray.stages.packing import pack_sequences
+
+    _init_ray()
+    ds = ray.data.read_parquet(args.input, columns=[args.id_col, args.tokens_col])
+    out = pack_sequences(
+        ds, args.capacity, tokens_col=args.tokens_col, id_col=args.id_col
+    )
+    out.write_parquet(args.output)
+    print(json.dumps({"stage": "pack", "capacity": args.capacity}))
+    return 0
+
+
+def cmd_communities(args) -> int:
+    import ray
+
+    from phrasekit_ray.stages.kg import label_propagation_communities
+
+    _init_ray()
+    edges = ray.data.read_parquet(args.input, columns=[args.src_col, args.dst_col])
+    labels = label_propagation_communities(
+        edges, src_col=args.src_col, dst_col=args.dst_col,
+        max_rounds=args.max_rounds,
+    )
+    labels.write_parquet(args.output)
+    print(json.dumps({"stage": "communities", "max_rounds": args.max_rounds}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="phrasekit_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -350,6 +381,26 @@ def main(argv=None) -> int:
     k.add_argument("--score-config")
     k.add_argument("--num-partitions", type=int, default=16)
     k.set_defaults(fn=cmd_kg)
+
+    pk = sub.add_parser(
+        "pack", help="sequence packing into fixed token-capacity bins"
+    )
+    pk.add_argument("--input", required=True)
+    pk.add_argument("--output", required=True)
+    pk.add_argument("--capacity", type=int, default=2048)
+    pk.add_argument("--tokens-col", default="n_tokens")
+    pk.add_argument("--id-col", default="doc_id")
+    pk.set_defaults(fn=cmd_pack)
+
+    cm = sub.add_parser(
+        "communities", help="label-propagation communities over an edge parquet"
+    )
+    cm.add_argument("--input", required=True)
+    cm.add_argument("--output", required=True)
+    cm.add_argument("--src-col", default="src")
+    cm.add_argument("--dst-col", default="dst")
+    cm.add_argument("--max-rounds", type=int, default=10)
+    cm.set_defaults(fn=cmd_communities)
 
     args = p.parse_args(argv)
     return args.fn(args)

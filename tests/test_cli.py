@@ -162,3 +162,59 @@ def test_cli_decontaminate(ray_session, tmp_path, sf_dir):
     t = _pq.read_table(files[0]) if files else None
     # train == bench: every doc with >= 3 tokens flags itself
     assert t is not None and t.num_rows > 0
+
+
+def test_cli_pack(ray_session, tmp_path, sf_dir):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from phrasekit_ray.cli import main
+
+    out = str(tmp_path / "bins")
+    rc = main(
+        [
+            "pack",
+            "--input", f"{sf_dir}/documents.parquet",
+            "--output", out,
+            "--capacity", "2048",
+            "--tokens-col", "n_chars",
+        ]
+    )
+    assert rc == 0
+    files = glob.glob(f"{out}/*.parquet")
+    n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    t = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    assert n == t  # every doc assigned exactly once
+
+
+def test_cli_communities(ray_session, tmp_path):
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from phrasekit_ray.cli import main
+
+    edges = tmp_path / "edges.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "src": pa.array([0, 1, 10, 11], pa.int64()),
+                "dst": pa.array([1, 2, 11, 12], pa.int64()),
+            }
+        ),
+        str(edges),
+    )
+    out = str(tmp_path / "labels")
+    rc = main(
+        ["communities", "--input", str(edges), "--output", out,
+         "--max-rounds", "4"]
+    )
+    assert rc == 0
+    files = glob.glob(f"{out}/*.parquet")
+    got = pa.concat_tables(pq.read_table(f) for f in files)
+    labels = dict(zip(got["node"].to_pylist(), got["label"].to_pylist()))
+    # two chains → two label groups
+    assert len(labels) == 6
+    assert len({labels[0], labels[1], labels[2]} & {labels[10], labels[11], labels[12]}) == 0
