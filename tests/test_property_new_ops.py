@@ -111,3 +111,117 @@ def test_grouped_cube_equals_naive(ray_session):
             for key in [(a, str(b)), (a, None), (None, str(b)), (None, None)]:
                 want[key] = want.get(key, 0) + v
         assert got == want
+
+
+_EV_VALUES = st.one_of(st.none(), st.integers(min_value=-500, max_value=500))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # user
+            st.integers(min_value=0, max_value=5),   # ts
+            _EV_VALUES,                              # cents (pre-scaled)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_running_total_equals_pandas_cumsum(ray_session, rows):
+    import pandas as pd
+    import ray
+
+    from phrasekit_ray.stages.windows import running_total
+
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "value": pa.array(
+                [None if r[2] is None else r[2] / 100.0 for r in rows],
+                pa.float64(),
+            ),
+        }
+    )
+    got = (
+        running_total(ray.data.from_arrow(t).repartition(3))
+        .to_pandas().set_index("event_id").sort_index()
+    )
+    df = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "user": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+            "cents": pd.array([r[2] for r in rows], dtype="Float64"),
+        }
+    ).sort_values(["user", "ts", "event_id"])
+    # SQL SUM OVER: a NULL row carries the prior non-null sum; the prefix
+    # is NULL only before the partition's first non-null value
+    run = df.groupby("user")["cents"].transform(
+        lambda s: s.fillna(0).cumsum()
+    )
+    seen = df.groupby("user")["cents"].transform(
+        lambda s: s.notna().cumsum() > 0
+    )
+    for eid, want, ok in zip(df["event_id"], run, seen):
+        if not ok:
+            assert got.loc[eid, "running_cents"] is None or bool(
+                pd.isna(got.loc[eid, "running_cents"])
+            )
+        else:
+            assert got.loc[eid, "running_cents"] == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),               # key
+            st.sampled_from(["a", "b", "c"]),                    # category
+            st.integers(min_value=-100, max_value=100),          # value
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_pivot_sum_columns_reconcile_with_total(ray_session, rows):
+    import pandas as pd
+    import ray
+
+    from phrasekit_ray.stages.agg import pivot_sum
+
+    t = pa.table(
+        {
+            "k": pa.array([r[0] for r in rows], pa.int64()),
+            "cat": pa.array([r[1] for r in rows]),
+            "v": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    got = (
+        pivot_sum(
+            ray.data.from_arrow(t).repartition(3), "k", "cat", "v",
+            ["a", "b", "c"],
+        )
+        .to_pandas().set_index("k").sort_index()
+    )
+    df = pd.DataFrame(rows, columns=["k", "cat", "v"])
+    # per-cell parity and whole-row reconciliation against pandas
+    cells = df.pivot_table(
+        index="k", columns="cat", values="v", aggfunc="sum"
+    )
+    for k in df["k"].unique():
+        for c in ["a", "b", "c"]:
+            want = cells[c][k] if c in cells.columns and not pd.isna(
+                cells.get(c, pd.Series(dtype=float)).get(k, float("nan"))
+            ) else None
+            cell = got.loc[k, f"{c}_sum"]
+            if want is None:
+                assert pd.isna(cell)
+            else:
+                assert cell == want
+        row_total = got.loc[k, ["a_sum", "b_sum", "c_sum"]].dropna().sum()
+        assert row_total == df[df["k"] == k]["v"].sum()
