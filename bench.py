@@ -280,14 +280,16 @@ def _wait_clean_window() -> list:
     so a still-contended run is self-identifying."""
     budget = float(os.environ.get("GRAFT_BENCH_WAIT_CLEAN", "240"))
     history = []
-    waited = 0.0
+    t0 = time.perf_counter()
     while True:
         m = _mem_probe_sec()
         history.append(m)
-        if m < 0.5 or waited >= budget:
+        # wall-clock budget including probe time — contended probes take
+        # seconds each, exactly when the gate is waiting
+        elapsed = time.perf_counter() - t0
+        if m < 0.5 or elapsed >= budget:
             return history
-        time.sleep(15.0)
-        waited += 15.0
+        time.sleep(min(15.0, max(budget - elapsed, 0.1)))
 
 
 def run_once(headline_only: bool = False) -> dict:

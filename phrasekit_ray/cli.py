@@ -279,7 +279,8 @@ def cmd_pack(args) -> int:
     _init_ray()
     ds = ray.data.read_parquet(args.input, columns=[args.id_col, args.tokens_col])
     out = pack_sequences(
-        ds, args.capacity, tokens_col=args.tokens_col, id_col=args.id_col
+        ds, args.capacity, tokens_col=args.tokens_col, id_col=args.id_col,
+        num_partitions=args.num_partitions,
     )
     out.write_parquet(args.output)
     print(json.dumps({"stage": "pack", "capacity": args.capacity}))
@@ -390,6 +391,9 @@ def main(argv=None) -> int:
     pk.add_argument("--capacity", type=int, default=2048)
     pk.add_argument("--tokens-col", default="n_tokens")
     pk.add_argument("--id-col", default="doc_id")
+    # bin ids are deterministic only for a FIXED partition count (the
+    # default scales with cluster CPUs) — pin it for reproducible packs
+    pk.add_argument("--num-partitions", type=int, default=None)
     pk.set_defaults(fn=cmd_pack)
 
     cm = sub.add_parser(

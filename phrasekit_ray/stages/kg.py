@@ -119,6 +119,16 @@ def connected_components_distributed(
         )
 
     edges = edges_ds.map_batches(norm_edges, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        # joins on an empty dataset lose the schema (same empty-edge class
+        # the triangle driver path guards); the component set is empty
+        import ray
+
+        return ray.data.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+            )
+        )
 
     def initial_labels(batch: pa.Table) -> pa.Table:
         nodes = pa.concat_arrays(
@@ -154,6 +164,9 @@ def connected_components_distributed(
         labels = hash_aggregate(
             labels.union(m1).union(m2), "node", [("label", "min")]
         ).materialize()
+        # label-sum stability IS sound here (unlike LPA): hash-min
+        # propagation is monotone non-increasing per node, so an unchanged
+        # sum implies an unchanged state
         cur = labels.sum("label")
         if cur == prev_sum:
             break
@@ -1328,12 +1341,13 @@ def label_propagation_communities(
     Update rule (fixed, so results are reproducible across runs and
     partitionings): each round every node adopts the most frequent label
     among its NEIGHBORS, ties broken by the smallest label; nodes start
-    labeled with their own id. The loop stops early when the global
-    label sum is stable (same cheap scalar convergence test as
-    ``connected_components_distributed``) and is capped at
-    ``max_rounds`` because synchronous LPA can oscillate on bipartite
-    structures — the cap makes the operator total, and the tie-break
-    makes the capped result deterministic.
+    labeled with their own id. The loop stops early at a FIXPOINT,
+    detected by a per-row (node,label) hash sum — the plain label-sum
+    test CC uses is unsound here because LPA admits sum-preserving
+    label changes (a two-node swap) — and is capped at ``max_rounds``
+    because synchronous LPA can oscillate on bipartite structures; the
+    cap makes the operator total, and the tie-break makes the capped
+    result deterministic.
 
     Scale shape per round (no driver-side graph state):
       1. two int-keyed hash joins attach current labels to edge
@@ -1359,16 +1373,29 @@ def label_propagation_communities(
         )
 
     edges = edges_ds.map_batches(norm_edges, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        # joins on an empty dataset lose the schema (same empty-edge class
+        # the triangle driver path guards); the community set is empty
+        import ray
+
+        return ray.data.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+            )
+        )
 
     def initial_labels(batch: pa.Table) -> pa.Table:
         nodes = pa.concat_arrays(
             [batch["src"].combine_chunks(), batch["dst"].combine_chunks()]
         )
         mx = pc.max(nodes).as_py()
-        if mx is not None and mx >= int(_LBL_MAX):
+        mn = pc.min(nodes).as_py()
+        if mx is not None and (mx >= int(_LBL_MAX) or mn < 0):
+            # the packed-score modulo silently corrupts negative ids, so
+            # they must be rejected, not just ids >= 2^32
             raise ValueError(
-                "label_propagation_communities: node ids must be < 2^32 "
-                "(packed-argmax bound); remap ids upstream"
+                "label_propagation_communities: node ids must be in "
+                "[0, 2^32) (packed-argmax bound); remap ids upstream"
             )
         return pa.table({"node": nodes, "label": nodes})
 
@@ -1377,7 +1404,30 @@ def label_propagation_communities(
         "node",
         [("label", "min")],
     ).materialize()
-    prev_sum = labels.sum("label")
+
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        # 32-bit per-row mix of (node, label); summing int32 mixes into
+        # an int64 cannot overflow below 2^31 nodes (document the bound —
+        # beyond that, widen the convergence check or drop early-stop)
+        node = batch["node"].combine_chunks().to_numpy().astype(np.uint64)
+        lbl = batch["label"].combine_chunks().to_numpy().astype(np.uint64)
+        h = (node * np.uint64(0x9E3779B97F4A7C15)) ^ (
+            lbl * np.uint64(0xC2B2AE3D27D4EB4F)
+        )
+        h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        return pa.table(
+            {"fp": pa.array((h >> np.uint64(32)).astype(np.int64), pa.int64())}
+        )
+
+    def state_fp(lab) -> int:
+        # label-SUM stability (the CC convergence test) is unsound for
+        # LPA: sum-preserving label changes exist (e.g. a two-node swap),
+        # so the loop would freeze mid-oscillation on a non-fixpoint.
+        # A per-row (node,label) hash sum changes w.h.p. for ANY state
+        # change, making the early stop a fixpoint test.
+        return lab.map_batches(fp_rows, batch_format="pyarrow").sum("fp")
+
+    prev_fp = state_fp(labels)
 
     def msg_to_dst(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -1442,8 +1492,8 @@ def label_propagation_communities(
             .map_batches(unpack, batch_format="pyarrow")
             .materialize()
         )
-        cur = labels.sum("label")
-        if cur == prev_sum:
+        cur = state_fp(labels)
+        if cur == prev_fp:
             break
-        prev_sum = cur
+        prev_fp = cur
     return labels

@@ -75,17 +75,20 @@ def pack_sequences(
         raise ValueError("pack_sequences: num_partitions must fit int31")
 
     def derive(batch: pa.Table) -> pa.Table:
+        # same Fibonacci-hash partitioner as the window operators — ONE
+        # shared definition, so the determinism contract can't silently
+        # diverge between modules
+        from phrasekit_ray.stages.windows import _user_part
+
         did = batch[id_col].combine_chunks().cast(pa.int64()).to_numpy()
-        h = (did.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(
-            32
-        )
+        tok = batch[tokens_col].combine_chunks().cast(pa.int64())
+        if len(tok) and pc.min(tok).as_py() < 0:
+            raise ValueError("pack_sequences: negative token counts")
         return pa.table(
             {
                 "doc_id": pa.array(did, pa.int64()),
-                "n_tokens": batch[tokens_col].combine_chunks().cast(pa.int64()),
-                "_part": pa.array(
-                    (h % np.uint64(num_partitions)).astype(np.int32), pa.int32()
-                ),
+                "n_tokens": tok,
+                "_part": pa.array(_user_part(did, num_partitions), pa.int32()),
             }
         )
 
@@ -107,8 +110,12 @@ def pack_sequences(
         did_s, tok_s = did[order], tok[order]
         over = tok_s > capacity
         # oversized docs pack as exactly-capacity items: each consumes a
-        # fresh bin on its own (nothing else fits alongside)
-        local, _ = _ffd_pack(np.minimum(tok_s, capacity), capacity)
+        # fresh bin on its own. Zero-token docs are clamped to weight 1
+        # so they can never slip into a full (oversize) bin — the
+        # dedicated-bin invariant holds for every bin at capacity.
+        local, _ = _ffd_pack(
+            np.minimum(np.maximum(tok_s, 1), capacity), capacity
+        )
         return pa.table(
             {
                 "doc_id": pa.array(did_s, pa.int64()),

@@ -692,18 +692,15 @@ def _lpa_reference(edge_list, max_rounds):
         nbrs[u].append(v)
         nbrs[v].append(u)
     labels = {n: n for n in nbrs}
-    prev_sum = sum(labels.values())
     for _ in range(max_rounds):
         new = {}
         for n, ns in nbrs.items():
             c = Counter(labels[m] for m in ns)
             best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
             new[n] = best[0]
-        labels = new
-        cur = sum(labels.values())
-        if cur == prev_sum:
+        if new == labels:  # fixpoint (mirrors the distributed hash test)
             break
-        prev_sum = cur
+        labels = new
     return labels
 
 
@@ -772,3 +769,38 @@ def test_lpa_rejects_oversized_node_ids(ray_session):
     with _pytest.raises(Exception, match="2\\^32"):
         out = label_propagation_communities(ray.data.from_arrow(t))
         pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+
+
+def test_lpa_empty_edges_and_negative_ids(ray_session):
+    import ray
+    import pytest as _pytest
+
+    from phrasekit_ray.stages.kg import label_propagation_communities
+
+    empty = ray.data.from_arrow(
+        pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    )
+    res = label_propagation_communities(empty)
+    assert res.count() == 0
+    assert set(res.schema().names) == {"node", "label"}
+
+    neg = ray.data.from_arrow(
+        pa.table({"src": pa.array([-5], pa.int64()), "dst": pa.array([3], pa.int64())})
+    )
+    with _pytest.raises(Exception, match=r"\[0, 2\^32\)"):
+        pa.concat_tables(
+            label_propagation_communities(neg).iter_batches(batch_format="pyarrow")
+        )
+
+
+def test_lpa_two_node_swap_not_frozen_by_convergence_check(ray_session):
+    """A single edge {0,1} oscillates with a CONSTANT label sum — the old
+    sum-stability check froze mid-oscillation; the fixpoint hash check
+    must keep iterating to the round cap, matching the reference."""
+    import ray
+
+    edges = [(0, 1)]
+    for cap in (1, 2, 3):
+        got = _lpa_run(ray, edges, max_rounds=cap)
+        want = _lpa_reference(edges, cap)
+        assert got == want, (cap, got, want)

@@ -107,3 +107,24 @@ def test_pack_validation(ray_session):
             ),
             0,
         )
+
+
+def test_pack_zero_token_docs_never_join_oversize_bins(ray_session):
+    """Review fix: a 0-token doc must not slip into an oversized doc's
+    dedicated (full) bin; negative token counts are rejected."""
+    import ray
+
+    out = _run(
+        ray, [1, 2], [5000, 0], capacity=100, num_partitions=1
+    ).to_pandas().set_index("doc_id")
+    assert out.loc[1, "bin_id"] != out.loc[2, "bin_id"]
+    assert bool(out.loc[1, "oversize"]) and not bool(out.loc[2, "oversize"])
+
+    from phrasekit_ray.stages.packing import pack_sequences
+
+    neg = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "n_tokens": pa.array([-3], pa.int64())})
+    )
+    with pytest.raises(Exception, match="negative"):
+        _collect(pack_sequences(neg, 100))
