@@ -50,6 +50,16 @@ def main() -> None:
             include_dashboard=False,
             object_store_memory=int(cap_gb * (1 << 30)),
         )
+    from ray.data.context import DataContext
+
+    # Under a tight object-store cap, per-operator memory RESERVATION can
+    # livelock this composition's wide operator graph on ray 2.49 (driver
+    # scheduler spins, workers idle, zero progress — observed at 1-4 GB
+    # caps while 8 GB completes). Disable reservation so operators share
+    # the budget cooperatively and the executor degrades to spilling.
+    if os.environ.get("GRAFT_DISABLE_OP_RESERVATION", "1") == "1":
+        DataContext.get_current().op_resource_reservation_enabled = False
+
     from phrasekit_ray.config import MineConfig, ScoreConfig
     from phrasekit_ray.pipelines.clean import clean_corpus
     from phrasekit_ray.pipelines.kg import run_kg_pipeline
