@@ -1113,3 +1113,75 @@ def q_pack_bins(sf_dir: str):
 
 
 EXT_QUERIES.update({"q_pack_bins": q_pack_bins})
+
+
+def q_events_unpivot(sf_dir: str):
+    """Round-trip demonstration: the per-bucket pivot re-melted to long
+    rows via SQL-UNPIVOT semantics (stages/agg.unpivot — stateless
+    per-batch reshape, EXCLUDE NULLS default, no shuffle)."""
+    from phrasekit_ray.stages.agg import unpivot
+
+    # reuse the pivot query's distributed result as the wide input
+    import ray
+
+    from phrasekit_ray.stages.agg import pivot_sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_bucket": pc.cast(
+                    pc.subtract(
+                        b["user_id"],
+                        pc.multiply(pc.divide(b["user_id"], 100), 100),
+                    ),
+                    pa.int64(),
+                ),
+                "event_type": b["event_type"],
+                "cents": pc.cast(
+                    _round_away(pc.multiply(b["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    wide = pivot_sum(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        "user_bucket",
+        "event_type",
+        "cents",
+        _EVENT_TYPES,
+    )
+    longd = unpivot(
+        wide,
+        ["user_bucket"],
+        [f"{c}_sum" for c in _EVENT_TYPES],
+        cat_name="event_col",
+        value_name="cents_sum",
+    )
+    return _i64(_collect(longd), "user_bucket", "cents_sum")
+
+
+SQL_EVENTS_UNPIVOT = """
+WITH t AS (
+  SELECT user_id % 100 AS user_bucket, event_type,
+         CAST(round(value * 100.0) AS BIGINT) AS cents
+  FROM events),
+w AS (
+  SELECT user_bucket,
+         CAST(sum(CASE WHEN event_type = 'click' THEN cents END) AS BIGINT) AS click_sum,
+         CAST(sum(CASE WHEN event_type = 'view' THEN cents END) AS BIGINT) AS view_sum,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN cents END) AS BIGINT) AS purchase_sum,
+         CAST(sum(CASE WHEN event_type = 'signup' THEN cents END) AS BIGINT) AS signup_sum,
+         CAST(sum(CASE WHEN event_type = 'error' THEN cents END) AS BIGINT) AS error_sum
+  FROM t GROUP BY user_bucket)
+SELECT user_bucket, event_col, cents_sum
+FROM w UNPIVOT (cents_sum FOR event_col IN
+  (click_sum, view_sum, purchase_sum, signup_sum, error_sum))
+"""
+
+
+EXT_QUERIES.update({"q_events_unpivot": q_events_unpivot})
+EXT_ORACLE_SQL.update({"q_events_unpivot": SQL_EVENTS_UNPIVOT})

@@ -1490,3 +1490,46 @@ def pivot_sum(
         [(c, "sum") for c in out_cols],
         num_partitions,
     )
+
+
+def unpivot(
+    ds,
+    id_cols: list[str],
+    value_cols: list[str],
+    cat_name: str = "name",
+    value_name: str = "value",
+    drop_null: bool = True,
+):
+    """SQL ``UNPIVOT`` (melt): wide columns → (id_cols..., name, value)
+    rows. ``drop_null=True`` matches SQL UNPIVOT's EXCLUDE NULLS default
+    (a NULL cell emits no row); pass False for INCLUDE NULLS.
+
+    Scale shape: stateless per-batch reshape — id columns repeat
+    |value_cols| times via zero-copy-ish Arrow concat, no shuffle, no
+    state. The inverse of ``pivot_sum`` up to aggregation.
+    """
+    if not value_cols:
+        raise ValueError("unpivot: value_cols must be a non-empty list")
+
+    def melt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        vtype = batch[value_cols[0]].type
+        cols = {}
+        for c in id_cols:
+            arr = batch[c].combine_chunks()
+            cols[c] = pa.concat_arrays([arr] * len(value_cols))
+        cols[cat_name] = pa.concat_arrays(
+            [
+                pa.array([vc] * n, pa.string())
+                for vc in value_cols
+            ]
+        )
+        cols[value_name] = pa.concat_arrays(
+            [batch[vc].combine_chunks().cast(vtype) for vc in value_cols]
+        )
+        out = pa.table(cols)
+        if drop_null:
+            out = out.filter(pc.is_valid(out[value_name]))
+        return out
+
+    return ds.map_batches(melt, batch_format="pyarrow")

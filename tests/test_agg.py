@@ -673,3 +673,34 @@ def test_pivot_sum_empty_cells_null_and_validation(ray_session):
 
     with _pytest.raises(ValueError, match="non-empty"):
         pivot_sum(ray.data.from_arrow(t), "k", "cat", "v", [])
+
+
+def test_unpivot_null_handling_and_validation(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.agg import unpivot
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 2], pa.int64()),
+            "a": pa.array([10, None], pa.int64()),
+            "b": pa.array([None, 20], pa.int64()),
+        }
+    )
+    # EXCLUDE NULLS (SQL default): null cells emit no row
+    out = (
+        unpivot(ray.data.from_arrow(t), ["k"], ["a", "b"])
+        .to_pandas().sort_values(["k", "name"]).reset_index(drop=True)
+    )
+    assert len(out) == 2
+    assert out.loc[0].tolist() == [1, "a", 10]
+    assert out.loc[1].tolist() == [2, "b", 20]
+    # INCLUDE NULLS keeps every cell
+    out2 = unpivot(
+        ray.data.from_arrow(t), ["k"], ["a", "b"], drop_null=False
+    ).to_pandas()
+    assert len(out2) == 4
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        unpivot(ray.data.from_arrow(t), ["k"], [])
