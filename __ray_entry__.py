@@ -40,13 +40,84 @@ def entry() -> Any:
     return res.edges
 
 
+# Driver-facing ordering. The driver's per-round oracle snapshot has
+# historically covered the FIRST 50 registered queries (CORRECTNESS_r02 and
+# _r03 both contain exactly the first 50 insertion-order keys), leaving 38
+# registered queries verified only by the identical in-repo DuckDB harness
+# (tests/test_queries_oracle.py). Per VERDICT r3 item 1 we rotate: the 38
+# not-yet-driver-certified queries come first, then 12 flagship
+# previously-green queries fill the 50-slot window, then the remainder.
+# The full registry is unchanged — only presentation order differs.
+# Mapping documented in README.md ("Driver query ordering").
+_DRIVER_FIRST: list[str] = [
+    # 38 registered-but-not-yet-driver-certified (r03 gap), oldest first
+    "q_sample_docs_per_lang",
+    "q_customers_without_orders",
+    "q_parts_in_lineitem",
+    "q_unique_tokens_per_lang",
+    "q_approx_unique_tokens_per_lang",
+    "q_knn_ivf",
+    "q_embedding_centroids",
+    "q_top_terms_per_lang",
+    "q_tag_policies",
+    "q_events_tumbling",
+    "q_events_numbered",
+    "q_events_session_ids",
+    "q_events_hopping",
+    "q_events_asof_join",
+    "q_shipping_priority",
+    "q_events_range_window",
+    "q_chunk_dedup",
+    "q_graph_triangles",
+    "q_graph_khop",
+    "q_local_supplier_volume",
+    "q_lm_nll",
+    "q_search_top2",
+    "q_bm25_search",
+    "q_lm_bigram_nll",
+    "q_events_lead_lag",
+    "q_lineitem_corr",
+    "q_users_click_and_purchase",
+    "q_users_click_not_purchase",
+    "q_full_outer_revenue",
+    "q_bpe_merges",
+    "q_fuzzy_part_tokens",
+    "q_events_running_total",
+    "q_events_pivot",
+    "q_corpus_split",
+    "q_graph_communities",
+    "q_events_rank",
+    "q_pack_bins",
+    "q_events_unpivot",
+    # 12 flagship re-certification slots (green in r02 and r03)
+    "q_kg_triples_flagship",
+    "q_kg_edges",
+    "q_kg_nodes",
+    "q_mine_bigrams",
+    "q_score_ratio",
+    "q_tag_all_mentions",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_clean_corpus",
+    "q_knn_cosine",
+    "q_events_rollup",
+    "q_spell_correct",
+]
+
+
+def _driver_order(d: dict) -> dict:
+    out = {k: d[k] for k in _DRIVER_FIRST if k in d}
+    out.update({k: v for k, v in d.items() if k not in out})
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from phrasekit_ray.pipelines.queries import QUERIES
 
-    return dict(QUERIES)
+    return _driver_order(dict(QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
     from phrasekit_ray.pipelines.queries import ORACLE_SQL
 
-    return dict(ORACLE_SQL)
+    return _driver_order(dict(ORACLE_SQL))
