@@ -211,8 +211,24 @@ class _BitReader:
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JPEG bytes → float32 image: (h, w) grayscale or
-    (h, w, 3) RGB in [0, 255]. Raises ValueError on non-baseline or
-    malformed streams."""
+    (h, w, 3) RGB in [0, 255]. Raises ValueError — and ONLY ValueError —
+    on non-baseline or malformed streams: the payload is untrusted web
+    bytes, and ImageDecodeActor's per-row error handling catches
+    (ValueError, OSError), so any parse exception escaping as another
+    type would crash a whole batch instead of marking one row
+    decoded_ok=false."""
+    try:
+        return _decode_jpeg_markers(payload)
+    except ValueError:
+        raise
+    except Exception as exc:  # truncated/garbage segments: struct.error,
+        # IndexError, KeyError, ZeroDivisionError, StopIteration, ...
+        raise ValueError(
+            f"malformed JPEG stream: {type(exc).__name__}: {exc}"
+        ) from exc
+
+
+def _decode_jpeg_markers(payload: bytes) -> np.ndarray:
     if len(payload) < 4 or payload[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -238,26 +254,41 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 p += 1
                 if pq != 0:
                     raise ValueError("16-bit quant tables not baseline")
+                if p + 64 > len(seg):
+                    raise ValueError("truncated DQT table")
                 tbl = np.frombuffer(seg[p:p + 64], dtype=np.uint8).astype(np.int64)
                 qtables[tq] = tbl
                 p += 64
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
+                if p + 17 > len(seg):
+                    raise ValueError("truncated DHT segment header")
                 tc, th = seg[p] >> 4, seg[p] & 15
                 bits = list(seg[p + 1:p + 17])
                 n = sum(bits)
+                if p + 17 + n > len(seg):
+                    raise ValueError("truncated DHT value list")
                 vals = list(seg[p + 17:p + 17 + n])
                 htables[(tc, th)] = _build_huff_decode(bits, vals)
                 p += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
+            if len(seg) < 6:
+                raise ValueError("truncated SOF0 segment")
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
+            if h == 0 or w == 0:
+                raise ValueError("zero image dimension in SOF0")
+            if len(seg) < 6 + 3 * nc:
+                raise ValueError("truncated SOF0 component list")
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+                hs, vs = hv >> 4, hv & 15
+                if hs < 1 or vs < 1 or hs > 4 or vs > 4:
+                    raise ValueError(f"bad sampling factors {hs}x{vs} in SOF0")
+                comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -269,11 +300,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF0")
+            if len(seg) < 1:
+                raise ValueError("truncated SOS segment")
             ns = seg[0]
+            if len(seg) < 1 + 2 * ns:
+                raise ValueError("truncated SOS component list")
             scan = []
             for i in range(ns):
                 cs, tda = seg[1 + 2 * i], seg[2 + 2 * i]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                comp = next(
+                    (c for c in frame["comps"] if c["id"] == cs), None
+                )
+                if comp is None:
+                    raise ValueError(
+                        f"SOS scan component id {cs} not declared in SOF0"
+                    )
                 scan.append({**comp, "td": tda >> 4, "ta": tda & 15})
             if ns < len(frame["comps"]):
                 # T.81 allows one scan per component in baseline, but this

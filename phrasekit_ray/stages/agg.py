@@ -1035,13 +1035,16 @@ def profile_table(ds, columns: list[str] | None = None, schema=None) -> pa.Table
     )
 
 
-def _empty_grand_total(src, keys: list[str], value_col: str):
+def _empty_grand_total(src, keys: list[str], value_col: str, agg_fn: str = "sum"):
     """One all-NULL-keys, NULL-aggregate row — what SQL CUBE / ROLLUP /
     GROUPING SETS (with the () set) emit for an EMPTY input table, where
     the grouped levels emit zero rows but the global-aggregate level
     still produces its single row (sum over empty = NULL). ``src`` is the
     pre-aggregation input (an empty aggregate has no schema of its own);
-    the NULL aggregate is emitted in the input value type."""
+    the NULL aggregate is emitted in the type the NON-empty path's Arrow
+    grouped aggregate would produce (sum widens int→int64/uint→uint64 and
+    float32→float64; min/max keep the input type), so empty and non-empty
+    inputs of the same query have identical output schemas."""
     import ray
 
     schema = src.schema(fetch_if_missing=True)
@@ -1050,6 +1053,13 @@ def _empty_grand_total(src, keys: list[str], value_col: str):
         vtype = dict(zip(schema.names, schema.types)).get(value_col, vtype)
     if not isinstance(vtype, pa.DataType):
         vtype = pa.int64()
+    if agg_fn == "sum":
+        if pa.types.is_unsigned_integer(vtype):
+            vtype = pa.uint64()
+        elif pa.types.is_integer(vtype):
+            vtype = pa.int64()
+        elif pa.types.is_floating(vtype):
+            vtype = pa.float64()
     types = dict(zip(schema.names, schema.types)) if schema is not None else {}
     cols = {
         k: pa.array([None], types.get(k, pa.string())) for k in keys
@@ -1097,7 +1107,7 @@ def grouped_cube(
     if finest.count() == 0:
         # SQL parity on empty input: only the () grouping set emits its
         # (NULL-aggregate) grand-total row; every grouped level is empty
-        return _empty_grand_total(ds, keys, value_col)
+        return _empty_grand_total(ds, keys, value_col, agg_fn)
 
     levels = [finest]
     n = len(keys)
@@ -1181,7 +1191,7 @@ def grouped_sets(
     if finest.count() == 0 and any(len(s) == 0 for s in sets):
         # SQL parity: the requested () set still emits its grand-total
         # row on an empty input; all other sets are empty
-        return _empty_grand_total(ds, keys, value_col)
+        return _empty_grand_total(ds, keys, value_col, agg_fn)
 
     levels = []
     for s in sets:
@@ -1264,7 +1274,7 @@ def grouped_rollup(
     if finest.count() == 0:
         # SQL parity on empty input: ROLLUP's () level still emits its
         # (NULL-aggregate) grand-total row
-        return _empty_grand_total(ds, keys, value_col)
+        return _empty_grand_total(ds, keys, value_col, agg_fn)
 
     levels = [finest]
     prev = finest

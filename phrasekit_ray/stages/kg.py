@@ -1165,8 +1165,9 @@ def _k_hop_driver(und, hops: int, seed: int | None):
     """Driver BFS for an edge set under the broadcast bound: one pull of
     the (already distinct) undirected edges, CSR adjacency, numpy
     frontier sweeps — the same bounded-driver pattern as
-    _triangle_counts_driver. Returns None when the pull is empty and a
-    seed was given (caller emits just the seed)."""
+    _triangle_counts_driver. Always returns a (node, dist) dataset; when
+    a seed is given it is emitted at dist 0 even if the edge pull is
+    empty."""
     import ray
 
     tbls = [t for t in ray.get(und.to_arrow_refs()) if t.num_rows]

@@ -203,3 +203,82 @@ def test_rejects_non_interleaved_multi_scan():
     patched = bytes(enc[:i]) + single + bytes(enc[i + 2 + seglen:])
     with pytest.raises(ValueError, match="non-interleaved"):
         jpeg.decode_jpeg(patched)
+
+
+# --- ADVICE r3 (high): malformed streams must raise ValueError ONLY ------
+# ImageDecodeActor catches (ValueError, OSError); any other exception type
+# escaping decode_jpeg crashes a whole batch instead of yielding one
+# decoded_ok=false row. These four cases previously escaped as
+# StopIteration / ZeroDivisionError / IndexError / struct.error.
+
+
+def _patch_segment(enc: bytes, marker: bytes, new_seg: bytes) -> bytes:
+    """Replace the first `marker` segment (payload after the 2-byte length)
+    with new_seg, rewriting the length field."""
+    i = enc.find(marker)
+    assert i > 0
+    seglen = struct.unpack(">H", enc[i + 2:i + 4])[0]
+    return (
+        enc[:i + 2]
+        + struct.pack(">H", len(new_seg) + 2)
+        + new_seg
+        + enc[i + 2 + seglen:]
+    )
+
+
+def test_sos_component_id_absent_from_sof_raises_valueerror():
+    enc = bytearray(jpeg.encode_jpeg(_smooth_rgb(16, 16), quality=85))
+    i = enc.find(b"\xff\xda")
+    assert i > 0
+    enc[i + 5] = 77  # first scan component id → one not declared in SOF0
+    with pytest.raises(ValueError, match="not declared in SOF"):
+        jpeg.decode_jpeg(bytes(enc))
+
+
+def test_zero_sampling_factor_raises_valueerror():
+    enc = bytearray(jpeg.encode_jpeg(_smooth_rgb(16, 16), quality=85))
+    i = enc.find(b"\xff\xc0")
+    assert i > 0
+    # component 0 h/v nibble byte sits at seg offset 7 → file offset i+4+7
+    enc[i + 4 + 7] = 0x00
+    with pytest.raises(ValueError, match="sampling factors"):
+        jpeg.decode_jpeg(bytes(enc))
+
+
+def test_truncated_dht_raises_valueerror():
+    enc = bytes(jpeg.encode_jpeg(_smooth_rgb(16, 16), quality=85))
+    # replace first DHT payload with a half-written header
+    patched = _patch_segment(enc, b"\xff\xc4", b"\x00\x01\x02")
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(patched)
+
+
+def test_truncated_sof_raises_valueerror():
+    enc = bytes(jpeg.encode_jpeg(_smooth_rgb(16, 16), quality=85))
+    patched = _patch_segment(enc, b"\xff\xc0", b"\x08\x00")
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(patched)
+
+
+def test_arbitrary_corruption_raises_only_valueerror():
+    """Fuzz: flipping any single byte of a valid stream must either decode
+    or raise ValueError — never any other exception type."""
+    enc = bytes(jpeg.encode_jpeg(_smooth_rgb(24, 24), quality=75))
+    rng = np.random.default_rng(42)
+    for _ in range(300):
+        pos = int(rng.integers(2, len(enc)))
+        val = int(rng.integers(0, 256))
+        mutated = enc[:pos] + bytes([val]) + enc[pos + 1:]
+        try:
+            jpeg.decode_jpeg(mutated)
+        except ValueError:
+            pass
+
+
+def test_truncation_fuzz_raises_only_valueerror():
+    enc = bytes(jpeg.encode_jpeg(_smooth_rgb(24, 24), quality=75))
+    for cut in range(2, len(enc), max(1, len(enc) // 97)):
+        try:
+            jpeg.decode_jpeg(enc[:cut])
+        except ValueError:
+            pass
