@@ -1305,43 +1305,55 @@ def fuzzy_token_pairs(
         )
 
     def pairs(group: pa.Table) -> pa.Table:
-        import pandas as pd
+        # Arrow-native end to end (no to_pandas, no per-pair Python):
+        # sort by (variant, token), drop duplicate (variant, token)
+        # rows, then expand within-variant position pairs with the same
+        # vectorized stride kernel cooccurrence_edges uses. Within a
+        # segment tokens are sorted ascending and distinct, so
+        # t_s[i] < t_s[j] for every emitted (i, j) — no swap needed.
+        from phrasekit_ray.stages.kg import _segment_pair_positions
 
-        v = group["v"].to_pandas()
-        t = group["tok"].to_pandas()
-        order = np.lexsort((t.to_numpy(), v.to_numpy()))
-        v_s = v.to_numpy()[order]
-        t_s = t.to_numpy()[order]
-        # dedup (variant, token) then enumerate within-variant pairs
-        keep = np.concatenate(
-            ([True], (v_s[1:] != v_s[:-1]) | (t_s[1:] != t_s[:-1]))
-        ) if len(v_s) else np.zeros(0, bool)
-        v_s, t_s = v_s[keep], t_s[keep]
-        starts = np.flatnonzero(
-            np.concatenate(([True], v_s[1:] != v_s[:-1]))
-        ) if len(v_s) else np.zeros(0, np.int64)
-        lens = np.diff(np.concatenate((starts, [len(v_s)])))
+        empty = pa.table(
+            {
+                "left_tok": pa.array([], pa.string()),
+                "right_tok": pa.array([], pa.string()),
+            }
+        )
+        n = group.num_rows
+        if n == 0:
+            return empty
+        order = pc.sort_indices(
+            group, sort_keys=[("v", "ascending"), ("tok", "ascending")]
+        )
+        v_s = group["v"].take(order).combine_chunks()
+        t_s = group["tok"].take(order).combine_chunks()
+
+        def _neq_shift(arr):
+            return pc.not_equal(arr.slice(1), arr.slice(0, len(arr) - 1)).to_numpy(
+                zero_copy_only=False
+            )
+
+        keep = np.concatenate(([True], _neq_shift(v_s) | _neq_shift(t_s)))
+        if not keep.all():
+            mask = pa.array(keep)
+            v_s = v_s.filter(mask)
+            t_s = t_s.filter(mask)
+        if len(v_s) == 0:
+            return empty
+        seg_id = np.cumsum(np.concatenate(([True], _neq_shift(v_s)))) - 1
+        lens = np.bincount(seg_id)
         if (lens > hot_variant_cap).any():
             raise ValueError(
                 f"fuzzy_token_pairs: a deletion variant is shared by "
                 f"{int(lens.max())} tokens (> cap {hot_variant_cap})"
             )
-        left, right = [], []
-        for s, ln in zip(starts, lens):
-            if ln < 2:
-                continue
-            seg = t_s[s:s + ln]
-            for i in range(ln - 1):
-                for j in range(i + 1, ln):
-                    a, b = seg[i], seg[j]
-                    if a > b:
-                        a, b = b, a
-                    left.append(a)
-                    right.append(b)
+        i, j = _segment_pair_positions(seg_id)
+        if len(i) == 0:
+            return empty
         return pa.table(
             {
-                "left_tok": pa.array(left, pa.string()),
-                "right_tok": pa.array(right, pa.string()),
+                "left_tok": t_s.take(pa.array(i)),
+                "right_tok": t_s.take(pa.array(j)),
             }
         )
 

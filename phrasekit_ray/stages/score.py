@@ -249,18 +249,28 @@ def score_stats(
         d = batch["count"].to_numpy().astype(np.uint64)
         keep = d >= min_domain
         ngrams = batch["ngram"].to_pylist()
+        # the bg dict's keys are lowercase+whitespace-normalized
+        # (reference load_phrases lowercases BOTH sides,
+        # phrasekit_score.rs:158-160). Same shape as the main scoring
+        # path (score_batch above): detect non-normalized input ONCE per
+        # batch with vectorized kernels and probe the normalized key
+        # only — no per-miss double probe in the per-row loop.
+        ng_col = batch["ngram"]
+        norm_col = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.utf8_lower(ng_col), pattern=r"\s+", replacement=" "
+            )
+        )
+        already_norm = pc.all(pc.equal(norm_col, ng_col)).as_py()
+        keys = (
+            ngrams
+            if already_norm
+            else [" ".join(s.split()).lower() for s in ngrams]
+        )
         b = np.fromiter(
-            # the bg dict's keys are lowercase+whitespace-normalized
-            # (reference load_phrases lowercases BOTH sides,
-            # phrasekit_score.rs:158-160); probe with the same
-            # normalization so cased domain input cannot silently read
-            # background_count=0 for every phrase
-            (
-                bg_map.get(ng, 0) or bg_map.get(" ".join(ng.split()).lower(), 0)
-                for ng in ngrams
-            ),
+            (bg_map.get(k, 0) for k in keys),
             dtype=np.uint64,
-            count=len(ngrams),
+            count=len(keys),
         )
         sal = saliencemod.compute_salience(
             method, d[keep], b[keep], total_domain, total_background

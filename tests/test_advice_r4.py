@@ -72,3 +72,42 @@ def test_empty_vs_nonempty_schema_identical(ray_session, which, vtype, agg_fn):
     assert got == want, (agg_fn, vtype, got, want)
     assert out_empty.num_rows == 1
     assert out_empty["v"].to_pylist() == [None]
+
+
+def test_score_stats_probes_normalized_key_once(ray_session):
+    """VERDICT r3 item 3: score_stats must use the same once-per-batch
+    vectorized normalization check as the main scoring path — normalized
+    key probed ONLY (reference lowercases both sides), and no per-miss
+    double probe left in the source."""
+    import inspect
+
+    import ray
+
+    from phrasekit_ray.config import ScoreConfig
+    from phrasekit_ray.stages import score as scoremod
+    from phrasekit_ray.stages.score import score_stats
+
+    domain = ray.data.from_arrow(
+        pa.table(
+            {
+                "ngram": pa.array(["Machine  Learning"]),  # cased + dbl space
+                "count": pa.array([10], pa.uint64()),
+            }
+        )
+    )
+    # both casings present: the normalized entry must win (b=7 →
+    # ratio salience 10/7 passes min_salience=1.0; the cased entry's
+    # 999999 would fail it)
+    bg = {"Machine  Learning": 999999, "machine learning": 7}
+    stats = score_stats(
+        domain,
+        bg,
+        ScoreConfig(method="ratio", min_domain_count=1, min_salience=1.0),
+    )
+    assert stats["domain_phrases"] == 1
+    assert stats["after_domain_filter"] == 1
+    assert stats["after_salience_filter"] == 1
+
+    # source-level pin: the per-miss `or bg_map.get(...)` fallback is gone
+    src = inspect.getsource(scoremod)
+    assert "or bg_map.get" not in src

@@ -494,3 +494,54 @@ def test_fuzzy_token_pairs_matches_bruteforce(ray_session):
     # the fast path agrees with the DP on tricky shapes
     for a, b in [("abc", "abd"), ("abc", "abcd"), ("abc", "bc"), ("ab", "ba")]:
         assert _ed_le1(a, b) == (ed(a, b) <= 1), (a, b)
+
+
+def test_fuzzy_token_pairs_hot_variant_vectorized(ray_session):
+    """VERDICT r3 item 2: within-variant pair emission is the vectorized
+    segment-stride kernel (no per-pair Python loop). A family of k tokens
+    sharing deletion variants must emit exactly the DP-verified pair set —
+    C(k,2)-scale output from one stride pass."""
+    import ray
+
+    from phrasekit_ray.stages.dedup import fuzzy_token_pairs
+
+    # "tokNN" family: all pairs differ in the final 2 chars → most are
+    # ed=2 (filtered by verify); single-digit members tok0d/tok1d differ
+    # by one substitution within each decade. Plus a hub family 'aXc'
+    # where every pair shares variant 'ac' (multiplicity 26).
+    toks = [f"tok{i:02d}" for i in range(60)] + [
+        f"a{c}c" for c in "abcdefghijklmnopqrstuvwxyz"
+    ]
+    ds = ray.data.from_arrow(pa.table({"tok": pa.array(toks)})).repartition(4)
+    got = {
+        tuple(r)
+        for r in fuzzy_token_pairs(ds, min_len=3).to_pandas().values
+    }
+
+    def ed(a, b):
+        m, n = len(a), len(b)
+        d = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, n + 1):
+                prev, d[j] = d[j], min(
+                    d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                )
+        return d[n]
+
+    uniq = sorted(set(toks))
+    want = {
+        (a, b)
+        for i, a in enumerate(uniq)
+        for b in uniq[i + 1:]
+        if ed(a, b) <= 1
+    }
+    assert got == want
+    # hub family alone contributes C(26,2) = 325 pairs
+    assert sum(1 for a, b in got if a.startswith("a") and a.endswith("c")) >= 325
+
+    # the cap still trips on a variant hotter than allowed
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="deletion variant"):
+        fuzzy_token_pairs(ds, min_len=3, hot_variant_cap=5).to_pandas()
