@@ -303,6 +303,62 @@ def cmd_communities(args) -> int:
     return 0
 
 
+def cmd_pivot(args) -> int:
+    import ray
+
+    from phrasekit_ray.stages.agg import pivot_sum
+
+    _init_ray()
+    cats = args.categories.split(",")
+    ds = ray.data.read_parquet(
+        args.input, columns=[args.key, args.cat_col, args.value_col]
+    )
+    out = pivot_sum(
+        ds, args.key, args.cat_col, args.value_col, cats,
+        num_partitions=args.num_partitions,
+    )
+    out.write_parquet(args.output)
+    print(json.dumps({"stage": "pivot", "categories": cats}))
+    return 0
+
+
+def cmd_unpivot(args) -> int:
+    import ray
+
+    from phrasekit_ray.stages.agg import unpivot
+
+    _init_ray()
+    id_cols = args.id_cols.split(",")
+    value_cols = args.value_cols.split(",")
+    ds = ray.data.read_parquet(args.input, columns=id_cols + value_cols)
+    out = unpivot(
+        ds, id_cols, value_cols,
+        cat_name=args.cat_name, value_name=args.value_name,
+        drop_null=not args.include_nulls,
+    )
+    out.write_parquet(args.output)
+    print(json.dumps({"stage": "unpivot", "value_cols": value_cols}))
+    return 0
+
+
+def cmd_rank_window(args) -> int:
+    import ray
+
+    from phrasekit_ray.stages.windows import rank_window
+
+    _init_ray()
+    ds = ray.data.read_parquet(
+        args.input, columns=[args.user_col, args.ts_col, args.id_col]
+    )
+    out = rank_window(
+        ds, user_col=args.user_col, ts_col=args.ts_col, id_col=args.id_col,
+        ntile_k=args.ntile_k, num_partitions=args.num_partitions,
+    )
+    out.write_parquet(args.output)
+    print(json.dumps({"stage": "rank-window", "ntile_k": args.ntile_k}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="phrasekit_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -405,6 +461,43 @@ def main(argv=None) -> int:
     cm.add_argument("--dst-col", default="dst")
     cm.add_argument("--max-rounds", type=int, default=10)
     cm.set_defaults(fn=cmd_communities)
+
+    pv = sub.add_parser(
+        "pivot", help="conditional-aggregate pivot (sum per category column)"
+    )
+    pv.add_argument("--input", required=True)
+    pv.add_argument("--output", required=True)
+    pv.add_argument("--key", required=True)
+    pv.add_argument("--cat-col", required=True)
+    pv.add_argument("--value-col", required=True)
+    pv.add_argument("--categories", required=True,
+                    help="comma-separated category values to pivot into columns")
+    pv.add_argument("--num-partitions", type=int, default=None)
+    pv.set_defaults(fn=cmd_pivot)
+
+    up = sub.add_parser("unpivot", help="UNPIVOT/melt wide columns to rows")
+    up.add_argument("--input", required=True)
+    up.add_argument("--output", required=True)
+    up.add_argument("--id-cols", required=True, help="comma-separated")
+    up.add_argument("--value-cols", required=True, help="comma-separated")
+    up.add_argument("--cat-name", default="name")
+    up.add_argument("--value-name", default="value")
+    up.add_argument("--include-nulls", action="store_true",
+                    help="INCLUDE NULLS (default excludes NULL cells)")
+    up.set_defaults(fn=cmd_unpivot)
+
+    rw = sub.add_parser(
+        "rank-window",
+        help="ROW_NUMBER / NTILE / percent_rank per user ordered by ts",
+    )
+    rw.add_argument("--input", required=True)
+    rw.add_argument("--output", required=True)
+    rw.add_argument("--user-col", default="user_id")
+    rw.add_argument("--ts-col", default="ts")
+    rw.add_argument("--id-col", default="event_id")
+    rw.add_argument("--ntile-k", type=int, default=4)
+    rw.add_argument("--num-partitions", type=int, default=None)
+    rw.set_defaults(fn=cmd_rank_window)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -915,23 +915,62 @@ def q_pagerank_top(sf_dir: str):
     """Top-20 KG entities by weighted PageRank over the co-mention edge
     table (distributed join/aggregate power iteration; rows-only —
     float ranks aren't stable enough across summation orders for a hash
-    oracle; pytest pins equality vs a dense numpy power iteration)."""
+    oracle). The quality metric is IN-BAND (VERDICT r3 item 6): every
+    row carries max|Δ| (×1e12) between the distributed ranks and an
+    independent sparse numpy power iteration computed over the
+    model-sized edge table, so the driver's artifact records the
+    agreement (expected ≤ ~1e-9 → column value ≤ ~1000)."""
     tagged, artifact = _tagged_all_bigrams(sf_dir)
     mapping = {int(p): int(p) for p in artifact.phrase_ids}
     triples = kgmod.triples_from_tagged(tagged, mapping, KGConfig())
-    edges = kgmod.edge_table(triples)
+    edges = kgmod.edge_table(triples).materialize()
     ranks = kgmod.pagerank(edges, iterations=6)
     t = _collect(ranks)
+
+    # independent reference: sparse power iteration, same damping /
+    # dangling handling as stages/kg.py pagerank (edge weights directed
+    # subj→obj) — np.add.at scatter, no dense m×m matrix
+    et = _collect(edges)
+    subj = et["subj"].combine_chunks().cast(pa.int64()).to_numpy()
+    obj = et["obj"].combine_chunks().cast(pa.int64()).to_numpy()
+    w = et["weight"].combine_chunks().cast(pa.float64()).to_numpy()
+    nodes_arr, inv = np.unique(np.concatenate([subj, obj]), return_inverse=True)
+    s_idx, o_idx = inv[: len(subj)], inv[len(subj):]
+    m = len(nodes_arr)
+    outw = np.zeros(m)
+    np.add.at(outw, s_idx, w)
+    d = 0.85
+    r = np.full(m, 1.0 / m) if m else np.zeros(0)
+    for _ in range(6):
+        dangling = r[outw == 0].sum()
+        share = np.zeros(m)
+        np.add.at(share, o_idx, r[s_idx] / outw[s_idx] * w)
+        r = (1 - d) / m + d * (share + dangling / m)
+    ref = dict(zip(nodes_arr.tolist(), r.tolist()))
+    got_nodes = t["node"].combine_chunks().cast(pa.int64()).to_numpy()
+    got_ranks = np.asarray(t["rank"].to_pylist(), dtype=np.float64)
+    max_delta = float(
+        np.max(
+            np.abs(got_ranks - np.asarray([ref.get(int(n), 0.0) for n in got_nodes]))
+        )
+        if len(got_nodes)
+        else 0.0
+    )
+
     order = pa.compute.sort_indices(
         t, sort_keys=[("rank", "descending"), ("node", "ascending")]
     )
     top = t.take(order.slice(0, 20))
+    n_top = top.num_rows
     return pa.table(
         {
             "node": top["node"].cast(pa.int64()),
             "rank_e9": pa.array(
                 np.round(np.asarray(top["rank"].to_pylist()) * 1e9).astype(np.int64),
                 pa.int64(),
+            ),
+            "max_abs_delta_e12": pa.array(
+                np.full(n_top, round(max_delta * 1e12), dtype=np.int64), pa.int64()
             ),
         }
     )
@@ -1034,6 +1073,10 @@ def q_knn_cosine(sf_dir: str):
 
 
 def q_knn_lsh(sf_dir: str):
+    """LSH ANN top-10 with the measured quality metric IN-BAND (VERDICT
+    r3 item 6): each row carries its query's recall@10 vs the exact
+    brute-force top-10 on the same queries, so the driver's rows-only
+    artifact records the achieved ~0.9+ recall rather than nothing."""
     ds = _embeddings(sf_dir)
     first = _collect(ds).sort_by("vec_id").slice(0, 5)
     qids = first["vec_id"].to_pylist()
@@ -1043,7 +1086,26 @@ def q_knn_lsh(sf_dir: str):
     t = similarity.lsh_topk(
         ds, qvecs, qids, k=10, num_planes=8, probes=17, num_tables=6
     )
-    return _i64(t.select(["query_id", "vec_id"]), "query_id", "vec_id")
+    exact = similarity.brute_force_topk(ds, qvecs, qids, k=10)
+    truth: dict[int, set] = {}
+    for q, v in zip(
+        exact["query_id"].to_pylist(), exact["vec_id"].to_pylist()
+    ):
+        truth.setdefault(int(q), set()).add(int(v))
+    qs = [int(q) for q in t["query_id"].to_pylist()]
+    vs = [int(v) for v in t["vec_id"].to_pylist()]
+    hits = {q: 0 for q in truth}
+    for q, v in zip(qs, vs):
+        if v in truth.get(q, ()):
+            hits[q] += 1
+    recall_pct = pa.array(
+        [round(100 * hits.get(q, 0) / max(len(truth.get(q, ())), 1)) for q in qs],
+        pa.int64(),
+    )
+    out = t.select(["query_id", "vec_id"]).append_column(
+        "recall_at10_pct", recall_pct
+    )
+    return _i64(out, "query_id", "vec_id")
 
 
 def q_embed_near_dup(sf_dir: str):

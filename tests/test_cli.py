@@ -218,3 +218,77 @@ def test_cli_communities(ray_session, tmp_path):
     # two chains → two label groups
     assert len(labels) == 6
     assert len({labels[0], labels[1], labels[2]} & {labels[10], labels[11], labels[12]}) == 0
+
+
+def test_cli_pivot_unpivot_roundtrip(ray_session, tmp_path, sf_dir):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from phrasekit_ray.cli import main
+
+    wide = str(tmp_path / "wide")
+    rc = main(
+        [
+            "pivot",
+            "--input", f"{sf_dir}/events.parquet",
+            "--output", wide,
+            "--key", "user_id",
+            "--cat-col", "event_type",
+            "--value-col", "value",
+            "--categories", "click,view,purchase",
+        ]
+    )
+    assert rc == 0
+    wfiles = glob.glob(f"{wide}/*.parquet")
+    wt = pq.read_table(wfiles)
+    assert {"user_id", "click_sum", "view_sum", "purchase_sum"} <= set(
+        wt.column_names
+    )
+
+    longd = str(tmp_path / "long")
+    rc = main(
+        [
+            "unpivot",
+            "--input", wide,
+            "--output", longd,
+            "--id-cols", "user_id",
+            "--value-cols", "click_sum,view_sum,purchase_sum",
+            "--cat-name", "event_col",
+            "--value-name", "vsum",
+        ]
+    )
+    assert rc == 0
+    lt = pq.read_table(glob.glob(f"{longd}/*.parquet"))
+    assert set(lt.column_names) == {"user_id", "event_col", "vsum"}
+    # every non-null wide cell melts to exactly one row
+    import pyarrow.compute as pc_
+
+    nn = sum(
+        int(pc_.sum(pc_.cast(pc_.is_valid(wt[c]), "int64")).as_py() or 0)
+        for c in ["click_sum", "view_sum", "purchase_sum"]
+    )
+    assert lt.num_rows == nn
+
+
+def test_cli_rank_window(ray_session, tmp_path, sf_dir):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from phrasekit_ray.cli import main
+
+    out = str(tmp_path / "ranks")
+    rc = main(
+        [
+            "rank-window",
+            "--input", f"{sf_dir}/events.parquet",
+            "--output", out,
+            "--ntile-k", "4",
+        ]
+    )
+    assert rc == 0
+    t = pq.read_table(glob.glob(f"{out}/*.parquet"))
+    assert {"event_id", "rn", "ntile", "pr_micro"} <= set(t.column_names)
+    n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    assert t.num_rows == n
