@@ -101,7 +101,10 @@ _DRIVER_FIRST: list[str] = [
     "q_clean_corpus",
     "q_knn_cosine",
     "q_events_rollup",
-    "q_spell_correct",
+    # round-4 NEW oracle-checked query: distributed hash-min connected
+    # components (the canonicalization scale path) vs a recursive-CTE
+    # DuckDB transitive closure — prioritized into the 50-slot window
+    "q_graph_components",
 ]
 
 

@@ -354,6 +354,89 @@ def run_once(headline_only: bool = False) -> dict:
     return result
 
 
+def run_graph_paths() -> dict:
+    """VERDICT r3 item 4: measure the graph pack BOTH ways on the same
+    input — the bounded driver fast paths (what the default bench hits
+    at sf0.1) and the forced distributed paths (what runs at 100× when
+    the bounds are exceeded) — and check the outputs are identical.
+    All broadcast/driver bounds are forced to 0 for the distributed leg.
+    """
+    import ray
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf_dir = _sf_dir()
+    cpus = _num_cpus()
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=cpus, include_dashboard=False)
+    from phrasekit_ray.stages.kg import (
+        cooccurrence_edges,
+        k_hop,
+        triangle_counts,
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    n_rows = pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata.num_rows
+    mem0 = _mem_probe_sec()
+    out: dict = {"sf": _sf_label(sf_dir), "num_cpus": cpus, "lineitem_rows": n_rows}
+    results: dict[str, dict] = {}
+    for mode in ("driver_fast_path", "distributed_forced"):
+        forced = mode == "distributed_forced"
+        t0 = time.perf_counter()
+        edges = cooccurrence_edges(
+            li, "l_orderkey", "l_partkey", input_rows=n_rows,
+            driver_rows_threshold=0 if forced else 20_000_000,
+        ).materialize()
+        t_edges = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        tri = triangle_counts(
+            edges,
+            **({"broadcast_nodes": 0, "broadcast_edges": 0} if forced else {}),
+        )
+        tri_tbl = pa.concat_tables(
+            ray.get(tri.materialize().to_arrow_refs())
+        ).sort_by([("node", "ascending")])
+        t_tri = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        kh = k_hop(edges, hops=3, **({"broadcast_edges": 0} if forced else {}))
+        kh_tbl = pa.concat_tables(
+            ray.get(kh.materialize().to_arrow_refs())
+        ).sort_by([("node", "ascending")])
+        t_khop = time.perf_counter() - t0
+
+        out[mode] = {
+            "cooccurrence_edges_sec": round(t_edges, 3),
+            "triangles_sec": round(t_tri, 3),
+            "khop_sec": round(t_khop, 3),
+            "edges": edges.count(),
+            "tri_rows": tri_tbl.num_rows,
+            "khop_rows": kh_tbl.num_rows,
+        }
+        results[mode] = {"tri": tri_tbl, "khop": kh_tbl}
+
+    def _conform(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {c: t[c].cast(pa.int64()) for c in t.column_names}
+        )
+
+    out["outputs_identical"] = bool(
+        _conform(results["driver_fast_path"]["tri"]).equals(
+            _conform(results["distributed_forced"]["tri"])
+        )
+        and _conform(results["driver_fast_path"]["khop"]).equals(
+            _conform(results["distributed_forced"]["khop"])
+        )
+    )
+    out["mem_probe_sec"] = [mem0, _mem_probe_sec()]
+    ray.shutdown()
+    return out
+
+
 def run_skew_worker() -> dict:
     """Zipfian hot-key aggregate stress (SURVEY.md §4 skew treatment).
 
@@ -502,6 +585,10 @@ def main() -> None:
         help="Zipfian hot-key aggregate stress at two parallelism levels",
     )
     ap.add_argument(
+        "--graph-paths", action="store_true",
+        help="graph pack: bounded driver fast path vs forced distributed path",
+    )
+    ap.add_argument(
         "--worker", action="store_true", help="internal: single headline-only run"
     )
     ap.add_argument(
@@ -512,6 +599,8 @@ def main() -> None:
         out = run_scaling()
     elif args.skew:
         out = run_skew()
+    elif args.graph_paths:
+        out = run_graph_paths()
     elif args.skew_worker:
         out = run_skew_worker()
     elif args.worker:

@@ -1185,3 +1185,50 @@ FROM w UNPIVOT (cents_sum FOR event_col IN
 
 EXT_QUERIES.update({"q_events_unpivot": q_events_unpivot})
 EXT_ORACLE_SQL.update({"q_events_unpivot": SQL_EVENTS_UNPIVOT})
+
+
+# --- round-4 additions: oracle-checked distributed connected components ----
+
+
+def q_graph_components(sf_dir: str):
+    """Connected components over the RECURRING part co-occurrence graph
+    (parts appearing together in >= 2 distinct orders — 9 non-trivial
+    components at sf0.01) via the distributed hash-min label-propagation
+    operator (stages/kg.connected_components_distributed, the 100 TB
+    canonicalization scale path). First driver-ORACLE-checked CC query:
+    the DuckDB twin computes the same labels with a recursive-CTE
+    transitive closure."""
+    from phrasekit_ray.stages.agg import grouped_count
+    from phrasekit_ray.stages.kg import connected_components_distributed
+
+    edges = _basket_edges_ds(sf_dir)
+    weighted = grouped_count(edges, ["subj", "obj"], count_col="w")
+
+    def keep_recurring(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["w"], 2)).select(["subj", "obj"])
+
+    recurring = weighted.map_batches(keep_recurring, batch_format="pyarrow")
+    labels = connected_components_distributed(
+        recurring, src_col="subj", dst_col="obj"
+    )
+    return _i64(_collect(labels), "node", "label")
+
+
+SQL_GRAPH_COMPONENTS = """
+WITH RECURSIVE
+lp AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS pk FROM lineitem),
+ew AS (
+  SELECT a.pk AS u, b.pk AS v
+  FROM lp a JOIN lp b ON a.g = b.g AND a.pk < b.pk
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+ee AS (SELECT u, v FROM ew UNION ALL SELECT v AS u, u AS v FROM ew),
+reach(a, b) AS (
+  SELECT u, v FROM ee
+  UNION
+  SELECT r.a, ee.v FROM reach r JOIN ee ON r.b = ee.u)
+SELECT a AS node, least(a, min(b)) AS label FROM reach GROUP BY a
+"""
+
+
+EXT_QUERIES.update({"q_graph_components": q_graph_components})
+EXT_ORACLE_SQL.update({"q_graph_components": SQL_GRAPH_COMPONENTS})
