@@ -89,22 +89,24 @@ _DRIVER_FIRST: list[str] = [
     "q_events_rank",
     "q_pack_bins",
     "q_events_unpivot",
-    # 12 flagship re-certification slots (green in r02 and r03)
+    # 6 flagship re-certification anchors (green in r02 and r03)
     "q_kg_triples_flagship",
-    "q_kg_edges",
-    "q_kg_nodes",
     "q_mine_bigrams",
     "q_score_ratio",
     "q_tag_all_mentions",
-    "q_dedup_exact",
     "q_dedup_minhash",
     "q_clean_corpus",
-    "q_knn_cosine",
-    "q_events_rollup",
-    # round-4 NEW oracle-checked query: distributed hash-min connected
-    # components (the canonicalization scale path) vs a recursive-CTE
-    # DuckDB transitive closure — prioritized into the 50-slot window
+    # round-4 NEW oracle-checked queries, prioritized into the window:
+    # distributed hash-min connected components (canonicalization scale
+    # path) vs a recursive-CTE DuckDB transitive closure, plus the five
+    # round-4 operators (range self-join, argmax, ROWS window, bloom
+    # semi join, grouped string_agg)
     "q_graph_components",
+    "q_repeat_orders_30d",
+    "q_latest_event_per_user",
+    "q_events_moving_sum",
+    "q_lineitem_small_parts",
+    "q_event_types_per_user",
 ]
 
 

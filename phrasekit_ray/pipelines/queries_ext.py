@@ -1232,3 +1232,220 @@ SELECT a AS node, least(a, min(b)) AS label FROM reach GROUP BY a
 
 EXT_QUERIES.update({"q_graph_components": q_graph_components})
 EXT_ORACLE_SQL.update({"q_graph_components": SQL_GRAPH_COMPONENTS})
+
+
+# --- round-4 additions: range self-join, argmax, ROWS window, bloom semi,
+# --- grouped string_agg ------------------------------------------------------
+
+
+def q_repeat_orders_30d(sf_dir: str):
+    """Repeat-purchase pairs: orders by the same customer placed within
+    (0, 30] days of an earlier order — a bounded-horizon range SELF-join
+    (stages/windows.range_self_join: hash-partition by customer +
+    stride-offset kernel, no all-pairs blowup)."""
+    import ray
+
+    from phrasekit_ray.stages.windows import range_self_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey"],
+    )
+    pairs = range_self_join(
+        orders, key_col="o_custkey", ts_col="o_orderdate",
+        id_col="o_orderkey", horizon=30 * 86_400 * 1_000_000,
+    )
+    return _i64(_collect(pairs), "left_o_orderkey", "right_o_orderkey")
+
+
+SQL_REPEAT_ORDERS_30D = """
+SELECT a.o_orderkey AS left_o_orderkey, b.o_orderkey AS right_o_orderkey
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND b.o_orderdate > a.o_orderdate
+ AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY
+"""
+
+
+def q_latest_event_per_user(sf_dir: str):
+    """ARGMAX per group: each user's latest event (ts desc, event_id
+    desc tiebreak) with its type and integer-cents value — the two-phase
+    in-block-combiner argmax (stages/agg.grouped_argmax)."""
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_argmax
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type", "value"],
+    )
+
+    def derive(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"].combine_chunks().cast(pa.int64()),
+                "ts_us": b["ts"].combine_chunks().cast(pa.int64()),
+                "event_id": b["event_id"].combine_chunks().cast(pa.int64()),
+                "event_type": b["event_type"].combine_chunks(),
+                "cents": _round_away(
+                    pc.multiply(b["value"].combine_chunks().cast(pa.float64()), 100.0)
+                ).cast(pa.int64()),
+            }
+        )
+
+    latest = grouped_argmax(
+        ev.map_batches(derive, batch_format="pyarrow"),
+        "user_id",
+        ["ts_us", "event_id"],
+        ["event_type", "cents"],
+    )
+    return _i64(
+        _collect(latest), "user_id", "ts_us", "event_id", "cents"
+    )
+
+
+SQL_LATEST_EVENT_PER_USER = """
+SELECT user_id,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       event_id, event_type,
+       CAST(round(value * 100.0) AS BIGINT) AS cents
+FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def q_events_moving_sum(sf_dir: str):
+    """ROWS-frame window aggregate: per-user moving sum/count of the
+    last 4 events (3 PRECEDING + current), float-order-proof integer
+    cents (stages/windows.rows_window_sum)."""
+    import ray
+
+    from phrasekit_ray.stages.windows import rows_window_sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+    return _i64(
+        _collect(rows_window_sum(ev, preceding=3)),
+        "event_id", "win_sum_cents", "win_n",
+    )
+
+
+SQL_EVENTS_MOVING_SUM = """
+SELECT event_id,
+       CAST(sum(CAST(round(value * 100.0) AS BIGINT)) OVER w AS BIGINT)
+         AS win_sum_cents,
+       count(value) OVER w AS win_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_lineitem_small_parts(sf_dir: str):
+    """Bloom-prefiltered EXACT semi join (stages/agg.bloom_semi_join):
+    lineitem rows whose part has p_size <= 5, aggregated per returnflag.
+    Result identical to a plain semi join — the Bloom only prefilters
+    (broadcast ~12 bits/key instead of 64) and survivors verify
+    exactly."""
+    import ray
+
+    from phrasekit_ray.stages.agg import bloom_semi_join, hash_aggregate
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_returnflag", "l_quantity"],
+    )
+    small = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size"]
+    ).map_batches(
+        lambda b: b.filter(pc.less_equal(b["p_size"], 5)).select(["p_partkey"]),
+        batch_format="pyarrow",
+    )
+    kept = bloom_semi_join(li, small, "l_partkey", "p_partkey")
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "n_rows": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                "sum_qty": _round_away(b["l_quantity"].combine_chunks()).cast(
+                    pa.int64()
+                ),
+            }
+        )
+
+    agg = hash_aggregate(
+        kept.map_batches(prep, batch_format="pyarrow"),
+        "l_returnflag",
+        [("n_rows", "sum"), ("sum_qty", "sum")],
+    )
+    return _i64(_collect(agg), "n_rows", "sum_qty")
+
+
+SQL_LINEITEM_SMALL_PARTS = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
+GROUP BY l_returnflag
+"""
+
+
+def q_event_types_per_user(sf_dir: str):
+    """Grouped string_agg: per user bucket the sorted-distinct event
+    types joined with ',' (stages/agg.grouped_string_agg — in-block
+    distinct, Arrow ListArray + binary_join, no per-group Python)."""
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_string_agg
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "user_bucket": pa.array(
+                    b["user_id"].combine_chunks().cast(pa.int64()).to_numpy()
+                    % 100,
+                    pa.int64(),
+                ),
+                "event_type": b["event_type"].combine_chunks(),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    agg = grouped_string_agg(
+        ev, "user_bucket", "event_type", sep=",", out_col="types"
+    )
+    return _i64(_collect(agg), "user_bucket")
+
+
+SQL_EVENT_TYPES_PER_USER = """
+SELECT user_id % 100 AS user_bucket,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
+FROM events GROUP BY user_id % 100
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "q_repeat_orders_30d": q_repeat_orders_30d,
+        "q_latest_event_per_user": q_latest_event_per_user,
+        "q_events_moving_sum": q_events_moving_sum,
+        "q_lineitem_small_parts": q_lineitem_small_parts,
+        "q_event_types_per_user": q_event_types_per_user,
+    }
+)
+EXT_ORACLE_SQL.update(
+    {
+        "q_repeat_orders_30d": SQL_REPEAT_ORDERS_30D,
+        "q_latest_event_per_user": SQL_LATEST_EVENT_PER_USER,
+        "q_events_moving_sum": SQL_EVENTS_MOVING_SUM,
+        "q_lineitem_small_parts": SQL_LINEITEM_SMALL_PARTS,
+        "q_event_types_per_user": SQL_EVENT_TYPES_PER_USER,
+    }
+)

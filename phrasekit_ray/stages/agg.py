@@ -1543,3 +1543,235 @@ def unpivot(
         return out
 
     return ds.map_batches(melt, batch_format="pyarrow")
+
+
+# --- round-4 operators: argmax-per-group, string_agg, bloom semi join ------
+
+
+def grouped_argmax(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    payload_cols: list[str],
+    num_partitions: int | None = None,
+):
+    """ARGMAX per group: for each ``key_col`` value, the single row with
+    the LARGEST ``order_cols`` tuple (lexicographic; all int64-castable —
+    the (ts, id) shape), i.e. SQL
+
+        SELECT ... QUALIFY row_number() OVER (
+          PARTITION BY key ORDER BY o1 DESC, o2 DESC ...) = 1
+
+    Scale shape: two-phase. Each input block reduces to ONE candidate
+    row per key it contains (vectorized lexsort + segment-last take —
+    the in-block combiner), so the shuffle moves at most
+    blocks × distinct-keys-per-block rows; the per-partition finalize
+    runs the identical kernel on the survivors. No Python loops, no
+    driver state.
+    """
+    num_partitions = default_partitions(num_partitions)
+    cols_needed = [key_col, *order_cols, *payload_cols]
+
+    def reduce_block(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch.select(cols_needed)
+        key = batch[key_col].combine_chunks().cast(pa.int64()).to_numpy()
+        orders = [
+            batch[c].combine_chunks().cast(pa.int64()).to_numpy()
+            for c in order_cols
+        ]
+        # lexsort: last key is primary → (order_cols reversed..., key)
+        order = np.lexsort((*reversed(orders), key))
+        key_s = key[order]
+        # last row of each key segment = argmax of the order tuple
+        seg_last = np.concatenate((key_s[1:] != key_s[:-1], [True]))
+        take = pa.array(order[np.flatnonzero(seg_last)])
+        return batch.select(cols_needed).take(take)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_part", _part_column(batch, [key_col], num_partitions)
+        )
+
+    reduced = ds.map_batches(reduce_block, batch_format="pyarrow").map_batches(
+        add_part, batch_format="pyarrow"
+    )
+    return reduced.groupby("_part").map_groups(
+        lambda g: reduce_block(g.drop_columns(["_part"])),
+        batch_format="pyarrow",
+    )
+
+
+def grouped_string_agg(
+    ds,
+    key_col: str,
+    val_col: str,
+    sep: str = ",",
+    distinct: bool = True,
+    out_col: str = "agg",
+    num_partitions: int | None = None,
+):
+    """SQL ``string_agg(DISTINCT val, sep ORDER BY val)`` per key →
+    (key, out_col). Deterministic: values sorted ascending within each
+    key (the only order both engines reproduce exactly).
+
+    Scale shape: in-block DISTINCT (group_by) first so the shuffle
+    moves unique (key, val) pairs only, hash-partition by key, then ONE
+    vectorized UDF per partition: Arrow sort, segment offsets →
+    ListArray → ``pc.binary_join`` (no per-group Python). A group's
+    concatenated string must fit a batch row — callers aggregate
+    bounded-cardinality columns (tags, types, langs), not free text.
+    """
+    num_partitions = default_partitions(num_partitions)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "k": batch[key_col].combine_chunks().cast(pa.int64()),
+                "v": batch[val_col].combine_chunks().cast(pa.string()),
+            }
+        )
+        if distinct:
+            t = t.group_by(["k", "v"]).aggregate([])
+        return t.append_column("_part", _part_column(t, ["k"], num_partitions))
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    out_col: pa.array([], pa.string()),
+                }
+            )
+        order = pc.sort_indices(
+            group, sort_keys=[("k", "ascending"), ("v", "ascending")]
+        )
+        k_s = group["k"].take(order).combine_chunks()
+        v_s = group["v"].take(order).combine_chunks()
+        kn = k_s.to_numpy()
+        if distinct:
+            keep = np.concatenate(
+                (
+                    [True],
+                    (kn[1:] != kn[:-1])
+                    | pc.not_equal(
+                        v_s.slice(1), v_s.slice(0, len(v_s) - 1)
+                    ).to_numpy(zero_copy_only=False),
+                )
+            )
+            if not keep.all():
+                mask = pa.array(keep)
+                k_s, v_s = k_s.filter(mask), v_s.filter(mask)
+                kn = kn[keep]
+        new_seg = np.concatenate(([True], kn[1:] != kn[:-1]))
+        starts = np.flatnonzero(new_seg)
+        offsets = np.concatenate((starts, [len(kn)])).astype(np.int32)
+        if isinstance(v_s, pa.ChunkedArray):
+            v_s = v_s.combine_chunks()
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), v_s)
+        joined = pc.binary_join(lists, sep)
+        return pa.table(
+            {
+                key_col: pa.array(kn[starts], pa.int64()),
+                out_col: joined,
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(
+            lambda g: per_partition(g.drop_columns(["_part"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+_BLOOM_H1 = np.uint64(0x9E3779B97F4A7C15)
+_BLOOM_H2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _bloom_positions(keys: np.ndarray, i: int, m_bits: int) -> np.ndarray:
+    """i-th double-hash position for each key (Kirsch–Mitzenmacher:
+    h_i = h1 + i*h2 mod m — standard public construction)."""
+    k = keys.astype(np.uint64)
+    h1 = (k * _BLOOM_H1) >> np.uint64(17)
+    h2 = (k * _BLOOM_H2) >> np.uint64(15) | np.uint64(1)
+    return ((h1 + np.uint64(i) * h2) % np.uint64(m_bits)).astype(np.int64)
+
+
+def bloom_semi_join(
+    left_ds,
+    right_ds,
+    left_key: str,
+    right_key: str,
+    bits_per_key: int = 12,
+    num_hashes: int = 4,
+    num_partitions: int | None = None,
+    max_bloom_bytes: int = 256 * 1024 * 1024,
+):
+    """EXACT semi join with a broadcast Bloom prefilter: keep the left
+    rows whose key appears in the right side. Identical results to
+    ``key_filter_join`` (the Bloom only prefilters; survivors are
+    verified exactly), but the broadcast is ~``bits_per_key`` bits per
+    distinct right key instead of 64 — at 12 bits/key (~0.3% FP) a
+    2-billion-key build side fits a 3 GB filter where the sorted-array
+    broadcast would need 16 GB, and the exact verify join then shuffles
+    only the ~matching fraction of the probe side instead of all of it.
+
+    Falls back to plain ``key_filter_join`` when the filter would exceed
+    ``max_bloom_bytes``.
+    """
+    import ray
+
+    num_partitions = default_partitions(num_partitions)
+
+    def rkeys_only(batch: pa.Table) -> pa.Table:
+        t = pa.table({"_k": batch[right_key].cast(pa.int64())})
+        return t.group_by(["_k"]).aggregate([])
+
+    distinct = hash_aggregate(
+        right_ds.map_batches(rkeys_only, batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.append_column(
+                "_n", pa.array(np.ones(b.num_rows, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        ),
+        "_k",
+        [("_n", "sum")],
+        num_partitions,
+    ).materialize()
+    n_keys = max(distinct.count(), 1)
+    m_bits = n_keys * bits_per_key
+    if m_bits > max_bloom_bytes * 8:
+        return key_filter_join(
+            left_ds, right_ds, left_key, right_key,
+            num_partitions=num_partitions,
+        )
+
+    bloom = np.zeros((m_bits + 7) // 8, dtype=np.uint8)
+    for batch in distinct.iter_batches(batch_format="pyarrow"):
+        ks = batch["_k"].to_numpy(zero_copy_only=False)
+        for i in range(num_hashes):
+            pos = _bloom_positions(ks, i, m_bits)
+            np.bitwise_or.at(bloom, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    bloom_ref = ray.put(bloom)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        from phrasekit_ray.stages.score import _get_broadcast
+
+        bits = _get_broadcast(bloom_ref)
+        lk = batch[left_key].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hit = np.ones(len(lk), dtype=bool)
+        for i in range(num_hashes):
+            pos = _bloom_positions(lk, i, m_bits)
+            hit &= (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1 > 0
+        return batch.filter(pa.array(hit))
+
+    candidates = left_ds.map_batches(prefilter, batch_format="pyarrow")
+    # exact verify pass removes Bloom false positives (≈0.3% at 12/4)
+    return key_filter_join(
+        candidates, right_ds, left_key, right_key, num_partitions=num_partitions
+    )

@@ -902,3 +902,192 @@ def rank_window(
             batch_format="pyarrow",
         )
     )
+
+
+# --- round-4 operators: ROWS-frame moving sum, bounded range self-join -----
+
+
+def rows_window_sum(
+    ds,
+    preceding: int = 3,
+    value_col: str = "value",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_partitions: int | None = None,
+):
+    """SQL ROWS-frame window aggregate
+
+        SUM(v)   OVER (PARTITION BY user ORDER BY ts, id
+                       ROWS BETWEEN <preceding> PRECEDING AND CURRENT ROW),
+        COUNT(v) OVER (same frame)
+
+    → (event_id, win_sum_cents, win_n). Values fix to integer cents
+    before summing (float-order-proof); SQL null semantics (sum skips
+    NULLs, NULL when the frame has no non-null value; count counts
+    non-nulls only).
+
+    Scale shape: identical to running_total — hash-partition by user,
+    ONE vectorized UDF per partition: lexsort (user, ts, id), prefix
+    sums, frame sum = pcsum[i+1] - pcsum[lo] with
+    lo = max(i - preceding, segment_start) (one np.maximum, no loop).
+    """
+    from phrasekit_ray.stages.agg import round_away
+
+    num_partitions = default_partitions(num_partitions)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        uid = batch[user_col].combine_chunks().cast(pa.int64()).to_numpy()
+        cents = round_away(
+            pc.multiply(batch[value_col].combine_chunks().cast(pa.float64()), 100.0)
+        ).cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "ts": batch[ts_col].combine_chunks().cast(pa.int64()),
+                "event_id": batch[id_col].combine_chunks().cast(pa.int64()),
+                "cents": cents,
+                "_part": pa.array(_user_part(uid, num_partitions), pa.int32()),
+            }
+        )
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "win_sum_cents": pa.array([], pa.int64()),
+                "win_n": pa.array([], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        uid = group["user_id"].combine_chunks().to_numpy()
+        ts = group["ts"].combine_chunks().to_numpy()
+        eid = group["event_id"].combine_chunks().to_numpy()
+        c_arr = group["cents"].combine_chunks()
+        c_null = pc.is_null(c_arr).to_numpy(zero_copy_only=False)
+        cents = pc.fill_null(c_arr, 0).to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid_s, eid_s = uid[order], eid[order]
+        c_s, null_s = cents[order], c_null[order]
+        pcsum = np.concatenate(([0], np.cumsum(c_s)))
+        pnn = np.concatenate(([0], np.cumsum(~null_s)))
+        new_seg = np.concatenate(([True], uid_s[1:] != uid_s[:-1]))
+        seg_id = np.cumsum(new_seg) - 1
+        seg_start = np.flatnonzero(new_seg)
+        idx = np.arange(n)
+        lo = np.maximum(idx - preceding, seg_start[seg_id])
+        win_sum = pcsum[idx + 1] - pcsum[lo]
+        win_n = pnn[idx + 1] - pnn[lo]
+        return pa.table(
+            {
+                "event_id": pa.array(eid_s, pa.int64()),
+                "win_sum_cents": pa.array(win_sum, pa.int64(), mask=win_n == 0),
+                "win_n": pa.array(win_n, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(
+            lambda g: per_partition(g.drop_columns(["_part"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def range_self_join(
+    ds,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    horizon: int,
+    num_partitions: int | None = None,
+    hot_key_cap: int = 1_000_000,
+):
+    """Bounded-horizon range SELF-join: all ordered pairs (a, b) sharing
+    ``key_col`` with ``0 < ts_b - ts_a <= horizon`` (ts in its int64
+    unit, e.g. µs) → (left_<id>, right_<id>). The SQL shape:
+
+        FROM t a JOIN t b ON a.key = b.key
+          AND b.ts > a.ts AND b.ts <= a.ts + horizon
+
+    Scale shape: hash-partition by key (a key never straddles
+    partitions), per partition lexsort (key, ts, id) then a stride loop
+    over neighbor offsets k = 1, 2, ... (same kernel family as
+    _segment_pair_positions): pass k emits pairs exactly k apart; ts is
+    sorted within a segment, so the loop stops at the first k where NO
+    row has a within-horizon k-th successor. Total work = emitted pairs
+    + O(max rows-per-key·horizon density); ``hot_key_cap`` bounds a
+    pathological key's row count."""
+    num_partitions = default_partitions(num_partitions)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        key = batch[key_col].combine_chunks().cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "k": pa.array(key, pa.int64()),
+                "ts": batch[ts_col].combine_chunks().cast(pa.int64()),
+                "id": batch[id_col].combine_chunks().cast(pa.int64()),
+                "_part": pa.array(_user_part(key, num_partitions), pa.int32()),
+            }
+        )
+
+    left_name, right_name = f"left_{id_col}", f"right_{id_col}"
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        empty = pa.table(
+            {
+                left_name: pa.array([], pa.int64()),
+                right_name: pa.array([], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        key = group["k"].combine_chunks().to_numpy()
+        ts = group["ts"].combine_chunks().to_numpy()
+        eid = group["id"].combine_chunks().to_numpy()
+        order = np.lexsort((eid, ts, key))
+        key_s, ts_s, id_s = key[order], ts[order], eid[order]
+        seg_len = np.bincount(
+            np.cumsum(np.concatenate(([True], key_s[1:] != key_s[:-1]))) - 1
+        )
+        if (seg_len > hot_key_cap).any():
+            raise ValueError(
+                f"range_self_join: a key has {int(seg_len.max())} rows "
+                f"(> hot_key_cap {hot_key_cap})"
+            )
+        out_l, out_r = [], []
+        idx = np.arange(n)
+        for k in range(1, n):
+            cand = idx[: n - k]
+            same = key_s[cand] == key_s[cand + k]
+            diff = ts_s[cand + k] - ts_s[cand]
+            within = same & (diff <= horizon)
+            if not within.any():
+                break  # ts sorted per segment → farther k only grows diff
+            ok = within & (diff > 0)
+            if ok.any():
+                ii = cand[ok]
+                out_l.append(id_s[ii])
+                out_r.append(id_s[ii + k])
+        if not out_l:
+            return empty
+        return pa.table(
+            {
+                left_name: pa.array(np.concatenate(out_l), pa.int64()),
+                right_name: pa.array(np.concatenate(out_r), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(
+            lambda g: per_partition(g.drop_columns(["_part"])),
+            batch_format="pyarrow",
+        )
+    )

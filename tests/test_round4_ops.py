@@ -1,0 +1,196 @@
+"""Unit/differential tests for the round-4 operators (X86–X90):
+
+- range_self_join: bounded-horizon range self-join vs brute force
+  (including equal-ts ties, which the strict > must exclude).
+- grouped_argmax: lexicographic (ts, id) argmax with tiebreaks and the
+  in-block-combiner path (multi-block input).
+- rows_window_sum: ROWS-frame sum/count with NULLs vs DuckDB.
+- bloom_semi_join: identical to the exact semi join, including the
+  size-cap fallback and an empty build side.
+- grouped_string_agg: distinct sorted concat vs DuckDB string_agg.
+"""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _collect(ds) -> pa.Table:
+    tables = list(ds.iter_batches(batch_format="pyarrow"))
+    if not tables:
+        return pa.table({})
+    return pa.concat_tables(tables, promote_options="default")
+
+
+def test_range_self_join_matches_bruteforce_with_ties(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.windows import range_self_join
+
+    rng = np.random.default_rng(7)
+    n = 400
+    key = rng.integers(0, 12, n)
+    ts = rng.integers(0, 50, n)  # dense → many ties
+    eid = np.arange(n)
+    t = pa.table(
+        {
+            "k": pa.array(key, pa.int64()),
+            "ts": pa.array(ts, pa.int64()),
+            "id": pa.array(eid, pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(5)
+    got = _collect(
+        range_self_join(ds, key_col="k", ts_col="ts", id_col="id", horizon=5)
+    )
+    got_pairs = set(zip(got["left_id"].to_pylist(), got["right_id"].to_pylist()))
+    want = {
+        (int(eid[i]), int(eid[j]))
+        for i in range(n)
+        for j in range(n)
+        if key[i] == key[j] and 0 < ts[j] - ts[i] <= 5
+    }
+    assert got_pairs == want
+    # the cap trips
+    with pytest.raises(ValueError, match="hot_key_cap"):
+        _collect(
+            range_self_join(
+                ds, key_col="k", ts_col="ts", id_col="id", horizon=5,
+                hot_key_cap=3,
+            )
+        )
+
+
+def test_grouped_argmax_tiebreaks_and_multiblock(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_argmax
+
+    # user 1: same ts twice → higher id wins; user 2: later ts wins
+    t = pa.table(
+        {
+            "u": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "ts": pa.array([10, 10, 5, 7, 9], pa.int64()),
+            "id": pa.array([100, 101, 102, 200, 201], pa.int64()),
+            "tag": pa.array(["a", "b", "c", "d", "e"]),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)  # forces the combiner path
+    got = _collect(grouped_argmax(ds, "u", ["ts", "id"], ["tag"]))
+    rows = {
+        r["u"]: (r["ts"], r["id"], r["tag"])
+        for r in got.to_pylist()
+    }
+    assert rows == {1: (10, 101, "b"), 2: (9, 201, "e")}
+
+
+def test_rows_window_sum_nulls_match_duckdb(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.windows import rows_window_sum
+
+    rng = np.random.default_rng(3)
+    n = 300
+    uid = rng.integers(0, 9, n)
+    ts = rng.permutation(n)
+    vals = rng.uniform(-5, 5, n)
+    null_mask = rng.random(n) < 0.2
+    value = pa.array(
+        [None if m else float(v) for v, m in zip(vals, null_mask)], pa.float64()
+    )
+    t = pa.table(
+        {
+            "user_id": pa.array(uid, pa.int64()),
+            "ts": pa.array(ts, pa.int64()),
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "value": value,
+        }
+    )
+    got = _collect(
+        rows_window_sum(ray.data.from_arrow(t).repartition(3), preceding=2)
+    ).sort_by("event_id")
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        """
+        SELECT event_id,
+               CAST(sum(CAST(round(value * 100.0) AS BIGINT)) OVER w AS BIGINT)
+                 AS win_sum_cents,
+               count(value) OVER w AS win_n
+        FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+        """
+    ).fetch_arrow_table()
+    assert got.select(["event_id", "win_sum_cents", "win_n"]).equals(
+        want.cast(got.select(["event_id", "win_sum_cents", "win_n"]).schema)
+    )
+
+
+def test_bloom_semi_join_equals_exact_semi_join(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.agg import bloom_semi_join, key_filter_join
+
+    rng = np.random.default_rng(11)
+    left = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 5000, 4000), pa.int64()),
+            "payload": pa.array(np.arange(4000), pa.int64()),
+        }
+    )
+    right = pa.table({"rk": pa.array(rng.integers(0, 5000, 600), pa.int64())})
+    lds = ray.data.from_arrow(left).repartition(4)
+    rds = ray.data.from_arrow(right).repartition(2)
+
+    def norm(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        return t.take(
+            pc_.sort_indices(
+                t, sort_keys=[("payload", "ascending")]
+            )
+        )
+
+    got = norm(_collect(bloom_semi_join(lds, rds, "k", "rk")))
+    want = norm(_collect(key_filter_join(lds, rds, "k", "rk")))
+    assert got.equals(want)
+    assert got.num_rows > 0
+
+    # size-cap fallback path gives the same answer
+    got_fb = norm(
+        _collect(bloom_semi_join(lds, rds, "k", "rk", max_bloom_bytes=1))
+    )
+    assert got_fb.equals(want)
+
+    # empty build side → empty result
+    empty = ray.data.from_arrow(pa.table({"rk": pa.array([], pa.int64())}))
+    got_e = _collect(bloom_semi_join(lds, empty, "k", "rk"))
+    assert got_e.num_rows == 0
+
+
+def test_grouped_string_agg_matches_duckdb(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_string_agg
+
+    rng = np.random.default_rng(5)
+    n = 500
+    k = rng.integers(0, 20, n)
+    words = np.array(["ant", "bee", "cat", "dog", "elk", "fox"])
+    v = words[rng.integers(0, len(words), n)]
+    t = pa.table({"k": pa.array(k, pa.int64()), "v": pa.array(v)})
+    got = _collect(
+        grouped_string_agg(
+            ray.data.from_arrow(t).repartition(4), "k", "v", sep="|",
+            out_col="agg",
+        )
+    ).sort_by("k")
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        "SELECT k, string_agg(DISTINCT v, '|' ORDER BY v) AS agg "
+        "FROM t GROUP BY k ORDER BY k"
+    ).fetch_arrow_table()
+    assert got.equals(want.cast(got.schema))
