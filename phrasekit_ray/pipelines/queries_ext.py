@@ -1449,3 +1449,182 @@ EXT_ORACLE_SQL.update(
         "q_event_types_per_user": SQL_EVENT_TYPES_PER_USER,
     }
 )
+
+
+# --- round-4 additions (2): time-weighted avg, Q10 composition, histogram ---
+
+
+def q_events_time_weighted(sf_dir: str):
+    """Per-user step-function value integral (time-weighted numerator ×
+    observed span, exact integer µs·cents) — stages/windows.
+    time_weighted_sum partition-run kernel; SQL lead()-window twin."""
+    import ray
+
+    from phrasekit_ray.stages.windows import time_weighted_sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+    return _i64(
+        _collect(time_weighted_sum(ev)), "user_id", "twa_num_us", "span_us"
+    )
+
+
+SQL_EVENTS_TIME_WEIGHTED = """
+WITH t AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         CAST(round(value * 100.0) AS BIGINT) AS cents, event_id
+  FROM events),
+w AS (
+  SELECT user_id, cents, ts_us,
+         lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           - ts_us AS dt_us
+  FROM t)
+SELECT user_id,
+       CAST(coalesce(sum(cents * dt_us), 0) AS BIGINT) AS twa_num_us,
+       CAST(max(ts_us) - min(ts_us) AS BIGINT) AS span_us
+FROM w GROUP BY user_id
+"""
+
+
+def q_returned_revenue_by_nation(sf_dir: str):
+    """TPC-H-Q10-flavored multi-join composition: revenue of RETURNED
+    lineitems per customer nation — per-orderkey in-block pre-aggregate,
+    two int-keyed lookup_joins (orders, customer), re-aggregate at each
+    hop so only shrinking aggregates shuffle, nation names attached from
+    a 25-row broadcast map."""
+    import ray
+
+    from phrasekit_ray.stages.agg import hash_aggregate, lookup_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+
+    def returned_cents(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["l_returnflag"], "R"))
+        rev = _round_away(
+            pc.multiply(
+                pc.multiply(
+                    t["l_extendedprice"].combine_chunks().cast(pa.float64()),
+                    pc.subtract(
+                        pa.scalar(1.0),
+                        t["l_discount"].combine_chunks().cast(pa.float64()),
+                    ),
+                ),
+                100.0,
+            )
+        ).cast(pa.int64())
+        out = pa.table(
+            {"l_orderkey": t["l_orderkey"], "revenue_cents": rev}
+        )
+        return out.group_by(["l_orderkey"]).aggregate(
+            [("revenue_cents", "sum")]
+        ).rename_columns(["l_orderkey", "revenue_cents"])
+
+    per_order = hash_aggregate(
+        li.map_batches(returned_cents, batch_format="pyarrow"),
+        "l_orderkey",
+        [("revenue_cents", "sum")],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    with_cust = lookup_join(per_order, orders, "l_orderkey", "o_orderkey")
+    per_cust = hash_aggregate(with_cust, "o_custkey", [("revenue_cents", "sum")])
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    with_nat = lookup_join(per_cust, customer, "o_custkey", "c_custkey")
+    per_nation = hash_aggregate(
+        with_nat, "c_nationkey", [("revenue_cents", "sum")]
+    )
+    nation = _collect(
+        ray.data.read_parquet(
+            f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+        )
+    )
+    names = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+    )
+
+    def attach_name(b: pa.Table) -> pa.Table:
+        keys = b["c_nationkey"].to_pylist()
+        return pa.table(
+            {
+                "n_name": pa.array([names[k] for k in keys], pa.string()),
+                "revenue_cents": b["revenue_cents"],
+            }
+        )
+
+    return _i64(
+        _collect(per_nation.map_batches(attach_name, batch_format="pyarrow")),
+        "revenue_cents",
+    )
+
+
+SQL_RETURNED_REVENUE_BY_NATION = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100.0)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY n_name
+"""
+
+
+def q_events_value_histogram_quantiles(sf_dir: str):
+    """Mergeable-sketch quantiles: deterministic fixed-width integer
+    histogram (stages/agg.histogram_quantiles — bucket counts ADD across
+    blocks, ≤1024 rows shuffle, error ≤ one bucket width) with a
+    bit-exact SQL twin reproducing the same integer bucket math."""
+    import ray
+
+    from phrasekit_ray.stages.agg import histogram_quantiles
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return histogram_quantiles(ev, "value", [0.25, 0.5, 0.75, 0.99])
+
+
+SQL_EVENTS_VALUE_HISTOGRAM_QUANTILES = """
+WITH c AS (
+  SELECT CAST(round(value * 100.0) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL),
+mm AS (SELECT min(cents) AS lo, max(cents) AS hi, count(*) AS total FROM c),
+pw AS (SELECT lo, total,
+              GREATEST(1, (hi - lo + 1 + 1023) // 1024) AS w FROM mm),
+h AS (SELECT (c.cents - pw.lo) // pw.w AS bucket, count(*) AS n
+      FROM c, pw GROUP BY 1),
+cum AS (SELECT bucket, sum(n) OVER (ORDER BY bucket) AS csum FROM h),
+fr(fraction_pct, f1000) AS (VALUES (25, 250), (50, 500), (75, 750), (99, 990)),
+ranks AS (
+  SELECT fraction_pct,
+         GREATEST(1, LEAST(pw.total, (f1000 * pw.total + 999) // 1000))
+           AS rank, pw.lo, pw.w
+  FROM fr, pw)
+SELECT CAST(r.fraction_pct AS BIGINT) AS fraction_pct,
+       CAST(r.lo + min(cum.bucket) * r.w AS BIGINT) AS est_cents
+FROM ranks r JOIN cum ON cum.csum >= r.rank
+GROUP BY r.fraction_pct, r.lo, r.w
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "q_events_time_weighted": q_events_time_weighted,
+        "q_returned_revenue_by_nation": q_returned_revenue_by_nation,
+        "q_events_value_histogram_quantiles": q_events_value_histogram_quantiles,
+    }
+)
+EXT_ORACLE_SQL.update(
+    {
+        "q_events_time_weighted": SQL_EVENTS_TIME_WEIGHTED,
+        "q_returned_revenue_by_nation": SQL_RETURNED_REVENUE_BY_NATION,
+        "q_events_value_histogram_quantiles": SQL_EVENTS_VALUE_HISTOGRAM_QUANTILES,
+    }
+)

@@ -1775,3 +1775,89 @@ def bloom_semi_join(
     return key_filter_join(
         candidates, right_ds, left_key, right_key, num_partitions=num_partitions
     )
+
+
+def histogram_quantiles(
+    ds,
+    value_col: str,
+    fractions: list[float],
+    num_buckets: int = 1024,
+    scale: float = 100.0,
+):
+    """Approximate quantiles via a DETERMINISTIC fixed-width integer
+    histogram — the mergeable-sketch shape for 100 TB quantiles where
+    the exact count-compressed shuffle (grouped_quantiles) is too wide.
+
+    Two cheap passes: (1) global min/max aggregate over
+    round(value·scale) ints; (2) bucket-count aggregate with width
+    w = ceil((max−min+1)/B) — bucket counts ADD across blocks/nodes, so
+    the shuffle moves ≤ B rows per block. The estimate for fraction f is
+    the LOWER EDGE of the bucket holding the ceil(f·N)-th value —
+    deterministic integer math end to end (error ≤ one bucket width,
+    i.e. (max−min)/B), so a SQL twin reproduces it bit-exactly; the
+    driver holds only the B-row histogram.
+
+    Returns (fraction_pct: int64, est_cents: int64), one row per
+    requested fraction."""
+    import ray
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "cents": round_away(
+                    pc.multiply(
+                        batch[value_col].combine_chunks().cast(pa.float64()),
+                        scale,
+                    )
+                ).cast(pa.int64())
+            }
+        )
+        return t.filter(pc.is_valid(t["cents"]))  # SQL quantiles skip NULLs
+
+    cents_mat = ds.map_batches(to_cents, batch_format="pyarrow").materialize()
+    lo = cents_mat.min("cents")
+    hi = cents_mat.max("cents")
+    if lo is None:
+        return pa.table(
+            {
+                "fraction_pct": pa.array([], pa.int64()),
+                "est_cents": pa.array([], pa.int64()),
+            }
+        )
+    lo, hi = int(lo), int(hi)
+    width = max(1, -(-(hi - lo + 1) // num_buckets))
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        c = batch["cents"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = (c - lo) // width
+        t = pa.table({"bucket": pa.array(b, pa.int64())})
+        return (
+            t.group_by(["bucket"])
+            .aggregate([("bucket", "count")])
+            .rename_columns(["bucket", "n"])
+        )
+
+    hist = hash_aggregate(
+        cents_mat.map_batches(bucketize, batch_format="pyarrow"),
+        "bucket",
+        [("n", "sum")],
+    )
+    tbl = pa.concat_tables(
+        ray.get(hist.materialize().to_arrow_refs())
+    ).sort_by([("bucket", "ascending")])
+    buckets = tbl["bucket"].to_numpy()
+    counts = tbl["n"].to_numpy()
+    csum = np.cumsum(counts)
+    total = int(csum[-1])
+    fr, est = [], []
+    for f in fractions:
+        rank = max(1, min(total, -(-int(round(f * 1000)) * total // 1000)))
+        i = int(np.searchsorted(csum, rank))
+        fr.append(int(round(f * 100)))
+        est.append(lo + int(buckets[i]) * width)
+    return pa.table(
+        {
+            "fraction_pct": pa.array(fr, pa.int64()),
+            "est_cents": pa.array(est, pa.int64()),
+        }
+    )

@@ -1091,3 +1091,90 @@ def range_self_join(
             batch_format="pyarrow",
         )
     )
+
+
+def time_weighted_sum(
+    ds,
+    value_col: str = "value",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_partitions: int | None = None,
+):
+    """Per-key time-weighted value integral: for each user, the
+    step-function integral Σ cents_i · (ts_{i+1} − ts_i) over consecutive
+    events ((ts, id)-ordered; the last event carries no width — the SQL
+    ``sum(cents * (lead(ts) OVER w − ts))`` convention) plus the observed
+    span → (user_id, twa_num_us, span_us). Integer µs × integer cents
+    keeps it float-order-proof; the caller divides for the average.
+    NULL values contribute nothing (SQL sum skips NULL products).
+
+    Scale shape: the sessionize/running_total partition-run treatment —
+    hash-partition by user, ONE vectorized UDF per partition (lexsort,
+    shifted diff, segment sums via np.add.at on segment ids)."""
+    from phrasekit_ray.stages.agg import round_away
+
+    num_partitions = default_partitions(num_partitions)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        uid = batch[user_col].combine_chunks().cast(pa.int64()).to_numpy()
+        cents = round_away(
+            pc.multiply(batch[value_col].combine_chunks().cast(pa.float64()), 100.0)
+        ).cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "ts": batch[ts_col].combine_chunks().cast(pa.int64()),
+                "event_id": batch[id_col].combine_chunks().cast(pa.int64()),
+                "cents": cents,
+                "_part": pa.array(_user_part(uid, num_partitions), pa.int32()),
+            }
+        )
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "twa_num_us": pa.array([], pa.int64()),
+                "span_us": pa.array([], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        uid = group["user_id"].combine_chunks().to_numpy()
+        ts = group["ts"].combine_chunks().to_numpy()
+        eid = group["event_id"].combine_chunks().to_numpy()
+        c_arr = group["cents"].combine_chunks()
+        c_null = pc.is_null(c_arr).to_numpy(zero_copy_only=False)
+        cents = pc.fill_null(c_arr, 0).to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid_s, ts_s = uid[order], ts[order]
+        c_s, null_s = cents[order], c_null[order]
+        same_next = np.concatenate((uid_s[1:] == uid_s[:-1], [False]))
+        dt = np.zeros(n, dtype=np.int64)
+        dt[:-1] = ts_s[1:] - ts_s[:-1]
+        w = np.where(same_next & ~null_s, c_s * dt, 0)
+        new_seg = np.concatenate(([True], uid_s[1:] != uid_s[:-1]))
+        seg_id = np.cumsum(new_seg) - 1
+        m = int(seg_id[-1]) + 1
+        num = np.zeros(m, dtype=np.int64)
+        np.add.at(num, seg_id, w)
+        starts = np.flatnonzero(new_seg)
+        ends = np.concatenate((starts[1:], [n])) - 1
+        return pa.table(
+            {
+                "user_id": pa.array(uid_s[starts], pa.int64()),
+                "twa_num_us": pa.array(num, pa.int64()),
+                "span_us": pa.array(ts_s[ends] - ts_s[starts], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(
+            lambda g: per_partition(g.drop_columns(["_part"])),
+            batch_format="pyarrow",
+        )
+    )

@@ -194,3 +194,77 @@ def test_grouped_string_agg_matches_duckdb(ray_session):
         "FROM t GROUP BY k ORDER BY k"
     ).fetch_arrow_table()
     assert got.equals(want.cast(got.schema))
+
+
+def test_time_weighted_sum_matches_duckdb_with_ties_and_nulls(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.windows import time_weighted_sum
+
+    rng = np.random.default_rng(9)
+    n = 250
+    uid = rng.integers(0, 8, n)
+    ts = rng.integers(0, 40, n)  # dense → equal-ts ties
+    vals = rng.uniform(0, 50, n)
+    null_mask = rng.random(n) < 0.15
+    t = pa.table(
+        {
+            "user_id": pa.array(uid, pa.int64()),
+            "ts": pa.array(ts, pa.int64()),
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "value": pa.array(
+                [None if m else float(v) for v, m in zip(vals, null_mask)],
+                pa.float64(),
+            ),
+        }
+    )
+    got = _collect(
+        time_weighted_sum(ray.data.from_arrow(t).repartition(3))
+    ).sort_by("user_id")
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        """
+        WITH w AS (
+          SELECT user_id, CAST(round(value * 100.0) AS BIGINT) AS cents, ts,
+                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   - ts AS dt
+          FROM t)
+        SELECT user_id,
+               CAST(coalesce(sum(cents * dt), 0) AS BIGINT) AS twa_num_us,
+               CAST(max(ts) - min(ts) AS BIGINT) AS span_us
+        FROM w GROUP BY user_id ORDER BY user_id
+        """
+    ).fetch_arrow_table()
+    assert got.equals(want.cast(got.schema))
+
+
+def test_histogram_quantiles_error_bound_vs_exact(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.agg import histogram_quantiles
+
+    rng = np.random.default_rng(13)
+    vals = rng.lognormal(3, 1, 20_000)
+    t = pa.table({"value": pa.array(vals, pa.float64())})
+    ds = ray.data.from_arrow(t).repartition(6)
+    fr = [0.25, 0.5, 0.75, 0.99]
+    got = histogram_quantiles(ds, "value", fr, num_buckets=1024)
+    cents = np.sort(np.round(vals * 100).astype(np.int64))
+    width = max(1, -(-(int(cents[-1]) - int(cents[0]) + 1) // 1024))
+    for f, est in zip(
+        got["fraction_pct"].to_pylist(), got["est_cents"].to_pylist()
+    ):
+        rank = max(1, min(len(cents), -(-round(f / 100 * 1000) * len(cents) // 1000)))
+        exact = int(cents[rank - 1])
+        assert abs(est - exact) <= width, (f, est, exact, width)
+
+
+def test_histogram_quantiles_constant_column(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.agg import histogram_quantiles
+
+    t = pa.table({"value": pa.array([7.5] * 100, pa.float64())})
+    got = histogram_quantiles(ray.data.from_arrow(t), "value", [0.5])
+    assert got["est_cents"].to_pylist() == [750]
