@@ -1628,3 +1628,48 @@ EXT_ORACLE_SQL.update(
         "q_events_value_histogram_quantiles": SQL_EVENTS_VALUE_HISTOGRAM_QUANTILES,
     }
 )
+
+
+def q_click_purchase_attribution(sf_dir: str):
+    """Stream-stream attribution: every (click, purchase) pair by the
+    same user with the purchase 0–15 minutes after the click — the
+    two-table bounded range join (stages/windows.range_join: one
+    conformed-union key shuffle + per-partition stride kernel)."""
+    import ray
+
+    from phrasekit_ray.stages.windows import range_join
+
+    def side(event_type):
+        return ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_id", "event_type"],
+        ).map_batches(
+            lambda b, et=event_type: b.filter(
+                pc.equal(b["event_type"], et)
+            ).select(["user_id", "ts", "event_id"]),
+            batch_format="pyarrow",
+        )
+
+    pairs = range_join(
+        side("click"), side("purchase"),
+        key_col="user_id", ts_col="ts", id_col="event_id",
+        horizon=15 * 60 * 1_000_000,
+    )
+    return _i64(_collect(pairs), "left_event_id", "right_event_id")
+
+
+SQL_CLICK_PURCHASE_ATTRIBUTION = """
+SELECT c.event_id AS left_event_id, p.event_id AS right_event_id
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 15 MINUTE
+"""
+
+
+EXT_QUERIES.update(
+    {"q_click_purchase_attribution": q_click_purchase_attribution}
+)
+EXT_ORACLE_SQL.update(
+    {"q_click_purchase_attribution": SQL_CLICK_PURCHASE_ATTRIBUTION}
+)

@@ -1178,3 +1178,111 @@ def time_weighted_sum(
             batch_format="pyarrow",
         )
     )
+
+
+def range_join(
+    left_ds,
+    right_ds,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    horizon: int,
+    num_partitions: int | None = None,
+    hot_key_cap: int = 1_000_000,
+):
+    """Bounded-horizon TWO-TABLE range join (stream-stream attribution):
+    all pairs (l, r) with equal ``key_col`` and ``0 < ts_r − ts_l <=
+    horizon`` → (left_<id>, right_<id>). The SQL shape:
+
+        FROM left l JOIN right r ON l.key = r.key
+          AND r.ts > l.ts AND r.ts <= l.ts + horizon
+
+    Scale shape: both sides get a side tag and hash-partition by key
+    (conformed union — one shuffle); per partition ONE vectorized UDF:
+    lexsort (key, ts, side, id) and the same stride-offset kernel as
+    ``range_self_join``, keeping only left→right cross-side pairs.
+    Equal-ts pairs are excluded by the strict inequality regardless of
+    side order, so the side position within a tie run cannot change the
+    result."""
+    num_partitions = default_partitions(num_partitions)
+
+    def derive(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            key = batch[key_col].combine_chunks().cast(pa.int64()).to_numpy()
+            return pa.table(
+                {
+                    "k": pa.array(key, pa.int64()),
+                    "ts": batch[ts_col].combine_chunks().cast(pa.int64()),
+                    "id": batch[id_col].combine_chunks().cast(pa.int64()),
+                    "side": pa.array(
+                        np.full(len(key), side, dtype=np.int8), pa.int8()
+                    ),
+                    "_part": pa.array(
+                        _user_part(key, num_partitions), pa.int32()
+                    ),
+                }
+            )
+
+        return fn
+
+    left_name, right_name = f"left_{id_col}", f"right_{id_col}"
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        empty = pa.table(
+            {
+                left_name: pa.array([], pa.int64()),
+                right_name: pa.array([], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        key = group["k"].combine_chunks().to_numpy()
+        ts = group["ts"].combine_chunks().to_numpy()
+        eid = group["id"].combine_chunks().to_numpy()
+        side = group["side"].combine_chunks().to_numpy()
+        order = np.lexsort((eid, side, ts, key))
+        key_s, ts_s, id_s, side_s = key[order], ts[order], eid[order], side[order]
+        seg_len = np.bincount(
+            np.cumsum(np.concatenate(([True], key_s[1:] != key_s[:-1]))) - 1
+        )
+        if (seg_len > hot_key_cap).any():
+            raise ValueError(
+                f"range_join: a key has {int(seg_len.max())} rows "
+                f"(> hot_key_cap {hot_key_cap})"
+            )
+        out_l, out_r = [], []
+        idx = np.arange(n)
+        for k in range(1, n):
+            cand = idx[: n - k]
+            same = key_s[cand] == key_s[cand + k]
+            diff = ts_s[cand + k] - ts_s[cand]
+            within = same & (diff <= horizon)
+            if not within.any():
+                break
+            ok = (
+                within
+                & (diff > 0)
+                & (side_s[cand] == 0)
+                & (side_s[cand + k] == 1)
+            )
+            if ok.any():
+                ii = cand[ok]
+                out_l.append(id_s[ii])
+                out_r.append(id_s[ii + k])
+        if not out_l:
+            return empty
+        return pa.table(
+            {
+                left_name: pa.array(np.concatenate(out_l), pa.int64()),
+                right_name: pa.array(np.concatenate(out_r), pa.int64()),
+            }
+        )
+
+    tagged = left_ds.map_batches(derive(0), batch_format="pyarrow").union(
+        right_ds.map_batches(derive(1), batch_format="pyarrow")
+    )
+    return tagged.groupby("_part").map_groups(
+        lambda g: per_partition(g.drop_columns(["_part"])),
+        batch_format="pyarrow",
+    )

@@ -268,3 +268,45 @@ def test_histogram_quantiles_constant_column(ray_session):
     t = pa.table({"value": pa.array([7.5] * 100, pa.float64())})
     got = histogram_quantiles(ray.data.from_arrow(t), "value", [0.5])
     assert got["est_cents"].to_pylist() == [750]
+
+
+def test_range_join_two_table_matches_bruteforce(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.windows import range_join
+
+    rng = np.random.default_rng(17)
+    nl, nr = 250, 220
+    lk = rng.integers(0, 10, nl)
+    lt = rng.integers(0, 60, nl)
+    rk = rng.integers(0, 10, nr)
+    rt = rng.integers(0, 60, nr)
+    left = pa.table(
+        {
+            "k": pa.array(lk, pa.int64()),
+            "ts": pa.array(lt, pa.int64()),
+            "id": pa.array(np.arange(nl), pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array(rk, pa.int64()),
+            "ts": pa.array(rt, pa.int64()),
+            "id": pa.array(np.arange(1000, 1000 + nr), pa.int64()),
+        }
+    )
+    got = _collect(
+        range_join(
+            ray.data.from_arrow(left).repartition(3),
+            ray.data.from_arrow(right).repartition(4),
+            key_col="k", ts_col="ts", id_col="id", horizon=7,
+        )
+    )
+    got_pairs = set(zip(got["left_id"].to_pylist(), got["right_id"].to_pylist()))
+    want = {
+        (int(i), int(1000 + j))
+        for i in range(nl)
+        for j in range(nr)
+        if lk[i] == rk[j] and 0 < rt[j] - lt[i] <= 7
+    }
+    assert got_pairs == want
