@@ -147,6 +147,16 @@ def bench_queries(sf_dir: str, meter=None) -> tuple[dict, dict]:
         "q_lineitem_pricing",
         "q_orders_priority_revenue",
         "q_events_type_stats",
+        # round-4 operators
+        "q_repeat_orders_30d",
+        "q_latest_event_per_user",
+        "q_events_moving_sum",
+        "q_lineitem_small_parts",
+        "q_event_types_per_user",
+        "q_events_time_weighted",
+        "q_returned_revenue_by_nation",
+        "q_events_value_histogram_quantiles",
+        "q_click_purchase_attribution",
     ]
     cpus = _num_cpus()
     meter = meter or _TreeCpuMeter()
