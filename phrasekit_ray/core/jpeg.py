@@ -209,6 +209,11 @@ class _BitReader:
         raise ValueError("invalid Huffman code in entropy stream")
 
 
+# untrusted-input safety valve: largest pixel count decode_jpeg will
+# attempt (64 MP ≈ 768 MB float32 RGB — beyond any sane web payload)
+MAX_DECODE_PIXELS = 64_000_000
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JPEG bytes → float32 image: (h, w) grayscale or
     (h, w, 3) RGB in [0, 255]. Raises ValueError — and ONLY ValueError —
@@ -219,7 +224,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     decoded_ok=false."""
     try:
         return _decode_jpeg_markers(payload)
-    except ValueError:
+    except (ValueError, MemoryError):
+        # MemoryError is resource exhaustion, not a malformed stream —
+        # masking it as decoded_ok=false would hide a worker OOM
         raise
     except Exception as exc:  # truncated/garbage segments: struct.error,
         # IndexError, KeyError, ZeroDivisionError, StopIteration, ...
@@ -280,6 +287,14 @@ def _decode_jpeg_markers(payload: bytes) -> np.ndarray:
                 raise ValueError("only 8-bit precision supported")
             if h == 0 or w == 0:
                 raise ValueError("zero image dimension in SOF0")
+            if h * w > MAX_DECODE_PIXELS:
+                # a ~100-byte crafted payload can declare 65535×65535×3
+                # (~50 GB output + an unbounded per-MCU decode loop) —
+                # cap claimed dimensions before any allocation
+                raise ValueError(
+                    f"declared image {w}x{h} exceeds MAX_DECODE_PIXELS "
+                    f"({MAX_DECODE_PIXELS})"
+                )
             if len(seg) < 6 + 3 * nc:
                 raise ValueError("truncated SOF0 component list")
             comps = []

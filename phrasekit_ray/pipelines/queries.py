@@ -941,7 +941,7 @@ def q_pagerank_top(sf_dir: str):
     np.add.at(outw, s_idx, w)
     d = 0.85
     r = np.full(m, 1.0 / m) if m else np.zeros(0)
-    for _ in range(6):
+    for _ in range(6 if m else 0):  # m == 0: empty graph, nothing to rank
         dangling = r[outw == 0].sum()
         share = np.zeros(m)
         np.add.at(share, o_idx, r[s_idx] / outw[s_idx] * w)

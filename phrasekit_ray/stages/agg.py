@@ -1632,6 +1632,10 @@ def grouped_string_agg(
                 "v": batch[val_col].combine_chunks().cast(pa.string()),
             }
         )
+        # SQL string_agg SKIPS NULL values; a null reaching binary_join
+        # would NULL-poison its whole group (and the null-aware Arrow
+        # compare below would crash the distinct path)
+        t = t.filter(pc.is_valid(t["v"]))
         if distinct:
             t = t.group_by(["k", "v"]).aggregate([])
         return t.append_column("_part", _part_column(t, ["k"], num_partitions))
@@ -1746,8 +1750,9 @@ def bloom_semi_join(
     n_keys = max(distinct.count(), 1)
     m_bits = n_keys * bits_per_key
     if m_bits > max_bloom_bytes * 8:
+        # reuse the distinct keys just computed — don't rescan right_ds
         return key_filter_join(
-            left_ds, right_ds, left_key, right_key,
+            left_ds, distinct, left_key, "_k",
             num_partitions=num_partitions,
         )
 
@@ -1771,9 +1776,11 @@ def bloom_semi_join(
         return batch.filter(pa.array(hit))
 
     candidates = left_ds.map_batches(prefilter, batch_format="pyarrow")
-    # exact verify pass removes Bloom false positives (≈0.3% at 12/4)
+    # exact verify pass removes Bloom false positives (≈0.3% at 12/4);
+    # verify against the ALREADY-computed distinct key table so the
+    # build side is scanned once, not twice
     return key_filter_join(
-        candidates, right_ds, left_key, right_key, num_partitions=num_partitions
+        candidates, distinct, left_key, "_k", num_partitions=num_partitions
     )
 
 
@@ -1815,8 +1822,10 @@ def histogram_quantiles(
         return t.filter(pc.is_valid(t["cents"]))  # SQL quantiles skip NULLs
 
     cents_mat = ds.map_batches(to_cents, batch_format="pyarrow").materialize()
-    lo = cents_mat.min("cents")
-    hi = cents_mat.max("cents")
+    from ray.data.aggregate import Max, Min
+
+    mm = cents_mat.aggregate(Min("cents"), Max("cents"))  # ONE pass
+    lo, hi = mm.get("min(cents)"), mm.get("max(cents)")
     if lo is None:
         return pa.table(
             {

@@ -998,6 +998,138 @@ def rows_window_sum(
     )
 
 
+def _range_pair_positions(key_s, ts_s, horizon, side_s=None,
+                          tie_run_cap: int = 100_000):
+    """Positions (i, j), i < j, with key_s[i] == key_s[j] and
+    0 < ts_s[j] − ts_s[i] <= horizon, over arrays SORTED by (key, ts).
+    With ``side_s`` given, only cross-side pairs (side i == 0, side j ==
+    1) are emitted — the two-table join filter.
+
+    Stride loop over neighbor offsets k = 1, 2, ... with SURVIVOR
+    COMPACTION: a row leaves the active set the first time its k-th
+    successor crosses the segment boundary or the horizon (both are
+    monotone in k on sorted input), so pass k scans only rows that still
+    have a within-horizon k-th successor — total work is O(emitted pairs
+    + Σ run²) where runs are EQUAL-(key, ts) tie runs (they stay active
+    but emit nothing under the strict inequality). ``tie_run_cap``
+    refuses degenerate inputs (> cap rows of one key at one identical
+    timestamp) rather than grinding quadratically."""
+    n = len(key_s)
+    if n > 1:
+        tie_break = np.concatenate(
+            ([True], (key_s[1:] != key_s[:-1]) | (ts_s[1:] != ts_s[:-1]))
+        )
+        tie_runs = np.bincount(np.cumsum(tie_break) - 1)
+        if (tie_runs > tie_run_cap).any():
+            raise ValueError(
+                f"range join: {int(tie_runs.max())} rows share one "
+                f"(key, ts) (> tie_run_cap {tie_run_cap})"
+            )
+    out_i, out_j = [], []
+    active = np.arange(max(n - 1, 0))
+    k = 1
+    while len(active):
+        j = active + k
+        live = j < n
+        if not live.all():
+            active, j = active[live], j[live]
+        keep = (key_s[active] == key_s[j]) & (ts_s[j] - ts_s[active] <= horizon)
+        if not keep.all():
+            active, j = active[keep], j[keep]
+        if not len(active):
+            break
+        ok = ts_s[j] > ts_s[active]
+        if side_s is not None:
+            ok &= (side_s[active] == 0) & (side_s[j] == 1)
+        if ok.any():
+            out_i.append(active[ok])
+            out_j.append(j[ok])
+        k += 1
+    if not out_i:
+        z = np.zeros(0, np.int64)
+        return z, z
+    return np.concatenate(out_i), np.concatenate(out_j)
+
+
+def _range_join_impl(left_ds, right_ds, key_col, ts_col, id_col, horizon,
+                     num_partitions, hot_key_cap, op_name):
+    """Shared machinery for range_self_join (right_ds None) and the
+    two-table range_join: key-hash shuffle of (k, ts, id[, side]) then
+    one vectorized _range_pair_positions call per partition."""
+    num_partitions = default_partitions(num_partitions)
+    two_sided = right_ds is not None
+
+    def derive(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            key = batch[key_col].combine_chunks().cast(pa.int64()).to_numpy()
+            cols = {
+                "k": pa.array(key, pa.int64()),
+                "ts": batch[ts_col].combine_chunks().cast(pa.int64()),
+                "id": batch[id_col].combine_chunks().cast(pa.int64()),
+            }
+            if two_sided:
+                cols["side"] = pa.array(
+                    np.full(len(key), side, dtype=np.int8), pa.int8()
+                )
+            cols["_part"] = pa.array(
+                _user_part(key, num_partitions), pa.int32()
+            )
+            return pa.table(cols)
+
+        return fn
+
+    left_name, right_name = f"left_{id_col}", f"right_{id_col}"
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        empty = pa.table(
+            {
+                left_name: pa.array([], pa.int64()),
+                right_name: pa.array([], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        key = group["k"].combine_chunks().to_numpy()
+        ts = group["ts"].combine_chunks().to_numpy()
+        eid = group["id"].combine_chunks().to_numpy()
+        if two_sided:
+            side = group["side"].combine_chunks().to_numpy()
+            order = np.lexsort((eid, side, ts, key))
+            side_s = side[order]
+        else:
+            order = np.lexsort((eid, ts, key))
+            side_s = None
+        key_s, ts_s, id_s = key[order], ts[order], eid[order]
+        seg_len = np.bincount(
+            np.cumsum(np.concatenate(([True], key_s[1:] != key_s[:-1]))) - 1
+        ) if n else np.zeros(0, np.int64)
+        if (seg_len > hot_key_cap).any():
+            raise ValueError(
+                f"{op_name}: a key has {int(seg_len.max())} rows "
+                f"(> hot_key_cap {hot_key_cap})"
+            )
+        i, j = _range_pair_positions(key_s, ts_s, horizon, side_s)
+        if not len(i):
+            return empty
+        return pa.table(
+            {
+                left_name: pa.array(id_s[i], pa.int64()),
+                right_name: pa.array(id_s[j], pa.int64()),
+            }
+        )
+
+    tagged = left_ds.map_batches(derive(0), batch_format="pyarrow")
+    if two_sided:
+        tagged = tagged.union(
+            right_ds.map_batches(derive(1), batch_format="pyarrow")
+        )
+    return tagged.groupby("_part").map_groups(
+        lambda g: per_partition(g.drop_columns(["_part"])),
+        batch_format="pyarrow",
+    )
+
+
 def range_self_join(
     ds,
     key_col: str,
@@ -1015,81 +1147,42 @@ def range_self_join(
           AND b.ts > a.ts AND b.ts <= a.ts + horizon
 
     Scale shape: hash-partition by key (a key never straddles
-    partitions), per partition lexsort (key, ts, id) then a stride loop
-    over neighbor offsets k = 1, 2, ... (same kernel family as
-    _segment_pair_positions): pass k emits pairs exactly k apart; ts is
-    sorted within a segment, so the loop stops at the first k where NO
-    row has a within-horizon k-th successor. Total work = emitted pairs
-    + O(max rows-per-key·horizon density); ``hot_key_cap`` bounds a
-    pathological key's row count."""
-    num_partitions = default_partitions(num_partitions)
+    partitions), per partition one vectorized ``_range_pair_positions``
+    call (survivor-compacted stride kernel — see its docstring for the
+    work bound); ``hot_key_cap`` bounds a pathological key's row count.
+    """
+    return _range_join_impl(
+        ds, None, key_col, ts_col, id_col, horizon,
+        num_partitions, hot_key_cap, "range_self_join",
+    )
 
-    def derive(batch: pa.Table) -> pa.Table:
-        key = batch[key_col].combine_chunks().cast(pa.int64()).to_numpy()
-        return pa.table(
-            {
-                "k": pa.array(key, pa.int64()),
-                "ts": batch[ts_col].combine_chunks().cast(pa.int64()),
-                "id": batch[id_col].combine_chunks().cast(pa.int64()),
-                "_part": pa.array(_user_part(key, num_partitions), pa.int32()),
-            }
-        )
 
-    left_name, right_name = f"left_{id_col}", f"right_{id_col}"
+def range_join(
+    left_ds,
+    right_ds,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    horizon: int,
+    num_partitions: int | None = None,
+    hot_key_cap: int = 1_000_000,
+):
+    """Bounded-horizon TWO-TABLE range join (stream-stream attribution):
+    all pairs (l, r) with equal ``key_col`` and ``0 < ts_r − ts_l <=
+    horizon`` → (left_<id>, right_<id>). The SQL shape:
 
-    def per_partition(group: pa.Table) -> pa.Table:
-        n = group.num_rows
-        empty = pa.table(
-            {
-                left_name: pa.array([], pa.int64()),
-                right_name: pa.array([], pa.int64()),
-            }
-        )
-        if n == 0:
-            return empty
-        key = group["k"].combine_chunks().to_numpy()
-        ts = group["ts"].combine_chunks().to_numpy()
-        eid = group["id"].combine_chunks().to_numpy()
-        order = np.lexsort((eid, ts, key))
-        key_s, ts_s, id_s = key[order], ts[order], eid[order]
-        seg_len = np.bincount(
-            np.cumsum(np.concatenate(([True], key_s[1:] != key_s[:-1]))) - 1
-        )
-        if (seg_len > hot_key_cap).any():
-            raise ValueError(
-                f"range_self_join: a key has {int(seg_len.max())} rows "
-                f"(> hot_key_cap {hot_key_cap})"
-            )
-        out_l, out_r = [], []
-        idx = np.arange(n)
-        for k in range(1, n):
-            cand = idx[: n - k]
-            same = key_s[cand] == key_s[cand + k]
-            diff = ts_s[cand + k] - ts_s[cand]
-            within = same & (diff <= horizon)
-            if not within.any():
-                break  # ts sorted per segment → farther k only grows diff
-            ok = within & (diff > 0)
-            if ok.any():
-                ii = cand[ok]
-                out_l.append(id_s[ii])
-                out_r.append(id_s[ii + k])
-        if not out_l:
-            return empty
-        return pa.table(
-            {
-                left_name: pa.array(np.concatenate(out_l), pa.int64()),
-                right_name: pa.array(np.concatenate(out_r), pa.int64()),
-            }
-        )
+        FROM left l JOIN right r ON l.key = r.key
+          AND r.ts > l.ts AND r.ts <= l.ts + horizon
 
-    return (
-        ds.map_batches(derive, batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(
-            lambda g: per_partition(g.drop_columns(["_part"])),
-            batch_format="pyarrow",
-        )
+    Scale shape: both sides get a side tag and hash-partition by key
+    (conformed union — ONE shuffle); per partition one vectorized
+    ``_range_pair_positions`` call keeping only left→right cross-side
+    pairs. Equal-ts pairs are excluded by the strict inequality
+    regardless of side order, so side position within a tie run cannot
+    change the result."""
+    return _range_join_impl(
+        left_ds, right_ds, key_col, ts_col, id_col, horizon,
+        num_partitions, hot_key_cap, "range_join",
     )
 
 
@@ -1154,10 +1247,24 @@ def time_weighted_sum(
         same_next = np.concatenate((uid_s[1:] == uid_s[:-1], [False]))
         dt = np.zeros(n, dtype=np.int64)
         dt[:-1] = ts_s[1:] - ts_s[:-1]
-        w = np.where(same_next & ~null_s, c_s * dt, 0)
+        live = same_next & ~null_s
+        # int64 arithmetic wraps SILENTLY on overflow — refuse rather
+        # than emit a wrong (possibly negative) integral; the caller
+        # rescales (coarser time unit or value scale) if this trips.
+        # Checked on float64 SEGMENT sums (guards the accumulation too;
+        # 2^62 leaves 2x margin over float64's ~512-ulp error there).
         new_seg = np.concatenate(([True], uid_s[1:] != uid_s[:-1]))
         seg_id = np.cumsum(new_seg) - 1
         m = int(seg_id[-1]) + 1
+        approx = np.abs(c_s.astype(np.float64)) * np.where(live, dt, 0)
+        seg_abs = np.zeros(m)
+        np.add.at(seg_abs, seg_id, approx)
+        if seg_abs.size and float(seg_abs.max()) > 2**62:
+            raise ValueError(
+                "time_weighted_sum: cents x dt_us integral would "
+                "overflow int64 — rescale the value or timestamp unit"
+            )
+        w = np.where(live, c_s * dt, 0)
         num = np.zeros(m, dtype=np.int64)
         np.add.at(num, seg_id, w)
         starts = np.flatnonzero(new_seg)
@@ -1177,112 +1284,4 @@ def time_weighted_sum(
             lambda g: per_partition(g.drop_columns(["_part"])),
             batch_format="pyarrow",
         )
-    )
-
-
-def range_join(
-    left_ds,
-    right_ds,
-    key_col: str,
-    ts_col: str,
-    id_col: str,
-    horizon: int,
-    num_partitions: int | None = None,
-    hot_key_cap: int = 1_000_000,
-):
-    """Bounded-horizon TWO-TABLE range join (stream-stream attribution):
-    all pairs (l, r) with equal ``key_col`` and ``0 < ts_r − ts_l <=
-    horizon`` → (left_<id>, right_<id>). The SQL shape:
-
-        FROM left l JOIN right r ON l.key = r.key
-          AND r.ts > l.ts AND r.ts <= l.ts + horizon
-
-    Scale shape: both sides get a side tag and hash-partition by key
-    (conformed union — one shuffle); per partition ONE vectorized UDF:
-    lexsort (key, ts, side, id) and the same stride-offset kernel as
-    ``range_self_join``, keeping only left→right cross-side pairs.
-    Equal-ts pairs are excluded by the strict inequality regardless of
-    side order, so the side position within a tie run cannot change the
-    result."""
-    num_partitions = default_partitions(num_partitions)
-
-    def derive(side: int):
-        def fn(batch: pa.Table) -> pa.Table:
-            key = batch[key_col].combine_chunks().cast(pa.int64()).to_numpy()
-            return pa.table(
-                {
-                    "k": pa.array(key, pa.int64()),
-                    "ts": batch[ts_col].combine_chunks().cast(pa.int64()),
-                    "id": batch[id_col].combine_chunks().cast(pa.int64()),
-                    "side": pa.array(
-                        np.full(len(key), side, dtype=np.int8), pa.int8()
-                    ),
-                    "_part": pa.array(
-                        _user_part(key, num_partitions), pa.int32()
-                    ),
-                }
-            )
-
-        return fn
-
-    left_name, right_name = f"left_{id_col}", f"right_{id_col}"
-
-    def per_partition(group: pa.Table) -> pa.Table:
-        n = group.num_rows
-        empty = pa.table(
-            {
-                left_name: pa.array([], pa.int64()),
-                right_name: pa.array([], pa.int64()),
-            }
-        )
-        if n == 0:
-            return empty
-        key = group["k"].combine_chunks().to_numpy()
-        ts = group["ts"].combine_chunks().to_numpy()
-        eid = group["id"].combine_chunks().to_numpy()
-        side = group["side"].combine_chunks().to_numpy()
-        order = np.lexsort((eid, side, ts, key))
-        key_s, ts_s, id_s, side_s = key[order], ts[order], eid[order], side[order]
-        seg_len = np.bincount(
-            np.cumsum(np.concatenate(([True], key_s[1:] != key_s[:-1]))) - 1
-        )
-        if (seg_len > hot_key_cap).any():
-            raise ValueError(
-                f"range_join: a key has {int(seg_len.max())} rows "
-                f"(> hot_key_cap {hot_key_cap})"
-            )
-        out_l, out_r = [], []
-        idx = np.arange(n)
-        for k in range(1, n):
-            cand = idx[: n - k]
-            same = key_s[cand] == key_s[cand + k]
-            diff = ts_s[cand + k] - ts_s[cand]
-            within = same & (diff <= horizon)
-            if not within.any():
-                break
-            ok = (
-                within
-                & (diff > 0)
-                & (side_s[cand] == 0)
-                & (side_s[cand + k] == 1)
-            )
-            if ok.any():
-                ii = cand[ok]
-                out_l.append(id_s[ii])
-                out_r.append(id_s[ii + k])
-        if not out_l:
-            return empty
-        return pa.table(
-            {
-                left_name: pa.array(np.concatenate(out_l), pa.int64()),
-                right_name: pa.array(np.concatenate(out_r), pa.int64()),
-            }
-        )
-
-    tagged = left_ds.map_batches(derive(0), batch_format="pyarrow").union(
-        right_ds.map_batches(derive(1), batch_format="pyarrow")
-    )
-    return tagged.groupby("_part").map_groups(
-        lambda g: per_partition(g.drop_columns(["_part"])),
-        batch_format="pyarrow",
     )

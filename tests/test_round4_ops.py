@@ -310,3 +310,90 @@ def test_range_join_two_table_matches_bruteforce(ray_session):
         if lk[i] == rk[j] and 0 < rt[j] - lt[i] <= 7
     }
     assert got_pairs == want
+
+
+# --- round-4 code-review regression fixes ---------------------------------
+
+
+def test_grouped_string_agg_skips_nulls(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_string_agg
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "v": pa.array(["b", None, "a", None, "z"], pa.string()),
+        }
+    )
+    got = _collect(
+        grouped_string_agg(ray.data.from_arrow(t), "k", "v", out_col="agg")
+    ).sort_by("k")
+    assert got["agg"].to_pylist() == ["a,b", "z"]  # SQL skips NULLs
+    # non-distinct path must not NULL-poison the group either
+    got2 = _collect(
+        grouped_string_agg(
+            ray.data.from_arrow(t), "k", "v", distinct=False, out_col="agg"
+        )
+    ).sort_by("k")
+    assert got2["agg"].to_pylist() == ["a,b", "z"]
+
+
+def test_range_join_tie_run_cap_refuses_degenerate_input(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.windows import _range_pair_positions, range_self_join
+
+    # kernel-level: equal-(key, ts) run above the cap raises
+    key = np.zeros(50, np.int64)
+    ts = np.zeros(50, np.int64)
+    with pytest.raises(ValueError, match="tie_run_cap"):
+        _range_pair_positions(key, ts, horizon=10, tie_run_cap=10)
+    # below the cap: emits nothing (strict >) but completes
+    i, j = _range_pair_positions(key, ts, horizon=10, tie_run_cap=100)
+    assert len(i) == 0
+
+    # operator level still fine with moderate ties
+    t = pa.table(
+        {
+            "k": pa.array([1] * 20, pa.int64()),
+            "ts": pa.array([5] * 10 + [6] * 10, pa.int64()),
+            "id": pa.array(np.arange(20), pa.int64()),
+        }
+    )
+    got = _collect(
+        range_self_join(
+            ray.data.from_arrow(t), key_col="k", ts_col="ts", id_col="id",
+            horizon=2,
+        )
+    )
+    assert got.num_rows == 100  # 10 ts=5 rows × 10 ts=6 successors
+
+
+def test_time_weighted_sum_refuses_int64_overflow(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.windows import time_weighted_sum
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1], pa.int64()),
+            "ts": pa.array([0, 4 * 10**12], pa.int64()),  # ~46 days in µs
+            "event_id": pa.array([0, 1], pa.int64()),
+            "value": pa.array([4e7, 1.0], pa.float64()),  # 4e9 cents
+        }
+    )
+    with pytest.raises(Exception, match="overflow"):
+        _collect(time_weighted_sum(ray.data.from_arrow(t)))
+
+
+def test_decode_jpeg_rejects_huge_declared_dimensions():
+    import struct as _struct
+
+    from phrasekit_ray.core import jpeg
+
+    enc = bytearray(jpeg.encode_jpeg(np.zeros((16, 16), np.uint8), 75))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 5:i + 9] = _struct.pack(">HH", 65535, 65535)
+    with pytest.raises(ValueError, match="MAX_DECODE_PIXELS"):
+        jpeg.decode_jpeg(bytes(enc))
