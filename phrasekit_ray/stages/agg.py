@@ -248,19 +248,25 @@ def lookup_join(
     num_partitions: int | None = None,
     left_schema=None,
     right_schema=None,
+    broadcast_rows: int = 1_000_000,
 ):
     """Distributed inner equi-join of ``left_ds`` against a UNIQUE-keyed
     int lookup table ``right_ds`` (one row per key) — returns left columns
     + the right side's non-key columns.
 
-    Built as a manual partitioned hash join: both sides get an int32
-    ``_part`` column from the same key hash, are unioned under one
-    conformed schema, and a single vectorized ``np.searchsorted`` per
-    PARTITION attaches the right values — no per-key UDF calls, no
-    driver traffic, and none of the native join operator's
-    schema-broadcast fragility when chained (empty join partitions emit
-    zero-column blocks that break a downstream join's aggregator in Ray
-    2.49).
+    Two physical paths, chosen by the right side's row count:
+    - ≤ ``broadcast_rows``: the key-sorted right table broadcasts once
+      (``ray.put``) and every left batch attaches values with one
+      vectorized searchsorted — ZERO shuffle (the classic broadcast hash
+      join; dimension tables at any realistic scale take this path);
+    - above it: a manual partitioned hash join — both sides get an int32
+      ``_part`` column from the same key hash, are unioned under one
+      conformed schema, and a single vectorized ``np.searchsorted`` per
+      PARTITION attaches the right values — no per-key UDF calls, no
+      driver traffic, and none of the native join operator's
+      schema-broadcast fragility when chained (empty join partitions
+      emit zero-column blocks that break a downstream join's aggregator
+      in Ray 2.49).
 
     Keys must be integer-typed; right keys must be unique (it is a
     lookup, not a general join — use Dataset.join for m:n).
@@ -269,12 +275,64 @@ def lookup_join(
     when the side is LAZY and ends in an all-to-all: schema inference on
     such a dataset executes the whole upstream shuffle once just for the
     schema and again for the real run — double execution."""
+    import ray
+
     num_partitions = default_partitions(num_partitions)
     left_schema = left_schema or left_ds.schema(fetch_if_missing=True)
     right_schema = right_schema or right_ds.schema(fetch_if_missing=True)
     left_cols = [n for n in left_schema.names]
     right_val_cols = [n for n in right_schema.names if n != right_key]
     overlap = set(left_cols) & set(right_val_cols)
+    if not overlap and broadcast_rows > 0:
+        rmat = right_ds.materialize()
+        if rmat.count() <= broadcast_rows:
+            rtbl = pa.concat_tables(
+                [t for t in ray.get(rmat.to_arrow_refs()) if t.num_rows]
+            ) if rmat.count() else None
+            if rtbl is None:
+                # empty right side → inner join result is empty
+                return ray.data.from_arrow(
+                    pa.table(
+                        {
+                            c: pa.array(
+                                [],
+                                dict(
+                                    zip(left_schema.names, left_schema.types)
+                                ).get(c)
+                                or dict(
+                                    zip(right_schema.names, right_schema.types)
+                                )[c],
+                            )
+                            for c in left_cols + right_val_cols
+                        }
+                    )
+                )
+            rkeys = rtbl[right_key].combine_chunks().cast(pa.int64()).to_numpy()
+            order = np.argsort(rkeys, kind="stable")
+            vals = rtbl.select(right_val_cols).take(pa.array(order))
+            bcast = ray.put((rkeys[order], vals))
+
+            def attach(batch: pa.Table) -> pa.Table:
+                from phrasekit_ray.stages.score import _get_broadcast
+
+                keys_sorted, vtbl = _get_broadcast(bcast)
+                lk = batch[left_key].cast(pa.int64()).to_numpy(
+                    zero_copy_only=False
+                )
+                pos = np.minimum(
+                    np.searchsorted(keys_sorted, lk),
+                    max(len(keys_sorted) - 1, 0),
+                )
+                hit = keys_sorted[pos] == lk
+                out_rows = batch.filter(pa.array(hit))
+                take = pa.array(pos[hit])
+                cols = {c: out_rows[c] for c in left_cols}
+                for c in right_val_cols:
+                    cols[c] = vtbl[c].take(take)
+                return pa.table(cols)
+
+            return left_ds.map_batches(attach, batch_format="pyarrow")
+        right_ds = rmat  # fall through; don't re-execute the right side
     if overlap:
         raise ValueError(f"column collision between sides: {sorted(overlap)}")
     left_types = dict(zip(left_schema.names, left_schema.types))

@@ -111,10 +111,16 @@ def connected_components_distributed(
     (node: int64, label: int64) where label = component minimum.
     """
     def norm_edges(batch: pa.Table) -> pa.Table:
+        # SYMMETRIZE up front: with both (u,v) and (v,u) materialized,
+        # each propagation round needs ONE join (label(src) → dst)
+        # instead of two — half the per-round all-to-all fixed cost for
+        # the same joined volume
+        s = batch[src_col].combine_chunks().cast(pa.int64())
+        d = batch[dst_col].combine_chunks().cast(pa.int64())
         return pa.table(
             {
-                "src": batch[src_col].cast(pa.int64()),
-                "dst": batch[dst_col].cast(pa.int64()),
+                "src": pa.concat_arrays([s, d]),
+                "dst": pa.concat_arrays([d, s]),
             }
         )
 
@@ -144,25 +150,19 @@ def connected_components_distributed(
     prev_sum = labels.sum("label")
 
     def msg_from_src(batch: pa.Table) -> pa.Table:
-        # after join on src: (src, dst, label) — send src's label to dst
+        # after join on src: (src, dst, label) — send src's label to dst;
+        # edges are symmetrized, so this ONE join covers both directions
         return pa.table({"node": batch["dst"], "label": batch["label"]})
 
-    def msg_from_dst(batch: pa.Table) -> pa.Table:
-        return pa.table({"node": batch["src"], "label": batch["label"]})
-
     for _ in range(max_rounds):
-        # distributed hash joins: every edge endpoint fetches its current
-        # label, then sends it to the opposite endpoint
+        # ONE distributed hash join per round: every (directed) edge
+        # fetches its source's current label and sends it to its dst
         j_src = edges.join(
             labels, join_type="inner", num_partitions=8, on=("src",), right_on=("node",)
         )
-        j_dst = edges.join(
-            labels, join_type="inner", num_partitions=8, on=("dst",), right_on=("node",)
-        )
         m1 = j_src.map_batches(msg_from_src, batch_format="pyarrow")
-        m2 = j_dst.map_batches(msg_from_dst, batch_format="pyarrow")
         labels = hash_aggregate(
-            labels.union(m1).union(m2), "node", [("label", "min")]
+            labels.union(m1), "node", [("label", "min")]
         ).materialize()
         # label-sum stability IS sound here (unlike LPA): hash-min
         # propagation is monotone non-increasing per node, so an unchanged

@@ -397,3 +397,45 @@ def test_decode_jpeg_rejects_huge_declared_dimensions():
     enc[i + 5:i + 9] = _struct.pack(">HH", 65535, 65535)
     with pytest.raises(ValueError, match="MAX_DECODE_PIXELS"):
         jpeg.decode_jpeg(bytes(enc))
+
+
+def test_lookup_join_broadcast_equals_partitioned(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.agg import lookup_join
+
+    rng = np.random.default_rng(23)
+    left = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 300, 2000), pa.int64()),
+            "x": pa.array(np.arange(2000), pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array(np.arange(0, 250), pa.int64()),
+            "name": pa.array([f"n{i}" for i in range(250)]),
+        }
+    )
+    lds = ray.data.from_arrow(left).repartition(4)
+    rds = ray.data.from_arrow(right).repartition(2)
+
+    def norm(t):
+        import pyarrow.compute as pc_
+
+        return t.take(pc_.sort_indices(t, sort_keys=[("x", "ascending")]))
+
+    got_b = norm(_collect(lookup_join(lds, rds, "k", "rk")))
+    got_p = norm(
+        _collect(lookup_join(lds, rds, "k", "rk", broadcast_rows=0))
+    )
+    assert got_b.equals(got_p)
+    assert got_b.num_rows > 0
+
+    # empty right side: both paths produce an empty, correctly-typed table
+    empty = ray.data.from_arrow(
+        pa.table({"rk": pa.array([], pa.int64()), "name": pa.array([], pa.string())})
+    )
+    for br in (1_000_000, 0):
+        out = _collect(lookup_join(lds, empty, "k", "rk", broadcast_rows=br))
+        assert out.num_rows == 0
