@@ -1673,3 +1673,190 @@ EXT_QUERIES.update(
 EXT_ORACLE_SQL.update(
     {"q_click_purchase_attribution": SQL_CLICK_PURCHASE_ATTRIBUTION}
 )
+
+
+# --- round-4 additions (3): funnel, mode, z-score, chunking, dup n-grams ---
+
+
+def q_events_funnel(sf_dir: str):
+    """Sequential view→click→purchase funnel: per step, users who
+    completed the chain in strict ts order (stages/windows.funnel_counts
+    — K vectorized passes per user-hash partition, K-row final sum)."""
+    import ray
+
+    from phrasekit_ray.stages.windows import funnel_counts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    return _collect(funnel_counts(ev, ["view", "click", "purchase"]))
+
+
+SQL_EVENTS_FUNNEL = """
+WITH t0 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type='view' GROUP BY user_id),
+t1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN t0 ON e.user_id = t0.user_id AND e.ts > t0.t
+       WHERE e.event_type='click' GROUP BY e.user_id),
+t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t
+       WHERE e.event_type='purchase' GROUP BY e.user_id)
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), 'view',     (SELECT CAST(count(*) AS BIGINT) FROM t0)),
+  (CAST(1 AS BIGINT), 'click',    (SELECT CAST(count(*) AS BIGINT) FROM t1)),
+  (CAST(2 AS BIGINT), 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM t2))
+) AS v(step_idx, step, users)
+"""
+
+
+def q_mode_event_type(sf_dir: str):
+    """MODE per user bucket: most frequent event_type, tie → smallest
+    (stages/agg.grouped_mode — two-phase count, candidate-only second
+    exchange)."""
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_mode
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "bucket": pa.array(
+                    b["user_id"].combine_chunks().cast(pa.int64()).to_numpy()
+                    % 16,
+                    pa.int64(),
+                ),
+                "event_type": b["event_type"].combine_chunks(),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return _collect(grouped_mode(ev, "bucket", "event_type"))
+
+
+SQL_MODE_EVENT_TYPE = """
+SELECT user_id % 16 AS bucket, event_type, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+QUALIFY row_number() OVER (
+  PARTITION BY bucket ORDER BY n DESC, event_type ASC) = 1
+"""
+
+
+def q_events_value_zscore(sf_dir: str):
+    """Per-bucket z-score of event value (stages/agg.grouped_zscore —
+    exact int64 moment sums through one two-phase aggregate, group
+    stats re-attached via broadcast lookup_join, pinned float64
+    finalize → micro-int output)."""
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_zscore
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "bucket": pa.array(
+                    b["user_id"].combine_chunks().cast(pa.int64()).to_numpy()
+                    % 16,
+                    pa.int64(),
+                ),
+                "event_id": b["event_id"].combine_chunks().cast(pa.int64()),
+                "value": b["value"].combine_chunks(),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = _collect(grouped_zscore(ev, "bucket", "value"))
+    return out.select(["event_id", "bucket", "v", "zscore_micro"])
+
+
+SQL_EVENTS_VALUE_ZSCORE = """
+WITH t AS (SELECT event_id, user_id % 16 AS bucket,
+                  CAST(round(value * 100) AS BIGINT) AS v FROM events),
+s AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS sv,
+             CAST(sum(v * v) AS BIGINT) AS svv
+      FROM t GROUP BY bucket)
+SELECT event_id, bucket, v,
+  CAST(round((CAST(v AS DOUBLE) - CAST(sv AS DOUBLE)/n)
+       / sqrt(CAST(svv AS DOUBLE)/n
+              - (CAST(sv AS DOUBLE)/n) * (CAST(sv AS DOUBLE)/n))
+       * 1000000.0) AS BIGINT) AS zscore_micro
+FROM t JOIN s USING (bucket)
+"""
+
+
+def q_doc_chunks(sf_dir: str):
+    """Strided training-window chunking: 32-token windows every 24
+    tokens per document (stages/chunk.chunk_windows — stateless
+    repeat/gather explode, no shuffle)."""
+    import ray
+
+    from phrasekit_ray.stages.chunk import chunk_windows
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return _collect(chunk_windows(docs, window=32, stride=24))
+
+
+SQL_DOC_CHUNKS = """
+WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  string_split(text, ' ') AS tk FROM documents),
+g AS (SELECT doc_id, tk,
+             1 + 24 * unnest(generate_series(
+               0, CAST(ceil(greatest(len(tk) - 32, 0) / 24.0) AS BIGINT)
+             )) AS s FROM t)
+SELECT doc_id, CAST((s - 1) / 24 AS BIGINT) AS chunk_idx,
+       array_to_string(tk[s:least(s + 31, len(tk))], ' ') AS chunk_text,
+       CAST(least(32, len(tk) - s + 1) AS BIGINT) AS n_tokens
+FROM g
+"""
+
+
+def q_dup_ngram_docs(sf_dir: str):
+    """Substring-dedup signal: per doc, distinct 5-token shingles shared
+    with another doc (stages/dedup.dup_ngram_docs — shingle-partitioned
+    distinct + segment masks, two exchanges, zero joins)."""
+    from phrasekit_ray.stages.dedup import dup_ngram_docs
+
+    import ray
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return _collect(dup_ngram_docs(docs, k=5))
+
+
+SQL_DUP_NGRAM_DOCS = """
+WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  string_split(text, ' ') AS tk FROM documents),
+s AS (SELECT doc_id, array_to_string(tk[i:i+4], ' ') AS sh
+      FROM t, unnest(generate_series(1, len(tk) - 4)) AS g(i)),
+d AS (SELECT DISTINCT doc_id, sh FROM s),
+bad AS (SELECT sh FROM d GROUP BY sh HAVING count(DISTINCT doc_id) >= 2)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_shingles
+FROM d JOIN bad USING (sh) GROUP BY doc_id
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "q_events_funnel": q_events_funnel,
+        "q_mode_event_type": q_mode_event_type,
+        "q_events_value_zscore": q_events_value_zscore,
+        "q_doc_chunks": q_doc_chunks,
+        "q_dup_ngram_docs": q_dup_ngram_docs,
+    }
+)
+EXT_ORACLE_SQL.update(
+    {
+        "q_events_funnel": SQL_EVENTS_FUNNEL,
+        "q_mode_event_type": SQL_MODE_EVENT_TYPE,
+        "q_events_value_zscore": SQL_EVENTS_VALUE_ZSCORE,
+        "q_doc_chunks": SQL_DOC_CHUNKS,
+        "q_dup_ngram_docs": SQL_DUP_NGRAM_DOCS,
+    }
+)

@@ -1928,3 +1928,166 @@ def histogram_quantiles(
             "est_cents": pa.array(est, pa.int64()),
         }
     )
+
+
+def grouped_mode(
+    ds,
+    key_col: str,
+    val_col: str,
+    count_col: str = "n",
+    num_partitions: int | None = None,
+):
+    """MODE per group: for each ``key_col`` (int) the most frequent
+    ``val_col`` value, deterministic tie-break = smallest value. SQL
+
+        SELECT key, val, count(*) AS n FROM t GROUP BY key, val
+        QUALIFY row_number() OVER (
+          PARTITION BY key ORDER BY n DESC, val ASC) = 1
+
+    Scale shape: phase 1 is the existing two-phase ``grouped_count`` on
+    (key, val) — in-block combine collapses repeats before the only
+    all-to-all. Phase 2 reduces (key, val, n) to one row per key with an
+    in-block Arrow-sort + segment-first combiner and the identical
+    kernel per hash partition, so the second exchange moves at most
+    blocks × keys-per-block candidate rows. ``val_col`` may be any
+    Arrow-orderable type (string included); ``key_col`` must be
+    int64-castable (it is the shuffle hash key).
+    """
+    num_partitions = default_partitions(num_partitions)
+    counts = grouped_count(
+        ds.select_columns([key_col, val_col]),
+        [key_col, val_col],
+        count_col=count_col,
+        num_partitions=num_partitions,
+    )
+
+    def reduce_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[
+                (key_col, "ascending"),
+                (count_col, "descending"),
+                (val_col, "ascending"),
+            ],
+        )
+        srt = batch.take(idx)
+        key = srt[key_col].combine_chunks().cast(pa.int64()).to_numpy()
+        firsts = np.concatenate(([True], key[1:] != key[:-1]))
+        return srt.filter(pa.array(firsts))
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_part", _part_column(batch, [key_col], num_partitions)
+        )
+
+    reduced = counts.map_batches(reduce_block, batch_format="pyarrow").map_batches(
+        add_part, batch_format="pyarrow"
+    )
+    return reduced.groupby("_part").map_groups(
+        lambda g: reduce_block(g.drop_columns(["_part"])),
+        batch_format="pyarrow",
+    )
+
+
+def grouped_zscore(
+    ds,
+    key_col: str,
+    val_col: str,
+    scale: float = 100.0,
+    out_col: str = "zscore_micro",
+    num_partitions: int | None = None,
+):
+    """Per-group standardization: attach to every row the z-score of its
+    value within its group, as micro-units (round-half-away int64), plus
+    the fixed-point value ``v`` the score was computed from. Population
+    std (÷N). Groups where std == 0 get NULL.
+
+    Float-determinism contract (same recipe as ``grouped_corr``): values
+    quantize to int64 fixed-point first (``round_away(value·scale)``),
+    moment sums travel the shuffle as EXACT int64s, and the finalize
+    computes mean/std/z through one pinned float64 expression tree —
+    so an oracle that mirrors the tree reproduces the result bit-for-bit
+    regardless of either engine's summation order.
+
+    Scale shape: one two-phase aggregate builds the per-group moment
+    table (rows = distinct groups), which re-attaches via ``lookup_join``
+    — broadcast (zero shuffle) while the group table stays under the
+    broadcast bound, partitioned searchsorted join above it. The corpus
+    is never collected, never re-sorted.
+    """
+    num_partitions = default_partitions(num_partitions)
+    schema = ds.schema(fetch_if_missing=True)
+    passthrough = [n for n in schema.names if n not in (key_col, val_col)]
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        v = round_away(
+            pc.multiply(batch[val_col].combine_chunks().cast(pa.float64()), scale)
+        ).cast(pa.int64())
+        cols = {key_col: batch[key_col].combine_chunks().cast(pa.int64()), "v": v}
+        for c in passthrough:
+            cols[c] = batch[c].combine_chunks()
+        return pa.table(cols)
+
+    quant = ds.map_batches(quantize, batch_format="pyarrow")
+
+    def moments(batch: pa.Table) -> pa.Table:
+        v = batch["v"].combine_chunks().to_numpy()
+        return pa.table(
+            {
+                key_col: batch[key_col].combine_chunks(),
+                "sv": pa.array(v, pa.int64()),
+                "svv": pa.array(v * v, pa.int64()),
+                "cnt": pa.array(np.ones(len(v), np.int64)),
+            }
+        )
+
+    stats = hash_aggregate(
+        quant.select_columns([key_col, "v"]).map_batches(
+            moments, batch_format="pyarrow"
+        ),
+        [key_col],
+        [("sv", "sum"), ("svv", "sum"), ("cnt", "sum")],
+        num_partitions=num_partitions,
+    )
+
+    joined = lookup_join(
+        quant,
+        stats,
+        key_col,
+        key_col,
+        num_partitions=num_partitions,
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        v = batch["v"].combine_chunks().cast(pa.float64()).to_numpy()
+        sv = batch["sv"].combine_chunks().cast(pa.float64()).to_numpy()
+        svv = batch["svv"].combine_chunks().cast(pa.float64()).to_numpy()
+        n = batch["cnt"].combine_chunks().cast(pa.float64()).to_numpy()
+        # pinned float64 tree: mean = sv/n; var = svv/n - mean*mean
+        mean = sv / n
+        std = np.sqrt(svv / n - mean * mean)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (v - mean) / std
+        # non-finite z (std == 0) is NULLed below; keep the cast safe
+        z = np.where(np.isfinite(z), z, 0.0)
+        micro = round_away(pa.array(z * 1e6, pa.float64()))
+        out = pa.table(
+            {
+                key_col: batch[key_col].combine_chunks(),
+                "v": batch["v"].combine_chunks(),
+                out_col: micro.cast(pa.int64(), safe=False),
+            }
+        )
+        for c in passthrough:
+            out = out.append_column(c, batch[c].combine_chunks())
+        # std == 0 (or a 1-row group) → NULL, matching SQL NULLIF
+        bad = pa.array(~(std > 0))
+        return out.set_column(
+            out.column_names.index(out_col),
+            out_col,
+            pc.if_else(bad, pa.scalar(None, pa.int64()), out[out_col]),
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")

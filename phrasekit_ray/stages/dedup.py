@@ -1377,3 +1377,119 @@ def fuzzy_token_pairs(
         return batch.filter(pa.array(keep))
 
     return cand.map_batches(verify, batch_format="pyarrow")
+
+
+def dup_ngram_docs(
+    ds,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+):
+    """Substring-level duplication signal (the n-gram form of
+    Lee et al. 2022's "Deduplicating Training Data" substring dedup):
+    for every document, how many DISTINCT ``k``-token shingles it shares
+    with at least one OTHER document. Returns (doc_id, dup_shingles) for
+    documents with ≥ 1 shared shingle; docs shorter than ``k`` tokens
+    emit nothing.
+
+    Scale shape: two exchanges, no joins. Each batch explodes to
+    (doc_id, shingle) pairs with numpy repeat/gather + one binary_join
+    and DEDUPES per block (a doc repeating a shingle ships it once);
+    pairs hash-partition by shingle, so per-shingle distinct-doc
+    resolution is local to one partition (vectorized sort + segment
+    masks); surviving doc ids flow into the standard two-phase
+    per-doc count. Shingles travel as full strings (exact comparison —
+    no hash-collision false positives); swap in a 128-bit hash upstream
+    if shingle bytes dominate the exchange at your scale.
+    """
+    from phrasekit_ray.stages.agg import (
+        _part_column,
+        default_partitions,
+        grouped_count,
+    )
+
+    if k < 1:
+        raise ValueError("dup_ngram_docs: k must be >= 1")
+    num_partitions = default_partitions(num_partitions)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "sh": pa.array([], pa.string())}
+        )
+        if n == 0:
+            return empty
+        toks = pc.split_pattern(batch[text_col].combine_chunks(), " ")
+        did = batch[id_col].combine_chunks().cast(pa.int64()).to_numpy()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        sizes = np.diff(offs)
+        counts = np.maximum(sizes - k + 1, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        doc_rep = np.repeat(np.arange(n, dtype=np.int64), counts)
+        first_w = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        start = (
+            np.arange(total, dtype=np.int64)
+            - first_w[doc_rep]
+            + offs[:-1][doc_rep]
+        )
+        tok_rep = np.repeat(np.arange(total, dtype=np.int64), k)
+        pos = np.arange(total * k, dtype=np.int64) % k + start[tok_rep]
+        gathered = toks.values.take(pa.array(pos, pa.int64()))
+        out_offs = pa.array(
+            (np.arange(total + 1, dtype=np.int64) * k).astype(np.int32), pa.int32()
+        )
+        sh = pc.binary_join(pa.ListArray.from_arrays(out_offs, gathered), " ")
+        pairs = pa.table(
+            {"doc_id": pa.array(did[doc_rep], pa.int64()), "sh": sh}
+        )
+        # in-block distinct: a doc repeating a shingle ships it once
+        return pairs.group_by(["doc_id", "sh"]).aggregate([])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_part", _part_column(batch, ["sh"], num_partitions)
+        )
+
+    def per_shingle_partition(group: pa.Table) -> pa.Table:
+        tbl = group.drop_columns(["_part"])
+        if tbl.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        idx = pc.sort_indices(
+            tbl, sort_keys=[("sh", "ascending"), ("doc_id", "ascending")]
+        )
+        srt = tbl.take(idx)
+        sh = srt["sh"].combine_chunks()
+        did = srt["doc_id"].combine_chunks().to_numpy()
+        n = len(did)
+        same_sh = pc.equal(sh.slice(1, n - 1), sh.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        ) if n > 1 else np.zeros(0, bool)
+        # global distinct (doc, shingle): all copies of a shingle are in
+        # this partition, so neighbor-dedupe here IS the global distinct
+        dup_pair = np.concatenate(([False], same_sh & (did[1:] == did[:-1])))
+        keep = ~dup_pair
+        sh_k = sh.filter(pa.array(keep))
+        did_k = did[keep]
+        m = len(did_k)
+        same_k = pc.equal(sh_k.slice(1, m - 1), sh_k.slice(0, m - 1)).to_numpy(
+            zero_copy_only=False
+        ) if m > 1 else np.zeros(0, bool)
+        seg_start = np.concatenate(([True], ~same_k))
+        seg_id = np.cumsum(seg_start) - 1
+        seg_sizes = np.bincount(seg_id)
+        shared = seg_sizes[seg_id] >= 2
+        return pa.table({"doc_id": pa.array(did_k[shared], pa.int64())})
+
+    pairs = ds.map_batches(explode, batch_format="pyarrow").map_batches(
+        add_part, batch_format="pyarrow"
+    )
+    shared_docs = pairs.groupby("_part").map_groups(
+        per_shingle_partition, batch_format="pyarrow"
+    )
+    return grouped_count(
+        shared_docs, ["doc_id"], count_col="dup_shingles",
+        num_partitions=num_partitions,
+    )

@@ -1285,3 +1285,112 @@ def time_weighted_sum(
             batch_format="pyarrow",
         )
     )
+
+
+def funnel_counts(
+    ds,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    num_partitions: int | None = None,
+):
+    """Ordered multi-step funnel over an event stream: for each step k,
+    how many users completed steps[0..k] IN ORDER — step k counts only
+    if it happens STRICTLY AFTER the user's (earliest-chain) completion
+    of step k-1. The chain is the classic sequential-funnel greedy one:
+    t0 = min ts of steps[0]; t_k = min ts of a steps[k] event with
+    ts > t_{k-1}. Returns (step_idx:int64, step:string, users:int64),
+    one row per step.
+
+    Scale shape: events are filtered to the funnel's K types at the
+    read (everything else never leaves the scan), hash-partitioned by
+    user, and each partition resolves ALL of its users with K vectorized
+    passes (lexsort once, then per step one mask + segment-first take —
+    no per-user Python). Partial per-step counts are K rows per
+    partition; the final reduce is a K-row sum on the driver-side
+    aggregate. No state outlives a partition call.
+    """
+    from phrasekit_ray.stages.agg import hash_aggregate
+
+    if not steps:
+        raise ValueError("funnel_counts: steps must be non-empty")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel_counts: steps must be distinct")
+    num_partitions = default_partitions(num_partitions)
+    step_set = pa.array(steps, pa.string())
+    k_steps = len(steps)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        sidx = pc.index_in(batch[type_col].combine_chunks(), step_set)
+        keep = pc.is_valid(sidx)
+        uid = (
+            batch[user_col].combine_chunks().filter(keep).cast(pa.int64()).to_numpy()
+        )
+        return pa.table(
+            {
+                "uid": pa.array(uid, pa.int64()),
+                "step_idx": sidx.filter(keep).cast(pa.int64()),
+                "ts": batch[ts_col].combine_chunks().filter(keep).cast(pa.int64()),
+                "_part": pa.array(_user_part(uid, num_partitions), pa.int32()),
+            }
+        )
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        uid = group["uid"].combine_chunks().to_numpy()
+        sid = group["step_idx"].combine_chunks().to_numpy()
+        ts = group["ts"].combine_chunks().to_numpy()
+        order = np.lexsort((ts, uid))
+        uid, sid, ts = uid[order], sid[order], ts[order]
+        _, uinv = np.unique(uid, return_inverse=True)
+        n_users = int(uinv[-1]) + 1 if len(uid) else 0
+        reached = np.zeros(n_users, dtype=bool)
+        t_prev = np.zeros(n_users, dtype=np.int64)
+        counts = np.zeros(k_steps, dtype=np.int64)
+        for k in range(k_steps):
+            if k == 0:
+                elig = sid == 0
+            else:
+                elig = (sid == k) & reached[uinv] & (ts > t_prev[uinv])
+            # rows are (user, ts)-sorted, so the FIRST eligible row per
+            # user is that user's earliest qualifying event
+            eu = uinv[elig]
+            firsts = np.flatnonzero(
+                np.concatenate(([True], eu[1:] != eu[:-1])) if len(eu) else
+                np.zeros(0, bool)
+            )
+            nxt_reached = np.zeros(n_users, dtype=bool)
+            nxt_reached[eu[firsts]] = True
+            nxt_t = np.zeros(n_users, dtype=np.int64)
+            nxt_t[eu[firsts]] = ts[elig][firsts]
+            reached, t_prev = nxt_reached, nxt_t
+            counts[k] = len(firsts)
+        return pa.table(
+            {
+                "step_idx": pa.array(np.arange(k_steps, dtype=np.int64)),
+                "users": pa.array(counts, pa.int64()),
+            }
+        )
+
+    partial = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(
+            lambda g: per_partition(g.drop_columns(["_part"])),
+            batch_format="pyarrow",
+        )
+    )
+    total = hash_aggregate(partial, ["step_idx"], [("users", "sum")])
+
+    def attach_name(batch: pa.Table) -> pa.Table:
+        si = batch["step_idx"].combine_chunks().to_numpy()
+        names = pa.array([steps[int(i)] for i in si], pa.string())
+        return pa.table(
+            {
+                "step_idx": batch["step_idx"].combine_chunks(),
+                "step": names,
+                "users": batch["users"].combine_chunks(),
+            }
+        )
+
+    return total.map_batches(attach_name, batch_format="pyarrow")

@@ -439,3 +439,160 @@ def test_lookup_join_broadcast_equals_partitioned(ray_session):
     for br in (1_000_000, 0):
         out = _collect(lookup_join(lds, empty, "k", "rk", broadcast_rows=br))
         assert out.num_rows == 0
+
+
+# --- round-4 batch 3: funnel, mode, zscore, chunk_windows, dup_ngram ---
+
+
+def test_funnel_strict_order_and_ties(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.windows import funnel_counts
+
+    rows = [
+        # user 1: full ordered chain
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        # user 2: click BEFORE view → stops after view
+        (2, "click", 5), (2, "view", 10),
+        # user 3: click at the SAME ts as view → strict > excludes it
+        (3, "view", 10), (3, "click", 10),
+        # user 4: purchase without click → counts only step 0
+        (4, "view", 1), (4, "purchase", 2),
+        # user 5: no view at all → counts nowhere
+        (5, "click", 1), (5, "purchase", 2),
+        # user 6: chain via the SECOND click (first is too early)
+        (6, "click", 1), (6, "view", 2), (6, "click", 3), (6, "purchase", 4),
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "ts": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    got = _collect(
+        funnel_counts(
+            ray.data.from_arrow(t).repartition(4),
+            ["view", "click", "purchase"],
+        )
+    ).sort_by("step_idx")
+    assert got["step"].to_pylist() == ["view", "click", "purchase"]
+    # step0: users 1,2,3,4,6 ; step1: 1,2(click after view? no: user2's
+    # only click is BEFORE its view) → 1,6 ; step2: 1,6
+    assert got["users"].to_pylist() == [5, 2, 2]
+
+
+def test_funnel_validates_steps(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.windows import funnel_counts
+
+    t = pa.table({"user_id": pa.array([1], pa.int64()),
+                  "event_type": pa.array(["a"]),
+                  "ts": pa.array([1], pa.int64())})
+    with pytest.raises(ValueError):
+        funnel_counts(ray.data.from_arrow(t), [])
+    with pytest.raises(ValueError):
+        funnel_counts(ray.data.from_arrow(t), ["a", "a"])
+
+
+def test_grouped_mode_tiebreak_smallest(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_mode
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+            # group 1: b×2, a×2 → tie → 'a'; group 2: z×2 wins
+            "v": pa.array(["b", "b", "a", "a", "z", "z"]),
+        }
+    )
+    got = _collect(
+        grouped_mode(ray.data.from_arrow(t).repartition(3), "k", "v")
+    ).sort_by("k")
+    assert got["v"].to_pylist() == ["a", "z"]
+    assert got["n"].to_pylist() == [2, 2]
+
+
+def test_grouped_zscore_constant_group_null(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_zscore
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "id": pa.array([10, 11, 12, 20, 21], pa.int64()),
+            "value": pa.array([1.0, 2.0, 3.0, 7.0, 7.0], pa.float64()),
+        }
+    )
+    got = _collect(
+        grouped_zscore(ray.data.from_arrow(t).repartition(2), "k", "value")
+    )
+    by_id = {i: z for i, z in zip(got["id"].to_pylist(),
+                                  got["zscore_micro"].to_pylist())}
+    # group 1: mean 200, std sqrt(2/3)*100 ≈ 81.6497 → z ≈ ±1.224745
+    assert by_id[10] == -1224745 and by_id[12] == 1224745 and by_id[11] == 0
+    # group 2: std 0 → NULL
+    assert by_id[20] is None and by_id[21] is None
+
+
+def test_chunk_windows_edges(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.chunk import chunk_windows
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "",                       # "" splits to one empty token
+                    "a b c",                  # n == window → exactly 1 chunk
+                    "a b c d e",              # window 3 stride 2 → 2 chunks
+                    "a b c d",                # tail coverage: starts 0,2
+                ]
+            ),
+        }
+    )
+    got = _collect(
+        chunk_windows(ray.data.from_arrow(t).repartition(2), window=3, stride=2)
+    )
+    rows = sorted(
+        zip(got["doc_id"].to_pylist(), got["chunk_idx"].to_pylist(),
+            got["chunk_text"].to_pylist(), got["n_tokens"].to_pylist())
+    )
+    assert rows == [
+        (1, 0, "", 1),
+        (2, 0, "a b c", 3),
+        (3, 0, "a b c", 3), (3, 1, "c d e", 3),
+        (4, 0, "a b c", 3), (4, 1, "c d", 2),
+    ]
+
+
+def test_dup_ngram_docs_within_doc_repeat_counts_once(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.dedup import dup_ngram_docs
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "x y x y x y",   # internal repeats of "x y x" — no other doc
+                    "p q r s t",     # shares "p q r" 3-gram with doc 3
+                    "z p q r s w",   # shares "p q r s"→ two 3-grams with doc 2
+                    "a b",           # shorter than k → emits nothing
+                ]
+            ),
+        }
+    )
+    got = _collect(
+        dup_ngram_docs(ray.data.from_arrow(t).repartition(2), k=3)
+    ).sort_by("doc_id")
+    # doc1's repeated internal shingles never pair with another doc
+    assert got["doc_id"].to_pylist() == [2, 3]
+    # docs 2,3 share "p q r" and "q r s" (distinct shingles per doc)
+    assert got["dup_shingles"].to_pylist() == [2, 2]
