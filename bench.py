@@ -157,6 +157,11 @@ def bench_queries(sf_dir: str, meter=None) -> tuple[dict, dict]:
         "q_returned_revenue_by_nation",
         "q_events_value_histogram_quantiles",
         "q_click_purchase_attribution",
+        "q_events_funnel",
+        "q_mode_event_type",
+        "q_events_value_zscore",
+        "q_doc_chunks",
+        "q_dup_ngram_docs",
     ]
     cpus = _num_cpus()
     meter = meter or _TreeCpuMeter()
