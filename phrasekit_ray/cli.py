@@ -359,6 +359,58 @@ def cmd_rank_window(args) -> int:
     return 0
 
 
+def cmd_funnel(args) -> int:
+    import ray
+
+    from phrasekit_ray.stages.windows import funnel_counts
+
+    _init_ray()
+    steps = args.steps.split(",")
+    ds = ray.data.read_parquet(
+        args.input, columns=[args.user_col, args.type_col, args.ts_col]
+    )
+    out = funnel_counts(
+        ds, steps, user_col=args.user_col, type_col=args.type_col,
+        ts_col=args.ts_col, num_partitions=args.num_partitions,
+    )
+    out.write_parquet(args.output)
+    print(json.dumps({"stage": "funnel", "steps": steps}))
+    return 0
+
+
+def cmd_chunk(args) -> int:
+    import ray
+
+    from phrasekit_ray.stages.chunk import chunk_windows
+
+    _init_ray()
+    ds = ray.data.read_parquet(args.input, columns=[args.id_col, args.text_col])
+    out = chunk_windows(
+        ds, window=args.window, stride=args.stride,
+        text_col=args.text_col, id_col=args.id_col,
+    )
+    out.write_parquet(args.output)
+    print(json.dumps({"stage": "chunk", "window": args.window,
+                      "stride": args.stride}))
+    return 0
+
+
+def cmd_zscore(args) -> int:
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_zscore
+
+    _init_ray()
+    ds = ray.data.read_parquet(args.input)
+    out = grouped_zscore(
+        ds, args.key_col, args.value_col, scale=args.scale,
+        num_partitions=args.num_partitions,
+    )
+    out.write_parquet(args.output)
+    print(json.dumps({"stage": "zscore", "key": args.key_col}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="phrasekit_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -498,6 +550,40 @@ def main(argv=None) -> int:
     rw.add_argument("--ntile-k", type=int, default=4)
     rw.add_argument("--num-partitions", type=int, default=None)
     rw.set_defaults(fn=cmd_rank_window)
+
+    fu = sub.add_parser(
+        "funnel", help="ordered multi-step funnel counts over events"
+    )
+    fu.add_argument("--input", required=True)
+    fu.add_argument("--output", required=True)
+    fu.add_argument("--steps", required=True, help="comma-separated, in order")
+    fu.add_argument("--user-col", default="user_id")
+    fu.add_argument("--type-col", default="event_type")
+    fu.add_argument("--ts-col", default="ts")
+    fu.add_argument("--num-partitions", type=int, default=None)
+    fu.set_defaults(fn=cmd_funnel)
+
+    ch = sub.add_parser(
+        "chunk", help="strided training-window chunking of documents"
+    )
+    ch.add_argument("--input", required=True)
+    ch.add_argument("--output", required=True)
+    ch.add_argument("--window", type=int, default=512)
+    ch.add_argument("--stride", type=int, default=384)
+    ch.add_argument("--text-col", default="text")
+    ch.add_argument("--id-col", default="doc_id")
+    ch.set_defaults(fn=cmd_chunk)
+
+    zs = sub.add_parser(
+        "zscore", help="per-group z-score standardization of a value column"
+    )
+    zs.add_argument("--input", required=True)
+    zs.add_argument("--output", required=True)
+    zs.add_argument("--key-col", required=True)
+    zs.add_argument("--value-col", required=True)
+    zs.add_argument("--scale", type=float, default=100.0)
+    zs.add_argument("--num-partitions", type=int, default=None)
+    zs.set_defaults(fn=cmd_zscore)
 
     args = p.parse_args(argv)
     return args.fn(args)

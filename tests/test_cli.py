@@ -292,3 +292,62 @@ def test_cli_rank_window(ray_session, tmp_path, sf_dir):
     assert {"event_id", "rn", "ntile", "pr_micro"} <= set(t.column_names)
     n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
     assert t.num_rows == n
+
+
+def test_cli_funnel_chunk_zscore(ray_session, tmp_path, sf_dir):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from phrasekit_ray.cli import main
+
+    fo = str(tmp_path / "funnel")
+    rc = main(
+        [
+            "funnel",
+            "--input", f"{sf_dir}/events.parquet",
+            "--output", fo,
+            "--steps", "view,click,purchase",
+        ]
+    )
+    assert rc == 0
+    ft = pq.read_table(glob.glob(f"{fo}/*.parquet"))
+    assert set(ft.column_names) == {"step_idx", "step", "users"}
+    assert ft.num_rows == 3
+    by_idx = dict(zip(ft["step_idx"].to_pylist(), ft["users"].to_pylist()))
+    # funnel counts are monotone non-increasing down the steps
+    assert by_idx[0] >= by_idx[1] >= by_idx[2]
+
+    co = str(tmp_path / "chunks")
+    rc = main(
+        [
+            "chunk",
+            "--input", f"{sf_dir}/documents.parquet",
+            "--output", co,
+            "--window", "32",
+            "--stride", "24",
+        ]
+    )
+    assert rc == 0
+    ct = pq.read_table(glob.glob(f"{co}/*.parquet"))
+    assert {"doc_id", "chunk_idx", "chunk_text", "n_tokens"} == set(
+        ct.column_names
+    )
+    ndocs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    assert ct.num_rows >= ndocs  # every doc emits >= 1 chunk
+
+    zo = str(tmp_path / "z")
+    rc = main(
+        [
+            "zscore",
+            "--input", f"{sf_dir}/events.parquet",
+            "--output", zo,
+            "--key-col", "user_id",
+            "--value-col", "value",
+        ]
+    )
+    assert rc == 0
+    zt = pq.read_table(glob.glob(f"{zo}/*.parquet"))
+    assert "zscore_micro" in zt.column_names
+    n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    assert zt.num_rows == n
