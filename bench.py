@@ -162,6 +162,7 @@ def bench_queries(sf_dir: str, meter=None) -> tuple[dict, dict]:
         "q_events_value_zscore",
         "q_doc_chunks",
         "q_dup_ngram_docs",
+        "q_quality_filter",
     ]
     cpus = _num_cpus()
     meter = meter or _TreeCpuMeter()

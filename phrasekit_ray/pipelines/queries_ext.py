@@ -1860,3 +1860,31 @@ EXT_ORACLE_SQL.update(
         "q_dup_ngram_docs": SQL_DUP_NGRAM_DOCS,
     }
 )
+
+
+def q_quality_filter(sf_dir: str):
+    """Bottom-tail length gate: documents whose whitespace token count
+    is ≥ the corpus-global p25 (stages/agg.quantile_filter — distinct-
+    value exchange for the threshold, one scalar back, stateless
+    filter)."""
+    from phrasekit_ray.pipelines.queries import _i64 as _i
+    from phrasekit_ray.stages import textstats
+    from phrasekit_ray.stages.agg import quantile_filter
+
+    counts = textstats.token_counts(_docs(sf_dir))
+    return _i(
+        _collect(quantile_filter(counts, "n_tokens", 0.25)),
+        "doc_id", "n_tokens",
+    )
+
+
+SQL_QUALITY_FILTER = """
+WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+                  AS n_tokens FROM documents)
+SELECT doc_id, n_tokens FROM t
+WHERE n_tokens >= (SELECT quantile_cont(n_tokens, 0.25) FROM t)
+"""
+
+
+EXT_QUERIES.update({"q_quality_filter": q_quality_filter})
+EXT_ORACLE_SQL.update({"q_quality_filter": SQL_QUALITY_FILTER})

@@ -2091,3 +2091,59 @@ def grouped_zscore(
         )
 
     return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+def quantile_filter(
+    ds,
+    value_col: str,
+    q: float,
+    num_partitions: int | None = None,
+):
+    """Keep rows whose integer ``value_col`` is ≥ the GLOBAL continuous
+    q-quantile of that column (the classic "drop the bottom tail"
+    corpus gate, e.g. q=0.25 drops the shortest quarter of documents).
+
+    Scale shape: the threshold comes from ``grouped_quantiles_int``
+    under a constant group key — rows collapse to (value → count) in the
+    in-block combine, so the exchange moves DISTINCT VALUES, not rows;
+    the driver holds exactly one float64 scalar, which re-enters the
+    stream as a closure constant for one stateless filter pass.
+    Interpolation replicates DuckDB ``quantile_cont`` bit-for-bit, so
+    an int-vs-threshold comparison can never straddle engines.
+
+    ``ds`` is consumed twice (threshold pass + filter pass) — pass a
+    materialized/cheap-to-recompute dataset, or materialize upstream if
+    the producer is expensive.
+    """
+    if not 0.0 <= q <= 1.0:
+        raise ValueError("quantile_filter: q must be in [0, 1]")
+    num_partitions = default_partitions(num_partitions)
+
+    def const_key(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "_g": pa.array(np.zeros(batch.num_rows, np.int64)),
+                value_col: batch[value_col].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    qtbl = grouped_quantiles_int(
+        ds.select_columns([value_col]).map_batches(
+            const_key, batch_format="pyarrow"
+        ),
+        "_g",
+        value_col,
+        {"thr": q},
+        num_partitions=num_partitions,
+    )
+    rows = list(qtbl.iter_batches(batch_format="pyarrow"))
+    nonempty = [t for t in rows if t.num_rows]
+    if not nonempty:
+        return ds  # empty input: nothing to filter
+    thr = float(pa.concat_tables(nonempty)["thr"][0].as_py())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].combine_chunks().cast(pa.float64())
+        return batch.filter(pc.greater_equal(v, thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -596,3 +596,27 @@ def test_dup_ngram_docs_within_doc_repeat_counts_once(ray_session):
     assert got["doc_id"].to_pylist() == [2, 3]
     # docs 2,3 share "p q r" and "q r s" (distinct shingles per doc)
     assert got["dup_shingles"].to_pylist() == [2, 2]
+
+
+def test_quantile_filter_threshold_and_edges(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.agg import quantile_filter
+
+    t = pa.table(
+        {
+            "id": pa.array(list(range(8)), pa.int64()),
+            "n": pa.array([1, 2, 3, 4, 5, 6, 7, 8], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    # p25 of 1..8 (quantile_cont) = 2.75 → keep n >= 2.75 → 3..8
+    got = _collect(quantile_filter(ds, "n", 0.25))
+    assert sorted(got["n"].to_pylist()) == [3, 4, 5, 6, 7, 8]
+    # q=0 keeps everything; q=1 keeps only the max
+    assert _collect(quantile_filter(ds, "n", 0.0)).num_rows == 8
+    assert sorted(
+        _collect(quantile_filter(ds, "n", 1.0))["n"].to_pylist()
+    ) == [8]
+    with pytest.raises(ValueError):
+        quantile_filter(ds, "n", 1.5)
