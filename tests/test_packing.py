@@ -128,3 +128,43 @@ def test_pack_zero_token_docs_never_join_oversize_bins(ray_session):
     )
     with pytest.raises(Exception, match="negative"):
         _collect(pack_sequences(neg, 100))
+
+
+def test_ffd_tree_matches_scan_exactly():
+    """The segment-tree probe must produce IDENTICAL placements to the
+    linear-scan probe on any input (both are exact first-fit): random
+    weight regimes, heavy ties, all-equal, capacity-sized docs, and the
+    dispatch threshold boundary."""
+    from phrasekit_ray.stages.packing import (
+        _ffd_pack,
+        _ffd_pack_scan,
+        _ffd_pack_tree,
+    )
+
+    rng = np.random.default_rng(7)
+    cases = [
+        np.sort(rng.integers(1, 80, 5000))[::-1],          # generic
+        np.sort(rng.integers(1, 129, 3000))[::-1],         # includes t == cap
+        np.full(4000, 17, np.int64),                        # all ties
+        np.sort(rng.zipf(1.5, 6000).clip(1, 128))[::-1],    # skewed
+        np.array([128, 1], np.int64),                       # tiny
+        np.array([], np.int64),                             # empty
+    ]
+    for toks in cases:
+        toks = np.ascontiguousarray(toks, np.int64)
+        a, na = _ffd_pack_scan(toks, 128)
+        b, nb = _ffd_pack_tree(toks, 128)
+        assert na == nb
+        assert np.array_equal(a, b)
+
+    # production entry point == tree == scan
+    toks = np.sort(rng.integers(1, 60, 2048))[::-1].astype(np.int64)
+    a, _ = _ffd_pack(toks, 64)
+    b, _ = _ffd_pack_scan(toks, 64)
+    assert np.array_equal(a, b)
+
+    # tree-growth path: force many bins (every doc nearly fills a bin)
+    toks = np.full(9000, 100, np.int64)
+    a, na = _ffd_pack_tree(toks, 128)
+    b, nb = _ffd_pack_scan(toks, 128)
+    assert na == nb == 9000 and np.array_equal(a, b)
