@@ -274,21 +274,40 @@ def lookup_join(
     Pass ``left_schema`` / ``right_schema`` (pa.Schema or ray Schema)
     when the side is LAZY and ends in an all-to-all: schema inference on
     such a dataset executes the whole upstream shuffle once just for the
-    schema and again for the real run — double execution."""
+    schema and again for the real run — double execution. right_schema
+    also selects the broadcast-gate probe: with it the right side is
+    materialized once and reused either way; without it a bounded
+    ``limit(broadcast_rows+1)`` probe sizes the side and a too-large
+    right side streams un-pinned through the partitioned path. Pass
+    ``broadcast_rows=0`` to skip the gate for a known-large side."""
     import ray
 
     num_partitions = default_partitions(num_partitions)
+    right_schema_given = right_schema is not None
     left_schema = left_schema or left_ds.schema(fetch_if_missing=True)
     right_schema = right_schema or right_ds.schema(fetch_if_missing=True)
     left_cols = [n for n in left_schema.names]
     right_val_cols = [n for n in right_schema.names if n != right_key]
     overlap = set(left_cols) & set(right_val_cols)
     if not overlap and broadcast_rows > 0:
-        rmat = right_ds.materialize()
-        if rmat.count() <= broadcast_rows:
+        # Probe strategy for the broadcast gate, keyed on right_schema:
+        # a caller passing right_schema is telling us the right side is
+        # shuffle-fed (re-running it means a second all-to-all), so we
+        # materialize once and reuse the blocks on fall-through. Without
+        # the hint the side is read/map-fed: a bounded limit probe stops
+        # early when the side is large, and the fall-through streams the
+        # ORIGINAL dataset instead of pinning the full table in the
+        # object store for the pipeline's lifetime.
+        if right_schema_given:
+            probe = right_ds.materialize()
+            pinned_fallthrough = probe
+        else:
+            probe = right_ds.limit(broadcast_rows + 1).materialize()
+            pinned_fallthrough = None
+        if probe.count() <= broadcast_rows:
             rtbl = pa.concat_tables(
-                [t for t in ray.get(rmat.to_arrow_refs()) if t.num_rows]
-            ) if rmat.count() else None
+                [t for t in ray.get(probe.to_arrow_refs()) if t.num_rows]
+            ) if probe.count() else None
             if rtbl is None:
                 # empty right side → inner join result is empty
                 return ray.data.from_arrow(
@@ -332,7 +351,8 @@ def lookup_join(
                 return pa.table(cols)
 
             return left_ds.map_batches(attach, batch_format="pyarrow")
-        right_ds = rmat  # fall through; don't re-execute the right side
+        if pinned_fallthrough is not None:
+            right_ds = pinned_fallthrough  # shuffle-fed: don't re-execute
     if overlap:
         raise ValueError(f"column collision between sides: {sorted(overlap)}")
     left_types = dict(zip(left_schema.names, left_schema.types))
@@ -2020,6 +2040,18 @@ def grouped_zscore(
     num_partitions = default_partitions(num_partitions)
     schema = ds.schema(fetch_if_missing=True)
     passthrough = [n for n in schema.names if n not in (key_col, val_col)]
+    # "v" is the operator's reserved fixed-point column; a passthrough
+    # column of the same name would be silently shadowed in quantize and
+    # then re-read by finalize — refuse, like lookup_join does on overlap
+    reserved = {"v", "sv", "svv", "cnt", out_col}
+    clash = sorted(reserved & set(passthrough)) + (
+        [out_col] if out_col in (key_col, val_col, "v") else []
+    )
+    if clash:
+        raise ValueError(
+            f"grouped_zscore: reserved column collision: {clash} "
+            "(rename the input column or pass a different out_col)"
+        )
 
     def quantize(batch: pa.Table) -> pa.Table:
         v = round_away(
@@ -2058,6 +2090,18 @@ def grouped_zscore(
         key_col,
         key_col,
         num_partitions=num_partitions,
+        # stats ends in hash_aggregate's all-to-all: hand the join its
+        # statically-known schema so schema inference doesn't execute
+        # the whole moment shuffle once for the schema and again for
+        # the real run
+        right_schema=pa.schema(
+            [
+                (key_col, pa.int64()),
+                ("sv", pa.int64()),
+                ("svv", pa.int64()),
+                ("cnt", pa.int64()),
+            ]
+        ),
     )
 
     def finalize(batch: pa.Table) -> pa.Table:

@@ -1380,7 +1380,21 @@ def funnel_counts(
             batch_format="pyarrow",
         )
     )
-    total = hash_aggregate(partial, ["step_idx"], [("users", "sum")])
+    # a K-row zero baseline guarantees the one-row-per-step contract even
+    # when no event matches any step (per_partition only runs for
+    # partitions that received rows, so an all-miss input would otherwise
+    # yield ZERO rows while the SQL twin's VALUES list always yields K)
+    import ray
+
+    zeros = ray.data.from_arrow(
+        pa.table(
+            {
+                "step_idx": pa.array(np.arange(k_steps, dtype=np.int64)),
+                "users": pa.array(np.zeros(k_steps, np.int64)),
+            }
+        )
+    )
+    total = hash_aggregate(partial.union(zeros), ["step_idx"], [("users", "sum")])
 
     def attach_name(batch: pa.Table) -> pa.Table:
         si = batch["step_idx"].combine_chunks().to_numpy()
