@@ -365,7 +365,9 @@ def cmd_funnel(args) -> int:
     from phrasekit_ray.stages.windows import funnel_counts
 
     _init_ray()
-    steps = args.steps.split(",")
+    # tolerate "view, click, purchase" and trailing commas — an unstripped
+    # " click" would silently match nothing and zero the funnel tail
+    steps = [s.strip() for s in args.steps.split(",") if s.strip()]
     ds = ray.data.read_parquet(
         args.input, columns=[args.user_col, args.type_col, args.ts_col]
     )

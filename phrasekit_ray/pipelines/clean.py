@@ -86,12 +86,34 @@ def clean_corpus(
         batch_format="pyarrow",
     )
 
+    # right_schema serves double duty here: it skips schema inference AND
+    # tells lookup_join these sides are expensive pipeline-fed maps (full
+    # text-stat passes over the corpus) — the gate then materializes each
+    # ONCE and reuses the blocks whichever physical path wins, instead of
+    # probing with limit() and re-running the whole stats pass on
+    # fall-through for a corpus above the broadcast bound
     joined = lookup_join(
-        lookup_join(red_s, qual_s, id_col, id_col, num_partitions),
+        lookup_join(
+            red_s,
+            qual_s,
+            id_col,
+            id_col,
+            num_partitions,
+            right_schema=pa.schema(
+                [
+                    (id_col, pa.int64()),
+                    ("quality_ok", pa.bool_()),
+                    ("n_tokens", pa.int64()),
+                ]
+            ),
+        ),
         rep_s,
         id_col,
         id_col,
         num_partitions,
+        right_schema=pa.schema(
+            [(id_col, pa.int64()), ("dup_trigram_frac", pa.float64())]
+        ),
     )
     kept = key_filter_join(
         joined, reps, id_col, id_col, anti=False, num_partitions=num_partitions

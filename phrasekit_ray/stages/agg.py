@@ -2044,8 +2044,14 @@ def grouped_zscore(
     # column of the same name would be silently shadowed in quantize and
     # then re-read by finalize — refuse, like lookup_join does on overlap
     reserved = {"v", "sv", "svv", "cnt", out_col}
-    clash = sorted(reserved & set(passthrough)) + (
-        [out_col] if out_col in (key_col, val_col, "v") else []
+    # key_col rides through quantize/moments dict literals, so a key
+    # named after an internal column silently collapses the dict (or
+    # dies later with an unrelated duplicate-column error) — refuse it
+    # here with the same clear message as a passthrough clash
+    clash = (
+        sorted(reserved & set(passthrough))
+        + ([key_col] if key_col in {"v", "sv", "svv", "cnt", out_col} else [])
+        + ([out_col] if out_col in (key_col, val_col, "v") else [])
     )
     if clash:
         raise ValueError(

@@ -33,7 +33,10 @@ def chunk_windows(
     Window starts are 0, stride, …, ceil((n−window)/stride)·stride —
     just enough windows that every token is covered, and never a
     trailing window fully contained in the previous one (a doc with
-    n ≤ window tokens emits exactly one chunk).
+    n ≤ window tokens emits exactly one chunk). Starts are additionally
+    clamped to land strictly inside the document, so ``stride > window``
+    (sampled, gapped windows — tokens between windows are deliberately
+    skipped) never emits a phantom empty trailing chunk.
     """
     if window < 1 or stride < 1:
         raise ValueError("chunk_windows: window and stride must be >= 1")
@@ -53,8 +56,16 @@ def chunk_windows(
         did = batch[id_col].combine_chunks().cast(pa.int64()).to_numpy()
         offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         sizes = np.diff(offs)
+        # second term of the minimum clamps every start inside the doc:
+        # with stride > window the coverage formula would place a final
+        # start at/past the end and emit an empty phantom chunk
         counts = np.where(
-            sizes <= window, 1, (sizes - window + stride - 1) // stride + 1
+            sizes <= window,
+            1,
+            np.minimum(
+                (sizes - window + stride - 1) // stride + 1,
+                (sizes - 1) // stride + 1,
+            ),
         ).astype(np.int64)
         total = int(counts.sum())
         doc_rep = np.repeat(np.arange(n, dtype=np.int64), counts)
@@ -76,8 +87,11 @@ def chunk_windows(
             + offs[:-1][doc_rep[tok_rep]]
         )
         gathered = toks.values.take(pa.array(pos, pa.int64()))
-        out_offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
-        la = pa.ListArray.from_arrays(pa.array(out_offs, pa.int32()), gathered)
+        # int64 offsets (LargeList): overlap amplifies token volume by
+        # window/stride ×, so a large text block can exceed 2^31 gathered
+        # tokens — int32 offsets would wrap silently into corrupt lists
+        out_offs = np.concatenate(([0], np.cumsum(lens)))
+        la = pa.LargeListArray.from_arrays(pa.array(out_offs, pa.int64()), gathered)
         return pa.table(
             {
                 "doc_id": pa.array(did[doc_rep], pa.int64()),

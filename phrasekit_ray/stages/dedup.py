@@ -1414,39 +1414,23 @@ def dup_ngram_docs(
     num_partitions = default_partitions(num_partitions)
 
     def explode(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
         empty = pa.table(
             {"doc_id": pa.array([], pa.int64()), "sh": pa.array([], pa.string())}
         )
-        if n == 0:
+        if batch.num_rows == 0:
             return empty
+        # tokenize, then reuse the shared zero-copy shingle kernel
+        # (_shingle_rows: k sliced views + one binary_join, distinct
+        # within the block — a doc repeating a shingle ships it once)
         toks = pc.split_pattern(batch[text_col].combine_chunks(), " ")
-        did = batch[id_col].combine_chunks().cast(pa.int64()).to_numpy()
-        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        sizes = np.diff(offs)
-        counts = np.maximum(sizes - k + 1, 0)
-        total = int(counts.sum())
-        if total == 0:
-            return empty
-        doc_rep = np.repeat(np.arange(n, dtype=np.int64), counts)
-        first_w = np.concatenate(([0], np.cumsum(counts)))[:-1]
-        start = (
-            np.arange(total, dtype=np.int64)
-            - first_w[doc_rep]
-            + offs[:-1][doc_rep]
+        t = pa.table(
+            {
+                "doc_id": batch[id_col].combine_chunks().cast(pa.int64()),
+                "_toks": toks,
+            }
         )
-        tok_rep = np.repeat(np.arange(total, dtype=np.int64), k)
-        pos = np.arange(total * k, dtype=np.int64) % k + start[tok_rep]
-        gathered = toks.values.take(pa.array(pos, pa.int64()))
-        out_offs = pa.array(
-            (np.arange(total + 1, dtype=np.int64) * k).astype(np.int32), pa.int32()
-        )
-        sh = pc.binary_join(pa.ListArray.from_arrays(out_offs, gathered), " ")
-        pairs = pa.table(
-            {"doc_id": pa.array(did[doc_rep], pa.int64()), "sh": sh}
-        )
-        # in-block distinct: a doc repeating a shingle ships it once
-        return pairs.group_by(["doc_id", "sh"]).aggregate([])
+        rows = _shingle_rows(t, "doc_id", "_toks", k)
+        return rows.rename_columns(["doc_id", "sh"])
 
     def add_part(batch: pa.Table) -> pa.Table:
         return batch.append_column(

@@ -620,3 +620,41 @@ def test_quantile_filter_threshold_and_edges(ray_session):
     ) == [8]
     with pytest.raises(ValueError):
         quantile_filter(ds, "n", 1.5)
+
+
+def test_chunk_windows_stride_gt_window_no_phantom_chunk(ray_session):
+    # review finding: stride > window used to append a start at/past the
+    # end of the doc, emitting a phantom (chunk_text="", n_tokens=0) row
+    import ray
+
+    from phrasekit_ray.stages.chunk import chunk_windows
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array(["t0 t1 t2 t3 t4 t5 t6 t7"]),
+        }
+    )
+    got = _collect(chunk_windows(ray.data.from_arrow(t), window=2, stride=5))
+    rows = sorted(
+        zip(got["chunk_idx"].to_pylist(), got["chunk_text"].to_pylist(),
+            got["n_tokens"].to_pylist())
+    )
+    # starts 0 and 5 only — start 10 is past the 8-token doc
+    assert rows == [(0, "t0 t1", 2), (1, "t5 t6", 2)]
+    assert all(n > 0 for _, _, n in rows)
+
+
+def test_grouped_zscore_rejects_reserved_key_col(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_zscore
+
+    t = pa.table(
+        {
+            "v": pa.array([1, 1, 2], pa.int64()),
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        }
+    )
+    with pytest.raises(ValueError, match="reserved column collision"):
+        grouped_zscore(ray.data.from_arrow(t), key_col="v", val_col="value")
