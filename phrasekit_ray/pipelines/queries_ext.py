@@ -1888,3 +1888,49 @@ WHERE n_tokens >= (SELECT quantile_cont(n_tokens, 0.25) FROM t)
 
 EXT_QUERIES.update({"q_quality_filter": q_quality_filter})
 EXT_ORACLE_SQL.update({"q_quality_filter": SQL_QUALITY_FILTER})
+
+
+def q_weighted_sample(sf_dir: str):
+    """Importance-weighted corpus subsample: 50 documents drawn WITHOUT
+    replacement with probability ∝ n_chars (stages/agg.weighted_sample —
+    Efraimidis–Spirakis exponential race on a seeded id hash; in-block
+    top-k prune, one candidate reduce, no shuffle of the corpus). The
+    seeded-hash key makes the draw a pure function of (doc_id, n_chars,
+    seed), so the SQL twin reproduces it exactly."""
+    import ray
+
+    from phrasekit_ray.pipelines.queries import _i64 as _i
+    from phrasekit_ray.stages.agg import weighted_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return _i(
+        _collect(weighted_sample(docs, 50, "n_chars", "doc_id")),
+        "doc_id", "n_chars",
+    )
+
+
+# the same splitmix-style hash chain as q_sample_docs_per_lang (see
+# queries.py for the 32-bit-split second multiply), then the A-ES race
+# key -ln((rnk+0.5)/2^64)/weight, k smallest win
+SQL_WEIGHTED_SAMPLE = """
+WITH a AS (SELECT doc_id, n_chars,
+  CAST(((CAST(doc_id AS HUGEINT) + 17) * 11400714819323198485) %
+       18446744073709551616 AS UBIGINT) AS h1 FROM documents),
+x AS (SELECT doc_id, n_chars, CAST(xor(h1, h1 >> 31) AS HUGEINT) AS hx
+      FROM a),
+b AS (SELECT doc_id, n_chars,
+  ((hx % 4294967296) * 484763065 +
+   (((hx % 4294967296) * 3210233709 + (hx // 4294967296) * 484763065)
+    % 4294967296) * 4294967296) % 18446744073709551616 AS rnk FROM x),
+kx AS (SELECT doc_id, n_chars,
+  -ln((CAST(rnk AS DOUBLE) + 0.5) / 18446744073709551616.0)
+   / CAST(n_chars AS DOUBLE) AS race
+  FROM b WHERE n_chars > 0)
+SELECT doc_id, n_chars FROM kx ORDER BY race ASC, doc_id LIMIT 50
+"""
+
+
+EXT_QUERIES.update({"q_weighted_sample": q_weighted_sample})
+EXT_ORACLE_SQL.update({"q_weighted_sample": SQL_WEIGHTED_SAMPLE})

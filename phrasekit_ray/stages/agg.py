@@ -2197,3 +2197,77 @@ def quantile_filter(
         return batch.filter(pc.greater_equal(v, thr))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def weighted_sample(
+    ds,
+    k: int,
+    weight_col: str,
+    id_col: str,
+    seed: int = 17,
+):
+    """Global weighted sample WITHOUT replacement: the classic
+    importance-subsampling pass over a training corpus (keep k documents
+    with probability proportional to a quality/length weight).
+
+    Algorithm: Efraimidis–Spirakis A-ES (Inf. Process. Lett. 97(5),
+    2006) — every row draws u ∈ (0,1) and competes with the exponential
+    race key ``-ln(u)/w``; the k SMALLEST keys win. u comes from the same
+    seeded splitmix-style hash of ``id_col`` as ``stratified_sample``, so
+    the sample is a pure function of (id, weight, seed): reproducible
+    across runs, partitionings and cluster sizes, and re-expressible in
+    SQL for the DuckDB oracle. Rows with weight ≤ 0 or NULL never win
+    (selection probability 0). Ties are impossible on the continuous key;
+    (key, id) ordering pins the boundary deterministically anyway.
+
+    Scale shape: one stateless pass computes keys and prunes to the
+    in-block top-k, so the exchange ships ≤ k rows PER BLOCK — never the
+    corpus; a single final reduce (the only non-parallel step, bounded at
+    k × blocks rows, i.e. driver-scalar-sized for any sane k) picks the
+    global winners. No sort, no shuffle of the input.
+    """
+    if k < 1:
+        raise ValueError("weighted_sample: k must be >= 1")
+
+    def _keys(ids: np.ndarray, w: np.ndarray) -> np.ndarray:
+        h = (ids.astype(np.uint64) + np.uint64(seed)) * np.uint64(
+            0x9E3779B97F4A7C15
+        )
+        h = (h ^ (h >> np.uint64(31))) * np.uint64(0xBF58476D1CE4E5B9)
+        # u ∈ (0,1): +0.5 keeps u strictly positive when the hash is 0
+        u = (h.astype(np.float64) + 0.5) / 18446744073709551616.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            key = -np.log(u) / w
+        # w <= 0 / NULL-filled rows race at +inf: they never win
+        key[~(w > 0)] = np.inf
+        return key
+
+    def prune(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("_key", pa.array([], pa.float64()))
+        ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = (
+            batch[weight_col]
+            .cast(pa.float64())
+            .to_numpy(zero_copy_only=False)
+        )
+        key = _keys(ids, np.nan_to_num(w, nan=0.0))
+        t = batch.append_column("_key", pa.array(key, pa.float64()))
+        if t.num_rows > k:
+            sel = np.argpartition(key, k - 1)[:k]
+            t = t.take(pa.array(np.sort(sel), pa.int64()))
+        return t.filter(pc.is_finite(t["_key"]))
+
+    import ray
+
+    cand = ds.map_batches(prune, batch_format="pyarrow").materialize()
+    # final reduce: ≤ k × blocks candidate rows — small by construction
+    tables = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return cand.drop_columns(["_key"])
+    allc = pa.concat_tables(tables, promote_options="default")
+    idx = pc.sort_indices(
+        allc, sort_keys=[("_key", "ascending"), (id_col, "ascending")]
+    )
+    win = allc.take(idx.slice(0, min(k, allc.num_rows))).drop_columns(["_key"])
+    return ray.data.from_arrow(win)

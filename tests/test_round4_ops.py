@@ -658,3 +658,71 @@ def test_grouped_zscore_rejects_reserved_key_col(ray_session):
     )
     with pytest.raises(ValueError, match="reserved column collision"):
         grouped_zscore(ray.data.from_arrow(t), key_col="v", val_col="value")
+
+
+def _es_reference(ids, weights, k, seed=17):
+    """Driver-side A-ES reference: full-key sort, no pruning."""
+    h = (ids.astype(np.uint64) + np.uint64(seed)) * np.uint64(0x9E3779B97F4A7C15)
+    h = (h ^ (h >> np.uint64(31))) * np.uint64(0xBF58476D1CE4E5B9)
+    u = (h.astype(np.float64) + 0.5) / 18446744073709551616.0
+    with np.errstate(divide="ignore"):
+        key = -np.log(u) / weights
+    key[~(weights > 0)] = np.inf
+    order = np.lexsort((ids, key))
+    order = order[np.isfinite(key[order])]
+    return set(ids[order[:k]].tolist())
+
+
+def test_weighted_sample_matches_reference_and_partitioning(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.agg import weighted_sample
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    ids = np.arange(n, dtype=np.int64)
+    w = rng.integers(1, 1000, n).astype(np.float64)
+    w[::17] = 0.0  # zero-weight rows must never be selected
+    t = pa.table({"doc_id": pa.array(ids), "w": pa.array(w)})
+    want = _es_reference(ids, w, 100)
+    for parts in (1, 7):
+        got = _collect(
+            weighted_sample(
+                ray.data.from_arrow(t).repartition(parts), 100, "w", "doc_id"
+            )
+        )
+        assert set(got["doc_id"].to_pylist()) == want
+        assert not (set(got["doc_id"].to_pylist()) & set(ids[::17].tolist()))
+
+
+def test_weighted_sample_weight_proportionality(ray_session):
+    # heavy rows (w=50) must dominate light rows (w=1) in the sample
+    import ray
+
+    from phrasekit_ray.stages.agg import weighted_sample
+
+    n = 2000
+    ids = np.arange(n, dtype=np.int64)
+    w = np.where(ids < 200, 50.0, 1.0)  # 200 heavy, 1800 light
+    t = pa.table({"doc_id": pa.array(ids), "w": pa.array(w)})
+    got = _collect(weighted_sample(ray.data.from_arrow(t), 100, "w", "doc_id"))
+    heavy = sum(1 for d in got["doc_id"].to_pylist() if d < 200)
+    # E[heavy] ≈ 77 of 100 under sequential ∝-weight draws; even a loose
+    # bound separates it decisively from the unweighted E ≈ 10
+    assert heavy > 40
+
+
+def test_weighted_sample_k_exceeds_population(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.agg import weighted_sample
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "w": pa.array([1.0, 0.0, 2.0, None], pa.float64()),
+        }
+    )
+    got = _collect(weighted_sample(ray.data.from_arrow(t), 10, "w", "doc_id"))
+    # only the two positive-weight rows qualify
+    assert sorted(got["doc_id"].to_pylist()) == [1, 3]
