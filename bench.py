@@ -164,6 +164,7 @@ def bench_queries(sf_dir: str, meter=None) -> tuple[dict, dict]:
         "q_dup_ngram_docs",
         "q_quality_filter",
         "q_weighted_sample",
+        "q_link_hostgraph",
     ]
     cpus = _num_cpus()
     meter = meter or _TreeCpuMeter()

@@ -1934,3 +1934,80 @@ SELECT doc_id, n_chars FROM kx ORDER BY race ASC, doc_id LIMIT 50
 
 EXT_QUERIES.update({"q_weighted_sample": q_weighted_sample})
 EXT_ORACLE_SQL.update({"q_weighted_sample": SQL_WEIGHTED_SAMPLE})
+
+
+def q_link_hostgraph(sf_dir: str):
+    """Host-level web link graph (X104): pages-with-outlinks → vectorized
+    href extraction from html BYTES (stages/extract.extract_links — split
+    + RE2 kernels, junk/relative/mailto dropped, fragments stripped) →
+    host(src), host(dst) → two-phase grouped edge-weight count.
+
+    Differential design: the fixture embeds outlinks via the repo's
+    seeded splitmix chain; the Ray side only ever PARSES the html while
+    the SQL twin recomputes the embedded set from the generation rule —
+    extraction bugs (junk leakage, fragment retention, off-by-one on the
+    closing quote) surface as value mismatches."""
+    import ray  # noqa: F401
+
+    from phrasekit_ray.sources.pages import pages_from_documents
+    from phrasekit_ray.stages.agg import hash_aggregate
+    from phrasekit_ray.stages.extract import extract_links, host_of
+
+    pages = pages_from_documents(sf_dir, with_links=True)
+    links = extract_links(pages)
+
+    def hosts(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src_host": host_of(b["src_url"]),
+                "dst_host": host_of(b["href"]),
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+
+    ds = links.map_batches(hosts, batch_format="pyarrow")
+    t = _collect(hash_aggregate(ds, ["src_host", "dst_host"], [("n", "sum")]))
+    idx = pc.sort_indices(
+        t, sort_keys=[("src_host", "ascending"), ("dst_host", "ascending")]
+    )
+    return _i64(t.take(idx), "n")
+
+
+def _sm_sql(x: str) -> str:
+    """DuckDB twin of sources.pages.splitmix17 over HUGEINT expression
+    ``x`` (the 32-bit-split second multiply — see queries.py
+    q_sample_docs_per_lang for the derivation)."""
+    h1 = (
+        f"CAST((({x} + 17) * 11400714819323198485) % "
+        "18446744073709551616 AS UBIGINT)"
+    )
+    hx = f"CAST(xor({h1}, {h1} >> 31) AS HUGEINT)"
+    return (
+        f"((({hx}) % 4294967296) * 484763065 + "
+        f"(((({hx}) % 4294967296) * 3210233709 + "
+        f"(({hx}) // 4294967296) * 484763065) "
+        "% 4294967296) * 4294967296) % 18446744073709551616"
+    )
+
+
+# recompute the embedded outlink set from the generation rule:
+# n_links = 1 + sm(8d+7) % 3; slot j∈1..3 target t = sm(8d+j) % 100003;
+# src host = source.example.org, dst host = h{t%16}.example.org
+SQL_LINK_HOSTGRAPH = f"""
+WITH s AS (SELECT doc_id, source, j
+           FROM documents, generate_series(1, 3) AS g(j)),
+l AS (SELECT source, j,
+        ({_sm_sql('CAST(doc_id AS HUGEINT)*8 + CAST(j AS HUGEINT)')})
+          % 100003 AS t,
+        1 + (({_sm_sql('CAST(doc_id AS HUGEINT)*8 + 7')}) % 3) AS n_links
+      FROM s)
+SELECT source || '.example.org' AS src_host,
+       'h' || CAST(t % 16 AS VARCHAR) || '.example.org' AS dst_host,
+       COUNT(*) AS n
+FROM l WHERE j <= n_links
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+EXT_QUERIES.update({"q_link_hostgraph": q_link_hostgraph})
+EXT_ORACLE_SQL.update({"q_link_hostgraph": SQL_LINK_HOSTGRAPH})

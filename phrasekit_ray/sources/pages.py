@@ -93,6 +93,52 @@ UNICODE_PROBES: list[tuple[str, str]] = [
 ]
 
 
+def splitmix17(x: np.ndarray | int, seed: int = 17) -> np.ndarray | np.uint64:
+    """The repo's shared seeded splitmix-style 64-bit hash (identical to
+    the stratified-sample / weighted-sample rank hash and its DuckDB
+    32-bit-split SQL twin): h1 = (x+seed)*0x9E3779B97F4A7C15 mod 2^64;
+    (h1 ^ h1>>31)*0xBF58476D1CE4E5B9 mod 2^64."""
+    h = (np.uint64(x) if np.isscalar(x) else x.astype(np.uint64)) + np.uint64(
+        seed
+    )
+    with np.errstate(over="ignore"):
+        h = h * np.uint64(0x9E3779B97F4A7C15)
+        return (h ^ (h >> np.uint64(31))) * np.uint64(0xBF58476D1CE4E5B9)
+
+
+# deterministic outlink scheme for with_links pages (X104 link graph):
+# every page embeds 1 + (splitmix17(8*doc_id+7) % 3) absolute outlinks;
+# link slot j (1-based) targets virtual doc t = splitmix17(8*doc_id+j)
+# % 100003 on host h{t % 16}.example.org. Slot 1 carries a "#top"
+# fragment the extractor must strip. Three junk anchors (relative,
+# fragment-only, mailto) must be dropped by extraction. Anchor bodies
+# are EMPTY so extracted text stays byte-identical to the text column.
+_LINK_MOD = 100003
+_JUNK_ANCHORS = (
+    '<a href="/relative/path"></a><a href="#frag"></a>'
+    '<a href="mailto:ab@example.org"></a>'
+)
+
+
+def _outlink_anchors(doc_id: np.ndarray) -> list[str]:
+    """Per-row anchor-tag strings for the deterministic outlink scheme."""
+    d = doc_id.astype(np.uint64)
+    n_links = 1 + (splitmix17(d * np.uint64(8) + np.uint64(7)) % np.uint64(3))
+    targets = [
+        (splitmix17(d * np.uint64(8) + np.uint64(j)) % np.uint64(_LINK_MOD))
+        for j in (1, 2, 3)
+    ]
+    out = []
+    for i in range(len(d)):
+        parts = [_JUNK_ANCHORS]
+        for j in range(int(n_links[i])):
+            t = int(targets[j][i])
+            frag = "#top" if j == 0 else ""
+            parts.append(f'<a href="https://h{t % 16}.example.org/doc/{t}{frag}"></a>')
+        out.append("".join(parts))
+    return out
+
+
 def _page_row(i: int, doc_id: str, text: str, lang: str = "en") -> dict:
     html = f"<html><body><p>{text}</p></body></html>".encode("utf-8")
     return {
@@ -164,6 +210,7 @@ def pages_from_documents(
     with_html: bool = False,
     repeat: int = 1,
     override_num_blocks: int | None = None,
+    with_links: bool = False,
 ):
     """Derive a pages Dataset of the hinted shape from the driver's
     ``documents`` testdata table, deterministically (doc_id → url/warc_ts).
@@ -175,6 +222,11 @@ def pages_from_documents(
     ``repeat`` > 1 replicates every row in-stream with distinct urls
     (suffix ``#r{i}``) — a deterministic scale-up knob for benchmarks; no
     extra storage reads, counts scale exactly ×repeat.
+
+    ``with_links=True`` (implies html) embeds the deterministic outlink
+    anchors of ``_outlink_anchors`` plus junk anchors, and moves the
+    source into the url HOST (``https://{source}.example.org/{doc_id}``)
+    so host-level link-graph queries see a non-degenerate src side.
     """
     import ray
 
@@ -182,12 +234,29 @@ def pages_from_documents(
         doc_id = batch["doc_id"].to_numpy()
         text = batch["text"]
         src = batch["source"]
-        urls = pa.array(
-            [f"https://example.org/{s}/{d}" for s, d in zip(src.to_pylist(), doc_id)]
-        )
+        if with_links:
+            urls = pa.array(
+                [
+                    f"https://{s}.example.org/{d}"
+                    for s, d in zip(src.to_pylist(), doc_id)
+                ]
+            )
+        else:
+            urls = pa.array(
+                [f"https://example.org/{s}/{d}" for s, d in zip(src.to_pylist(), doc_id)]
+            )
         ts = pa.array(EPOCH_US + doc_id * 1_000_000, type=pa.timestamp("us"))
         cols: dict = {"url": urls, "warc_ts": ts}
-        if with_html:
+        if with_links:
+            anchors = _outlink_anchors(doc_id)
+            cols["html"] = pa.array(
+                [
+                    f"<html><body><p>{t}</p>{a}</body></html>".encode()
+                    for t, a in zip(text.to_pylist(), anchors)
+                ],
+                type=pa.binary(),
+            )
+        elif with_html:
             cols["html"] = pa.array(
                 [
                     f"<html><body><p>{t}</p></body></html>".encode()

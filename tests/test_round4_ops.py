@@ -726,3 +726,70 @@ def test_weighted_sample_k_exceeds_population(ray_session):
     got = _collect(weighted_sample(ray.data.from_arrow(t), 10, "w", "doc_id"))
     # only the two positive-weight rows qualify
     assert sorted(got["doc_id"].to_pylist()) == [1, 3]
+
+
+def test_extract_links_edge_cases(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.extract import extract_links, host_of
+
+    html = [
+        # junk (relative/fragment/mailto) dropped, fragment stripped, two kept
+        b'<a href="/rel"></a><a href="#x"></a><a href="mailto:a@b.c"></a>'
+        b'<a href="https://a.org/p#frag"></a><a href="http://b.org/q"></a>',
+        None,  # null html -> no links
+        b"no anchors at all",
+        b'<a href="https://unclosed.org/tail',  # no closing quote -> drop
+        b'text <a href="HTTPS://upper.org/x"></a>',  # scheme is case-exact here
+        b'<a href="https://c.org/r"></a>',
+    ]
+    t = pa.table(
+        {
+            "url": pa.array([f"https://s{i}.org/{i}" for i in range(len(html))]),
+            "html": pa.array(html, pa.binary()),
+        }
+    )
+    got = _collect(extract_links(ray.data.from_arrow(t)))
+    pairs = sorted(zip(got["src_url"].to_pylist(), got["href"].to_pylist()))
+    assert pairs == [
+        ("https://s0.org/0", "http://b.org/q"),
+        ("https://s0.org/0", "https://a.org/p"),
+        ("https://s5.org/5", "https://c.org/r"),
+    ]
+    # host_of: case-insensitive scheme, port kept, no-match -> null
+    h = host_of(
+        pa.array(
+            ["https://X.org:8443/a", "HTTP://y.io/b", "ftp://z", "relative/p"]
+        )
+    )
+    assert h.to_pylist() == ["X.org:8443", "y.io", None, None]
+
+
+def test_extract_links_matches_re_reference(ray_session):
+    import re
+
+    import ray
+
+    from phrasekit_ray.sources.pages import pages_from_documents
+    from phrasekit_ray.stages.extract import extract_links
+
+    pages_t = pa.concat_tables(
+        ray.get(
+            pages_from_documents("/root/testdata/sf0.001", with_links=True)
+            .materialize()
+            .to_arrow_refs()
+        )
+    )
+    pat = re.compile(r'href="([^"]*)"')
+    want = []
+    for u, h in zip(pages_t["url"].to_pylist(), pages_t["html"].to_pylist()):
+        for m in pat.findall(h.decode()):
+            if m.startswith(("https://", "http://")):
+                want.append((u, m.split("#", 1)[0]))
+    got = _collect(
+        extract_links(ray.data.from_arrow(pages_t).repartition(5))
+    )
+    assert sorted(zip(got["src_url"].to_pylist(), got["href"].to_pylist())) == sorted(
+        want
+    )
+    assert len(want) > 0
