@@ -165,6 +165,7 @@ def bench_queries(sf_dir: str, meter=None) -> tuple[dict, dict]:
         "q_quality_filter",
         "q_weighted_sample",
         "q_link_hostgraph",
+        "q_host_pagerank",
     ]
     cpus = _num_cpus()
     meter = meter or _TreeCpuMeter()

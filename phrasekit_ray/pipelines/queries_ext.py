@@ -2011,3 +2011,135 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 EXT_QUERIES.update({"q_link_hostgraph": q_link_hostgraph})
 EXT_ORACLE_SQL.update({"q_link_hostgraph": SQL_LINK_HOSTGRAPH})
+
+
+def q_host_pagerank(sf_dir: str):
+    """Host-level PageRank over the extracted web link graph (X104 →
+    X49 composition): html bytes → outlink edges → host edge weights →
+    distributed power iteration (stages/kg.pagerank: per-round ONE
+    int-keyed lookup_join + ONE two-phase aggregate, driver holds only
+    scalars). Host strings become int64 node ids via the engine's
+    vectorized 64-bit rolling hash; names re-attach with one lookup_join.
+
+    Rows-only (float ranks aren't hash-stable across summation orders);
+    the quality metric is IN-BAND like q_pagerank_top: every row carries
+    max|Δ| (×1e12) vs an independent sparse numpy power iteration over
+    the host-pair edge table (bounded: distinct host PAIRS, i.e.
+    domain-cardinality-sized, never the corpus)."""
+    import ray  # noqa: F401
+
+    from phrasekit_ray.sources.pages import pages_from_documents
+    from phrasekit_ray.stages import kg as kgstage
+    from phrasekit_ray.stages.agg import (
+        hash_aggregate,
+        hash_string_array64,
+        lookup_join,
+    )
+    from phrasekit_ray.stages.extract import extract_links, host_of
+
+    pages = pages_from_documents(sf_dir, with_links=True)
+    links = extract_links(pages)
+
+    def hosts(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src_host": host_of(b["src_url"]),
+                "dst_host": host_of(b["href"]),
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+
+    hostedges = hash_aggregate(
+        links.map_batches(hosts, batch_format="pyarrow"),
+        ["src_host", "dst_host"],
+        [("n", "sum")],
+    ).materialize()
+
+    def with_ids(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subj": pa.array(
+                    hash_string_array64(b["src_host"]).astype(np.int64)
+                ),
+                "obj": pa.array(
+                    hash_string_array64(b["dst_host"]).astype(np.int64)
+                ),
+                "weight": b["n"].cast(pa.float64()),
+            }
+        )
+
+    ranks = kgstage.pagerank(
+        hostedges.map_batches(with_ids, batch_format="pyarrow"), iterations=6
+    )
+
+    # node-id → host-name dimension (distinct hosts, tiny), one lookup_join
+    def name_rows(b: pa.Table) -> pa.Table:
+        host = pa.concat_arrays(
+            [
+                b["src_host"].combine_chunks().cast(pa.string()),
+                b["dst_host"].combine_chunks().cast(pa.string()),
+            ]
+        )
+        return pa.table(
+            {
+                "node": pa.array(hash_string_array64(host).astype(np.int64)),
+                "host": host,
+                "_one": pa.array(np.ones(2 * b.num_rows, np.int64)),
+            }
+        )
+
+    names = hash_aggregate(
+        hostedges.map_batches(name_rows, batch_format="pyarrow"),
+        ["node", "host"],
+        [("_one", "sum")],
+    ).drop_columns(["_one"])
+    named = _collect(lookup_join(ranks, names, "node", "node"))
+
+    # independent driver reference over the host-PAIR table (bounded)
+    et = _collect(hostedges)
+    subj = hash_string_array64(et["src_host"]).astype(np.int64)
+    obj = hash_string_array64(et["dst_host"]).astype(np.int64)
+    w = et["n"].combine_chunks().cast(pa.float64()).to_numpy()
+    nodes_arr, inv = np.unique(np.concatenate([subj, obj]), return_inverse=True)
+    s_idx, o_idx = inv[: len(subj)], inv[len(subj):]
+    m = len(nodes_arr)
+    outw = np.zeros(m)
+    np.add.at(outw, s_idx, w)
+    d = 0.85
+    r = np.full(m, 1.0 / m) if m else np.zeros(0)
+    for _ in range(6 if m else 0):
+        dangling = r[outw == 0].sum()
+        share = np.zeros(m)
+        np.add.at(share, o_idx, r[s_idx] / outw[s_idx] * w)
+        r = (1 - d) / m + d * (share + dangling / m)
+    ref = dict(zip(nodes_arr.tolist(), r.tolist()))
+    got_nodes = named["node"].combine_chunks().cast(pa.int64()).to_numpy()
+    got_ranks = np.asarray(named["rank"].to_pylist(), dtype=np.float64)
+    max_delta = float(
+        np.max(np.abs(got_ranks - np.asarray([ref.get(int(x), 0.0) for x in got_nodes])))
+        if len(got_nodes)
+        else 0.0
+    )
+
+    order = pc.sort_indices(
+        named, sort_keys=[("rank", "descending"), ("host", "ascending")]
+    )
+    top = named.take(order.slice(0, 20))
+    return pa.table(
+        {
+            "host": top["host"].cast(pa.string()),
+            "rank_e9": pa.array(
+                np.round(np.asarray(top["rank"].to_pylist()) * 1e9).astype(
+                    np.int64
+                ),
+                pa.int64(),
+            ),
+            "max_abs_delta_e12": pa.array(
+                np.full(top.num_rows, round(max_delta * 1e12), dtype=np.int64),
+                pa.int64(),
+            ),
+        }
+    )
+
+
+EXT_QUERIES.update({"q_host_pagerank": q_host_pagerank})

@@ -53,14 +53,14 @@ def default_partitions(requested: int | None = None, floor: int = 32) -> int:
 _FNV = np.uint64(1099511628211)
 
 
-def _hash_string_array(col) -> np.ndarray:
-    """Deterministic uint32 hash per row of a string column, fully
-    vectorized over the Arrow offsets/data buffers — the old per-row
-    Python crc32 loop ran once per combined group in the shuffle hot
-    path (every unique n-gram of the corpus). Polynomial rolling hash
-    h(s) = Σ (b_j + 1)·P^(L−1−j) mod 2^64 (FNV prime P), computed as a
-    cumsum difference (wraparound-exact mod 2^64), then mixed to 32
-    bits. Nulls → fixed sentinel (their own group, stable partition)."""
+def hash_string_array64(col) -> np.ndarray:
+    """Deterministic uint64 hash per row of a string column, fully
+    vectorized over the Arrow offsets/data buffers. Polynomial rolling
+    hash h(s) = Σ (b_j + 1)·P^(L−1−j) mod 2^64 (FNV prime P), computed
+    as a cumsum difference (wraparound-exact mod 2^64), then one
+    avalanche mix. Nulls → fixed sentinel. 64-bit collision rate makes
+    this usable as a node-id assignment for string keys (hosts,
+    entities) at web scale, not just as a partitioner."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     is_null = pc.is_null(arr).to_numpy(zero_copy_only=False)
     n = len(arr)
@@ -92,7 +92,19 @@ def _hash_string_array(col) -> np.ndarray:
         csum = np.concatenate(([np.uint64(0)], np.cumsum(contrib, dtype=np.uint64)))
         h64 = csum[off[1:]] - csum[off[:-1]]
     # final avalanche so short strings spread across partitions
-    h64 = (h64 ^ (h64 >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    with np.errstate(over="ignore"):
+        h64 = (h64 ^ (h64 >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    h64[is_null] = np.uint64(0x9E3779B97F4A7C15)
+    return h64
+
+
+def _hash_string_array(col) -> np.ndarray:
+    """uint32 fold of ``hash_string_array64`` (shuffle partitioner).
+    Null sentinel preserved bit-exactly from the original 32-bit
+    implementation so partition layouts are unchanged."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    is_null = pc.is_null(arr).to_numpy(zero_copy_only=False)
+    h64 = hash_string_array64(arr)
     h32 = ((h64 >> np.uint64(32)) ^ h64).astype(np.uint32)
     h32[is_null] = np.uint32(0x9E3779B9)
     return h32

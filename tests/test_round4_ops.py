@@ -793,3 +793,15 @@ def test_extract_links_matches_re_reference(ray_session):
         want
     )
     assert len(want) > 0
+
+
+def test_host_pagerank_agrees_with_reference(ray_session):
+    from phrasekit_ray.pipelines.queries_ext import EXT_QUERIES
+
+    t = EXT_QUERIES["q_host_pagerank"]("/root/testdata/sf0.001")
+    assert t.num_rows == 20
+    assert all(h.endswith(".example.org") for h in t["host"].to_pylist())
+    # in-band agreement metric vs the independent numpy power iteration
+    assert t["max_abs_delta_e12"][0].as_py() < 1000  # i.e. ≤ 1e-9
+    r = t["rank_e9"].to_pylist()
+    assert r == sorted(r, reverse=True) and r[0] > 0
