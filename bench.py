@@ -167,6 +167,7 @@ def bench_queries(sf_dir: str, meter=None) -> tuple[dict, dict]:
         "q_link_hostgraph",
         "q_host_pagerank",
         "q_mix_corpora",
+        "q_contamination_fraction",
     ]
     cpus = _num_cpus()
     meter = meter or _TreeCpuMeter()

@@ -2183,3 +2183,49 @@ ORDER BY doc_id, copy
 
 EXT_QUERIES.update({"q_mix_corpora": q_mix_corpora})
 EXT_ORACLE_SQL.update({"q_mix_corpora": SQL_MIX_CORPORA})
+
+
+def q_contamination_fraction(sf_dir: str):
+    """Graded benchmark-contamination audit (X107): en training docs vs
+    the de 'benchmark', per-doc distinct shared 3-shingles, total
+    distinct 3-shingles (computed in-block, zero shuffle) and the
+    contamination fraction in integer basis points."""
+    from phrasekit_ray.pipelines.queries import _docs
+    from phrasekit_ray.stages import dedup
+    from phrasekit_ray.stages.extract import tokenize_documents
+
+    train = tokenize_documents(_docs(sf_dir, lang="en"))
+    bench = tokenize_documents(_docs(sf_dir, lang="de"))
+    t = _collect(dedup.contamination_fraction(train, bench, k=3))
+    idx = pc.sort_indices(t, sort_keys=[("doc_id", "ascending")])
+    return _i64(t.take(idx), "doc_id", "n_shared", "n_total", "contam_bp")
+
+
+SQL_CONTAMINATION_FRACTION = """
+WITH tt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+  generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents WHERE lang = 'en'),
+bt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+  generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents WHERE lang = 'de'),
+tsh AS (SELECT DISTINCT t0.doc_id,
+  t0.tok || ' ' || t1.tok || ' ' || t2.tok AS s FROM tt t0
+  JOIN tt t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+  JOIN tt t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2),
+bsh AS (SELECT DISTINCT t0.tok || ' ' || t1.tok || ' ' || t2.tok AS s
+  FROM bt t0
+  JOIN bt t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+  JOIN bt t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2),
+tot AS (SELECT doc_id, COUNT(*) AS n_total FROM tsh GROUP BY 1),
+sh AS (SELECT tsh.doc_id, COUNT(*) AS n_shared
+       FROM tsh JOIN bsh USING (s) GROUP BY 1)
+SELECT sh.doc_id, sh.n_shared, tot.n_total,
+       (10000 * sh.n_shared) // tot.n_total AS contam_bp
+FROM sh JOIN tot USING (doc_id) ORDER BY doc_id
+"""
+
+
+EXT_QUERIES.update({"q_contamination_fraction": q_contamination_fraction})
+EXT_ORACLE_SQL.update(
+    {"q_contamination_fraction": SQL_CONTAMINATION_FRACTION}
+)

@@ -1477,3 +1477,62 @@ def dup_ngram_docs(
         shared_docs, ["doc_id"], count_col="dup_shingles",
         num_partitions=num_partitions,
     )
+
+
+def contamination_fraction(
+    train_ds,
+    bench_ds,
+    k: int = 3,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    **contam_kwargs,
+):
+    """Per-doc contamination FRACTION (X107): for every training doc
+    sharing ≥ 1 distinct k-shingle with the benchmark, report
+    ``(doc_id, n_shared, n_total, contam_bp)`` where ``n_total`` is the
+    doc's distinct-shingle count and ``contam_bp`` = ⌊10000·n_shared /
+    n_total⌋ basis points — the graded form of ``contaminated_docs``
+    (Brown et al. 2020 §C uses the binary form; data audits want the
+    fraction to pick an excision threshold).
+
+    Scale shape: ``n_total`` is computed ENTIRELY in-block (a doc's
+    tokens live in one row, so its distinct shingles never cross
+    blocks — zero shuffle), then one int-keyed ``lookup_join`` attaches
+    it to the shared counts. Integer basis points keep the oracle
+    hash-stable."""
+    from phrasekit_ray.stages.agg import lookup_join
+
+    shared = contaminated_docs(
+        train_ds, bench_ds, k=k, id_col=id_col, tokens_col=tokens_col,
+        **contam_kwargs,
+    )
+
+    def totals(b: pa.Table) -> pa.Table:
+        t = (
+            _shingle_rows(b, id_col, tokens_col, k)
+            .group_by([id_col, "shingle"])
+            .aggregate([])
+            .group_by([id_col])
+            .aggregate([("shingle", "count")])
+        )
+        return t.rename_columns([id_col, "n_total"])
+
+    tot = train_ds.map_batches(totals, batch_format="pyarrow")
+
+    def finish(b: pa.Table) -> pa.Table:
+        bp = pc.divide(
+            pc.multiply(b["n_shared"].cast(pa.int64()), pa.scalar(10000)),
+            b["n_total"].cast(pa.int64()),
+        )
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_shared": b["n_shared"].cast(pa.int64()),
+                "n_total": b["n_total"].cast(pa.int64()),
+                "contam_bp": bp,
+            }
+        )
+
+    return lookup_join(shared, tot, id_col, id_col).map_batches(
+        finish, batch_format="pyarrow"
+    )

@@ -868,3 +868,36 @@ def test_mix_corpora_rate_zero_and_default(ray_session):
         mix_corpora(ray.data.from_arrow(t), "source", {"drop": 0.0}, "doc_id")
     )
     assert sorted(got["doc_id"].to_pylist()) == [3, 4]  # default rate 1.0
+
+
+def test_contamination_fraction_hand_case(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.dedup import contamination_fraction
+
+    train = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            # doc 1: shingles {a b c, b c d} — one shared with bench
+            # doc 2: no overlap
+            "tokens": pa.array(
+                [["a", "b", "c", "d"], ["x", "y", "z", "w"]],
+                pa.list_(pa.string()),
+            ),
+        }
+    )
+    bench = pa.table(
+        {
+            "doc_id": pa.array([9], pa.int64()),
+            "tokens": pa.array([["a", "b", "c", "q"]], pa.list_(pa.string())),
+        }
+    )
+    got = _collect(
+        contamination_fraction(
+            ray.data.from_arrow(train), ray.data.from_arrow(bench), k=3
+        )
+    )
+    assert got.num_rows == 1
+    row = got.to_pylist()[0]
+    assert row["doc_id"] == 1 and row["n_shared"] == 1 and row["n_total"] == 2
+    assert row["contam_bp"] == 5000
