@@ -168,6 +168,7 @@ def bench_queries(sf_dir: str, meter=None) -> tuple[dict, dict]:
         "q_host_pagerank",
         "q_mix_corpora",
         "q_contamination_fraction",
+        "q_excise_dup_spans",
     ]
     cpus = _num_cpus()
     meter = meter or _TreeCpuMeter()

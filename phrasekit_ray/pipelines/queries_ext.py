@@ -2229,3 +2229,56 @@ EXT_QUERIES.update({"q_contamination_fraction": q_contamination_fraction})
 EXT_ORACLE_SQL.update(
     {"q_contamination_fraction": SQL_CONTAMINATION_FRACTION}
 )
+
+
+def q_excise_dup_spans(sf_dir: str):
+    """Duplicate-span excision over the corpus (X108): remove every
+    token covered by a corpus-duplicated 5-token shingle, return the
+    cleaned text + removed-token count per doc. Two exchanges, zero
+    joins (see stages/dedup.excise_duplicate_spans)."""
+    import ray
+
+    from phrasekit_ray.stages.dedup import excise_duplicate_spans
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    t = _collect(excise_duplicate_spans(docs, k=5))
+    return _i64(
+        t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")])),
+        "doc_id",
+        "n_removed",
+    )
+
+
+SQL_EXCISE_DUP_SPANS = """
+WITH tt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+  generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents),
+sh AS (SELECT t0.doc_id, t0.pos,
+  t0.tok || ' ' || t1.tok || ' ' || t2.tok || ' ' || t3.tok || ' ' || t4.tok AS s
+  FROM tt t0
+  JOIN tt t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+  JOIN tt t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2
+  JOIN tt t3 ON t3.doc_id = t0.doc_id AND t3.pos = t0.pos + 3
+  JOIN tt t4 ON t4.doc_id = t0.doc_id AND t4.pos = t0.pos + 4),
+dup AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) >= 2),
+st AS (SELECT sh.doc_id, sh.pos FROM sh JOIN dup USING (s)),
+cov AS (SELECT DISTINCT tt.doc_id, tt.pos FROM tt
+        JOIN st ON st.doc_id = tt.doc_id
+               AND tt.pos BETWEEN st.pos AND st.pos + 4),
+kept AS (SELECT tt.doc_id, tt.pos, tt.tok FROM tt
+         LEFT JOIN cov ON cov.doc_id = tt.doc_id AND cov.pos = tt.pos
+         WHERE cov.doc_id IS NULL),
+agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id),
+rem AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       COALESCE(r.n_removed, 0) AS n_removed
+FROM documents d
+LEFT JOIN agg a USING (doc_id) LEFT JOIN rem r USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+EXT_QUERIES.update({"q_excise_dup_spans": q_excise_dup_spans})
+EXT_ORACLE_SQL.update({"q_excise_dup_spans": SQL_EXCISE_DUP_SPANS})

@@ -1536,3 +1536,186 @@ def contamination_fraction(
     return lookup_join(shared, tot, id_col, id_col).map_batches(
         finish, batch_format="pyarrow"
     )
+
+
+def excise_duplicate_spans(
+    ds,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+    min_count: int = 2,
+):
+    """Duplicate-span EXCISION (X108) — the applied form of Lee et al.
+    2022 substring dedup (``dup_ngram_docs`` is the signal form): every
+    token covered by any k-token shingle whose occurrence count across
+    the whole corpus (within-doc repeats included) is ≥ ``min_count``
+    is REMOVED, and the cleaned text re-joined. Returns
+    ``(doc_id, clean_text, n_removed)`` for EVERY input doc (docs
+    shorter than k pass through unchanged; fully-covered docs come back
+    with empty text, letting a downstream length filter drop them).
+
+    Scale shape — exactly TWO exchanges, zero joins:
+    1. per-occurrence (doc, pos, shingle) rows hash-partition by
+       shingle, so the global occurrence count of a shingle is local to
+       one partition: a vectorized sort + segment-size pass emits the
+       duplicated-span START rows right there (no dup-set broadcast, no
+       second pass over the corpus);
+    2. start rows and the docs themselves co-partition by doc id
+       (conformed union); per partition, coverage is one ±1 difference
+       array over the partition's flattened tokens (cumsum > 0), the
+       kept tokens re-join with ONE binary_join. No per-row Python.
+    Shingles travel as full strings (exact, no collision false
+    positives) — swap a 128-bit hash upstream if shingle bytes dominate
+    the exchange at your scale.
+    """
+    from phrasekit_ray.stages.agg import _part_column, default_partitions
+
+    if k < 1:
+        raise ValueError("excise_duplicate_spans: k must be >= 1")
+    num_partitions = default_partitions(num_partitions)
+
+    occ_empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+            "sh": pa.array([], pa.string()),
+        }
+    )
+
+    def occ(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return occ_empty.append_column("_part", pa.array([], pa.int32()))
+        toks = pc.split_pattern(batch[text_col].combine_chunks(), " ")
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        base = offsets[0]
+        off = offsets - base
+        total = int(off[-1])
+        flat = toks.values.slice(base, total)
+        sizes = np.diff(off)
+        m = total - k + 1
+        if m <= 0:
+            return occ_empty.append_column("_part", pa.array([], pa.int32()))
+        ids = batch[id_col].combine_chunks().cast(pa.int64()).to_numpy()
+        doc_index = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+        parts = [flat.slice(j, m) for j in range(k)]
+        joined = pc.binary_join_element_wise(*parts, " ")
+        valid = doc_index[:m] == doc_index[k - 1 :]
+        idx = np.flatnonzero(valid)
+        win_doc = doc_index[idx]
+        t = pa.table(
+            {
+                "doc_id": pa.array(ids[win_doc], pa.int64()),
+                "pos": pa.array(idx - off[:-1][win_doc], pa.int64()),
+                "sh": joined.take(pa.array(idx)).cast(pa.string()),
+            }
+        )
+        return t.append_column("_part", _part_column(t, ["sh"], num_partitions))
+
+    def dup_starts(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["_part"])
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "pos": pa.array([], pa.int64())}
+            )
+        srt = t.take(pc.sort_indices(t, sort_keys=[("sh", "ascending")]))
+        sh = srt["sh"].combine_chunks()
+        diff = (
+            pc.not_equal(sh.slice(1, n - 1), sh.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            if n > 1
+            else np.zeros(0, bool)
+        )
+        seg = np.flatnonzero(np.concatenate(([True], diff)))
+        seg_sizes = np.diff(np.concatenate((seg, [n])))
+        # every occurrence in a segment of size >= min_count is a dup start
+        occ_seg = np.repeat(seg_sizes, seg_sizes)
+        keep = occ_seg >= min_count
+        out = srt.filter(pa.array(keep))
+        return pa.table({"doc_id": out["doc_id"], "pos": out["pos"]})
+
+    starts = (
+        ds.map_batches(occ, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(dup_starts, batch_format="pyarrow")
+    )
+
+    def doc_side(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "doc_id": batch[id_col].combine_chunks().cast(pa.int64()),
+                "text": batch[text_col].combine_chunks().cast(pa.string()),
+                "pos": pa.nulls(batch.num_rows, pa.int64()),
+            }
+        )
+        return t.append_column(
+            "_part", _part_column(t, ["doc_id"], num_partitions)
+        )
+
+    def start_side(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "doc_id": batch["doc_id"].combine_chunks().cast(pa.int64()),
+                "text": pa.nulls(batch.num_rows, pa.string()),
+                "pos": batch["pos"].combine_chunks().cast(pa.int64()),
+            }
+        )
+        return t.append_column(
+            "_part", _part_column(t, ["doc_id"], num_partitions)
+        )
+
+    unioned = ds.map_batches(doc_side, batch_format="pyarrow").union(
+        starts.map_batches(start_side, batch_format="pyarrow")
+    )
+
+    def rebuild(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_part"])
+        is_doc = pc.is_valid(g["text"])
+        docs = g.filter(is_doc)
+        if docs.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "clean_text": pa.array([], pa.string()),
+                    "n_removed": pa.array([], pa.int64()),
+                }
+            )
+        docs = docs.take(
+            pc.sort_indices(docs, sort_keys=[("doc_id", "ascending")])
+        )
+        did = docs["doc_id"].combine_chunks().to_numpy()
+        toks = pc.split_pattern(docs["text"].combine_chunks(), " ")
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        base = offsets[0]
+        off = offsets - base
+        total = int(off[-1])
+        flat = toks.values.slice(base, total)
+        sizes = np.diff(off)
+        sts = g.filter(pc.invert(is_doc))
+        st_doc = sts["doc_id"].combine_chunks().to_numpy()
+        st_pos = sts["pos"].combine_chunks().cast(pa.int64()).to_numpy()
+        row = np.searchsorted(did, st_doc)
+        fs = off[:-1][row] + st_pos
+        delta = np.zeros(total + 1, np.int64)
+        np.add.at(delta, fs, 1)
+        np.add.at(delta, fs + k, -1)
+        covered = np.cumsum(delta[:total]) > 0
+        ccum = np.concatenate(([0], np.cumsum(covered)))
+        rem = ccum[off[1:]] - ccum[off[:-1]]
+        kept_vals = flat.filter(pa.array(~covered))
+        kept_off = np.concatenate(([0], np.cumsum(sizes - rem)))
+        lst = pa.LargeListArray.from_arrays(
+            pa.array(kept_off, pa.int64()), kept_vals
+        )
+        clean = pc.binary_join(lst, " ")
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "clean_text": clean.cast(pa.string()),
+                "n_removed": pa.array(rem, pa.int64()),
+            }
+        )
+
+    return unioned.groupby("_part").map_groups(rebuild, batch_format="pyarrow")

@@ -901,3 +901,36 @@ def test_contamination_fraction_hand_case(ray_session):
     row = got.to_pylist()[0]
     assert row["doc_id"] == 1 and row["n_shared"] == 1 and row["n_total"] == 2
     assert row["contam_bp"] == 5000
+
+
+def test_excise_duplicate_spans_hand_case(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.dedup import excise_duplicate_spans
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b c d e f g",      # shares "a b c d e" with doc 2
+                    "x a b c d e q",
+                    "p p p p p p p p p p",  # within-doc repeated 5-gram
+                    "short doc",            # < k tokens: untouched
+                ]
+            ),
+        }
+    )
+    for parts in (1, 3):
+        got = _collect(
+            excise_duplicate_spans(
+                ray.data.from_arrow(t).repartition(parts), k=5
+            )
+        )
+        rows = {r["doc_id"]: r for r in got.to_pylist()}
+        assert rows[1]["clean_text"] == "f g" and rows[1]["n_removed"] == 5
+        assert rows[2]["clean_text"] == "x q" and rows[2]["n_removed"] == 5
+        assert rows[3]["clean_text"] == "" and rows[3]["n_removed"] == 10
+        assert rows[4]["clean_text"] == "short doc"
+        assert rows[4]["n_removed"] == 0
+        assert len(rows) == 4
