@@ -169,6 +169,7 @@ def bench_queries(sf_dir: str, meter=None) -> tuple[dict, dict]:
         "q_mix_corpora",
         "q_contamination_fraction",
         "q_excise_dup_spans",
+        "q_dedup_keep_best",
     ]
     cpus = _num_cpus()
     meter = meter or _TreeCpuMeter()

@@ -2282,3 +2282,83 @@ ORDER BY d.doc_id
 
 EXT_QUERIES.update({"q_excise_dup_spans": q_excise_dup_spans})
 EXT_ORACLE_SQL.update({"q_excise_dup_spans": SQL_EXCISE_DUP_SPANS})
+
+
+def q_dedup_keep_best(sf_dir: str):
+    """Near-dup cluster representative selection (X109): the standard
+    dedup OUTPUT policy — per MinHash-verified duplicate cluster, keep
+    the highest-quality member (n_chars as the quality signal, smallest
+    doc_id tiebreak). Composition: near_dedup_minhash clusters →
+    int-keyed lookup_join to attach quality → two-phase grouped_argmax.
+    The cluster mapping is cluster-members-sized (≪ corpus after
+    verification); the join and argmax are fully distributed."""
+    import ray
+
+    from phrasekit_ray.pipelines.queries import _docs
+    from phrasekit_ray.stages import dedup
+    from phrasekit_ray.stages.agg import grouped_argmax, lookup_join
+    from phrasekit_ray.stages.extract import tokenize_documents
+
+    docs_tok = tokenize_documents(_docs(sf_dir))
+    mapping = dedup.near_dedup_minhash(docs_tok, materialize_input=True)
+    if not mapping:
+        return pa.table(
+            {
+                "cluster": pa.array([], pa.int64()),
+                "best_id": pa.array([], pa.int64()),
+                "best_n_chars": pa.array([], pa.int64()),
+            }
+        )
+    items = sorted(mapping.items())
+    members = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([k for k, _ in items], pa.int64()),
+                "cluster": pa.array([v for _, v in items], pa.int64()),
+            }
+        )
+    )
+    quality = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    joined = lookup_join(members, quality, "doc_id", "doc_id")
+
+    def neg(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_negid",
+            pc.negate(b["doc_id"].combine_chunks().cast(pa.int64())),
+        )
+
+    best = grouped_argmax(
+        joined.map_batches(neg, batch_format="pyarrow"),
+        "cluster",
+        ["n_chars", "_negid"],
+        ["doc_id"],
+    )
+    t = _collect(best)
+    t = pa.table(
+        {
+            "cluster": t["cluster"].cast(pa.int64()),
+            "best_id": t["doc_id"].cast(pa.int64()),
+            "best_n_chars": t["n_chars"].cast(pa.int64()),
+        }
+    )
+    return t.take(pc.sort_indices(t, sort_keys=[("cluster", "ascending")]))
+
+
+def _sql_keep_best() -> str:
+    from phrasekit_ray.pipelines.queries import _sql_minhash
+
+    return f"""
+WITH m AS ({_sql_minhash()}),
+j AS (SELECT m.doc_id, m.rep_id AS cluster, d.n_chars
+      FROM m JOIN documents d USING (doc_id))
+SELECT cluster, doc_id AS best_id, n_chars AS best_n_chars FROM j
+QUALIFY row_number() OVER (
+  PARTITION BY cluster ORDER BY n_chars DESC, doc_id ASC) = 1
+ORDER BY cluster
+"""
+
+
+EXT_QUERIES.update({"q_dedup_keep_best": q_dedup_keep_best})
+EXT_ORACLE_SQL.update({"q_dedup_keep_best": _sql_keep_best()})
