@@ -170,6 +170,7 @@ def bench_queries(sf_dir: str, meter=None) -> tuple[dict, dict]:
         "q_contamination_fraction",
         "q_excise_dup_spans",
         "q_dedup_keep_best",
+        "q_random_projection",
     ]
     cpus = _num_cpus()
     meter = meter or _TreeCpuMeter()

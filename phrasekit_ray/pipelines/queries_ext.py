@@ -2362,3 +2362,39 @@ ORDER BY cluster
 
 EXT_QUERIES.update({"q_dedup_keep_best": q_dedup_keep_best})
 EXT_ORACLE_SQL.update({"q_dedup_keep_best": _sql_keep_best()})
+
+
+def q_random_projection(sf_dir: str):
+    """JL signed random projection of the embeddings table (X110):
+    8 exact-int64 Rademacher projections per vector (see
+    stages/similarity.random_projection_sketch)."""
+    import ray
+
+    from phrasekit_ray.stages.similarity import random_projection_sketch
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    t = _collect(random_projection_sketch(emb, r=8))
+    return t.take(
+        pc.sort_indices(
+            t, sort_keys=[("vec_id", "ascending"), ("j", "ascending")]
+        )
+    )
+
+
+SQL_RANDOM_PROJECTION = f"""
+WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+  generate_subscripts(embedding, 1) - 1 AS d FROM embeddings),
+c AS (SELECT vec_id, d, CAST(round(v * 32768.0) AS BIGINT) AS code FROM e),
+s AS (SELECT c.vec_id, g.j, c.code,
+      CASE WHEN (({_sm_sql('CAST(g.j AS HUGEINT)*1024 + CAST(c.d AS HUGEINT)')})
+                 // 4294967296) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      FROM c, generate_series(0, 7) AS g(j))
+SELECT vec_id, CAST(j AS BIGINT) AS j, CAST(SUM(code * sgn) AS BIGINT) AS proj
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+EXT_QUERIES.update({"q_random_projection": q_random_projection})
+EXT_ORACLE_SQL.update({"q_random_projection": SQL_RANDOM_PROJECTION})

@@ -500,3 +500,87 @@ def scalar_quantize_embeddings(
         )
 
     return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def random_projection_sketch(
+    ds,
+    r: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = 32768.0,
+    seed: int = 17,
+):
+    """Signed random projection (X110 — Johnson–Lindenstrauss sketch
+    with a ±1 Rademacher matrix, Achlioptas 2003): embeddings →
+    ``r`` int64 projections, exploded to (id, j, proj) rows.
+
+    EXACT integer arithmetic end to end so the DuckDB oracle
+    hash-matches: components quantize to ``round-away(v·scale)`` int64
+    codes, the sign matrix is ±1 from the shared splitmix hash of
+    ``j·1024 + dim`` (pure function of (j, dim, seed) — identical on
+    every worker with zero broadcast), and the projection is one int64
+    matmul per batch. The standard cheap dim-reduction front-end for
+    ANN / clustering at corpus scale; sign(proj) is a SimHash over the
+    embedding space."""
+    import pyarrow.compute as pc  # noqa: F401
+
+    from phrasekit_ray.sources.pages import splitmix17
+
+    if r < 1 or r > 1024:
+        raise ValueError("random_projection_sketch: r must be in [1, 1024]")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "j": pa.array([], pa.int64()),
+                "proj": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        emb = batch[vec_col].combine_chunks()
+        offsets = emb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        sizes = np.diff(offsets - offsets[0])
+        if len(sizes) == 0:
+            return empty
+        d = int(sizes[0])
+        if not (sizes == d).all():
+            raise ValueError("random_projection_sketch: ragged embedding dim")
+        if d > 1024:
+            raise ValueError("random_projection_sketch: dim > 1024 (sign-hash grid)")
+        flat = (
+            emb.values.slice(offsets[0], int(sizes.sum()))
+            .cast(pa.float64())
+            .to_numpy(zero_copy_only=False)
+        )
+        x = flat.reshape(-1, d) * scale
+        codes = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(
+            np.int64
+        )
+        jj, dd = np.meshgrid(
+            np.arange(r, dtype=np.uint64),
+            np.arange(d, dtype=np.uint64),
+            indexing="ij",
+        )
+        # bit 32, not bit 0: the chain's last op is a multiply, so low
+        # bits are weakly mixed (measured sign bias on structured grids)
+        sgn = np.where(
+            (splitmix17(jj * np.uint64(1024) + dd, seed) >> np.uint64(32))
+            % np.uint64(2)
+            == 0,
+            1,
+            -1,
+        ).astype(np.int64)  # (r, d)
+        proj = codes @ sgn.T  # (n, r) exact int64
+        n = codes.shape[0]
+        ids = batch[id_col].combine_chunks().cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, r), pa.int64()),
+                "j": pa.array(np.tile(np.arange(r, dtype=np.int64), n)),
+                "proj": pa.array(proj.reshape(-1), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -934,3 +934,41 @@ def test_excise_duplicate_spans_hand_case(ray_session):
         assert rows[4]["clean_text"] == "short doc"
         assert rows[4]["n_removed"] == 0
         assert len(rows) == 4
+
+
+def test_random_projection_preserves_similarity_order(ray_session):
+    """JL sanity: sign-agreement of the r=64 sketch correlates with
+    cosine — near-identical vectors agree on almost all signs, random
+    pairs on ~half."""
+    import ray
+
+    from phrasekit_ray.stages.similarity import random_projection_sketch
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=64)
+    near = base + rng.normal(scale=0.01, size=64)
+    far = rng.normal(size=64)
+    t = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2], pa.int64()),
+            "embedding": pa.array(
+                [base.tolist(), near.tolist(), far.tolist()],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    got = _collect(random_projection_sketch(ray.data.from_arrow(t), r=64))
+    proj = np.array(got["proj"].to_pylist()).reshape(3, 64)
+    agree_near = np.mean(np.sign(proj[0]) == np.sign(proj[1]))
+    agree_far = np.mean(np.sign(proj[0]) == np.sign(proj[2]))
+    assert agree_near > 0.9
+    assert 0.2 < agree_far < 0.8
+    # ragged input rejected
+    bad = pa.table(
+        {
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array([[1.0, 2.0], [1.0]], pa.list_(pa.float32())),
+        }
+    )
+    with pytest.raises(Exception, match="ragged"):
+        _collect(random_projection_sketch(ray.data.from_arrow(bad), r=4))
