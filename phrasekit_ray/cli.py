@@ -271,6 +271,82 @@ def cmd_decontaminate(args) -> int:
     return 0
 
 
+def cmd_links(args) -> int:
+    import ray
+
+    from phrasekit_ray.stages.agg import hash_aggregate
+    from phrasekit_ray.stages.extract import extract_links, host_of
+
+    _init_ray()
+    pages = ray.data.read_parquet(args.pages, columns=[args.url_col, args.html_col])
+    links = extract_links(pages, html_col=args.html_col, url_col=args.url_col)
+    if args.host_graph:
+        import numpy as np
+        import pyarrow as pa
+
+        def hosts(b):
+            return pa.table(
+                {
+                    "src_host": host_of(b["src_url"]),
+                    "dst_host": host_of(b["href"]),
+                    "n": pa.array(np.ones(b.num_rows, np.int64)),
+                }
+            )
+
+        out = hash_aggregate(
+            links.map_batches(hosts, batch_format="pyarrow"),
+            ["src_host", "dst_host"],
+            [("n", "sum")],
+        )
+    else:
+        out = links
+    out.write_parquet(args.output)
+    print(json.dumps({"stage": "links", "host_graph": bool(args.host_graph)}))
+    return 0
+
+
+def cmd_mix(args) -> int:
+    import ray
+
+    from phrasekit_ray.stages.mix import mix_corpora
+
+    _init_ray()
+    rates = {}
+    for spec in args.rate or []:
+        name, _, val = spec.partition("=")
+        if not _ or not name:
+            raise SystemExit(f"--rate expects SOURCE=RATE, got {spec!r}")
+        rates[name] = float(val)
+    ds = ray.data.read_parquet(args.input)
+    mixed = mix_corpora(
+        ds,
+        args.source_col,
+        rates,
+        args.id_col,
+        seed=args.seed,
+        default_rate=args.default_rate,
+    )
+    mixed.write_parquet(args.output)
+    print(json.dumps({"stage": "mix", "rates": rates}))
+    return 0
+
+
+def cmd_excise(args) -> int:
+    import ray
+
+    from phrasekit_ray.stages.dedup import excise_duplicate_spans
+
+    _init_ray()
+    ds = ray.data.read_parquet(args.input, columns=[args.id_col, args.text_col])
+    out = excise_duplicate_spans(
+        ds, k=args.k, text_col=args.text_col, id_col=args.id_col,
+        min_count=args.min_count,
+    )
+    out.write_parquet(args.output)
+    print(json.dumps({"stage": "excise", "k": args.k}))
+    return 0
+
+
 def cmd_pack(args) -> int:
     import ray
 
@@ -586,6 +662,39 @@ def main(argv=None) -> int:
     zs.add_argument("--scale", type=float, default=100.0)
     zs.add_argument("--num-partitions", type=int, default=None)
     zs.set_defaults(fn=cmd_zscore)
+
+    ln = sub.add_parser(
+        "links", help="extract outlink edges (or host graph) from pages html"
+    )
+    ln.add_argument("--pages", required=True)
+    ln.add_argument("--output", required=True)
+    ln.add_argument("--url-col", dest="url_col", default="url")
+    ln.add_argument("--html-col", dest="html_col", default="html")
+    ln.add_argument("--host-graph", dest="host_graph", action="store_true")
+    ln.set_defaults(fn=cmd_links)
+
+    mx = sub.add_parser(
+        "mix", help="deterministic corpus mixing / oversampling by source rate"
+    )
+    mx.add_argument("--input", required=True)
+    mx.add_argument("--output", required=True)
+    mx.add_argument("--rate", action="append", metavar="SOURCE=RATE")
+    mx.add_argument("--source-col", dest="source_col", default="source")
+    mx.add_argument("--id-col", dest="id_col", default="doc_id")
+    mx.add_argument("--seed", type=int, default=17)
+    mx.add_argument("--default-rate", dest="default_rate", type=float, default=1.0)
+    mx.set_defaults(fn=cmd_mix)
+
+    ex = sub.add_parser(
+        "excise", help="remove corpus-duplicated k-token spans from documents"
+    )
+    ex.add_argument("--input", required=True)
+    ex.add_argument("--output", required=True)
+    ex.add_argument("--k", type=int, default=5)
+    ex.add_argument("--min-count", dest="min_count", type=int, default=2)
+    ex.add_argument("--id-col", dest="id_col", default="doc_id")
+    ex.add_argument("--text-col", dest="text_col", default="text")
+    ex.set_defaults(fn=cmd_excise)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -351,3 +351,57 @@ def test_cli_funnel_chunk_zscore(ray_session, tmp_path, sf_dir):
     assert "zscore_micro" in zt.column_names
     n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
     assert zt.num_rows == n
+
+
+def test_cli_links_mix_excise(ray_session, tmp_path, sf_dir):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from phrasekit_ray.cli import main
+    from phrasekit_ray.sources.pages import pages_from_documents
+
+    pages_path = str(tmp_path / "pages")
+    pages_from_documents(sf_dir, with_links=True).write_parquet(pages_path)
+
+    lo = str(tmp_path / "hostgraph")
+    rc = main(
+        ["links", "--pages", pages_path, "--output", lo, "--host-graph"]
+    )
+    assert rc == 0
+    lt = pq.read_table(glob.glob(f"{lo}/*.parquet"))
+    assert set(lt.column_names) == {"src_host", "dst_host", "n"}
+    assert lt.num_rows > 0
+
+    mo = str(tmp_path / "mixed")
+    rc = main(
+        [
+            "mix",
+            "--input", f"{sf_dir}/documents.parquet",
+            "--output", mo,
+            "--rate", "src0=2.0",
+            "--rate", "src1=0.0",
+        ]
+    )
+    assert rc == 0
+    mt = pq.read_table(glob.glob(f"{mo}/*.parquet"))
+    srcs = mt["source"].to_pylist()
+    ndocs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["source"])
+    n0 = ndocs["source"].to_pylist().count("src0")
+    assert srcs.count("src0") == 2 * n0 and srcs.count("src1") == 0
+
+    eo = str(tmp_path / "excised")
+    rc = main(
+        [
+            "excise",
+            "--input", f"{sf_dir}/documents.parquet",
+            "--output", eo,
+            "--k", "5",
+        ]
+    )
+    assert rc == 0
+    et = pq.read_table(glob.glob(f"{eo}/*.parquet"))
+    assert set(et.column_names) == {"doc_id", "clean_text", "n_removed"}
+    assert et.num_rows == pq.ParquetFile(
+        f"{sf_dir}/documents.parquet"
+    ).metadata.num_rows
