@@ -2398,3 +2398,33 @@ FROM s GROUP BY 1, 2 ORDER BY 1, 2
 
 EXT_QUERIES.update({"q_random_projection": q_random_projection})
 EXT_ORACLE_SQL.update({"q_random_projection": SQL_RANDOM_PROJECTION})
+
+
+def q_quality_percent_rank(sf_dir: str):
+    """Corpus-calibrated quality signal (X112): percentile rank of each
+    doc's n_chars in exact integer micro-units — distinct-value
+    compressed distribution, one broadcast, one searchsorted attach."""
+    import ray
+
+    from phrasekit_ray.stages.agg import percent_rank_column
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    t = _collect(percent_rank_column(docs, "n_chars"))
+    return _i64(
+        t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")])),
+        "doc_id", "n_chars", "pr_micro",
+    )
+
+
+SQL_QUALITY_PERCENT_RANK = """
+SELECT doc_id, n_chars,
+  (1000000 * (rank() OVER (ORDER BY n_chars) - 1))
+    // GREATEST((COUNT(*) OVER ()) - 1, 1) AS pr_micro
+FROM documents ORDER BY doc_id
+"""
+
+
+EXT_QUERIES.update({"q_quality_percent_rank": q_quality_percent_rank})
+EXT_ORACLE_SQL.update({"q_quality_percent_rank": SQL_QUALITY_PERCENT_RANK})

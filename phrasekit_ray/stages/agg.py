@@ -2283,3 +2283,72 @@ def weighted_sample(
     )
     win = allc.take(idx.slice(0, min(k, allc.num_rows))).drop_columns(["_key"])
     return ray.data.from_arrow(win)
+
+
+def percent_rank_column(
+    ds,
+    value_col: str,
+    num_partitions: int | None = None,
+    out_col: str = "pr_micro",
+    scale: int = 1_000_000,
+):
+    """Global percentile-rank normalization (X112): attach
+    ``⌊scale · rank_strictly_less / (N−1)⌋`` for each row's integer
+    ``value_col`` — SQL ``(rank() OVER (ORDER BY v) − 1) / (N − 1)``
+    in exact integer micro-units (the corpus-calibration transform for
+    quality signals: scores become comparable across corpora without
+    assuming a distribution).
+
+    Scale shape: one two-phase (value → count) aggregate moves DISTINCT
+    VALUES only (never rows); the compressed distribution lands on the
+    driver (bounded by value cardinality — integer quality signals are
+    low-cardinality by construction; at higher cardinality bucket the
+    values upstream), cumulates in one numpy pass, broadcasts once via
+    the closure, and re-attaches with ONE searchsorted per batch.
+    ``ds`` is consumed twice (distribution pass + attach pass).
+    """
+    num_partitions = default_partitions(num_partitions)
+
+    def vrows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "_v": batch[value_col].combine_chunks().cast(pa.int64()),
+                "_n": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    counts = hash_aggregate(
+        ds.select_columns([value_col]).map_batches(
+            vrows, batch_format="pyarrow"
+        ),
+        ["_v"],
+        [("_n", "sum")],
+        num_partitions=num_partitions,
+    )
+    import ray
+
+    tabs = [t for t in ray.get(counts.materialize().to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        def empty_attach(batch: pa.Table) -> pa.Table:
+            return batch.append_column(out_col, pa.nulls(batch.num_rows, pa.int64()))
+
+        return ds.map_batches(empty_attach, batch_format="pyarrow")
+    dist = pa.concat_tables(tabs)
+    vals = dist["_v"].to_numpy(zero_copy_only=False)
+    cnts = dist["_n"].to_numpy(zero_copy_only=False)
+    order = np.argsort(vals)
+    vals = vals[order]
+    cnts = cnts[order]
+    less = np.concatenate(([0], np.cumsum(cnts)[:-1]))  # strictly-less counts
+    total = int(cnts.sum())
+    denom = max(total - 1, 1)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        idx = np.searchsorted(vals, v)
+        pr = (np.int64(scale) * less[idx]) // denom
+        return batch.append_column(out_col, pa.array(pr, pa.int64()))
+
+    return ds.map_batches(attach, batch_format="pyarrow")

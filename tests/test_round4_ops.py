@@ -972,3 +972,27 @@ def test_random_projection_preserves_similarity_order(ray_session):
     )
     with pytest.raises(Exception, match="ragged"):
         _collect(random_projection_sketch(ray.data.from_arrow(bad), r=4))
+
+
+def test_percent_rank_column_semantics(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.agg import percent_rank_column
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "v": pa.array([10, 20, 20, 30, 40], pa.int64()),
+        }
+    )
+    for parts in (1, 4):
+        got = _collect(
+            percent_rank_column(ray.data.from_arrow(t).repartition(parts), "v")
+        )
+        pr = dict(zip(got["id"].to_pylist(), got["pr_micro"].to_pylist()))
+        # N=5, denom=4; strictly-less counts: 10→0, 20→1, 30→3, 40→4
+        assert pr == {1: 0, 2: 250000, 3: 250000, 4: 750000, 5: 1000000}
+    # single row: denom clamps to 1, pr = 0
+    one = pa.table({"id": pa.array([1], pa.int64()), "v": pa.array([7], pa.int64())})
+    got = _collect(percent_rank_column(ray.data.from_arrow(one), "v"))
+    assert got["pr_micro"].to_pylist() == [0]
