@@ -172,6 +172,7 @@ def bench_queries(sf_dir: str, meter=None) -> tuple[dict, dict]:
         "q_dedup_keep_best",
         "q_random_projection",
         "q_quality_percent_rank",
+        "q_hybrid_rrf",
     ]
     cpus = _num_cpus()
     meter = meter or _TreeCpuMeter()

@@ -2428,3 +2428,81 @@ FROM documents ORDER BY doc_id
 
 EXT_QUERIES.update({"q_quality_percent_rank": q_quality_percent_rank})
 EXT_ORACLE_SQL.update({"q_quality_percent_rank": SQL_QUALITY_PERCENT_RANK})
+
+
+def q_hybrid_rrf(sf_dir: str):
+    """Hybrid retrieval via Reciprocal Rank Fusion (X111 — Cormack et
+    al. 2009): fuse the BM25 top-20 (lexical channel, distributed
+    corpus scan) with the exact-cosine top-20 for the first embedding
+    (dense channel, per-batch top-k + driver heap merge). Fusion score
+    is exact integer micro-units ⌊10⁹/(60+rank)⌋ summed per channel, so
+    the oracle hash-matches; the fusion itself runs on two top-k tables
+    (driver-scalar-sized), never the corpus."""
+    import numpy as _np
+
+    from phrasekit_ray.pipelines.queries import _docs, _embeddings
+    from phrasekit_ray.stages import similarity
+    from phrasekit_ray.stages.lm import bm25_topk, top_tokens
+
+    docs = _docs(sf_dir)
+    bm = _collect(bm25_topk(docs, top_tokens(docs, k=3, offset=9)))
+    bidx = pc.sort_indices(
+        bm, sort_keys=[("bm25_micro", "descending"), ("doc_id", "ascending")]
+    )
+    bm = bm.take(bidx)
+    bm_rank = {
+        int(d): i + 1 for i, d in enumerate(bm["doc_id"].to_pylist())
+    }
+
+    emb = _embeddings(sf_dir)
+    first = _collect(emb).sort_by("vec_id").slice(0, 1)
+    qid = int(first["vec_id"][0].as_py())
+    qvec = _np.asarray(first["embedding"].to_pylist(), dtype=_np.float32)
+    kn = similarity.brute_force_topk(emb, qvec, [qid], k=20)
+    kn_rank = {
+        int(v): int(r)
+        for v, r in zip(kn["vec_id"].to_pylist(), kn["rank"].to_pylist())
+    }
+
+    ids = sorted(set(bm_rank) | set(kn_rank))
+    rows = []
+    for d in ids:
+        rb, rk = bm_rank.get(d, 0), kn_rank.get(d, 0)
+        s = (10**9 // (60 + rb) if rb else 0) + (
+            10**9 // (60 + rk) if rk else 0
+        )
+        rows.append((d, s, rb, rk))
+    rows.sort(key=lambda x: (-x[1], x[0]))
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "rrf_micro": pa.array([r[1] for r in rows], pa.int64()),
+            "bm25_rank": pa.array([r[2] for r in rows], pa.int64()),
+            "knn_rank": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+SQL_HYBRID_RRF = f"""
+WITH bm AS ({SQL_BM25_SEARCH.strip().rstrip()}),
+bmr AS (SELECT doc_id, row_number() OVER
+        (ORDER BY bm25_micro DESC, doc_id ASC) AS r FROM bm),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      ORDER BY vec_id LIMIT 1),
+sims AS (SELECT e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS cos
+         FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
+knr AS (SELECT vec_id AS doc_id, row_number() OVER
+        (ORDER BY cos DESC, vec_id ASC) AS r
+        FROM sims ORDER BY cos DESC, vec_id ASC LIMIT 20)
+SELECT COALESCE(bmr.doc_id, knr.doc_id) AS doc_id,
+       COALESCE(1000000000 // (60 + bmr.r), 0)
+         + COALESCE(1000000000 // (60 + knr.r), 0) AS rrf_micro,
+       COALESCE(bmr.r, 0) AS bm25_rank,
+       COALESCE(knr.r, 0) AS knn_rank
+FROM bmr FULL OUTER JOIN knr USING (doc_id)
+ORDER BY rrf_micro DESC, doc_id ASC
+"""
+
+
+EXT_QUERIES.update({"q_hybrid_rrf": q_hybrid_rrf})
+EXT_ORACLE_SQL.update({"q_hybrid_rrf": SQL_HYBRID_RRF})
