@@ -173,6 +173,7 @@ def bench_queries(sf_dir: str, meter=None) -> tuple[dict, dict]:
         "q_random_projection",
         "q_quality_percent_rank",
         "q_hybrid_rrf",
+        "q_graph_kcore",
     ]
     cpus = _num_cpus()
     meter = meter or _TreeCpuMeter()

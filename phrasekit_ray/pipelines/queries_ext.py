@@ -2506,3 +2506,64 @@ ORDER BY rrf_micro DESC, doc_id ASC
 
 EXT_QUERIES.update({"q_hybrid_rrf": q_hybrid_rrf})
 EXT_ORACLE_SQL.update({"q_hybrid_rrf": SQL_HYBRID_RRF})
+
+
+def q_graph_kcore(sf_dir: str):
+    """k-core of the part co-occurrence graph (X113, k=75 — peels ~3%
+    of nodes at sf0.01): iterative distributed degree-filter rounds
+    (stages/kg.k_core). Rows-only (iterative deletion isn't expressible
+    in a DuckDB recursive CTE); the quality metric is IN-BAND per the
+    repo convention: every row carries the number of (node, degree)
+    disagreements vs an EXACT driver-side peeling of the same edge
+    table (expected 0), so the driver's artifact records the agreement."""
+    import ray
+
+    from phrasekit_ray.stages.kg import k_core
+
+    edges = _basket_edges_ds(sf_dir).materialize()
+    t = _collect(k_core(edges, k=75))
+
+    # exact driver reference over the bounded basket-edge table
+    et = pa.concat_tables(ray.get(edges.to_arrow_refs()))
+    a = et.column(0).cast(pa.int64()).to_numpy()
+    b = et.column(1).cast(pa.int64()).to_numpy()
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    E = {(int(x), int(y)) for x, y in zip(lo, hi) if x != y}
+    import collections
+
+    deg: collections.Counter = collections.Counter()
+    for x, y in E:
+        deg[x] += 1
+        deg[y] += 1
+    while True:
+        bad = {n for n, d in deg.items() if d < 75}
+        if not bad:
+            break
+        E = {(x, y) for x, y in E if x not in bad and y not in bad}
+        deg = collections.Counter()
+        for x, y in E:
+            deg[x] += 1
+            deg[y] += 1
+    ref = dict(deg)
+    got = dict(
+        zip(
+            t["node"].cast(pa.int64()).to_pylist(),
+            t["degree"].cast(pa.int64()).to_pylist(),
+        )
+    )
+    mism = sum(1 for n, d in got.items() if ref.get(n) != d) + sum(
+        1 for n in ref if n not in got
+    )
+    t = _i64(
+        t.take(pc.sort_indices(t, sort_keys=[("node", "ascending")])),
+        "node",
+        "degree",
+    )
+    return t.append_column(
+        "ref_mismatches",
+        pa.array(np.full(t.num_rows, mism, dtype=np.int64), pa.int64()),
+    )
+
+
+EXT_QUERIES.update({"q_graph_kcore": q_graph_kcore})

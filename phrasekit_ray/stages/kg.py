@@ -1498,3 +1498,87 @@ def label_propagation_communities(
             break
         prev_fp = cur
     return labels
+
+
+def k_core(
+    edges_ds,
+    k: int = 2,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+    max_rounds: int = 64,
+    num_partitions: int | None = None,
+):
+    """Distributed k-core (X113): iteratively peel nodes whose
+    undirected degree over DISTINCT non-loop edges is < ``k`` until a
+    fixpoint; returns Dataset(node, degree) — the surviving nodes with
+    their in-core degree. The classic graph-cleaning pass before
+    community/centrality work (Seidman 1983).
+
+    Scale shape per round: ONE two-phase degree aggregate + TWO
+    semi-joins (cardinality-chosen broadcast/partitioned paths) keep
+    only edges between survivors; the driver holds the survivor COUNT —
+    a scalar — and stops when it is unchanged (no node removed ⇒
+    degrees unchanged ⇒ fixpoint; sound). Rounds are bounded by the
+    peel depth (≤ max node degree), not the corpus.
+    """
+    from phrasekit_ray.stages.agg import hash_aggregate, key_filter_join
+
+    if k < 1:
+        raise ValueError("k_core: k must be >= 1")
+
+    def conform(b: pa.Table) -> pa.Table:
+        a = b[subj_col].combine_chunks().cast(pa.int64()).to_numpy()
+        c = b[obj_col].combine_chunks().cast(pa.int64()).to_numpy()
+        lo = np.minimum(a, c)
+        hi = np.maximum(a, c)
+        m = lo != hi  # drop self-loops
+        return pa.table(
+            {
+                "a": pa.array(lo[m], pa.int64()),
+                "b": pa.array(hi[m], pa.int64()),
+                "_one": pa.array(np.ones(int(m.sum()), np.int64)),
+            }
+        )
+
+    # DISTINCT undirected edges
+    edges = hash_aggregate(
+        edges_ds.map_batches(conform, batch_format="pyarrow"),
+        ["a", "b"],
+        [("_one", "sum")],
+        num_partitions=num_partitions,
+    ).drop_columns(["_one"]).materialize()
+
+    def halves(b: pa.Table) -> pa.Table:
+        node = pa.concat_arrays(
+            [b["a"].combine_chunks(), b["b"].combine_chunks()]
+        )
+        return pa.table(
+            {"node": node, "_one": pa.array(np.ones(len(node), np.int64))}
+        )
+
+    empty = None
+    prev = -1
+    surv = None
+    for _ in range(max_rounds):
+        deg = hash_aggregate(
+            edges.map_batches(halves, batch_format="pyarrow"),
+            ["node"],
+            [("_one", "sum")],
+            num_partitions=num_partitions,
+        )
+
+        def keep(b: pa.Table) -> pa.Table:
+            m = pc.greater_equal(b["_one"], pa.scalar(k))
+            t = b.filter(m)
+            return pa.table({"node": t["node"], "degree": t["_one"]})
+
+        surv = deg.map_batches(keep, batch_format="pyarrow").materialize()
+        n = surv.count()
+        if n == prev:
+            break
+        prev = n
+        if n == 0:
+            return surv  # fully peeled
+        edges = key_filter_join(edges, surv, "a", "node")
+        edges = key_filter_join(edges, surv, "b", "node").materialize()
+    return surv

@@ -996,3 +996,40 @@ def test_percent_rank_column_semantics(ray_session):
     one = pa.table({"id": pa.array([1], pa.int64()), "v": pa.array([7], pa.int64())})
     got = _collect(percent_rank_column(ray.data.from_arrow(one), "v"))
     assert got["pr_micro"].to_pylist() == [0]
+
+
+def test_k_core_matches_driver_peeling(ray_session):
+    import collections
+
+    import ray
+
+    from phrasekit_ray.stages.kg import k_core
+
+    # small graph: a 4-clique (3-core) + a pendant chain (peels away)
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 6), (6, 6)]  # self-loop must be ignored
+    t = pa.table(
+        {
+            "subj": pa.array([e[0] for e in edges], pa.int64()),
+            "obj": pa.array([e[1] for e in edges], pa.int64()),
+        }
+    )
+    for parts in (1, 3):
+        got = _collect(
+            k_core(ray.data.from_arrow(t).repartition(parts), k=3)
+        )
+        res = dict(zip(got["node"].to_pylist(), got["degree"].to_pylist()))
+        assert res == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k larger than max degree: fully peeled
+    got = _collect(k_core(ray.data.from_arrow(t), k=10))
+    assert got.num_rows == 0
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        k_core(ray.data.from_arrow(t), k=0)
+
+
+def test_q_graph_kcore_inband_agreement(ray_session):
+    from phrasekit_ray.pipelines.queries_ext import EXT_QUERIES
+
+    t = EXT_QUERIES["q_graph_kcore"]("/root/testdata/sf0.001")
+    if t.num_rows:
+        assert t["ref_mismatches"][0].as_py() == 0
