@@ -2523,38 +2523,44 @@ def q_graph_kcore(sf_dir: str):
     edges = _basket_edges_ds(sf_dir).materialize()
     t = _collect(k_core(edges, k=75))
 
-    # exact driver reference over the bounded basket-edge table
+    # exact driver reference over the basket-edge table, BOUNDED: the
+    # Python peel is O(E) per round — only run it when the pull is
+    # oracle-scale (sf≤0.01 ≈ 65k edges); above the bound emit -1
+    # ("reference not computed"), never a corpus-sized driver loop
     et = pa.concat_tables(ray.get(edges.to_arrow_refs()))
-    a = et.column(0).cast(pa.int64()).to_numpy()
-    b = et.column(1).cast(pa.int64()).to_numpy()
-    lo = np.minimum(a, b)
-    hi = np.maximum(a, b)
-    E = {(int(x), int(y)) for x, y in zip(lo, hi) if x != y}
-    import collections
+    if et.num_rows <= 300_000:
+        a = et.column(0).cast(pa.int64()).to_numpy()
+        b = et.column(1).cast(pa.int64()).to_numpy()
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        E = {(int(x), int(y)) for x, y in zip(lo, hi) if x != y}
+        import collections
 
-    deg: collections.Counter = collections.Counter()
-    for x, y in E:
-        deg[x] += 1
-        deg[y] += 1
-    while True:
-        bad = {n for n, d in deg.items() if d < 75}
-        if not bad:
-            break
-        E = {(x, y) for x, y in E if x not in bad and y not in bad}
-        deg = collections.Counter()
+        deg: collections.Counter = collections.Counter()
         for x, y in E:
             deg[x] += 1
             deg[y] += 1
-    ref = dict(deg)
-    got = dict(
-        zip(
-            t["node"].cast(pa.int64()).to_pylist(),
-            t["degree"].cast(pa.int64()).to_pylist(),
+        while True:
+            bad = {n for n, d in deg.items() if d < 75}
+            if not bad:
+                break
+            E = {(x, y) for x, y in E if x not in bad and y not in bad}
+            deg = collections.Counter()
+            for x, y in E:
+                deg[x] += 1
+                deg[y] += 1
+        ref = dict(deg)
+        got = dict(
+            zip(
+                t["node"].cast(pa.int64()).to_pylist(),
+                t["degree"].cast(pa.int64()).to_pylist(),
+            )
         )
-    )
-    mism = sum(1 for n, d in got.items() if ref.get(n) != d) + sum(
-        1 for n in ref if n not in got
-    )
+        mism = sum(1 for n, d in got.items() if ref.get(n) != d) + sum(
+            1 for n in ref if n not in got
+        )
+    else:
+        mism = -1
     t = _i64(
         t.take(pc.sort_indices(t, sort_keys=[("node", "ascending")])),
         "node",
