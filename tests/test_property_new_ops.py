@@ -225,3 +225,62 @@ def test_pivot_sum_columns_reconcile_with_total(ray_session, rows):
                 assert cell == want
         row_total = got.loc[k, ["a_sum", "b_sum", "c_sum"]].dropna().sum()
         assert row_total == df[df["k"] == k]["v"].sum()
+
+
+def _naive_excise(docs: list[list[str]], k: int):
+    """Brute-force duplicate-span excision reference."""
+    occ = collections.Counter()
+    for toks in docs:
+        for i in range(len(toks) - k + 1):
+            occ[tuple(toks[i : i + k])] += 1
+    out = []
+    for toks in docs:
+        covered = [False] * len(toks)
+        for i in range(len(toks) - k + 1):
+            if occ[tuple(toks[i : i + k])] >= 2:
+                for j in range(i, i + k):
+                    covered[j] = True
+        kept = [t for t, c in zip(toks, covered) if not c]
+        out.append((" ".join(kept), sum(covered)))
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=16),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_excise_duplicate_spans_equals_naive(ray_session, docs, k):
+    import ray
+
+    from phrasekit_ray.stages.dedup import excise_duplicate_spans
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array([" ".join(d) for d in docs]),
+        }
+    )
+    got = excise_duplicate_spans(
+        ray.data.from_arrow(t).repartition(3), k=k
+    )
+    import ray as _r
+
+    # skip the zero-column empty blocks repartition can emit
+    gt = pa.concat_tables(
+        [
+            t
+            for t in _r.get(got.materialize().to_arrow_refs())
+            if t.num_columns
+        ],
+        promote_options="default",
+    ).sort_by("doc_id")
+    # NOTE: "" splits to [""], one empty token — the naive reference
+    # must see the same tokenization (split-on-space, not str.split())
+    ref = _naive_excise([(" ".join(d)).split(" ") for d in docs], k)
+    assert gt["clean_text"].to_pylist() == [r[0] for r in ref]
+    assert gt["n_removed"].to_pylist() == [r[1] for r in ref]
