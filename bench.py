@@ -174,6 +174,7 @@ def bench_queries(sf_dir: str, meter=None) -> tuple[dict, dict]:
         "q_quality_percent_rank",
         "q_hybrid_rrf",
         "q_graph_kcore",
+        "q_graph_assortativity",
     ]
     cpus = _num_cpus()
     meter = meter or _TreeCpuMeter()

@@ -2573,3 +2573,111 @@ def q_graph_kcore(sf_dir: str):
 
 
 EXT_QUERIES.update({"q_graph_kcore": q_graph_kcore})
+
+
+def q_graph_assortativity(sf_dir: str):
+    """Degree assortativity of the part co-occurrence graph (X114 —
+    Newman 2002: Pearson corr of endpoint degrees over both edge
+    orientations). A rare ORACLE-CHECKABLE graph metric: degrees via
+    one two-phase aggregate, two int-keyed lookup_joins attach (du, dv)
+    to edges, both orientations feed grouped_corr's exact int64 moment
+    sums, finalize fixes to micro-units."""
+    import ray  # noqa: F401
+
+    from phrasekit_ray.stages.agg import (
+        grouped_corr,
+        hash_aggregate,
+        lookup_join,
+    )
+
+    raw = _basket_edges_ds(sf_dir)
+    # cooccurrence_edges may repeat a pair seen in different baskets;
+    # assortativity (like the SQL twin) is over DISTINCT edges
+    edges = (
+        hash_aggregate(
+            raw.map_batches(
+                lambda b: pa.table(
+                    {
+                        "subj": b["subj"].combine_chunks().cast(pa.int64()),
+                        "obj": b["obj"].combine_chunks().cast(pa.int64()),
+                        "_one": pa.array(np.ones(b.num_rows, np.int64)),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            ["subj", "obj"],
+            [("_one", "sum")],
+        )
+        .drop_columns(["_one"])
+        .materialize()
+    )
+
+    def halves(b: pa.Table) -> pa.Table:
+        node = pa.concat_arrays(
+            [
+                b["subj"].combine_chunks().cast(pa.int64()),
+                b["obj"].combine_chunks().cast(pa.int64()),
+            ]
+        )
+        return pa.table(
+            {"node": node, "_one": pa.array(np.ones(len(node), np.int64))}
+        )
+
+    deg = hash_aggregate(
+        edges.map_batches(halves, batch_format="pyarrow"),
+        ["node"],
+        [("_one", "sum")],
+    ).map_batches(
+        lambda b: pa.table({"node": b["node"], "d": b["_one"]}),
+        batch_format="pyarrow",
+    )
+
+    ue = lookup_join(edges, deg, "subj", "node")
+    ue = ue.map_batches(
+        lambda b: pa.table(
+            {"subj": b["subj"], "obj": b["obj"], "du": b["d"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    be = lookup_join(ue, deg, "obj", "node")
+
+    def orient(b: pa.Table) -> pa.Table:
+        du = b["du"].combine_chunks().cast(pa.int64())
+        dv = b["d"].combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                "_g": pa.array(np.zeros(2 * b.num_rows, np.int64)),
+                "x": pa.concat_arrays([du, dv]),
+                "y": pa.concat_arrays([dv, du]),
+            }
+        )
+
+    t = _collect(
+        grouped_corr(
+            be.map_batches(orient, batch_format="pyarrow"), "_g", "x", "y"
+        )
+    )
+    return _i64(t.drop_columns(["_g"]), "n", "corr_micro", "covar_pop_micro")
+
+
+SQL_GRAPH_ASSORTATIVITY = (
+    "WITH "
+    + _SQL_BASKET_EDGES
+    + """,
+deg AS (SELECT node, COUNT(*) AS d FROM
+        (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+        GROUP BY node),
+p AS (SELECT CAST(du.d AS DOUBLE) AS x, CAST(dv.d AS DOUBLE) AS y
+      FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+b AS (SELECT x, y FROM p UNION ALL SELECT y AS x, x AS y FROM p)
+SELECT count(*) AS n,
+       CAST(round(corr(x, y) * 1000000.0) AS BIGINT) AS corr_micro,
+       CAST(round(covar_pop(x, y) * 1000000.0) AS BIGINT)
+         AS covar_pop_micro
+FROM b
+"""
+)
+
+
+EXT_QUERIES.update({"q_graph_assortativity": q_graph_assortativity})
+EXT_ORACLE_SQL.update({"q_graph_assortativity": SQL_GRAPH_ASSORTATIVITY})
