@@ -175,6 +175,7 @@ def bench_queries(sf_dir: str, meter=None) -> tuple[dict, dict]:
         "q_hybrid_rrf",
         "q_graph_kcore",
         "q_graph_assortativity",
+        "q_props_extract",
     ]
     cpus = _num_cpus()
     meter = meter or _TreeCpuMeter()

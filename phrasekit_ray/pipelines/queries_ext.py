@@ -2681,3 +2681,52 @@ FROM b
 
 EXT_QUERIES.update({"q_graph_assortativity": q_graph_assortativity})
 EXT_ORACLE_SQL.update({"q_graph_assortativity": SQL_GRAPH_ASSORTATIVITY})
+
+
+def q_props_extract(sf_dir: str):
+    """Schema-on-read JSON field stats (X115): extract props.k with one
+    RE2 kernel per batch, then per-event-type exact sum/count of k."""
+    import ray
+
+    from phrasekit_ray.stages.agg import hash_aggregate
+    from phrasekit_ray.stages.textstats import json_extract_int
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+    ext = json_extract_int(ev, "props", "k")
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b["k"]))
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "k_sum": t["k"].cast(pa.int64()),
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+
+    t = _collect(
+        hash_aggregate(
+            ext.map_batches(prep, batch_format="pyarrow"),
+            ["event_type"],
+            [("k_sum", "sum"), ("n", "sum")],
+        )
+    )
+    return _i64(
+        t.take(pc.sort_indices(t, sort_keys=[("event_type", "ascending")])),
+        "k_sum", "n",
+    )
+
+
+SQL_PROPS_EXTRACT = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_sum,
+       count(json_extract(props, '$.k')) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+EXT_QUERIES.update({"q_props_extract": q_props_extract})
+EXT_ORACLE_SQL.update({"q_props_extract": SQL_PROPS_EXTRACT})

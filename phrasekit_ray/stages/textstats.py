@@ -390,3 +390,38 @@ def nfc_normalize_texts(ds, text_col: str = "text", id_col: str = "doc_id", **kw
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", **kw)
+
+
+def json_extract_int(
+    ds,
+    col: str,
+    key: str,
+    out_col: str | None = None,
+    **map_kwargs,
+):
+    """Semi-structured column access (X115): extract an integer field
+    from a JSON-string column with ONE RE2 kernel per batch — the
+    schema-on-read fast path for flat numeric payloads (event props,
+    telemetry blobs). Rows where the key is absent or non-integer get
+    NULL, matching SQL ``json_extract`` semantics for the same shapes.
+
+    This is deliberately NOT a JSON parser: at corpus scale a
+    ``json.loads`` per row is the hot-path Python loop this engine
+    bans. For nested/escaped payloads, do targeted extraction with a
+    regex per field like this one, or a dedicated actor-pool stage —
+    and keep the blob column pruned out of every read that doesn't
+    need it."""
+    import re as _re
+
+    if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", key):
+        raise ValueError("json_extract_int: key must be a simple identifier")
+    out = out_col or key
+    pat = f'"{key}"\\s*:\\s*(?P<v>-?\\d+)'
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = batch[col].combine_chunks().cast(pa.string())
+        ex = pc.extract_regex(s, pat)
+        v = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+        return batch.append_column(out, v)
+
+    return ds.map_batches(fn, batch_format="pyarrow", **map_kwargs)

@@ -1033,3 +1033,29 @@ def test_q_graph_kcore_inband_agreement(ray_session):
     t = EXT_QUERIES["q_graph_kcore"]("/root/testdata/sf0.001")
     if t.num_rows:
         assert t["ref_mismatches"][0].as_py() == 0
+
+
+def test_json_extract_int_edge_cases(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.textstats import json_extract_int
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "props": pa.array(
+                [
+                    '{"k": 87}',
+                    '{"k": -3, "other": 1}',
+                    '{"other": 5}',       # key absent -> null
+                    '{"k": "text"}',      # non-integer -> null
+                    None,                  # null blob -> null
+                ]
+            ),
+        }
+    )
+    got = _collect(json_extract_int(ray.data.from_arrow(t), "props", "k"))
+    by = dict(zip(got["id"].to_pylist(), got["k"].to_pylist()))
+    assert by == {1: 87, 2: -3, 3: None, 4: None, 5: None}
+    with pytest.raises(ValueError, match="simple identifier"):
+        json_extract_int(ray.data.from_arrow(t), "props", 'k"evil')
