@@ -176,6 +176,7 @@ def bench_queries(sf_dir: str, meter=None) -> tuple[dict, dict]:
         "q_graph_kcore",
         "q_graph_assortativity",
         "q_props_extract",
+        "q_cms_top_tokens",
     ]
     cpus = _num_cpus()
     meter = meter or _TreeCpuMeter()

@@ -2009,6 +2009,30 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+
+def _sm_sql_wide(x: str) -> str:
+    """Full-width DuckDB splitmix twin for inputs up to 2^64 (e.g. md5
+    token hashes): BOTH multiplies run as 32-bit splits so no INT128
+    overflow. ``x`` must be a HUGEINT expression in [0, 2^64)."""
+    y = f"(({x}) + 17) % 18446744073709551616"
+    yl = f"(({y}) % 4294967296)"
+    yh = f"(({y}) // 4294967296)"
+    # C1 = 0x9E3779B97F4A7C15 -> lo 2135587861, hi 2654435769
+    h1 = (
+        f"(({yl}) * 2135587861 + "
+        f"((({yl}) * 2654435769 + ({yh}) * 2135587861) % 4294967296) "
+        f"* 4294967296) % 18446744073709551616"
+    )
+    hx = f"CAST(xor(CAST(({h1}) AS UBIGINT), CAST(({h1}) AS UBIGINT) >> 31) AS HUGEINT)"
+    # C2 = 0xBF58476D1CE4E5B9 -> lo 484763065, hi 3210233709
+    return (
+        f"((({hx}) % 4294967296) * 484763065 + "
+        f"(((({hx}) % 4294967296) * 3210233709 + "
+        f"(({hx}) // 4294967296) * 484763065) "
+        f"% 4294967296) * 4294967296) % 18446744073709551616"
+    )
+
+
 EXT_QUERIES.update({"q_link_hostgraph": q_link_hostgraph})
 EXT_ORACLE_SQL.update({"q_link_hostgraph": SQL_LINK_HOSTGRAPH})
 
@@ -2730,3 +2754,38 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 EXT_QUERIES.update({"q_props_extract": q_props_extract})
 EXT_ORACLE_SQL.update({"q_props_extract": SQL_PROPS_EXTRACT})
+
+
+def q_cms_top_tokens(sf_dir: str):
+    """Count-min-sketch top-20 tokens (X116): mergeable (cell, count)
+    sketch rows through one two-phase sum, driver-bounded global
+    sketch, vectorized min-over-depth estimates on the distinct-token
+    stream. The DuckDB twin replicates the sketch BIT-EXACTLY (md5
+    token hash + splitmix cell chain), so the approximate structure
+    itself is oracle-checked."""
+    from phrasekit_ray.pipelines.queries import _docs
+    from phrasekit_ray.stages.agg import cms_token_topk
+
+    return _i64(cms_token_topk(_docs(sf_dir), k=20), "est_count")
+
+
+SQL_CMS_TOP_TOKENS = f"""
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+th AS (SELECT md5_number_upper(tok) AS h FROM toks),
+js AS (SELECT unnest(range(4)) AS j),
+cells AS (SELECT j,
+    ({_sm_sql_wide('CAST(h AS HUGEINT) + j')}) % 1024 AS cell, COUNT(*) AS n
+    FROM th CROSS JOIN js GROUP BY 1, 2),
+dtok AS (SELECT DISTINCT tok, md5_number_upper(tok) AS h FROM toks),
+est AS (SELECT d.tok, MIN(c.n) AS est
+        FROM dtok d CROSS JOIN js
+        JOIN cells c ON c.j = js.j
+          AND c.cell = ({_sm_sql_wide('CAST(d.h AS HUGEINT) + js.j')}) % 1024
+        GROUP BY d.tok)
+SELECT tok, CAST(est AS BIGINT) AS est_count FROM est
+ORDER BY est_count DESC, tok ASC LIMIT 20
+"""
+
+
+EXT_QUERIES.update({"q_cms_top_tokens": q_cms_top_tokens})
+EXT_ORACLE_SQL.update({"q_cms_top_tokens": SQL_CMS_TOP_TOKENS})

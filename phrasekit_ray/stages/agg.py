@@ -2352,3 +2352,124 @@ def percent_rank_column(
         return batch.append_column(out_col, pa.array(pr, pa.int64()))
 
     return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def cms_token_topk(
+    ds,
+    text_col: str = "text",
+    k: int = 20,
+    width: int = 1024,
+    depth: int = 4,
+):
+    """Count-min-sketch top-k tokens (X116 — Cormode & Muthukrishnan
+    2005): per-block LOCAL (depth × width) count matrices ride the
+    exchange as ≤ depth·width (cell, n) rows each (mergeable by plain
+    SUM, like the HLL registers), the global sketch is driver-bounded
+    (depth·width ints), and per-token estimates = min over depth cells
+    attach to the distinct-token stream with vectorized lookups + an
+    in-block top-k prune (global estimates are partition-invariant, so
+    the prune is lossless). CMS never underestimates: est ≥ exact,
+    within εN w.h.p.
+
+    Cell hash: the engine's md5 token hash + row salt through the
+    shared splitmix chain — deterministic and re-expressible in the
+    DuckDB oracle, so even the APPROXIMATE sketch is bit-exact checked.
+    Returns pa.Table(tok, est_count) top-k by (est desc, tok asc).
+    """
+    import ray
+
+    from phrasekit_ray.sources.pages import splitmix17
+    from phrasekit_ray.stages.dedup import _token_hashes
+
+    dw = depth * width
+
+    def local_sketch(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern(batch[text_col].combine_chunks(), " ")
+        )
+        if len(toks) == 0:
+            return pa.table(
+                {"cell": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        h = _token_hashes(toks)
+        flat = np.zeros(dw, np.int64)
+        for j in range(depth):
+            c = (splitmix17(h + np.uint64(j)) % np.uint64(width)).astype(
+                np.int64
+            )
+            flat[j * width :(j + 1) * width] += np.bincount(c, minlength=width)
+        nz = np.flatnonzero(flat)
+        return pa.table(
+            {
+                "cell": pa.array(nz, pa.int64()),
+                "n": pa.array(flat[nz], pa.int64()),
+            }
+        )
+
+    sk = hash_aggregate(
+        ds.select_columns([text_col]).map_batches(
+            local_sketch, batch_format="pyarrow"
+        ),
+        ["cell"],
+        [("n", "sum")],
+    )
+    flat = np.zeros(dw, np.int64)
+    for t in ray.get(sk.materialize().to_arrow_refs()):
+        if t.num_rows:
+            flat[t["cell"].to_numpy(zero_copy_only=False)] = t[
+                "n"
+            ].to_numpy(zero_copy_only=False)
+
+    def estimate(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern(batch[text_col].combine_chunks(), " ")
+        )
+        empty = pa.table(
+            {
+                "tok": pa.array([], pa.string()),
+                "est_count": pa.array([], pa.int64()),
+            }
+        )
+        if len(toks) == 0:
+            return empty
+        uniq = pc.unique(toks)
+        h = _token_hashes(uniq)
+        est = np.full(len(uniq), np.iinfo(np.int64).max)
+        for j in range(depth):
+            c = (splitmix17(h + np.uint64(j)) % np.uint64(width)).astype(
+                np.int64
+            )
+            est = np.minimum(est, flat[j * width + c])
+        t = pa.table(
+            {"tok": uniq.cast(pa.string()), "est_count": pa.array(est, pa.int64())}
+        )
+        if t.num_rows > k:  # lossless: estimates are global values
+            idx = pc.sort_indices(
+                t,
+                sort_keys=[("est_count", "descending"), ("tok", "ascending")],
+            )
+            t = t.take(idx.slice(0, k))
+        return t
+
+    cand_tabs = [
+        t
+        for t in ray.get(
+            ds.select_columns([text_col])
+            .map_batches(estimate, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not cand_tabs:
+        return pa.table(
+            {"tok": pa.array([], pa.string()), "est_count": pa.array([], pa.int64())}
+        )
+    allc = pa.concat_tables(cand_tabs, promote_options="default")
+    # dedupe candidate tokens (same global estimate everywhere)
+    allc = allc.group_by(["tok"]).aggregate([("est_count", "min")])
+    allc = allc.rename_columns(["tok", "est_count"])
+    idx = pc.sort_indices(
+        allc, sort_keys=[("est_count", "descending"), ("tok", "ascending")]
+    )
+    return allc.take(idx.slice(0, min(k, allc.num_rows)))

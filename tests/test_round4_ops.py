@@ -1059,3 +1059,31 @@ def test_json_extract_int_edge_cases(ray_session):
     assert by == {1: 87, 2: -3, 3: None, 4: None, 5: None}
     with pytest.raises(ValueError, match="simple identifier"):
         json_extract_int(ray.data.from_arrow(t), "props", 'k"evil')
+
+
+def test_cms_never_underestimates(ray_session):
+    import collections
+
+    import ray
+
+    from phrasekit_ray.stages.agg import cms_token_topk
+
+    rng = np.random.default_rng(11)
+    vocab = [f"t{i}" for i in range(200)]
+    docs = [
+        " ".join(rng.choice(vocab, size=rng.integers(5, 40)))
+        for _ in range(300)
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(range(300), pa.int64()), "text": pa.array(docs)}
+    )
+    exact = collections.Counter(tok for d in docs for tok in d.split(" "))
+    for parts in (1, 5):
+        got = cms_token_topk(
+            ray.data.from_arrow(t).repartition(parts), k=50, width=256, depth=4
+        )
+        ests = dict(zip(got["tok"].to_pylist(), got["est_count"].to_pylist()))
+        assert all(ests[tok] >= exact[tok] for tok in ests)  # CMS invariant
+        # with 200 tokens in 1024 cells, the top est should be near exact
+        top_tok = got["tok"][0].as_py()
+        assert ests[top_tok] <= exact[top_tok] + sum(exact.values()) // 64
