@@ -177,6 +177,7 @@ def bench_queries(sf_dir: str, meter=None) -> tuple[dict, dict]:
         "q_graph_assortativity",
         "q_props_extract",
         "q_cms_top_tokens",
+        "q_anchor_texts",
     ]
     cpus = _num_cpus()
     meter = meter or _TreeCpuMeter()

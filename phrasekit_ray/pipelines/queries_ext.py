@@ -2789,3 +2789,60 @@ ORDER BY est_count DESC, tok ASC LIMIT 20
 
 EXT_QUERIES.update({"q_cms_top_tokens": q_cms_top_tokens})
 EXT_ORACLE_SQL.update({"q_cms_top_tokens": SQL_CMS_TOP_TOKENS})
+
+
+def q_anchor_texts(sf_dir: str):
+    """Anchor-text alias evidence (X117): parse anchor BODIES out of
+    html (vectorized sentinel-append split kernels, tolerant of extra
+    attributes / unclosed tags), keep non-empty texts of absolute
+    links, count per alias. The SQL twin recomputes the fixture's
+    embedded alias set from the generation rule — body-parsing bugs
+    (attribute bleed, sentinel artifacts, junk-anchor leakage) show up
+    as value mismatches."""
+    import ray  # noqa: F401
+
+    from phrasekit_ray.sources.pages import pages_from_documents
+    from phrasekit_ray.stages.agg import hash_aggregate
+    from phrasekit_ray.stages.extract import extract_links
+
+    pages = pages_from_documents(sf_dir, with_links=True)
+    links = extract_links(pages, with_text=True)
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.not_equal(b["anchor_text"], ""))
+        return pa.table(
+            {
+                "anchor_text": t["anchor_text"],
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+
+    t = _collect(
+        hash_aggregate(
+            links.map_batches(prep, batch_format="pyarrow"),
+            ["anchor_text"],
+            [("n", "sum")],
+        )
+    )
+    return _i64(
+        t.take(pc.sort_indices(t, sort_keys=[("anchor_text", "ascending")])),
+        "n",
+    )
+
+
+SQL_ANCHOR_TEXTS = f"""
+WITH s AS (SELECT doc_id, j
+           FROM documents, generate_series(1, 3) AS g(j)),
+l AS (SELECT j,
+        ({_sm_sql('CAST(doc_id AS HUGEINT)*8 + CAST(j AS HUGEINT)')})
+          % 100003 AS t,
+        1 + (({_sm_sql('CAST(doc_id AS HUGEINT)*8 + 7')}) % 3) AS n_links
+      FROM s)
+SELECT 'e' || CAST(t % 50 AS VARCHAR) AS anchor_text, COUNT(*) AS n
+FROM l WHERE j <= n_links
+GROUP BY 1 ORDER BY 1
+"""
+
+
+EXT_QUERIES.update({"q_anchor_texts": q_anchor_texts})
+EXT_ORACLE_SQL.update({"q_anchor_texts": SQL_ANCHOR_TEXTS})

@@ -134,7 +134,12 @@ def _outlink_anchors(doc_id: np.ndarray) -> list[str]:
         for j in range(int(n_links[i])):
             t = int(targets[j][i])
             frag = "#top" if j == 0 else ""
-            parts.append(f'<a href="https://h{t % 16}.example.org/doc/{t}{frag}"></a>')
+            # anchor text e{t % 50}: deterministic alias evidence for the
+            # anchor-text extraction oracle (X117)
+            parts.append(
+                f'<a href="https://h{t % 16}.example.org/doc/{t}{frag}">'
+                f"e{t % 50}</a>"
+            )
         out.append("".join(parts))
     return out
 

@@ -107,7 +107,13 @@ def host_of(urls) -> pa.Array:
     return pc.struct_field(ex, "host")
 
 
-def extract_links(ds, html_col: str = "html", url_col: str = "url", **map_kwargs):
+def extract_links(
+    ds,
+    html_col: str = "html",
+    url_col: str = "url",
+    with_text: bool = False,
+    **map_kwargs,
+):
     """pages → (src_url, href): every absolute http(s) outlink per page.
 
     The web-graph half of KG construction: page html → outlink edges
@@ -119,12 +125,16 @@ def extract_links(ds, html_col: str = "html", url_col: str = "url", **map_kwargs
     mailto: and unclosed hrefs are dropped; ``#fragment`` suffixes are
     stripped from kept links. html is large_string-cast so multi-GB
     binary batches can't overflow 32-bit list offsets.
+
+    ``with_text=True`` adds an ``anchor_text`` column — the text between
+    the anchor's first ``>`` and the next ``<`` (tolerant of extra
+    attributes after the href) — the classic entity-alias evidence
+    source for KG construction.
     """
     import numpy as np
 
-    empty = pa.table(
-        {"src_url": pa.array([], pa.string()), "href": pa.array([], pa.string())}
-    )
+    cols = ["src_url", "href"] + (["anchor_text"] if with_text else [])
+    empty = pa.table({c: pa.array([], pa.string()) for c in cols})
 
     def fn(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -162,12 +172,37 @@ def extract_links(ds, html_col: str = "html", url_col: str = "url", **map_kwargs
         )
         kn = keep.to_numpy(zero_copy_only=False)
         src = batch[url_col].combine_chunks().take(pa.array(src_idx[kn]))
-        return pa.table(
-            {
-                "src_url": src.cast(pa.string()),
-                "href": nofrag.cast(pa.string()),
-            }
-        )
+        out = {
+            "src_url": src.cast(pa.string()),
+            "href": nofrag.cast(pa.string()),
+        }
+        if with_text:
+            # text between the tag's closing '>' and the next '<';
+            # sentinel-append keeps every split list 2-long so
+            # list_element never sees a short list (tag that never
+            # closes -> empty body)
+            tail = pc.list_element(split2, 1).filter(keep)
+            sgt = pa.scalar(">", pa.large_string())
+            slt = pa.scalar("<", pa.large_string())
+            sep = pa.scalar("", pa.large_string())
+            rest = pc.list_element(
+                pc.split_pattern(
+                    pc.binary_join_element_wise(tail, sgt, sep),
+                    ">",
+                    max_splits=1,
+                ),
+                1,
+            )
+            body = pc.list_element(
+                pc.split_pattern(
+                    pc.binary_join_element_wise(rest, slt, sep),
+                    "<",
+                    max_splits=1,
+                ),
+                0,
+            )
+            out["anchor_text"] = body.cast(pa.string())
+        return pa.table(out)
 
     return ds.map_batches(fn, batch_format="pyarrow", **map_kwargs)
 

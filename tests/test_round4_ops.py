@@ -1087,3 +1087,31 @@ def test_cms_never_underestimates(ray_session):
         # with 200 tokens in 1024 cells, the top est should be near exact
         top_tok = got["tok"][0].as_py()
         assert ests[top_tok] <= exact[top_tok] + sum(exact.values()) // 64
+
+
+def test_extract_links_anchor_text(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.extract import extract_links
+
+    t = pa.table(
+        {
+            "url": pa.array(["https://s.org/1"]),
+            "html": pa.array(
+                [
+                    b'<a href="https://a.org/p" rel="nofollow">Alias One</a>'
+                    b'<a href="https://b.org/q"></a>'
+                    b'<a href="https://c.org/r">unclosed tag'
+                    b'<a href="/rel">junk</a>'
+                ],
+                pa.binary(),
+            ),
+        }
+    )
+    got = _collect(extract_links(ray.data.from_arrow(t), with_text=True))
+    rows = {r["href"]: r["anchor_text"] for r in got.to_pylist()}
+    assert rows == {
+        "https://a.org/p": "Alias One",  # extra attribute tolerated
+        "https://b.org/q": "",           # empty body
+        "https://c.org/r": "unclosed tag",  # stops at the next '<'
+    }
