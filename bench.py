@@ -178,6 +178,7 @@ def bench_queries(sf_dir: str, meter=None) -> tuple[dict, dict]:
         "q_props_extract",
         "q_cms_top_tokens",
         "q_anchor_texts",
+        "q_canonical_urls",
     ]
     cpus = _num_cpus()
     meter = meter or _TreeCpuMeter()

@@ -2846,3 +2846,89 @@ GROUP BY 1 ORDER BY 1
 
 EXT_QUERIES.update({"q_anchor_texts": q_anchor_texts})
 EXT_ORACLE_SQL.update({"q_anchor_texts": SQL_ANCHOR_TEXTS})
+
+
+def q_canonical_urls(sf_dir: str):
+    """URL canonicalization differential (X118): deterministic messy
+    URLs (mixed-case scheme/host, default ports, utm params, fragments,
+    bare-slash paths) are canonicalized by the Arrow kernel pipeline in
+    Ray and INDEPENDENTLY by DuckDB string functions implementing the
+    same five-step spec — two implementations, one spec, exact match."""
+    import ray
+
+    from phrasekit_ray.stages.extract import canonicalize_urls
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def gen(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].combine_chunks().cast(pa.int64()).to_numpy()
+        urls = []
+        for x in d.tolist():
+            scheme = "HTTPS" if x % 2 == 0 else "http"
+            host = "WWW.Example.ORG" if x % 3 == 0 else "site.example.org"
+            port = (
+                ":443"
+                if (x % 2 == 0 and x % 7 == 0)
+                else (":80" if (x % 2 == 1 and x % 5 == 0) else "")
+            )
+            path = "/" if x % 11 == 0 else f"/p/{x}"
+            if x % 4 == 0:
+                q = f"?utm_source=x&q={x}"
+            elif x % 4 == 1 and x % 3 == 0:
+                q = "?utm_o=1"
+            else:
+                q = ""
+            frag = f"#sec{x}" if x % 6 == 0 else ""
+            urls.append(f"{scheme}://{host}{port}{path}{q}{frag}")
+        return pa.table(
+            {"doc_id": pa.array(d, pa.int64()), "url": pa.array(urls)}
+        )
+
+    t = _collect(canonicalize_urls(docs.map_batches(gen, batch_format="pyarrow")))
+    t = t.select(["doc_id", "canon_url"])
+    return _i64(
+        t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")])),
+        "doc_id",
+    )
+
+
+SQL_CANONICAL_URLS = r"""
+WITH g AS (SELECT doc_id,
+  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.ORG'
+        ELSE 'site.example.org' END) ||
+  (CASE WHEN doc_id % 2 = 0 AND doc_id % 7 = 0 THEN ':443'
+        WHEN doc_id % 2 = 1 AND doc_id % 5 = 0 THEN ':80' ELSE '' END) ||
+  (CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '/p/' || doc_id END) ||
+  (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&q=' || doc_id
+        WHEN doc_id % 4 = 1 AND doc_id % 3 = 0 THEN '?utm_o=1'
+        ELSE '' END) ||
+  (CASE WHEN doc_id % 6 = 0 THEN '#sec' || doc_id ELSE '' END) AS url
+  FROM documents),
+s1 AS (SELECT doc_id, split_part(url, '#', 1) AS u1 FROM g),
+s2 AS (SELECT doc_id, u1,
+  regexp_extract(u1, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS head
+  FROM s1),
+s3 AS (SELECT doc_id, u1, head,
+  CASE WHEN head <> '' THEN substr(u1, length(head) + 1) ELSE '' END AS rest
+  FROM s2),
+s4 AS (SELECT doc_id, u1, head,
+  regexp_replace(
+    regexp_replace(lower(head), '^http://(.*):80$', 'http://\1'),
+    '^https://(.*):443$', 'https://\1') AS head2,
+  regexp_replace(
+    regexp_replace(rest, '[?&]utm_[^&]*', '', 'g'),
+    '^([^?]*)&', '\1?') AS rest2
+  FROM s3)
+SELECT doc_id,
+  CASE WHEN head <> '' THEN
+    head2 || (CASE WHEN rest2 = '/' THEN '' ELSE rest2 END)
+  ELSE u1 END AS canon_url
+FROM s4 ORDER BY doc_id
+"""
+
+
+EXT_QUERIES.update({"q_canonical_urls": q_canonical_urls})
+EXT_ORACLE_SQL.update({"q_canonical_urls": SQL_CANONICAL_URLS})

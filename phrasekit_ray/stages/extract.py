@@ -230,3 +230,50 @@ def parse_urls(ds, url_col: str = "url", **map_kwargs):
         return pa.table(out)
 
     return ds.map_batches(fn, batch_format="pyarrow", **map_kwargs)
+
+
+def canonicalize_urls(ds, url_col: str = "url", out_col: str = "canon_url", **map_kwargs):
+    """URL canonicalization (X118) — the dedup-prep normalizer every
+    web pipeline runs before URL-keyed joins. Spec (applied in order,
+    all vectorized RE2/slice kernels, no Python per row):
+
+      1. strip ``#fragment``
+      2. lowercase scheme and host (path/query untouched)
+      3. drop default ports (``:80`` for http, ``:443`` for https)
+      4. drop ``utm_*`` tracking params, re-fixing the ``?``/``&``
+         separators
+      5. collapse a bare trailing ``/`` path to empty
+
+    Rows without a ``scheme://host`` head pass through unchanged.
+    """
+    head_pat = r"^(?P<head>[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)(?P<rest>.*)$"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        u = batch[url_col].combine_chunks().cast(pa.string())
+        # 1. fragment
+        u1 = pc.list_element(pc.split_pattern(u, "#", max_splits=1), 0)
+        ex = pc.extract_regex(u1, head_pat)
+        head = pc.struct_field(ex, "head")
+        rest = pc.struct_field(ex, "rest")
+        matched = pc.is_valid(head)
+        head = pc.coalesce(head, "")
+        rest = pc.coalesce(rest, "")
+        # 2. lowercase scheme+host
+        head = pc.utf8_lower(head)
+        # 3. default ports
+        head = pc.replace_substring_regex(head, r"^http://(.*):80$", r"http://\1")
+        head = pc.replace_substring_regex(head, r"^https://(.*):443$", r"https://\1")
+        # 4. utm params (each with its preceding separator), then repair
+        # a leading '&' that lost its '?'
+        rest = pc.replace_substring_regex(rest, r"[?&]utm_[^&]*", "")
+        rest = pc.replace_substring_regex(rest, r"^([^?]*)&", r"\1?")
+        # 5. bare trailing slash
+        rest = pc.replace_substring_regex(rest, r"^/$", "")
+        canon = pc.if_else(
+            matched,
+            pc.binary_join_element_wise(head, rest, ""),
+            u1,
+        )
+        return batch.append_column(out_col, canon)
+
+    return ds.map_batches(fn, batch_format="pyarrow", **map_kwargs)

@@ -1115,3 +1115,27 @@ def test_extract_links_anchor_text(ray_session):
         "https://b.org/q": "",           # empty body
         "https://c.org/r": "unclosed tag",  # stops at the next '<'
     }
+
+
+def test_canonicalize_urls_hand_cases(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.extract import canonicalize_urls
+
+    cases = {
+        "HTTPS://WWW.Ex.ORG:443/p?utm_a=1&q=2#frag": "https://www.ex.org/p?q=2",
+        "http://Site.org:80/": "http://site.org",
+        "http://site.org:8080/a": "http://site.org:8080/a",  # non-default kept
+        "https://h.org/p?q=1&utm_x=9": "https://h.org/p?q=1",
+        "https://h.org/?utm_only=1": "https://h.org",
+        "not a url #x": "not a url ",  # headless: fragment strip only
+    }
+    t = pa.table(
+        {
+            "id": pa.array(range(len(cases)), pa.int64()),
+            "url": pa.array(list(cases.keys())),
+        }
+    )
+    got = _collect(canonicalize_urls(ray.data.from_arrow(t)))
+    res = dict(zip(got["url"].to_pylist(), got["canon_url"].to_pylist()))
+    assert res == cases
