@@ -179,6 +179,7 @@ def bench_queries(sf_dir: str, meter=None) -> tuple[dict, dict]:
         "q_cms_top_tokens",
         "q_anchor_texts",
         "q_canonical_urls",
+        "q_warc_roundtrip",
     ]
     cpus = _num_cpus()
     meter = meter or _TreeCpuMeter()

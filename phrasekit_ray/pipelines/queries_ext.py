@@ -2932,3 +2932,90 @@ FROM s4 ORDER BY doc_id
 
 EXT_QUERIES.update({"q_canonical_urls": q_canonical_urls})
 EXT_ORACLE_SQL.update({"q_canonical_urls": SQL_CANONICAL_URLS})
+
+
+def q_warc_roundtrip(sf_dir: str):
+    """WARC source interop (X119): derive pages from the documents
+    table, write a REAL multi-record WARC (one .warc + one member-gzip
+    .warc.gz) under /tmp scratch, read it back with the distributed
+    WARC reader, and report per-host page counts. Rows-only (no SQL
+    WARC parser); the quality metric is IN-BAND: every row carries the
+    number of (url, html, ts) mismatches between the round-tripped
+    records and the source pages (expected 0)."""
+    import os
+    import tempfile
+
+    import ray
+
+    from phrasekit_ray.sources.pages import pages_from_documents
+    from phrasekit_ray.sources.warc import read_warc, write_warc_file
+    from phrasekit_ray.stages.agg import hash_aggregate
+    from phrasekit_ray.stages.extract import host_of
+
+    pages = pages_from_documents(sf_dir, with_links=True)
+    src = pa.concat_tables(
+        [
+            t
+            for t in ray.get(pages.materialize().to_arrow_refs())
+            if t.num_columns
+        ],
+        promote_options="default",
+    ).sort_by("url")
+    rows = [
+        {"url": u, "warc_ts": ts, "html": h}
+        for u, ts, h in zip(
+            src["url"].to_pylist(),
+            src["warc_ts"].cast(pa.int64()).to_pylist(),
+            src["html"].to_pylist(),
+        )
+    ]
+    d = tempfile.mkdtemp(prefix="warcs_", dir="/tmp")
+    half = len(rows) // 2
+    write_warc_file(os.path.join(d, "a.warc"), rows[:half])
+    write_warc_file(os.path.join(d, "b.warc.gz"), rows[half:], compress=True)
+
+    ds = read_warc([os.path.join(d, "a.warc"), os.path.join(d, "b.warc.gz")])
+
+    def hosts(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": host_of(b["url"]),
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+
+    agg = _collect(hash_aggregate(ds.map_batches(hosts, batch_format="pyarrow"), ["host"], [("n", "sum")]))
+
+    got = pa.concat_tables(
+        [
+            t
+            for t in ray.get(ds.materialize().to_arrow_refs())
+            if t.num_columns
+        ],
+        promote_options="default",
+    ).sort_by("url")
+    mism = 0
+    if got.num_rows != src.num_rows:
+        mism = abs(got.num_rows - src.num_rows)
+    else:
+        for c_src, c_got in (
+            (src["url"], got["url"]),
+            (src["html"], got["html"]),
+            (
+                src["warc_ts"].cast(pa.int64()),
+                got["warc_ts"].cast(pa.int64()),
+            ),
+        ):
+            mism += sum(
+                1 for a, b in zip(c_src.to_pylist(), c_got.to_pylist()) if a != b
+            )
+    agg = _i64(
+        agg.take(pc.sort_indices(agg, sort_keys=[("host", "ascending")])), "n"
+    )
+    return agg.append_column(
+        "roundtrip_mismatches",
+        pa.array(np.full(agg.num_rows, mism, dtype=np.int64), pa.int64()),
+    )
+
+
+EXT_QUERIES.update({"q_warc_roundtrip": q_warc_roundtrip})
