@@ -180,6 +180,7 @@ def bench_queries(sf_dir: str, meter=None) -> tuple[dict, dict]:
         "q_anchor_texts",
         "q_canonical_urls",
         "q_warc_roundtrip",
+        "q_corpus_diff",
     ]
     cpus = _num_cpus()
     meter = meter or _TreeCpuMeter()

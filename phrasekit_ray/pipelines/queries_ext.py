@@ -3019,3 +3019,69 @@ def q_warc_roundtrip(sf_dir: str):
 
 
 EXT_QUERIES.update({"q_warc_roundtrip": q_warc_roundtrip})
+
+
+def q_corpus_diff(sf_dir: str):
+    """Crawl snapshot diff (X120): the 'new' snapshot is a
+    deterministic mutation of documents (drop doc_id%17==0, append a
+    token when doc_id%13==0, clone doc_id%19==0 under id+1000000); the
+    Ray side detects added/removed/changed purely from membership +
+    content-fingerprint comparison of the two datasets, while the SQL
+    twin derives the statuses from the mutation rules — diff logic is
+    verified end to end."""
+    import ray
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def mutate(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].combine_chunks().cast(pa.int64()).to_numpy()
+        txt = b["text"].to_pylist()
+        ids, texts = [], []
+        for x, t in zip(d.tolist(), txt):
+            if x % 17 == 0:
+                continue  # removed
+            if x % 13 == 0:
+                t = t + " zz"  # changed
+            ids.append(x)
+            texts.append(t)
+            if x % 19 == 0:
+                ids.append(x + 1_000_000)  # added clone
+                texts.append(t)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    from phrasekit_ray.stages.dedup import snapshot_diff
+
+    new = docs.map_batches(mutate, batch_format="pyarrow")
+    t = _collect(snapshot_diff(docs, new))
+    return _i64(
+        t.take(
+            pc.sort_indices(
+                t,
+                sort_keys=[("doc_id", "ascending"), ("status", "ascending")],
+            )
+        ),
+        "doc_id",
+    )
+
+
+SQL_CORPUS_DIFF = """
+SELECT doc_id + 1000000 AS doc_id, 'added' AS status FROM documents
+  WHERE doc_id % 17 <> 0 AND doc_id % 19 = 0
+UNION ALL
+SELECT doc_id, 'removed' FROM documents WHERE doc_id % 17 = 0
+UNION ALL
+SELECT doc_id, 'changed' FROM documents
+  WHERE doc_id % 17 <> 0 AND doc_id % 13 = 0
+ORDER BY doc_id, status
+"""
+
+
+EXT_QUERIES.update({"q_corpus_diff": q_corpus_diff})
+EXT_ORACLE_SQL.update({"q_corpus_diff": SQL_CORPUS_DIFF})

@@ -1719,3 +1719,83 @@ def excise_duplicate_spans(
         )
 
     return unioned.groupby("_part").map_groups(rebuild, batch_format="pyarrow")
+
+
+def snapshot_diff(
+    old_ds,
+    new_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+):
+    """Corpus snapshot diff (X120): what changed between two crawls —
+    Dataset(doc_id, status) with status ∈ {added, removed, changed}
+    (unchanged docs emit nothing). Membership via the engine's
+    semi/anti joins; change detection compares 64-bit content
+    fingerprints attached with one int-keyed lookup_join. All three
+    legs are the cardinality-chosen broadcast/partitioned join paths —
+    no driver state beyond the join machinery's own bounds.
+    """
+    from phrasekit_ray.stages.agg import (
+        hash_string_array64,
+        key_filter_join,
+        lookup_join,
+    )
+
+    def fp(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch[id_col].combine_chunks().cast(pa.int64()),
+                "_h": pa.array(
+                    hash_string_array64(
+                        batch[text_col].combine_chunks().cast(pa.string())
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    oldh = old_ds.map_batches(fp, batch_format="pyarrow").materialize()
+    newh = new_ds.map_batches(fp, batch_format="pyarrow").materialize()
+
+    def tag(status: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "status": pa.array(
+                        [status] * batch.num_rows, pa.string()
+                    ),
+                }
+            )
+
+        return fn
+
+    added = key_filter_join(
+        newh, oldh, id_col, id_col, anti=True, num_partitions=num_partitions
+    ).map_batches(tag("added"), batch_format="pyarrow")
+    removed = key_filter_join(
+        oldh, newh, id_col, id_col, anti=True, num_partitions=num_partitions
+    ).map_batches(tag("removed"), batch_format="pyarrow")
+
+    both = lookup_join(
+        newh,
+        oldh.map_batches(
+            lambda b: pa.table({id_col: b[id_col], "_h_old": b["_h"]}),
+            batch_format="pyarrow",
+        ),
+        id_col,
+        id_col,
+        num_partitions=num_partitions,
+    )
+
+    def changed_only(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.not_equal(batch["_h"], batch["_h_old"]))
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "status": pa.array(["changed"] * t.num_rows, pa.string()),
+            }
+        )
+
+    changed = both.map_batches(changed_only, batch_format="pyarrow")
+    return added.union(removed).union(changed)

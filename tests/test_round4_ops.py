@@ -1139,3 +1139,27 @@ def test_canonicalize_urls_hand_cases(ray_session):
     got = _collect(canonicalize_urls(ray.data.from_arrow(t)))
     res = dict(zip(got["url"].to_pylist(), got["canon_url"].to_pylist()))
     assert res == cases
+
+
+def test_snapshot_diff_hand_case(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.dedup import snapshot_diff
+
+    old = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["a", "b", "c", "d"]),
+        }
+    )
+    new = pa.table(
+        {
+            "doc_id": pa.array([2, 3, 4, 5], pa.int64()),
+            "text": pa.array(["b", "CHANGED", "d", "e"]),
+        }
+    )
+    got = _collect(
+        snapshot_diff(ray.data.from_arrow(old), ray.data.from_arrow(new))
+    )
+    res = sorted(zip(got["doc_id"].to_pylist(), got["status"].to_pylist()))
+    assert res == [(1, "removed"), (3, "changed"), (5, "added")]
