@@ -181,6 +181,7 @@ def bench_queries(sf_dir: str, meter=None) -> tuple[dict, dict]:
         "q_canonical_urls",
         "q_warc_roundtrip",
         "q_corpus_diff",
+        "q_centroid_confusion",
     ]
     cpus = _num_cpus()
     meter = meter or _TreeCpuMeter()

@@ -3085,3 +3085,125 @@ ORDER BY doc_id, status
 
 EXT_QUERIES.update({"q_corpus_diff": q_corpus_diff})
 EXT_ORACLE_SQL.update({"q_corpus_diff": SQL_CORPUS_DIFF})
+
+
+def q_centroid_confusion(sf_dir: str):
+    """Nearest-centroid classifier evaluation (X121): quantize
+    embeddings to exact int codes, sum per-label centroid vectors
+    through ONE two-phase aggregate (O(labels×dim) shuffle), assign
+    every vector to argmax_l (v·s_l / |s_l|) — the n-free form of
+    centroid cosine, so every dot product is EXACT int64 and the only
+    floats are identical on both engines — and report the confusion
+    matrix (true_label, pred_label, n)."""
+    import ray
+
+    from phrasekit_ray.stages.agg import hash_aggregate
+
+    DIM, SCALE = 64, 32768.0
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+
+    def _codes(b: pa.Table) -> np.ndarray:
+        v = b["embedding"].combine_chunks()
+        off = v.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = (
+            v.values.slice(off[0], int(off[-1] - off[0]))
+            .cast(pa.float64())
+            .to_numpy(zero_copy_only=False)
+        )
+        x = flat.reshape(-1, DIM) * SCALE
+        return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(
+            np.int64
+        )
+
+    sum_cols = [f"_s{i}" for i in range(DIM)]
+
+    def partial(b: pa.Table) -> pa.Table:
+        codes = _codes(b)
+        lab = b["label"].combine_chunks().cast(pa.int64()).to_numpy()
+        order = np.argsort(lab, kind="stable")
+        lab_s = lab[order]
+        seg = np.flatnonzero(
+            np.concatenate(([True], lab_s[1:] != lab_s[:-1]))
+        )
+        sums = np.add.reduceat(codes[order], seg, axis=0)
+        cols = {"label": pa.array(lab_s[seg], pa.int64())}
+        for i, c in enumerate(sum_cols):
+            cols[c] = pa.array(sums[:, i], pa.int64())
+        return pa.table(cols)
+
+    cent = _collect(
+        hash_aggregate(
+            emb.map_batches(partial, batch_format="pyarrow"),
+            ["label"],
+            [(c, "sum") for c in sum_cols],
+        )
+    )
+    labels = np.asarray(cent["label"].to_pylist(), np.int64)
+    order = np.argsort(labels)
+    labels = labels[order]
+    S = np.stack(
+        [np.asarray(cent[c].to_pylist(), np.int64) for c in sum_cols], axis=1
+    )[order]
+    nz = np.sqrt((S.astype(np.float64) ** 2).sum(axis=1))
+
+    def assign(b: pa.Table) -> pa.Table:
+        codes = _codes(b)
+        dp = codes @ S.T  # exact int64
+        sc = dp.astype(np.float64) / nz
+        pred = labels[np.argmax(sc, axis=1)]  # first max = smallest label
+        return pa.table(
+            {
+                "true_label": b["label"].combine_chunks().cast(pa.int64()),
+                "pred_label": pa.array(pred, pa.int64()),
+                "n": pa.array(np.ones(len(pred), np.int64)),
+            }
+        )
+
+    t = _collect(
+        hash_aggregate(
+            emb.map_batches(assign, batch_format="pyarrow"),
+            ["true_label", "pred_label"],
+            [("n", "sum")],
+        )
+    )
+    return _i64(
+        t.take(
+            pc.sort_indices(
+                t,
+                sort_keys=[
+                    ("true_label", "ascending"),
+                    ("pred_label", "ascending"),
+                ],
+            )
+        ),
+        "true_label", "pred_label", "n",
+    )
+
+
+SQL_CENTROID_CONFUSION = """
+WITH e AS (SELECT vec_id, label,
+    generate_subscripts(embedding, 1) - 1 AS d,
+    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 32768.0) AS BIGINT)
+      AS code
+  FROM embeddings),
+s AS (SELECT label, d, CAST(SUM(code) AS BIGINT) AS sd FROM e GROUP BY 1, 2),
+nz AS (SELECT label, sqrt(CAST(SUM(sd * sd) AS DOUBLE)) AS nrm
+       FROM s GROUP BY 1),
+dot AS (SELECT e.vec_id, e.label AS true_label, s.label AS cand,
+               CAST(SUM(e.code * s.sd) AS BIGINT) AS dp
+        FROM e JOIN s USING (d) GROUP BY 1, 2, 3),
+sc AS (SELECT dot.*, CAST(dp AS DOUBLE) / nz.nrm AS score
+       FROM dot JOIN nz ON nz.label = dot.cand),
+pred AS (SELECT vec_id, true_label, cand AS pred_label FROM sc
+         QUALIFY row_number() OVER (
+           PARTITION BY vec_id ORDER BY score DESC, cand ASC) = 1)
+SELECT true_label, pred_label, COUNT(*) AS n
+FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+EXT_QUERIES.update({"q_centroid_confusion": q_centroid_confusion})
+EXT_ORACLE_SQL.update({"q_centroid_confusion": SQL_CENTROID_CONFUSION})
