@@ -182,6 +182,7 @@ def bench_queries(sf_dir: str, meter=None) -> tuple[dict, dict]:
         "q_warc_roundtrip",
         "q_corpus_diff",
         "q_centroid_confusion",
+        "q_orc_interop",
     ]
     cpus = _num_cpus()
     meter = meter or _TreeCpuMeter()

@@ -3207,3 +3207,71 @@ FROM pred GROUP BY 1, 2 ORDER BY 1, 2
 
 EXT_QUERIES.update({"q_centroid_confusion": q_centroid_confusion})
 EXT_ORACLE_SQL.update({"q_centroid_confusion": SQL_CENTROID_CONFUSION})
+
+
+def q_orc_interop(sf_dir: str):
+    """Cross-format interop (X122): documents re-written as sharded ORC
+    under /tmp scratch, read back with the distributed ORC reader
+    (column-pruned decode), aggregated per lang. The SQL twin runs the
+    SAME aggregate over the original parquet — equality proves the ORC
+    path preserves rows, values and types end to end."""
+    import os
+    import tempfile
+
+    import ray
+
+    from phrasekit_ray.sources.orc import read_orc, write_orc_file
+    from phrasekit_ray.stages.agg import hash_aggregate
+
+    src = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    d = tempfile.mkdtemp(prefix="orc_", dir="/tmp")
+    tabs = [
+        t
+        for t in ray.get(src.materialize().to_arrow_refs())
+        if t.num_columns and t.num_rows
+    ]
+    paths = []
+    for i, t in enumerate(tabs):
+        p = os.path.join(d, f"part{i:03d}.orc")
+        write_orc_file(p, t)
+        paths.append(p)
+
+    ds = read_orc(paths, columns=["lang", "n_chars", "doc_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": b["lang"],
+                "n_chars_sum": b["n_chars"].cast(pa.int64()),
+                "id_sum": b["doc_id"].cast(pa.int64()),
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+
+    t = _collect(
+        hash_aggregate(
+            ds.map_batches(prep, batch_format="pyarrow"),
+            ["lang"],
+            [("n_chars_sum", "sum"), ("id_sum", "sum"), ("n", "sum")],
+        )
+    )
+    return _i64(
+        t.take(pc.sort_indices(t, sort_keys=[("lang", "ascending")])),
+        "n_chars_sum", "id_sum", "n",
+    )
+
+
+SQL_ORC_INTEROP = """
+SELECT lang,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       count(*) AS n
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+EXT_QUERIES.update({"q_orc_interop": q_orc_interop})
+EXT_ORACLE_SQL.update({"q_orc_interop": SQL_ORC_INTEROP})

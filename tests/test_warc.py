@@ -75,3 +75,24 @@ def test_warc_feeds_link_extraction(ray_session, tmp_path):
     links = _collect(extract_links(read_warc(str(tmp_path / "d.warc"))))
     assert links.num_rows == 8
     assert all(h.startswith("https://t.org/") for h in links["href"].to_pylist())
+
+
+def test_orc_roundtrip_and_pruning(ray_session, tmp_path):
+    from phrasekit_ray.sources.orc import read_orc, write_orc_file
+
+    t = pa.table(
+        {
+            "a": pa.array([1, 2, 3], pa.int64()),
+            "b": pa.array(["x", "y", "z"]),
+            "c": pa.array([1.5, 2.5, 3.5], pa.float64()),
+        }
+    )
+    p1 = str(tmp_path / "p1.orc")
+    p2 = str(tmp_path / "p2.orc")
+    write_orc_file(p1, t.slice(0, 2))
+    write_orc_file(p2, t.slice(2))
+    full = _collect(read_orc([p1, p2])).sort_by("a")
+    assert full.equals(t)
+    pruned = _collect(read_orc([p1, p2], columns=["b"]))
+    assert pruned.column_names == ["b"]
+    assert sorted(pruned["b"].to_pylist()) == ["x", "y", "z"]
