@@ -107,11 +107,7 @@ def run_headline(sf_dir: str) -> dict:
     }
 
 
-def bench_queries(sf_dir: str, meter=None) -> tuple[dict, dict]:
-    """Per-operator wall times + own-CPU utilization for the query pack."""
-    from phrasekit_ray.pipelines.queries import QUERIES
-
-    names = [
+BENCH_QUERY_NAMES = [
         "q_mine_bigrams",
         "q_score_ratio",
         "q_tag_all_mentions",
@@ -183,7 +179,14 @@ def bench_queries(sf_dir: str, meter=None) -> tuple[dict, dict]:
         "q_corpus_diff",
         "q_centroid_confusion",
         "q_orc_interop",
-    ]
+]
+
+
+def bench_queries(sf_dir: str, meter=None) -> tuple[dict, dict]:
+    """Per-operator wall times + own-CPU utilization for the query pack."""
+    from phrasekit_ray.pipelines.queries import QUERIES
+
+    names = BENCH_QUERY_NAMES
     cpus = _num_cpus()
     meter = meter or _TreeCpuMeter()
     meter.delta_sec()  # prime: discard CPU accumulated before the pack

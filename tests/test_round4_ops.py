@@ -1163,3 +1163,22 @@ def test_snapshot_diff_hand_case(ray_session):
     )
     res = sorted(zip(got["doc_id"].to_pylist(), got["status"].to_pylist()))
     assert res == [(1, "removed"), (3, "changed"), (5, "added")]
+
+
+def test_bench_pack_names_are_registered():
+    """Every bench-pack query must exist in the driver registry with the
+    right contract (catches pack typos before the driver does)."""
+    import bench
+    from phrasekit_ray.pipelines.queries import QUERIES
+
+    missing = [n for n in bench.BENCH_QUERY_NAMES if n not in QUERIES]
+    assert missing == []
+    assert len(set(bench.BENCH_QUERY_NAMES)) == len(bench.BENCH_QUERY_NAMES)
+
+
+def test_driver_first_names_are_registered():
+    import __ray_entry__ as e
+    from phrasekit_ray.pipelines.queries import QUERIES
+
+    missing = [n for n in e._DRIVER_FIRST if n not in QUERIES]
+    assert missing == []
