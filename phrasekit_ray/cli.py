@@ -274,32 +274,12 @@ def cmd_decontaminate(args) -> int:
 def cmd_links(args) -> int:
     import ray
 
-    from phrasekit_ray.stages.agg import hash_aggregate
-    from phrasekit_ray.stages.extract import extract_links, host_of
+    from phrasekit_ray.stages.extract import extract_links, host_edges
 
     _init_ray()
     pages = ray.data.read_parquet(args.pages, columns=[args.url_col, args.html_col])
     links = extract_links(pages, html_col=args.html_col, url_col=args.url_col)
-    if args.host_graph:
-        import numpy as np
-        import pyarrow as pa
-
-        def hosts(b):
-            return pa.table(
-                {
-                    "src_host": host_of(b["src_url"]),
-                    "dst_host": host_of(b["href"]),
-                    "n": pa.array(np.ones(b.num_rows, np.int64)),
-                }
-            )
-
-        out = hash_aggregate(
-            links.map_batches(hosts, batch_format="pyarrow"),
-            ["src_host", "dst_host"],
-            [("n", "sum")],
-        )
-    else:
-        out = links
+    out = host_edges(links) if args.host_graph else links
     out.write_parquet(args.output)
     print(json.dumps({"stage": "links", "host_graph": bool(args.host_graph)}))
     return 0

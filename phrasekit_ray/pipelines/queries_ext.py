@@ -1950,23 +1950,10 @@ def q_link_hostgraph(sf_dir: str):
     import ray  # noqa: F401
 
     from phrasekit_ray.sources.pages import pages_from_documents
-    from phrasekit_ray.stages.agg import hash_aggregate
-    from phrasekit_ray.stages.extract import extract_links, host_of
+    from phrasekit_ray.stages.extract import extract_links, host_edges
 
     pages = pages_from_documents(sf_dir, with_links=True)
-    links = extract_links(pages)
-
-    def hosts(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "src_host": host_of(b["src_url"]),
-                "dst_host": host_of(b["href"]),
-                "n": pa.array(np.ones(b.num_rows, np.int64)),
-            }
-        )
-
-    ds = links.map_batches(hosts, batch_format="pyarrow")
-    t = _collect(hash_aggregate(ds, ["src_host", "dst_host"], [("n", "sum")]))
+    t = _collect(host_edges(extract_links(pages)))
     idx = pc.sort_indices(
         t, sort_keys=[("src_host", "ascending"), ("dst_host", "ascending")]
     )
@@ -2059,25 +2046,10 @@ def q_host_pagerank(sf_dir: str):
         hash_string_array64,
         lookup_join,
     )
-    from phrasekit_ray.stages.extract import extract_links, host_of
+    from phrasekit_ray.stages.extract import extract_links, host_edges
 
     pages = pages_from_documents(sf_dir, with_links=True)
-    links = extract_links(pages)
-
-    def hosts(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "src_host": host_of(b["src_url"]),
-                "dst_host": host_of(b["href"]),
-                "n": pa.array(np.ones(b.num_rows, np.int64)),
-            }
-        )
-
-    hostedges = hash_aggregate(
-        links.map_batches(hosts, batch_format="pyarrow"),
-        ["src_host", "dst_host"],
-        [("n", "sum")],
-    ).materialize()
+    hostedges = host_edges(extract_links(pages)).materialize()
 
     def with_ids(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -2914,14 +2886,23 @@ s2 AS (SELECT doc_id, u1,
 s3 AS (SELECT doc_id, u1, head,
   CASE WHEN head <> '' THEN substr(u1, length(head) + 1) ELSE '' END AS rest
   FROM s2),
+s35 AS (SELECT doc_id, u1, head,
+  CASE WHEN instr(rest, '?') > 0
+       THEN substr(rest, 1, instr(rest, '?') - 1) ELSE rest END AS path,
+  CASE WHEN instr(rest, '?') > 0
+       THEN substr(rest, instr(rest, '?')) ELSE '' END AS query
+  FROM s3),
 s4 AS (SELECT doc_id, u1, head,
   regexp_replace(
     regexp_replace(lower(head), '^http://(.*):80$', 'http://\1'),
     '^https://(.*):443$', 'https://\1') AS head2,
+  path ||
   regexp_replace(
-    regexp_replace(rest, '[?&]utm_[^&]*', '', 'g'),
-    '^([^?]*)&', '\1?') AS rest2
-  FROM s3)
+    regexp_replace(
+      regexp_replace(query, '&utm_[^&]*', '', 'g'),
+      '^\?utm_[^&]*&', '?'),
+    '^\?utm_[^&]*$', '') AS rest2
+  FROM s35)
 SELECT doc_id,
   CASE WHEN head <> '' THEN
     head2 || (CASE WHEN rest2 = '/' THEN '' ELSE rest2 END)

@@ -31,8 +31,11 @@ _CRLF2 = b"\r\n\r\n"
 
 
 def _parse_warc_date(s: str) -> int:
-    """WARC-Date (ISO 8601, UTC 'Z') → epoch microseconds."""
-    dt = datetime.strptime(s.strip(), "%Y-%m-%dT%H:%M:%SZ")
+    """WARC-Date (ISO 8601, UTC 'Z', optional fractional seconds per
+    WARC 1.1) → epoch microseconds."""
+    s = s.strip()
+    fmt = "%Y-%m-%dT%H:%M:%S.%fZ" if "." in s else "%Y-%m-%dT%H:%M:%SZ"
+    dt = datetime.strptime(s, fmt)
     return int(dt.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
 
 
@@ -159,9 +162,14 @@ def write_warc_file(path: str, pages: list[dict], compress: bool = False) -> Non
     interop helper — deterministic output for byte-level tests."""
     chunks: list[bytes] = []
     for p in pages:
-        dt = datetime.fromtimestamp(
-            p["warc_ts"] / 1_000_000, tz=timezone.utc
-        ).strftime("%Y-%m-%dT%H:%M:%SZ")
+        ts_us = int(p["warc_ts"])
+        base = datetime.fromtimestamp(ts_us // 1_000_000, tz=timezone.utc)
+        micros = ts_us % 1_000_000
+        # WARC 1.1 fractional seconds only when needed, so whole-second
+        # records stay byte-identical to WARC 1.0 consumers' expectations
+        dt = base.strftime("%Y-%m-%dT%H:%M:%S") + (
+            f".{micros:06d}Z" if micros else "Z"
+        )
         http = (
             b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + p["html"]
         )

@@ -2242,10 +2242,9 @@ def weighted_sample(
         raise ValueError("weighted_sample: k must be >= 1")
 
     def _keys(ids: np.ndarray, w: np.ndarray) -> np.ndarray:
-        h = (ids.astype(np.uint64) + np.uint64(seed)) * np.uint64(
-            0x9E3779B97F4A7C15
-        )
-        h = (h ^ (h >> np.uint64(31))) * np.uint64(0xBF58476D1CE4E5B9)
+        from phrasekit_ray.sources.pages import splitmix17
+
+        h = splitmix17(ids, seed)
         # u ∈ (0,1): +0.5 keeps u strictly positive when the hash is 0
         u = (h.astype(np.float64) + 0.5) / 18446744073709551616.0
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -2466,9 +2465,15 @@ def cms_token_topk(
             {"tok": pa.array([], pa.string()), "est_count": pa.array([], pa.int64())}
         )
     allc = pa.concat_tables(cand_tabs, promote_options="default")
-    # dedupe candidate tokens (same global estimate everywhere)
-    allc = allc.group_by(["tok"]).aggregate([("est_count", "min")])
-    allc = allc.rename_columns(["tok", "est_count"])
+    # dedupe candidate tokens (same global estimate everywhere); select
+    # BY NAME — group_by output column order differs across pyarrow
+    # versions (keys-first vs aggregates-first)
+    allc = (
+        allc.group_by(["tok"])
+        .aggregate([("est_count", "min")])
+        .select(["tok", "est_count_min"])
+        .rename_columns(["tok", "est_count"])
+    )
     idx = pc.sort_indices(
         allc, sort_keys=[("est_count", "descending"), ("tok", "ascending")]
     )

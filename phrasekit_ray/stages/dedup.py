@@ -1586,7 +1586,9 @@ def excise_duplicate_spans(
     def occ(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return occ_empty.append_column("_part", pa.array([], pa.int32()))
-        toks = pc.split_pattern(batch[text_col].combine_chunks(), " ")
+        toks = pc.split_pattern(
+            pc.fill_null(batch[text_col].combine_chunks(), ""), " "
+        )
         offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         base = offsets[0]
         off = offsets - base
@@ -1646,9 +1648,16 @@ def excise_duplicate_spans(
         t = pa.table(
             {
                 "doc_id": batch[id_col].combine_chunks().cast(pa.int64()),
-                "text": batch[text_col].combine_chunks().cast(pa.string()),
+                # NULL text = empty doc; it must stay a DOC row (the
+                # union discriminates sides on text validity)
                 "pos": pa.nulls(batch.num_rows, pa.int64()),
             }
+        ).add_column(
+            1,
+            "text",
+            pc.fill_null(
+                batch[text_col].combine_chunks().cast(pa.string()), ""
+            ),
         )
         return t.append_column(
             "_part", _part_column(t, ["doc_id"], num_partitions)
@@ -1695,7 +1704,12 @@ def excise_duplicate_spans(
         sizes = np.diff(off)
         sts = g.filter(pc.invert(is_doc))
         st_doc = sts["doc_id"].combine_chunks().to_numpy()
-        st_pos = sts["pos"].combine_chunks().cast(pa.int64()).to_numpy()
+        st_pos = (
+            sts["pos"]
+            .combine_chunks()
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
         row = np.searchsorted(did, st_doc)
         fs = off[:-1][row] + st_pos
         delta = np.zeros(total + 1, np.int64)

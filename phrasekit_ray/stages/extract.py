@@ -136,13 +136,32 @@ def extract_links(
     cols = ["src_url", "href"] + (["anchor_text"] if with_text else [])
     empty = pa.table({c: pa.array([], pa.string()) for c in cols})
 
+    def _to_str(arr) -> pa.Array:
+        """binary → string, exact cast on the (overwhelmingly common)
+        valid-UTF8 path; lossy per-row decode ONLY when a batch's kept
+        hrefs/anchors contain invalid bytes (short strings, rare)."""
+        try:
+            return arr.cast(pa.string())
+        except pa.ArrowInvalid:
+            return pa.array(
+                [
+                    None if v is None else v.decode("utf-8", "replace")
+                    for v in arr.to_pylist()
+                ],
+                pa.string(),
+            )
+
     def fn(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return empty
+        # stay in BINARY: real crawl payloads contain non-UTF8 bytes, a
+        # validating string cast would abort the task (tolerant-scan
+        # contract); only the final short href/anchor columns decode
         html = pc.fill_null(
-            pc.cast(batch[html_col].combine_chunks(), pa.large_string()), ""
+            pc.cast(batch[html_col].combine_chunks(), pa.large_binary()),
+            b"",
         )
-        parts = pc.split_pattern(html, 'href="')
+        parts = pc.split_pattern(html, b'href="')
         lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
         lens = lens.astype(np.int64)
         total = int(lens.sum())
@@ -157,38 +176,40 @@ def extract_links(
             np.arange(batch.num_rows, dtype=np.int64), lens - 1
         )
         # href = candidate text up to the closing quote; unclosed → drop
-        split2 = pc.split_pattern(cand, '"', max_splits=1)
+        split2 = pc.split_pattern(cand, b'"', max_splits=1)
         closed = pc.greater(pc.list_value_length(split2), 1)
         href = pc.list_element(split2, 0)
         absolute = pc.or_(
-            pc.starts_with(href, "https://"), pc.starts_with(href, "http://")
+            pc.starts_with(href, b"https://"),
+            pc.starts_with(href, b"http://"),
         )
         keep = pc.and_(closed, absolute)
         href_kept = href.filter(keep)
         if len(href_kept) == 0:
             return empty
         nofrag = pc.list_element(
-            pc.split_pattern(href_kept, "#", max_splits=1), 0
+            pc.split_pattern(href_kept, b"#", max_splits=1), 0
         )
         kn = keep.to_numpy(zero_copy_only=False)
         src = batch[url_col].combine_chunks().take(pa.array(src_idx[kn]))
         out = {
             "src_url": src.cast(pa.string()),
-            "href": nofrag.cast(pa.string()),
+            "href": _to_str(nofrag),
         }
         if with_text:
             # text between the tag's closing '>' and the next '<';
-            # sentinel-append keeps every split list 2-long so
-            # list_element never sees a short list (tag that never
-            # closes -> empty body)
-            tail = pc.list_element(split2, 1).filter(keep)
-            sgt = pa.scalar(">", pa.large_string())
-            slt = pa.scalar("<", pa.large_string())
-            sep = pa.scalar("", pa.large_string())
+            # filter the list array BEFORE list_element (keep ⊆ closed,
+            # so every surviving list is 2-long — an unclosed-quote
+            # candidate would otherwise make index 1 out of bounds);
+            # sentinel-append keeps the >/< splits 2-long the same way
+            tail = pc.list_element(split2.filter(keep), 1)
+            sgt = pa.scalar(b">", pa.large_binary())
+            slt = pa.scalar(b"<", pa.large_binary())
+            sep = pa.scalar(b"", pa.large_binary())
             rest = pc.list_element(
                 pc.split_pattern(
                     pc.binary_join_element_wise(tail, sgt, sep),
-                    ">",
+                    b">",
                     max_splits=1,
                 ),
                 1,
@@ -196,15 +217,40 @@ def extract_links(
             body = pc.list_element(
                 pc.split_pattern(
                     pc.binary_join_element_wise(rest, slt, sep),
-                    "<",
+                    b"<",
                     max_splits=1,
                 ),
                 0,
             )
-            out["anchor_text"] = body.cast(pa.string())
+            out["anchor_text"] = _to_str(body)
         return pa.table(out)
 
     return ds.map_batches(fn, batch_format="pyarrow", **map_kwargs)
+
+
+def host_edges(links_ds, **map_kwargs):
+    """(src_url, href) links → weighted host-level edge table
+    Dataset(src_host, dst_host, n): the one shared definition of the
+    links→host-graph step (CLI, host-graph query and host-pagerank all
+    consume this, so edge semantics cannot diverge)."""
+    import numpy as np
+
+    from phrasekit_ray.stages.agg import hash_aggregate
+
+    def hosts(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src_host": host_of(b["src_url"]),
+                "dst_host": host_of(b["href"]),
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+
+    return hash_aggregate(
+        links_ds.map_batches(hosts, batch_format="pyarrow", **map_kwargs),
+        ["src_host", "dst_host"],
+        [("n", "sum")],
+    )
 
 
 def parse_urls(ds, url_col: str = "url", **map_kwargs):
@@ -240,8 +286,9 @@ def canonicalize_urls(ds, url_col: str = "url", out_col: str = "canon_url", **ma
       1. strip ``#fragment``
       2. lowercase scheme and host (path/query untouched)
       3. drop default ports (``:80`` for http, ``:443`` for https)
-      4. drop ``utm_*`` tracking params, re-fixing the ``?``/``&``
-         separators
+      4. drop ``utm_*`` tracking params — scoped to the QUERY part only
+         (an ``&`` or ``utm_`` in the path is data, not a separator),
+         re-fixing the leading ``?`` when the first param was removed
       5. collapse a bare trailing ``/`` path to empty
 
     Rows without a ``scheme://host`` head pass through unchanged.
@@ -263,10 +310,30 @@ def canonicalize_urls(ds, url_col: str = "url", out_col: str = "canon_url", **ma
         # 3. default ports
         head = pc.replace_substring_regex(head, r"^http://(.*):80$", r"http://\1")
         head = pc.replace_substring_regex(head, r"^https://(.*):443$", r"https://\1")
-        # 4. utm params (each with its preceding separator), then repair
-        # a leading '&' that lost its '?'
-        rest = pc.replace_substring_regex(rest, r"[?&]utm_[^&]*", "")
-        rest = pc.replace_substring_regex(rest, r"^([^?]*)&", r"\1?")
+        # 4. utm params, QUERY part only (sentinel-append keeps the
+        # '?' split 2-long): drop '&utm_...' params, collapse a removed
+        # first param's separator, drop an all-utm query entirely
+        sq = pa.scalar("?", pa.string())
+        sep = pa.scalar("", pa.string())
+        qsplit = pc.split_pattern(
+            pc.binary_join_element_wise(rest, sq, sep), "?", max_splits=1
+        )
+        path = pc.list_element(qsplit, 0)
+        qtail = pc.list_element(qsplit, 1)  # query + sentinel '?'
+        had_q = pc.not_equal(qtail, "")
+        query = pc.if_else(
+            had_q,
+            pc.binary_join_element_wise(
+                pa.array(["?"] * len(path)),
+                pc.replace_substring_regex(qtail, r"\?$", ""),
+                "",
+            ),
+            qtail,
+        )
+        query = pc.replace_substring_regex(query, r"&utm_[^&]*", "")
+        query = pc.replace_substring_regex(query, r"^\?utm_[^&]*&", "?")
+        query = pc.replace_substring_regex(query, r"^\?utm_[^&]*$", "")
+        rest = pc.binary_join_element_wise(path, query, "")
         # 5. bare trailing slash
         rest = pc.replace_substring_regex(rest, r"^/$", "")
         canon = pc.if_else(

@@ -1505,7 +1505,7 @@ def k_core(
     k: int = 2,
     subj_col: str = "subj",
     obj_col: str = "obj",
-    max_rounds: int = 64,
+    max_rounds: int = 256,
     num_partitions: int | None = None,
 ):
     """Distributed k-core (X113): iteratively peel nodes whose
@@ -1518,8 +1518,11 @@ def k_core(
     semi-joins (cardinality-chosen broadcast/partitioned paths) keep
     only edges between survivors; the driver holds the survivor COUNT —
     a scalar — and stops when it is unchanged (no node removed ⇒
-    degrees unchanged ⇒ fixpoint; sound). Rounds are bounded by the
-    peel depth (≤ max node degree), not the corpus.
+    degrees unchanged ⇒ fixpoint; sound). Peel depth is bounded by the
+    longest removal CHAIN (a path graph peels two endpoints per round —
+    O(diameter), NOT O(max degree)); if ``max_rounds`` is exhausted
+    before the fixpoint the function RAISES rather than silently
+    returning a non-core.
     """
     from phrasekit_ray.stages.agg import hash_aggregate, key_filter_join
 
@@ -1556,9 +1559,9 @@ def k_core(
             {"node": node, "_one": pa.array(np.ones(len(node), np.int64))}
         )
 
-    empty = None
     prev = -1
     surv = None
+    converged = False
     for _ in range(max_rounds):
         deg = hash_aggregate(
             edges.map_batches(halves, batch_format="pyarrow"),
@@ -1575,10 +1578,16 @@ def k_core(
         surv = deg.map_batches(keep, batch_format="pyarrow").materialize()
         n = surv.count()
         if n == prev:
+            converged = True
             break
         prev = n
         if n == 0:
             return surv  # fully peeled
         edges = key_filter_join(edges, surv, "a", "node")
         edges = key_filter_join(edges, surv, "b", "node").materialize()
+    if not converged:
+        raise RuntimeError(
+            f"k_core: no fixpoint within max_rounds={max_rounds} "
+            "(long peel chains — raise max_rounds)"
+        )
     return surv

@@ -416,12 +416,19 @@ def json_extract_int(
     if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", key):
         raise ValueError("json_extract_int: key must be a simple identifier")
     out = out_col or key
-    pat = f'"{key}"\\s*:\\s*(?P<v>-?\\d+)'
+    # capture the WHOLE numeric token (incl. any fraction/exponent tail),
+    # then accept only pure integers — RE2 has no lookahead, and an
+    # integer-prefix match would silently truncate 12.5 → 12
+    pat = f'"{key}"\\s*:\\s*(?P<v>-?\\d+(?:[.eE][-+0-9.eE]*)?)'
 
     def fn(batch: pa.Table) -> pa.Table:
         s = batch[col].combine_chunks().cast(pa.string())
         ex = pc.extract_regex(s, pat)
-        v = pc.cast(pc.struct_field(ex, "v"), pa.int64())
-        return batch.append_column(out, v)
+        v = pc.struct_field(ex, "v")
+        is_int = pc.match_substring_regex(v, r"^-?\d+$")
+        v = pc.if_else(
+            pc.coalesce(is_int, False), v, pa.scalar(None, pa.string())
+        )
+        return batch.append_column(out, pc.cast(v, pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow", **map_kwargs)

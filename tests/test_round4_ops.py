@@ -1182,3 +1182,125 @@ def test_driver_first_names_are_registered():
 
     missing = [n for n in e._DRIVER_FIRST if n not in QUERIES]
     assert missing == []
+
+
+def test_extract_links_review_fixes(ray_session):
+    """Round-4 review regressions: unclosed-quote candidates must not
+    crash the with_text path, and non-UTF8 html bytes must be tolerated
+    (lossy-decoded hrefs), per the tolerant-scan contract."""
+    import ray
+
+    from phrasekit_ray.stages.extract import extract_links
+
+    t = pa.table(
+        {
+            "url": pa.array(["https://s.org/1", "https://s.org/2"]),
+            "html": pa.array(
+                [
+                    # unclosed quote candidate + one good anchor
+                    b'<a href="https://u.org/tail<a href="https://a.org/p">ok</a>',
+                    # invalid UTF-8 inside html AND inside a kept href
+                    b'\xff\xfe<a href="https://b.org/\xff">x</a>',
+                ],
+                pa.binary(),
+            ),
+        }
+    )
+    got = _collect(extract_links(ray.data.from_arrow(t), with_text=True))
+    rows = sorted(
+        zip(
+            got["src_url"].to_pylist(),
+            got["href"].to_pylist(),
+            got["anchor_text"].to_pylist(),
+        )
+    )
+    assert ("https://s.org/1", "https://a.org/p", "ok") in rows
+    # the non-UTF8 href survives lossy-decoded, task does not crash
+    assert any(h.startswith("https://b.org/") for _, h, _ in rows)
+
+
+def test_k_core_raises_on_round_exhaustion(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.kg import k_core
+
+    # path graph: peels two endpoints per round -> needs ~n/2 rounds
+    n = 20
+    t = pa.table(
+        {
+            "subj": pa.array(list(range(n - 1)), pa.int64()),
+            "obj": pa.array(list(range(1, n)), pa.int64()),
+        }
+    )
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        k_core(ray.data.from_arrow(t), k=2, max_rounds=3)
+    # with enough rounds the 2-core of a path is empty
+    got = _collect(k_core(ray.data.from_arrow(t), k=2, max_rounds=32))
+    assert got.num_rows == 0
+
+
+def test_excise_tolerates_null_text(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.dedup import excise_duplicate_spans
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["a b c d e f", None]),
+        }
+    )
+    got = _collect(excise_duplicate_spans(ray.data.from_arrow(t), k=3))
+    rows = {r["doc_id"]: r for r in got.to_pylist()}
+    assert rows[2]["clean_text"] == "" and rows[2]["n_removed"] == 0
+    assert rows[1]["clean_text"] == "a b c d e f"
+
+
+def test_json_extract_int_rejects_float_prefix(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.textstats import json_extract_int
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "props": pa.array(['{"k": 12.5}', '{"k": 1e5}', '{"k": 7}']),
+        }
+    )
+    got = _collect(json_extract_int(ray.data.from_arrow(t), "props", "k"))
+    by = dict(zip(got["id"].to_pylist(), got["k"].to_pylist()))
+    assert by == {1: None, 2: None, 3: 7}
+
+
+def test_canonicalize_preserves_path_ampersands(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.extract import canonicalize_urls
+
+    cases = {
+        "https://h.org/a&b?c=1": "https://h.org/a&b?c=1",  # path '&' kept
+        "https://h.org/a&utm_x/b?q=1": "https://h.org/a&utm_x/b?q=1",
+        "https://h.org/p?utm_a=1&q=2": "https://h.org/p?q=2",
+        "https://h.org/p?q=1&x=2": "https://h.org/p?q=1&x=2",
+    }
+    t = pa.table({"url": pa.array(list(cases.keys()))})
+    got = _collect(canonicalize_urls(ray.data.from_arrow(t)))
+    assert dict(zip(got["url"].to_pylist(), got["canon_url"].to_pylist())) == cases
+
+
+def test_warc_subsecond_timestamps(ray_session, tmp_path):
+    from phrasekit_ray.sources.warc import parse_warc_bytes, write_warc_file
+
+    p = str(tmp_path / "frac.warc")
+    write_warc_file(
+        p,
+        [
+            {
+                "url": "https://x.org/1",
+                "warc_ts": 1696896000_500_250,
+                "html": b"<p>x</p>",
+            }
+        ],
+    )
+    recs = parse_warc_bytes(open(p, "rb").read())
+    assert recs[0]["warc_ts"] == 1696896000_500_250
