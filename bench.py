@@ -179,6 +179,7 @@ BENCH_QUERY_NAMES = [
         "q_corpus_diff",
         "q_centroid_confusion",
         "q_orc_interop",
+        "q_corpus_entropy",
 ]
 
 

@@ -3256,3 +3256,32 @@ FROM documents GROUP BY lang ORDER BY lang
 
 EXT_QUERIES.update({"q_orc_interop": q_orc_interop})
 EXT_ORACLE_SQL.update({"q_orc_interop": SQL_ORC_INTEROP})
+
+
+def q_corpus_entropy(sf_dir: str):
+    """Unigram entropy / type-token diagnostics of the corpus (X123):
+    distinct-token-compressed exchange, per-token micro-fixed c·ln(c)
+    terms, exact integer sums both sides."""
+    import ray
+
+    from phrasekit_ray.stages.textstats import corpus_entropy_stats
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    return corpus_entropy_stats(docs)
+
+
+SQL_CORPUS_ENTROPY = """
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+c AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok)
+SELECT CAST(SUM(n) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_types,
+       CAST(SUM(CAST(round(n * ln(n) * 1000000.0) AS BIGINT)) AS BIGINT)
+         AS sum_clnc_micro
+FROM c
+"""
+
+
+EXT_QUERIES.update({"q_corpus_entropy": q_corpus_entropy})
+EXT_ORACLE_SQL.update({"q_corpus_entropy": SQL_CORPUS_ENTROPY})

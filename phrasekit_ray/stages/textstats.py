@@ -432,3 +432,85 @@ def json_extract_int(
         return batch.append_column(out, pc.cast(v, pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow", **map_kwargs)
+
+
+def corpus_entropy_stats(ds, text_col: str = "text"):
+    """Corpus diversity diagnostics (X123): unigram Shannon entropy and
+    type-token ratio from the GLOBAL token-frequency distribution.
+    Returns pa.Table(n_tokens, n_types, sum_clnc_micro) — one row;
+    H = ln(N) − sum_clnc/N derives exactly from the three values.
+
+    Scale shape: the exchange moves DISTINCT tokens only (in-block
+    count combine → two-phase aggregate); the Σ c·ln(c) term is fixed
+    to integer micro-units PER DISTINCT TOKEN before the final integer
+    sum, so the result is bit-stable under any accumulation order and
+    exactly re-expressible in SQL.
+    """
+    from phrasekit_ray.stages.agg import hash_aggregate
+
+    def toks(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(
+            pc.split_pattern(
+                pc.fill_null(batch[text_col].combine_chunks(), ""), " "
+            )
+        )
+        t = pa.table({"tok": flat}).group_by(["tok"]).aggregate(
+            [([], "count_all")]
+        )
+        return t.select(["tok", "count_all"]).rename_columns(["tok", "n"])
+
+    counts = hash_aggregate(
+        ds.select_columns([text_col]).map_batches(
+            toks, batch_format="pyarrow"
+        ),
+        ["tok"],
+        [("n", "sum")],
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        c = batch["n"].combine_chunks().cast(pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        term = np.where(c > 0, c * np.log(c), 0.0)
+        micro = np.where(
+            term >= 0, np.floor(term * 1e6 + 0.5), np.ceil(term * 1e6 - 0.5)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "n_tokens": pa.array(
+                    [int(c.sum())], pa.int64()
+                ),
+                "n_types": pa.array([len(c)], pa.int64()),
+                "sum_clnc_micro": pa.array([int(micro.sum())], pa.int64()),
+            }
+        )
+
+    import ray
+
+    parts = [
+        t
+        for t in ray.get(
+            counts.map_batches(finalize, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_columns and t.num_rows
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "n_tokens": pa.array([0], pa.int64()),
+                "n_types": pa.array([0], pa.int64()),
+                "sum_clnc_micro": pa.array([0], pa.int64()),
+            }
+        )
+    allp = pa.concat_tables(parts, promote_options="default")
+    return pa.table(
+        {
+            "n_tokens": pa.array([int(pc.sum(allp["n_tokens"]).as_py())], pa.int64()),
+            "n_types": pa.array([int(pc.sum(allp["n_types"]).as_py())], pa.int64()),
+            "sum_clnc_micro": pa.array(
+                [int(pc.sum(allp["sum_clnc_micro"]).as_py())], pa.int64()
+            ),
+        }
+    )
