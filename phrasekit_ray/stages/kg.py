@@ -1507,6 +1507,8 @@ def k_core(
     obj_col: str = "obj",
     max_rounds: int = 256,
     num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_partitions: int = 16,
 ):
     """Distributed k-core (X113): iteratively peel nodes whose
     undirected degree over DISTINCT non-loop edges is < ``k`` until a
@@ -1523,6 +1525,13 @@ def k_core(
     O(diameter), NOT O(max degree)); if ``max_rounds`` is exhausted
     before the fixpoint the function RAISES rather than silently
     returning a non-core.
+
+    ``checkpoint_dir`` makes the ITERATION resumable (the lineage
+    pattern applied to loop state): after each round the surviving edge
+    set lands as hash-partitioned parquet + a round marker manifest; a
+    restarted job resumes from the last complete round instead of
+    re-peeling from scratch. Long-running multi-round graph jobs on
+    preemptible clusters need exactly this.
     """
     from phrasekit_ray.stages.agg import hash_aggregate, key_filter_join
 
@@ -1562,7 +1571,30 @@ def k_core(
     prev = -1
     surv = None
     converged = False
-    for _ in range(max_rounds):
+    start_round = 0
+    fp = None
+    if checkpoint_dir:
+        import json as _json
+
+        from phrasekit_ray.state import lineage
+
+        fp = lineage.fingerprint({"op": "k_core", "k": k})
+        last = None
+        r = 0
+        while lineage.partition_complete(checkpoint_dir, "kcore_round", r, fp):
+            last = r
+            r += 1
+        if last is not None:
+            with open(
+                lineage.manifest_path(checkpoint_dir, "kcore_round", last)
+            ) as f:
+                prev = int(_json.load(f)["prev_count"])
+            edges = lineage.read_partitioned(
+                checkpoint_dir, f"kcore_edges_{last}"
+            ).materialize()
+            start_round = last + 1
+
+    for _round in range(start_round, max_rounds):
         deg = hash_aggregate(
             edges.map_batches(halves, batch_format="pyarrow"),
             ["node"],
@@ -1585,6 +1617,26 @@ def k_core(
             return surv  # fully peeled
         edges = key_filter_join(edges, surv, "a", "node")
         edges = key_filter_join(edges, surv, "b", "node").materialize()
+        if checkpoint_dir:
+            from phrasekit_ray.state import lineage
+
+            lineage.write_dataset_resumable(
+                edges,
+                checkpoint_dir,
+                f"kcore_edges_{_round}",
+                {"k": k, "round": _round},
+                "a",
+                num_partitions=checkpoint_partitions,
+            )
+            # marker LAST: a crash mid-edge-write resumes the same round
+            lineage.write_partition(
+                checkpoint_dir,
+                "kcore_round",
+                _round,
+                pa.table({"round": pa.array([_round], pa.int64())}),
+                fp,
+                extra={"prev_count": prev},
+            )
     if not converged:
         raise RuntimeError(
             f"k_core: no fixpoint within max_rounds={max_rounds} "

@@ -1304,3 +1304,39 @@ def test_warc_subsecond_timestamps(ray_session, tmp_path):
     )
     recs = parse_warc_bytes(open(p, "rb").read())
     assert recs[0]["warc_ts"] == 1696896000_500_250
+
+
+def test_k_core_checkpoint_resume(ray_session, tmp_path):
+    import os
+
+    import ray
+
+    from phrasekit_ray.stages.kg import k_core
+
+    # path graph of 14 nodes: k=2 peels 2 endpoints/round, ~7 rounds
+    n = 14
+    t = pa.table(
+        {
+            "subj": pa.array(list(range(n - 1)), pa.int64()),
+            "obj": pa.array(list(range(1, n)), pa.int64()),
+        }
+    )
+    ckpt = str(tmp_path / "kcore")
+    # run 1 "crashes" after 3 rounds (max_rounds exhaustion raises)
+    with pytest.raises(RuntimeError):
+        k_core(
+            ray.data.from_arrow(t), k=2, max_rounds=3, checkpoint_dir=ckpt,
+            checkpoint_partitions=4,
+        )
+    assert os.path.isdir(os.path.join(ckpt, "kcore_round"))
+    # run 2 resumes from the checkpoint and converges to the empty core
+    got = _collect(
+        k_core(
+            ray.data.from_arrow(t), k=2, max_rounds=32, checkpoint_dir=ckpt,
+            checkpoint_partitions=4,
+        )
+    )
+    assert got.num_rows == 0
+    # resumed run continued past round 3 (new round markers exist)
+    rounds = sorted(os.listdir(os.path.join(ckpt, "kcore_round")))
+    assert len(rounds) > 3
