@@ -180,6 +180,7 @@ BENCH_QUERY_NAMES = [
         "q_centroid_confusion",
         "q_orc_interop",
         "q_corpus_entropy",
+        "q_kg_edge_provenance",
 ]
 
 

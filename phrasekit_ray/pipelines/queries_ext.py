@@ -3285,3 +3285,67 @@ FROM c
 
 EXT_QUERIES.update({"q_corpus_entropy": q_corpus_entropy})
 EXT_ORACLE_SQL.update({"q_corpus_entropy": SQL_CORPUS_ENTROPY})
+
+
+def q_kg_edge_provenance(sf_dir: str):
+    """KG edge provenance (X124): per canonical (subj, obj) edge of the
+    flagship pipeline, mention count plus first/last source url (min/
+    max over the mention provenance) — the versioning/evidence record a
+    production KG keeps next to every edge. One two-phase aggregate
+    over the triple stream; the SQL twin wraps the full flagship
+    recursive-CTE oracle."""
+    from phrasekit_ray.config import MineConfig, ScoreConfig
+    from phrasekit_ray.pipelines.kg import run_kg_pipeline
+    from phrasekit_ray.sources.pages import DEMO_BACKGROUND, pages_from_documents
+    from phrasekit_ray.stages.agg import hash_aggregate
+
+    pages = pages_from_documents(sf_dir)
+    res = run_kg_pipeline(
+        pages,
+        {" ".join(t): c for t, c in DEMO_BACKGROUND},
+        MineConfig(min_n=2, max_n=5, min_count=3),
+        ScoreConfig(min_domain_count=3),
+        tag_concurrency=(1, 4),
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subj": b["subj"].combine_chunks().cast(pa.int64()),
+                "obj": b["obj"].combine_chunks().cast(pa.int64()),
+                "n_mentions": pa.array(np.ones(b.num_rows, np.int64)),
+                "first_url": b["doc_id"].combine_chunks().cast(pa.string()),
+                "last_url": b["doc_id"].combine_chunks().cast(pa.string()),
+            }
+        )
+
+    t = _collect(
+        hash_aggregate(
+            res.triples.map_batches(prep, batch_format="pyarrow"),
+            ["subj", "obj"],
+            [("n_mentions", "sum"), ("first_url", "min"), ("last_url", "max")],
+        )
+    )
+    return _i64(
+        t.take(
+            pc.sort_indices(
+                t, sort_keys=[("subj", "ascending"), ("obj", "ascending")]
+            )
+        ),
+        "subj", "obj", "n_mentions",
+    )
+
+
+def _sql_edge_provenance() -> str:
+    from phrasekit_ray.pipelines.queries import _sql_flagship
+
+    return f"""
+WITH t AS ({_sql_flagship()})
+SELECT subj, obj, COUNT(*) AS n_mentions,
+       MIN(doc_id) AS first_url, MAX(doc_id) AS last_url
+FROM t GROUP BY subj, obj ORDER BY subj, obj
+"""
+
+
+EXT_QUERIES.update({"q_kg_edge_provenance": q_kg_edge_provenance})
+EXT_ORACLE_SQL.update({"q_kg_edge_provenance": _sql_edge_provenance()})
