@@ -181,6 +181,7 @@ BENCH_QUERY_NAMES = [
         "q_orc_interop",
         "q_corpus_entropy",
         "q_kg_edge_provenance",
+        "q_blocklist_filter",
 ]
 
 

@@ -3349,3 +3349,86 @@ FROM t GROUP BY subj, obj ORDER BY subj, obj
 
 EXT_QUERIES.update({"q_kg_edge_provenance": q_kg_edge_provenance})
 EXT_ORACLE_SQL.update({"q_kg_edge_provenance": _sql_edge_provenance()})
+
+
+def q_blocklist_filter(sf_dir: str):
+    """Host blocklist filtering (X125): the URL-filter stage every web
+    pipeline runs before processing — pages → vectorized host parse →
+    ANTI join against the blocked-host set (broadcast under the
+    cardinality bound, partitioned above it), per-host survivor counts.
+    Blocklist = every host h{K}.example.org with K%5==0 plus one
+    source-site host, derived deterministically so the SQL twin can
+    regenerate it."""
+    import ray  # noqa: F401
+
+    from phrasekit_ray.sources.pages import pages_from_documents
+    from phrasekit_ray.stages.agg import (
+        hash_aggregate,
+        hash_string_array64,
+        key_filter_join,
+    )
+    from phrasekit_ray.stages.extract import extract_links, host_of
+
+    pages = pages_from_documents(sf_dir, with_links=True)
+    links = extract_links(pages)
+
+    def hostrows(b: pa.Table) -> pa.Table:
+        h = host_of(b["href"])
+        return pa.table(
+            {
+                "host": h,
+                "hkey": pa.array(
+                    hash_string_array64(h).astype(np.int64)
+                ),
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+
+    target = links.map_batches(hostrows, batch_format="pyarrow")
+
+    blocked_hosts = [f"h{k}.example.org" for k in range(0, 16, 5)] + [
+        "src0.example.org"
+    ]
+    bh = pa.array(blocked_hosts, pa.string())
+    block = ray.data.from_arrow(
+        pa.table(
+            {
+                "hkey": pa.array(
+                    hash_string_array64(bh).astype(np.int64)
+                ),
+            }
+        )
+    )
+    kept = key_filter_join(target, block, "hkey", "hkey", anti=True)
+    t = _collect(
+        hash_aggregate(
+            kept.map_batches(
+                lambda b: b.select(["host", "n"]), batch_format="pyarrow"
+            ),
+            ["host"],
+            [("n", "sum")],
+        )
+    )
+    return _i64(
+        t.take(pc.sort_indices(t, sort_keys=[("host", "ascending")])), "n"
+    )
+
+
+SQL_BLOCKLIST_FILTER = f"""
+WITH s AS (SELECT doc_id, j
+           FROM documents, generate_series(1, 3) AS g(j)),
+l AS (SELECT j,
+        ({_sm_sql('CAST(doc_id AS HUGEINT)*8 + CAST(j AS HUGEINT)')})
+          % 100003 AS t,
+        1 + (({_sm_sql('CAST(doc_id AS HUGEINT)*8 + 7')}) % 3) AS n_links
+      FROM s),
+h AS (SELECT 'h' || CAST(t % 16 AS VARCHAR) || '.example.org' AS host
+      FROM l WHERE j <= n_links)
+SELECT host, COUNT(*) AS n FROM h
+WHERE (CAST(regexp_extract(host, '^h(\\d+)', 1) AS INT)) % 5 <> 0
+GROUP BY host ORDER BY host
+"""
+
+
+EXT_QUERIES.update({"q_blocklist_filter": q_blocklist_filter})
+EXT_ORACLE_SQL.update({"q_blocklist_filter": SQL_BLOCKLIST_FILTER})
