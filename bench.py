@@ -182,6 +182,7 @@ BENCH_QUERY_NAMES = [
         "q_corpus_entropy",
         "q_kg_edge_provenance",
         "q_blocklist_filter",
+        "q_mention_contexts",
 ]
 
 

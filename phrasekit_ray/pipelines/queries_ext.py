@@ -3432,3 +3432,101 @@ GROUP BY host ORDER BY host
 
 EXT_QUERIES.update({"q_blocklist_filter": q_blocklist_filter})
 EXT_ORACLE_SQL.update({"q_blocklist_filter": SQL_BLOCKLIST_FILTER})
+
+
+def q_mention_contexts(sf_dir: str):
+    """KWIC mention contexts (X126): per detected entity mention, the
+    ±2-token evidence window re-joined as text — the grounding snippet
+    a KG keeps with each mention. Mentions attach their doc's token
+    list with ONE int-keyed lookup_join; the window slice is a single
+    numpy range-gather + one binary_join per batch (no Python per
+    row)."""
+    from phrasekit_ray.pipelines.queries import _docs, _tagged_all_bigrams
+    from phrasekit_ray.stages import kg as kgmod
+    from phrasekit_ray.stages.agg import lookup_join
+    from phrasekit_ray.stages.extract import tokenize_documents
+
+    tagged, _ = _tagged_all_bigrams(sf_dir)
+    mentions = kgmod.mentions_from_tagged(tagged)
+    docs = tokenize_documents(_docs(sf_dir))
+    joined = lookup_join(mentions, docs, "doc_id", "doc_id")
+
+    def ctx(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "start": pa.array([], pa.int64()),
+                    "end": pa.array([], pa.int64()),
+                    "phrase_id": pa.array([], pa.int64()),
+                    "context": pa.array([], pa.string()),
+                }
+            )
+        toks = b["tokens"].combine_chunks()
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        base = off[0]
+        off = off - base
+        flat = toks.values.slice(base, int(off[-1]))
+        sizes = np.diff(off)
+        s = b["start"].combine_chunks().cast(pa.int64()).to_numpy()
+        e = b["end"].combine_chunks().cast(pa.int64()).to_numpy()
+        ws = np.maximum(s - 2, 0)
+        we = np.minimum(e + 2, sizes)
+        counts = np.maximum(we - ws, 0)
+        total = int(counts.sum())
+        cum = np.cumsum(counts) - counts
+        idx = (
+            np.repeat(off[:-1] + ws, counts)
+            + np.arange(total, dtype=np.int64)
+            - np.repeat(cum, counts)
+        )
+        vals = flat.take(pa.array(idx, pa.int64()))
+        lst = pa.LargeListArray.from_arrays(
+            pa.array(np.concatenate(([0], np.cumsum(counts))), pa.int64()),
+            vals,
+        )
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].combine_chunks().cast(pa.int64()),
+                "start": pa.array(s, pa.int64()),
+                "end": pa.array(e, pa.int64()),
+                "phrase_id": b["phrase_id"].combine_chunks().cast(pa.int64()),
+                "context": pc.binary_join(lst, " ").cast(pa.string()),
+            }
+        )
+
+    t = _collect(joined.map_batches(ctx, batch_format="pyarrow"))
+    return _i64(
+        t.take(
+            pc.sort_indices(
+                t,
+                sort_keys=[
+                    ("doc_id", "ascending"),
+                    ("start", "ascending"),
+                    ("phrase_id", "ascending"),
+                ],
+            )
+        ),
+        "doc_id", "start", "end", "phrase_id",
+    )
+
+
+def _sql_mention_contexts() -> str:
+    from phrasekit_ray.pipelines.queries import _sql_mentions
+
+    return (
+        _sql_mentions()
+        + """,
+ctx AS (SELECT m.doc_id, m.start, m."end", m.phrase_id,
+        string_agg(t.tok, ' ' ORDER BY t.pos) AS context
+        FROM mentions m JOIN toks2 t ON t.doc_id = m.doc_id
+          AND t.pos BETWEEN m.start - 1 AND m."end" + 2
+        GROUP BY 1, 2, 3, 4)
+SELECT doc_id, start, "end", phrase_id, context FROM ctx
+ORDER BY doc_id, start, phrase_id
+"""
+    )
+
+
+EXT_QUERIES.update({"q_mention_contexts": q_mention_contexts})
+EXT_ORACLE_SQL.update({"q_mention_contexts": _sql_mention_contexts()})
