@@ -327,6 +327,18 @@ def cmd_excise(args) -> int:
     return 0
 
 
+def cmd_warc_to_parquet(args) -> int:
+    import ray  # noqa: F401
+
+    from phrasekit_ray.sources.warc import read_warc
+
+    _init_ray()
+    ds = read_warc(args.input, strict=args.strict)
+    ds.write_parquet(args.output)
+    print(json.dumps({"stage": "warc-to-parquet", "strict": bool(args.strict)}))
+    return 0
+
+
 def cmd_pack(args) -> int:
     import ray
 
@@ -675,6 +687,15 @@ def main(argv=None) -> int:
     ex.add_argument("--id-col", dest="id_col", default="doc_id")
     ex.add_argument("--text-col", dest="text_col", default="text")
     ex.set_defaults(fn=cmd_excise)
+
+    wp = sub.add_parser(
+        "warc-to-parquet",
+        help="convert WARC/WARC.GZ files to pages-schema parquet",
+    )
+    wp.add_argument("--input", required=True, nargs="+")
+    wp.add_argument("--output", required=True)
+    wp.add_argument("--strict", action="store_true")
+    wp.set_defaults(fn=cmd_warc_to_parquet)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -405,3 +405,29 @@ def test_cli_links_mix_excise(ray_session, tmp_path, sf_dir):
     assert et.num_rows == pq.ParquetFile(
         f"{sf_dir}/documents.parquet"
     ).metadata.num_rows
+
+
+def test_cli_warc_to_parquet(ray_session, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from phrasekit_ray.cli import main
+    from phrasekit_ray.sources.warc import write_warc_file
+
+    pages = [
+        {
+            "url": f"https://w.org/{i}",
+            "warc_ts": 1696896000_000_000 + i,
+            "html": f"<p>doc {i}</p>".encode(),
+        }
+        for i in range(6)
+    ]
+    wpath = str(tmp_path / "in.warc.gz")
+    write_warc_file(wpath, pages, compress=True)
+    out = str(tmp_path / "pages_pq")
+    rc = main(["warc-to-parquet", "--input", wpath, "--output", out])
+    assert rc == 0
+    t = pq.read_table(glob.glob(f"{out}/*.parquet"))
+    assert t.num_rows == 6
+    assert set(t.column_names) >= {"url", "warc_ts", "html", "http_status"}
