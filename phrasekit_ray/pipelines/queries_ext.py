@@ -1532,12 +1532,30 @@ def q_returned_revenue_by_nation(sf_dir: str):
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     )
-    with_cust = lookup_join(per_order, orders, "l_orderkey", "o_orderkey")
+    # shuffle-fed left sides: pass the known schema so lookup_join's
+    # schema probe can't execute the whole upstream aggregation twice
+    with_cust = lookup_join(
+        per_order,
+        orders,
+        "l_orderkey",
+        "o_orderkey",
+        left_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("revenue_cents", pa.int64())]
+        ),
+    )
     per_cust = hash_aggregate(with_cust, "o_custkey", [("revenue_cents", "sum")])
     customer = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
-    with_nat = lookup_join(per_cust, customer, "o_custkey", "c_custkey")
+    with_nat = lookup_join(
+        per_cust,
+        customer,
+        "o_custkey",
+        "c_custkey",
+        left_schema=pa.schema(
+            [("o_custkey", pa.int64()), ("revenue_cents", pa.int64())]
+        ),
+    )
     per_nation = hash_aggregate(
         with_nat, "c_nationkey", [("revenue_cents", "sum")]
     )
@@ -1871,7 +1889,9 @@ def q_quality_filter(sf_dir: str):
     from phrasekit_ray.stages import textstats
     from phrasekit_ray.stages.agg import quantile_filter
 
-    counts = textstats.token_counts(_docs(sf_dir))
+    # quantile_filter consumes its input twice (threshold pass + filter
+    # pass): pin the tokenize/count output so documents aren't re-split
+    counts = textstats.token_counts(_docs(sf_dir)).materialize()
     return _i(
         _collect(quantile_filter(counts, "n_tokens", 0.25)),
         "doc_id", "n_tokens",
@@ -3530,3 +3550,13 @@ ORDER BY doc_id, start, phrase_id
 
 EXT_QUERIES.update({"q_mention_contexts": q_mention_contexts})
 EXT_ORACLE_SQL.update({"q_mention_contexts": _sql_mention_contexts()})
+
+
+# FINAL registration hook (review finding, round 4): when THIS module is
+# imported first, queries.py's bottom hook fires mid-initialization and
+# sees no maps, and the mid-module _self_register() above copies only
+# the entries defined before it — every later EXT_QUERIES.update()
+# mutates this module's dicts but never reaches the driver registry.
+# Re-push the COMPLETE maps now that the module is fully defined
+# (idempotent under every import order).
+_self_register()

@@ -24,6 +24,28 @@ import io
 import pyarrow as pa
 
 
+def _iter_files(paths):
+    """Resolve each input (local path, URI, or directory) to
+    (filesystem, file-path) pairs via pyarrow.fs — the same layer the
+    distributed read uses, so header validation can't reject inputs
+    the read itself would handle."""
+    from pyarrow import fs as pafs
+
+    for p in paths:
+        try:
+            fsys, rel = pafs.FileSystem.from_uri(p)
+        except (pa.ArrowInvalid, ValueError):
+            fsys, rel = pafs.LocalFileSystem(), p
+        info = fsys.get_file_info(rel)
+        if info.type == pafs.FileType.Directory:
+            sel = pafs.FileSelector(rel, recursive=True)
+            for fi in fsys.get_file_info(sel):
+                if fi.type == pafs.FileType.File:
+                    yield fsys, fi.path
+        else:
+            yield fsys, rel
+
+
 def read_corpus_csv(
     paths,
     columns: list[str],
@@ -35,9 +57,13 @@ def read_corpus_csv(
 
     ``columns`` names the fields IN FILE ORDER (extra trailing fields are
     ignored; short rows are malformed). With ``header=True`` the first
-    line of each file is validated against ``columns`` and dropped —
-    header validation failures always raise (a wrong schema is never a
-    skippable row).
+    line of EVERY input file is validated against ``columns`` (through
+    pyarrow.fs, so remote URIs and directories work) and header lines
+    are dropped by content equality inside the sharded parse — the one
+    line-sharded-reader caveat being that a DATA row byte-identical to
+    the header is dropped too (documented; impossible when any column is
+    numeric). ``header=False`` never drops rows. Header validation
+    failures always raise — a wrong schema is never a skippable row.
     """
     import ray
 
@@ -45,6 +71,7 @@ def read_corpus_csv(
         paths = [paths]
     ncol = len(columns)
     expected_header = list(columns)
+    drop_header_lines = bool(header)
 
     def parse_block(batch: pa.Table) -> pa.Table:
         lines = batch["text"].to_pylist()
@@ -63,7 +90,7 @@ def read_corpus_csv(
 
                 warnings.warn(f"skipping malformed CSV line: {e}")
                 continue
-            if fields == expected_header:
+            if drop_header_lines and fields == expected_header:
                 continue  # header line of some shard
             if len(fields) < ncol:
                 if strict:
@@ -83,15 +110,20 @@ def read_corpus_csv(
         )
 
     if header:
-        # validate the header once on the driver (first line of the
-        # first file) — a schema mismatch must fail loudly, not skip
-        with open(paths[0]) as f:
-            first = f.readline()
-        got = next(_csv.reader(io.StringIO(first), delimiter=delimiter))
-        if got != expected_header:
-            raise ValueError(
-                f"CSV header mismatch: expected {expected_header}, got {got}"
-            )
+        # validate EVERY file's header on the driver (metadata-sized
+        # reads through pyarrow.fs — remote URIs and directories work);
+        # a schema mismatch in ANY shard must fail loudly, not ingest
+        # the stray header as a data row
+        for fsys, rel in _iter_files(paths):
+            with fsys.open_input_stream(rel) as f:
+                head = f.read(1 << 16).decode("utf-8", "replace")
+            first = head.splitlines()[0] if head else ""
+            got = next(_csv.reader(io.StringIO(first), delimiter=delimiter))
+            if got != expected_header:
+                raise ValueError(
+                    f"CSV header mismatch in {rel}: expected "
+                    f"{expected_header}, got {got}"
+                )
 
     return ray.data.read_text(paths).map_batches(
         parse_block, batch_format="pyarrow"

@@ -1846,12 +1846,53 @@ def bloom_semi_join(
             num_partitions=num_partitions,
         )
 
-    bloom = np.zeros((m_bits + 7) // 8, dtype=np.uint8)
-    for batch in distinct.iter_batches(batch_format="pyarrow"):
-        ks = batch["_k"].to_numpy(zero_copy_only=False)
-        for i in range(num_hashes):
-            pos = _bloom_positions(ks, i, m_bits)
-            np.bitwise_or.at(bloom, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    size = (m_bits + 7) // 8
+
+    def _bitmap_of(ks: np.ndarray) -> np.ndarray:
+        """Vectorized bitmap: after np.unique each (byte, bit) pair is
+        distinct, so a weighted bincount of 2^bit per byte EQUALS the
+        bitwise OR — no per-element np.bitwise_or.at scatter (measured
+        ~50× slower at filter scale)."""
+        pos = np.unique(
+            np.concatenate(
+                [_bloom_positions(ks, i, m_bits) for i in range(num_hashes)]
+            )
+        )
+        return np.bincount(
+            pos >> 3,
+            weights=(np.uint8(1) << (pos & 7).astype(np.uint8)).astype(
+                np.float64
+            ),
+            minlength=size,
+        ).astype(np.uint8)
+
+    refs = distinct.to_arrow_refs()
+    if size <= 64 * 1024 * 1024:
+        # distributed build: one partial bitmap task per distinct-key
+        # block, OR-merged on the driver — the build side never funnels
+        # its keys through one core (review finding, round 4)
+        @ray.remote
+        def _partial(tbl: pa.Table) -> np.ndarray:
+            return _bitmap_of(
+                tbl["_k"].to_numpy(zero_copy_only=False)
+                if tbl.num_rows
+                else np.zeros(0, np.int64)
+            )
+
+        bloom = np.zeros(size, dtype=np.uint8)
+        for part in ray.get([_partial.remote(r) for r in refs]):
+            np.bitwise_or(bloom, part, out=bloom)
+    else:
+        # filter too large to ship per-task: pull key blocks and build
+        # with the same vectorized kernel (array OR per block, no .at)
+        bloom = np.zeros(size, dtype=np.uint8)
+        for tbl in ray.get(refs):
+            if tbl.num_rows:
+                np.bitwise_or(
+                    bloom,
+                    _bitmap_of(tbl["_k"].to_numpy(zero_copy_only=False)),
+                    out=bloom,
+                )
     bloom_ref = ray.put(bloom)
 
     def prefilter(batch: pa.Table) -> pa.Table:

@@ -1340,3 +1340,52 @@ def test_k_core_checkpoint_resume(ray_session, tmp_path):
     # resumed run continued past round 3 (new round markers exist)
     rounds = sorted(os.listdir(os.path.join(ckpt, "kcore_round")))
     assert len(rounds) > 3
+
+
+def test_registry_complete_under_both_import_orders():
+    """Importing queries_ext FIRST must not drop late-registered queries
+    (review finding: the mid-module self-register hook copied a partial
+    map; the final hook re-pushes the complete one)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import phrasekit_ray.pipelines.queries_ext\n"
+        "from phrasekit_ray.pipelines.queries import QUERIES\n"
+        "import bench\n"
+        "missing = [n for n in bench.BENCH_QUERY_NAMES if n not in QUERIES]\n"
+        "assert not missing, missing\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-1000:]
+
+
+def test_csv_header_fixes(ray_session, tmp_path):
+    """Review regressions: header=False must not drop header-identical
+    data rows; every file's header validates (not just the first);
+    directory inputs validate through pyarrow.fs."""
+    from phrasekit_ray.sources.csv import read_corpus_csv
+
+    d = tmp_path / "csvs"
+    d.mkdir()
+    (d / "a.csv").write_text("doc_id,text\n1,hello\n")
+    (d / "b.csv").write_text("docid,body\n2,world\n")  # WRONG header
+    with pytest.raises(ValueError, match="header mismatch"):
+        read_corpus_csv(
+            [str(d / "a.csv"), str(d / "b.csv")], ["doc_id", "text"]
+        )
+    # directory input works for validation
+    (d / "b.csv").write_text("doc_id,text\n2,world\n")
+    ds = read_corpus_csv(str(d), ["doc_id", "text"])
+    got = _collect(ds)
+    assert sorted(got["doc_id"].to_pylist()) == ["1", "2"]
+    # header=False: a row equal to the would-be header is DATA
+    p = tmp_path / "nohdr.csv"
+    p.write_text("doc_id,text\n1,hello\n")
+    got = _collect(read_corpus_csv(str(p), ["doc_id", "text"], header=False))
+    assert sorted(got["doc_id"].to_pylist()) == ["1", "doc_id"]
