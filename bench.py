@@ -183,6 +183,7 @@ BENCH_QUERY_NAMES = [
         "q_kg_edge_provenance",
         "q_blocklist_filter",
         "q_mention_contexts",
+        "q_weighted_sample_per_lang",
 ]
 
 

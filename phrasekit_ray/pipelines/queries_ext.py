@@ -3560,3 +3560,47 @@ EXT_ORACLE_SQL.update({"q_mention_contexts": _sql_mention_contexts()})
 # Re-push the COMPLETE maps now that the module is fully defined
 # (idempotent under every import order).
 _self_register()
+
+
+def q_weighted_sample_per_lang(sf_dir: str):
+    """Per-language importance subsample (X127): 10 docs per lang drawn
+    without replacement ∝ n_chars via the per-group Efraimidis–Spirakis
+    race (stages/agg.weighted_stratified_sample)."""
+    import ray
+
+    from phrasekit_ray.stages.agg import weighted_stratified_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    t = _collect(
+        weighted_stratified_sample(docs, "lang", 10, "n_chars", "doc_id")
+    )
+    return _i64(
+        t.take(
+            pc.sort_indices(
+                t, sort_keys=[("lang", "ascending"), ("doc_id", "ascending")]
+            )
+        ),
+        "doc_id", "n_chars",
+    )
+
+
+SQL_WEIGHTED_SAMPLE_PER_LANG = f"""
+WITH r AS (SELECT doc_id, lang, n_chars,
+  ({_sm_sql('CAST(doc_id AS HUGEINT)')}) AS rnk FROM documents),
+kx AS (SELECT doc_id, lang, n_chars,
+  -ln((CAST(rnk AS DOUBLE) + 0.5) / 18446744073709551616.0)
+   / CAST(n_chars AS DOUBLE) AS race
+  FROM r WHERE n_chars > 0),
+rn AS (SELECT doc_id, lang, n_chars, row_number() OVER
+       (PARTITION BY lang ORDER BY race ASC, doc_id ASC) AS rn FROM kx)
+SELECT doc_id, lang, n_chars FROM rn WHERE rn <= 10
+ORDER BY lang, doc_id
+"""
+
+
+EXT_QUERIES.update({"q_weighted_sample_per_lang": q_weighted_sample_per_lang})
+EXT_ORACLE_SQL.update(
+    {"q_weighted_sample_per_lang": SQL_WEIGHTED_SAMPLE_PER_LANG}
+)

@@ -2519,3 +2519,71 @@ def cms_token_topk(
         allc, sort_keys=[("est_count", "descending"), ("tok", "ascending")]
     )
     return allc.take(idx.slice(0, min(k, allc.num_rows)))
+
+
+def weighted_stratified_sample(
+    ds,
+    group_col: str,
+    n_per_group: int,
+    weight_col: str,
+    id_col: str,
+    seed: int = 17,
+    num_partitions: int | None = None,
+):
+    """Per-GROUP weighted sample without replacement (X127 — the
+    per-language/per-source form of ``weighted_sample``): within each
+    group, keep the ``n_per_group`` rows winning the Efraimidis–Spirakis
+    race ``-ln(u(id))/w``. Pure function of (id, weight, seed) →
+    partition-invariant and SQL-exact; weight ≤ 0 / NULL rows never win.
+
+    Scale shape: identical to ``stratified_sample`` — in-block top-n
+    prune per group first, so the exchange ships ≤ n_per_group × blocks
+    rows per group; one vectorized per-PARTITION finalize.
+    """
+    from phrasekit_ray.sources.pages import splitmix17
+
+    num_partitions = default_partitions(num_partitions)
+
+    def _topn(t: pa.Table, extra_drop: list[str], keep_rank=False) -> pa.Table:
+        drop = extra_drop if keep_rank else ["_race"] + extra_drop
+        enc = t[group_col].cast(pa.string()).combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        r = t["_race"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((t[id_col].cast(pa.int64()).to_numpy(
+            zero_copy_only=False), r, codes))
+        codes_s = codes[order]
+        m = len(codes_s)
+        if m == 0:
+            return t.drop_columns(drop)
+        seg = np.flatnonzero(
+            np.concatenate(([True], codes_s[1:] != codes_s[:-1]))
+        )
+        sizes = np.diff(np.concatenate((seg, [m])))
+        pos = np.arange(m) - np.repeat(seg, sizes)
+        sel = order[pos < n_per_group]
+        return t.take(pa.array(np.sort(sel))).drop_columns(drop)
+
+    def rank_and_prune(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = (
+            batch[weight_col]
+            .cast(pa.float64())
+            .to_numpy(zero_copy_only=False)
+        )
+        w = np.nan_to_num(w, nan=0.0)
+        h = splitmix17(ids, seed)
+        u = (h.astype(np.float64) + 0.5) / 18446744073709551616.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            race = -np.log(u) / w
+        race[~(w > 0)] = np.inf
+        t = batch.append_column("_race", pa.array(race, pa.float64()))
+        t = t.filter(pc.is_finite(t["_race"]))
+        pruned = _topn(t, [], keep_rank=True)
+        return pruned.append_column(
+            "_part", _part_column(pruned, [group_col], num_partitions)
+        )
+
+    pruned = ds.map_batches(rank_and_prune, batch_format="pyarrow")
+    return pruned.groupby("_part").map_groups(
+        lambda g: _topn(g, ["_part"]), batch_format="pyarrow"
+    )

@@ -1389,3 +1389,36 @@ def test_csv_header_fixes(ray_session, tmp_path):
     p.write_text("doc_id,text\n1,hello\n")
     got = _collect(read_corpus_csv(str(p), ["doc_id", "text"], header=False))
     assert sorted(got["doc_id"].to_pylist()) == ["1", "doc_id"]
+
+
+def test_weighted_stratified_sample_partition_invariance(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.agg import weighted_stratified_sample
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "g": pa.array([f"g{i % 5}" for i in range(n)]),
+            "w": pa.array(rng.integers(0, 100, n).astype(np.float64)),
+        }
+    )
+    results = []
+    for parts in (1, 7):
+        got = _collect(
+            weighted_stratified_sample(
+                ray.data.from_arrow(t).repartition(parts), "g", 8, "w", "id"
+            )
+        )
+        rows = sorted(zip(got["g"].to_pylist(), got["id"].to_pylist()))
+        results.append(rows)
+        # 8 per group, zero-weight rows excluded
+        import collections
+
+        per = collections.Counter(g for g, _ in rows)
+        assert all(v == 8 for v in per.values())
+        wmap = dict(zip(t["id"].to_pylist(), t["w"].to_pylist()))
+        assert all(wmap[i] > 0 for _, i in rows)
+    assert results[0] == results[1]
