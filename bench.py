@@ -184,6 +184,7 @@ BENCH_QUERY_NAMES = [
         "q_blocklist_filter",
         "q_mention_contexts",
         "q_weighted_sample_per_lang",
+        "q_lang_mismatch",
 ]
 
 

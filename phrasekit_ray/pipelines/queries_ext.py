@@ -3604,3 +3604,50 @@ EXT_QUERIES.update({"q_weighted_sample_per_lang": q_weighted_sample_per_lang})
 EXT_ORACLE_SQL.update(
     {"q_weighted_sample_per_lang": SQL_WEIGHTED_SAMPLE_PER_LANG}
 )
+
+
+def q_lang_mismatch(sf_dir: str):
+    """Label-noise audit (X128): documents whose STORED lang disagrees
+    with the stopword-profile language prediction — the data-quality
+    check run before trusting provenance labels for filtering. One
+    stateless prediction pass + one int-keyed lookup_join."""
+    import ray
+
+    from phrasekit_ray.stages import textstats
+    from phrasekit_ray.stages.agg import lookup_join
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    pred = textstats.language_id(docs).map_batches(
+        lambda b: b.select(["doc_id", "lang_pred"]), batch_format="pyarrow"
+    )
+    labeled = docs.map_batches(
+        lambda b: b.select(["doc_id", "lang"]), batch_format="pyarrow"
+    )
+    joined = lookup_join(labeled, pred, "doc_id", "doc_id")
+
+    def mism(b: pa.Table) -> pa.Table:
+        return b.filter(pc.not_equal(b["lang"], b["lang_pred"]))
+
+    t = _collect(joined.map_batches(mism, batch_format="pyarrow"))
+    return _i64(
+        t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")])),
+        "doc_id",
+    )
+
+
+def _sql_lang_mismatch() -> str:
+    from phrasekit_ray.pipelines.queries import ORACLE_SQL
+
+    langid_sql = ORACLE_SQL["q_langid"]
+    return f"""
+WITH p AS ({langid_sql})
+SELECT d.doc_id, d.lang, p.lang_pred
+FROM documents d JOIN p USING (doc_id)
+WHERE d.lang <> p.lang_pred ORDER BY d.doc_id
+"""
+
+
+EXT_QUERIES.update({"q_lang_mismatch": q_lang_mismatch})
+EXT_ORACLE_SQL.update({"q_lang_mismatch": _sql_lang_mismatch()})
