@@ -185,6 +185,7 @@ BENCH_QUERY_NAMES = [
         "q_mention_contexts",
         "q_weighted_sample_per_lang",
         "q_lang_mismatch",
+        "q_dup_rate_per_source",
 ]
 
 

@@ -3651,3 +3651,101 @@ WHERE d.lang <> p.lang_pred ORDER BY d.doc_id
 
 EXT_QUERIES.update({"q_lang_mismatch": q_lang_mismatch})
 EXT_ORACLE_SQL.update({"q_lang_mismatch": _sql_lang_mismatch()})
+
+
+def q_dup_rate_per_source(sf_dir: str):
+    """Dedup diagnostics per source (X129): which sources are
+    redundant — fraction of each source's docs that sit in a verified
+    MinHash duplicate cluster, in integer basis points. Cluster members
+    attach their source with one int-keyed lookup_join; per-source
+    totals are one two-phase aggregate."""
+    import ray
+
+    from phrasekit_ray.pipelines.queries import _docs
+    from phrasekit_ray.stages import dedup
+    from phrasekit_ray.stages.agg import hash_aggregate, lookup_join
+    from phrasekit_ray.stages.extract import tokenize_documents
+
+    docs_tok = tokenize_documents(_docs(sf_dir))
+    mapping = dedup.near_dedup_minhash(docs_tok, materialize_input=True)
+    srcs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    def ones(b: pa.Table) -> pa.Table:
+        return b.append_column("n", pa.array(np.ones(b.num_rows, np.int64)))
+
+    totals = _collect(
+        hash_aggregate(
+            srcs.map_batches(
+                lambda b: pa.table(
+                    {
+                        "source": b["source"],
+                        "n_docs": pa.array(np.ones(b.num_rows, np.int64)),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            ["source"],
+            [("n_docs", "sum")],
+        )
+    )
+    if mapping:
+        members = ray.data.from_arrow(
+            pa.table(
+                {"doc_id": pa.array(sorted(mapping.keys()), pa.int64())}
+            )
+        )
+        dup_t = _collect(
+            hash_aggregate(
+                lookup_join(members, srcs, "doc_id", "doc_id").map_batches(
+                    lambda b: pa.table(
+                        {
+                            "source": b["source"],
+                            "n_dup": pa.array(
+                                np.ones(b.num_rows, np.int64)
+                            ),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                ),
+                ["source"],
+                [("n_dup", "sum")],
+            )
+        )
+        dmap = dict(
+            zip(dup_t["source"].to_pylist(), dup_t["n_dup"].to_pylist())
+        )
+    else:
+        dmap = {}
+    src_names = totals["source"].to_pylist()
+    n_docs = totals["n_docs"].to_pylist()
+    n_dup = [int(dmap.get(s, 0)) for s in src_names]
+    bp = [10000 * d // n for d, n in zip(n_dup, n_docs)]
+    t = pa.table(
+        {
+            "source": pa.array(src_names, pa.string()),
+            "n_docs": pa.array(n_docs, pa.int64()),
+            "n_dup": pa.array(n_dup, pa.int64()),
+            "dup_bp": pa.array(bp, pa.int64()),
+        }
+    )
+    return t.take(pc.sort_indices(t, sort_keys=[("source", "ascending")]))
+
+
+def _sql_dup_rate_per_source() -> str:
+    from phrasekit_ray.pipelines.queries import _sql_minhash
+
+    return f"""
+WITH m AS ({_sql_minhash()}),
+tot AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+dup AS (SELECT d.source, COUNT(*) AS n_dup
+        FROM m JOIN documents d USING (doc_id) GROUP BY d.source)
+SELECT tot.source, tot.n_docs, COALESCE(dup.n_dup, 0) AS n_dup,
+       (10000 * COALESCE(dup.n_dup, 0)) // tot.n_docs AS dup_bp
+FROM tot LEFT JOIN dup USING (source) ORDER BY tot.source
+"""
+
+
+EXT_QUERIES.update({"q_dup_rate_per_source": q_dup_rate_per_source})
+EXT_ORACLE_SQL.update({"q_dup_rate_per_source": _sql_dup_rate_per_source()})
