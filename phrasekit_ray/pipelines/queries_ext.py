@@ -551,7 +551,28 @@ FROM documents d LEFT JOIN (
 """
 
 
-EXT_QUERIES = {
+class _SyncedDict(dict):
+    """Registry map that PUSHES every update into the driver registry in
+    queries.py immediately (review finding, round 4): appending
+    registrations after any fixed "final hook" silently stranded them
+    when this module was imported first. With the push inside update(),
+    no registration can be stranded under ANY import order."""
+
+    def __init__(self, target_name: str):
+        super().__init__()
+        self._target = target_name
+
+    def update(self, *a, **k):  # type: ignore[override]
+        super().update(*a, **k)
+        from phrasekit_ray.pipelines import queries as _q
+
+        tgt = getattr(_q, self._target, None)
+        if tgt is not None:
+            dict.update(tgt, self)
+
+
+EXT_QUERIES = _SyncedDict("QUERIES")
+EXT_QUERIES.update({
     "q_shipping_priority": q_shipping_priority,
     "q_events_range_window": q_events_range_window,
     "q_chunk_dedup": q_chunk_dedup,
@@ -562,9 +583,10 @@ EXT_QUERIES = {
     "q_search_top2": q_search_top2,
     "q_bm25_search": q_bm25_search,
     "q_lm_bigram_nll": q_lm_bigram_nll,
-}
+})
 
-EXT_ORACLE_SQL = {
+EXT_ORACLE_SQL = _SyncedDict("ORACLE_SQL")
+EXT_ORACLE_SQL.update({
     "q_shipping_priority": SQL_SHIPPING_PRIORITY,
     "q_events_range_window": SQL_EVENTS_RANGE_WINDOW,
     "q_chunk_dedup": SQL_CHUNK_DEDUP,
@@ -575,7 +597,7 @@ EXT_ORACLE_SQL = {
     "q_search_top2": SQL_SEARCH_TOP2,
     "q_bm25_search": SQL_BM25_SEARCH,
     "q_lm_bigram_nll": SQL_LM_BIGRAM_NLL,
-}
+})
 
 
 _EXT_MODULE_LOADED = True  # sentinel: import completed past the maps
