@@ -284,3 +284,65 @@ def test_excise_duplicate_spans_equals_naive(ray_session, docs, k):
     ref = _naive_excise([(" ".join(d)).split(" ") for d in docs], k)
     assert gt["clean_text"].to_pylist() == [r[0] for r in ref]
     assert gt["n_removed"].to_pylist() == [r[1] for r in ref]
+
+
+def _naive_mix(ids, sources, rates, default=1.0, seed=17):
+    out = []
+    for i, s in zip(ids, sources):
+        r = rates.get(s, default)
+        h = (np.uint64(i) + np.uint64(seed)) * np.uint64(0x9E3779B97F4A7C15)
+        h = (h ^ (h >> np.uint64(31))) * np.uint64(0xBF58476D1CE4E5B9)
+        u = (np.float64(h) + 0.5) / 2.0**64
+        n = int(np.floor(r)) + (1 if u < r - np.floor(r) else 0)
+        out.extend((i, c) for c in range(n))
+    return sorted(out)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=0,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.fixed_dictionaries(
+        {
+            "a": st.sampled_from([0.0, 0.5, 1.0, 2.5]),
+            "b": st.sampled_from([0.25, 1.0, 3.0]),
+        }
+    ),
+)
+def test_mix_corpora_equals_naive(ray_session, rows, rates):
+    import ray
+    import warnings
+
+    from phrasekit_ray.stages.mix import mix_corpora
+
+    with np.errstate(over="ignore"), warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        want = _naive_mix(
+            [r[0] for r in rows], [r[1] for r in rows], rates
+        )
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "source": pa.array([r[1] for r in rows]),
+        }
+    )
+    got = mix_corpora(ray.data.from_arrow(t).repartition(3), "source", rates, "doc_id")
+    import ray as _r
+
+    tabs = [
+        x
+        for x in _r.get(got.materialize().to_arrow_refs())
+        if x.num_columns and x.num_rows
+    ]
+    if not tabs:
+        assert want == []
+        return
+    gt = pa.concat_tables(tabs, promote_options="default")
+    assert sorted(zip(gt["doc_id"].to_pylist(), gt["copy"].to_pylist())) == want
