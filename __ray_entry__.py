@@ -40,75 +40,71 @@ def entry() -> Any:
     return res.edges
 
 
-# Driver-facing ordering. The driver's per-round oracle snapshot has
-# historically covered the FIRST 50 registered queries (CORRECTNESS_r02 and
-# _r03 both contain exactly the first 50 insertion-order keys), leaving 38
-# registered queries verified only by the identical in-repo DuckDB harness
-# (tests/test_queries_oracle.py). Per VERDICT r3 item 1 we rotate: the 38
-# not-yet-driver-certified queries come first, then 12 flagship
-# previously-green queries fill the 50-slot window, then the remainder.
-# The full registry is unchanged — only presentation order differs.
-# Mapping documented in README.md ("Driver query ordering").
+# Driver-facing ordering. The driver's per-round oracle snapshot covers the
+# FIRST 50 registered queries (observed in CORRECTNESS_r02-r04). Per VERDICT
+# r4 item 2, round 5 rotates the final backlog into the window: the 37
+# queries never yet seen by any driver window (union of CORRECTNESS_r01-r04)
+# come first, then the two round-4 hash-red re-certification rows (oracle
+# decimal128 casts fixed this round), then flagship previously-green anchors
+# fill the 50-slot window, then the remainder. Once r5 is green, every one
+# of the 131 registered queries has been driver-certified at least once and
+# this rotation preamble can be deleted. The full registry is unchanged —
+# only presentation order differs. Mapping documented in README.md
+# ("Driver query ordering").
 _DRIVER_FIRST: list[str] = [
-    # 38 registered-but-not-yet-driver-certified (r03 gap), oldest first
-    "q_sample_docs_per_lang",
-    "q_customers_without_orders",
-    "q_parts_in_lineitem",
-    "q_unique_tokens_per_lang",
-    "q_approx_unique_tokens_per_lang",
-    "q_knn_ivf",
-    "q_embedding_centroids",
-    "q_top_terms_per_lang",
-    "q_tag_policies",
-    "q_events_tumbling",
-    "q_events_numbered",
-    "q_events_session_ids",
-    "q_events_hopping",
-    "q_events_asof_join",
-    "q_shipping_priority",
+    # 37 never-driver-certified (union of CORRECTNESS_r01-r04), oldest first
+    "q_repeat_orders_30d",
+    "q_latest_event_per_user",
+    "q_events_moving_sum",
+    "q_lineitem_small_parts",
+    "q_event_types_per_user",
+    "q_events_time_weighted",
+    "q_returned_revenue_by_nation",
+    "q_events_value_histogram_quantiles",
+    "q_click_purchase_attribution",
+    "q_events_funnel",
+    "q_mode_event_type",
+    "q_events_value_zscore",
+    "q_doc_chunks",
+    "q_dup_ngram_docs",
+    "q_quality_filter",
+    "q_host_pagerank",
+    "q_dedup_keep_best",
+    "q_random_projection",
+    "q_quality_percent_rank",
+    "q_hybrid_rrf",
+    "q_graph_kcore",
+    "q_graph_assortativity",
+    "q_props_extract",
+    "q_cms_top_tokens",
+    "q_anchor_texts",
+    "q_canonical_urls",
+    "q_warc_roundtrip",
+    "q_corpus_diff",
+    "q_centroid_confusion",
+    "q_orc_interop",
+    "q_corpus_entropy",
+    "q_kg_edge_provenance",
+    "q_blocklist_filter",
+    "q_mention_contexts",
+    "q_weighted_sample_per_lang",
+    "q_lang_mismatch",
+    "q_dup_rate_per_source",
+    # 2 re-certification rows: r4 hash-red from uncast DuckDB sum()
+    # (decimal128 vs int64); oracle SQL now casts to BIGINT
     "q_events_range_window",
-    "q_chunk_dedup",
-    "q_graph_triangles",
-    "q_graph_khop",
-    "q_local_supplier_volume",
-    "q_lm_nll",
-    "q_search_top2",
-    "q_bm25_search",
-    "q_lm_bigram_nll",
-    "q_events_lead_lag",
-    "q_lineitem_corr",
-    "q_users_click_and_purchase",
-    "q_users_click_not_purchase",
     "q_full_outer_revenue",
-    "q_bpe_merges",
-    "q_fuzzy_part_tokens",
-    "q_events_running_total",
-    "q_events_pivot",
-    "q_corpus_split",
-    "q_graph_communities",
-    "q_events_rank",
-    "q_pack_bins",
-    "q_events_unpivot",
-    # 6 flagship re-certification anchors (green in r02 and r03)
+    # flagship re-certification anchors (driver-green r2-r4)
     "q_kg_triples_flagship",
     "q_mine_bigrams",
     "q_score_ratio",
     "q_tag_all_mentions",
     "q_dedup_minhash",
     "q_clean_corpus",
-    # round-4 NEW oracle-checked queries, prioritized into the window:
-    # distributed hash-min connected components (canonicalization scale
-    # path) vs a recursive-CTE DuckDB transitive closure, plus the five
-    # most web-scale-distinctive round-4 operators (duplicate-span
-    # excision, link-graph extraction, corpus mixing, weighted sampling,
-    # contamination fraction); the remaining round-4 queries follow in
-    # registration order and are covered by the identical in-repo
-    # harness (tests/test_queries_oracle.py)
     "q_graph_components",
     "q_excise_dup_spans",
     "q_link_hostgraph",
     "q_mix_corpora",
-    "q_weighted_sample",
     "q_contamination_fraction",
 ]
 

@@ -136,7 +136,7 @@ def q_events_range_window(sf_dir: str):
 SQL_EVENTS_RANGE_WINDOW = """
 SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
        count(*) OVER w AS n_win,
-       sum(CAST(round(value * 100.0) AS BIGINT)) OVER w AS sum_cents_win
+       CAST(sum(CAST(round(value * 100.0) AS BIGINT)) OVER w AS BIGINT) AS sum_cents_win
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
@@ -821,7 +821,8 @@ WITH c AS (
   SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
 r AS (
   SELECT o_custkey,
-         sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS revenue_cents
+         CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
   FROM orders GROUP BY o_custkey)
 SELECT COALESCE(c.c_custkey, r.o_custkey) AS c_custkey, r.revenue_cents
 FROM c FULL OUTER JOIN r ON c.c_custkey = r.o_custkey

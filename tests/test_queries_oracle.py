@@ -38,10 +38,57 @@ def to_df(obj) -> pd.DataFrame:
     return obj.to_pandas()  # ray Dataset
 
 
+def _arrow_kind(t: pa.DataType) -> str:
+    """Coarse type class used to compare Ray output vs oracle output.
+
+    The driver's value-hash is representation-sensitive: DuckDB's uncast
+    sum(BIGINT) returns HUGEINT -> decimal128(38,0), which hash-mismatches
+    an int64 even when values are equal (VERDICT r4 "What's wrong" 1-2).
+    Guard: any decimal in an oracle schema is an immediate failure, and
+    int-vs-float class mismatches between the two sides fail too.
+    """
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        return "time"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    return str(t)
+
+
 @pytest.mark.parametrize("name", SQL_CHECKED)
 def test_query_matches_oracle(ray_session, con, sf_dir, name):
-    got = normalize(to_df(entrymod.queries()[name](sf_dir)))
-    want = normalize(con.execute(entrymod.oracle_sql()[name]).fetch_df())
+    got_obj = entrymod.queries()[name](sf_dir)
+    got = normalize(to_df(got_obj))
+    want_arrow = con.execute(entrymod.oracle_sql()[name]).fetch_arrow_table()
+    bad = [
+        f.name for f in want_arrow.schema if pa.types.is_decimal(f.type)
+    ]
+    assert not bad, (
+        f"{name}: oracle SQL emits decimal128 column(s) {bad} (DuckDB HUGEINT "
+        f"from an uncast sum?) — add CAST(... AS BIGINT) so the driver's "
+        f"representation-sensitive value-hash can match (VERDICT r4 item 1)"
+    )
+    if isinstance(got_obj, pa.Table):
+        got_schema = got_obj.schema
+    elif isinstance(got_obj, pd.DataFrame):
+        got_schema = pa.Table.from_pandas(got_obj, preserve_index=False).schema
+    else:  # ray Dataset — queries() collect to Table/DataFrame, but be safe
+        got_schema = pa.Table.from_pandas(got, preserve_index=False).schema
+    want_kinds = {f.name: _arrow_kind(f.type) for f in want_arrow.schema}
+    for f in got_schema:
+        if f.name in want_kinds:
+            assert _arrow_kind(f.type) == want_kinds[f.name], (
+                f"{name}.{f.name}: Ray type {f.type} vs oracle type class "
+                f"{want_kinds[f.name]}"
+            )
+    want = normalize(want_arrow.to_pandas())
     assert list(got.columns) == list(want.columns), (
         f"{name} columns: {list(got.columns)} vs {list(want.columns)}"
     )
