@@ -562,13 +562,36 @@ class _SyncedDict(dict):
         super().__init__()
         self._target = target_name
 
-    def update(self, *a, **k):  # type: ignore[override]
-        super().update(*a, **k)
+    def _push(self):
         from phrasekit_ray.pipelines import queries as _q
 
         tgt = getattr(_q, self._target, None)
         if tgt is not None:
             dict.update(tgt, self)
+
+    def update(self, *a, **k):  # type: ignore[override]
+        super().update(*a, **k)
+        self._push()
+
+    # every single-key mutation path pushes too, so a future plain
+    # EXT_QUERIES[name] = fn after module init cannot be stranded from
+    # queries.QUERIES (ADVICE r4; round-4 bug class)
+    def __setitem__(self, key, value):  # type: ignore[override]
+        super().__setitem__(key, value)
+        self._push()
+
+    def setdefault(self, key, default=None):  # type: ignore[override]
+        out = super().setdefault(key, default)
+        self._push()
+        return out
+
+    def __delitem__(self, key):  # type: ignore[override]
+        super().__delitem__(key)
+        from phrasekit_ray.pipelines import queries as _q
+
+        tgt = getattr(_q, self._target, None)
+        if tgt is not None and key in tgt:
+            del tgt[key]
 
 
 EXT_QUERIES = _SyncedDict("QUERIES")
@@ -2758,12 +2781,22 @@ def q_props_extract(sf_dir: str):
     )
 
 
-SQL_PROPS_EXTRACT = """
+# json_extract_int's contract is STRICT-INTEGER (floats/exponents -> NULL),
+# so the twin filters to integral string forms too; an unfiltered
+# json_extract would also count float k values and desync on a future
+# fixture with non-integral props.k (ADVICE r4)
+SQL_PROPS_EXTRACT = r"""
+WITH kx AS (
+  SELECT event_type,
+         CASE WHEN regexp_matches(
+                COALESCE(json_extract_string(props, '$.k'), ''), '^-?\d+$')
+              THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+         END AS kv
+  FROM events)
 SELECT event_type,
-       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
-         AS k_sum,
-       count(json_extract(props, '$.k')) AS n
-FROM events GROUP BY event_type ORDER BY event_type
+       CAST(sum(kv) AS BIGINT) AS k_sum,
+       count(kv) AS n
+FROM kx GROUP BY event_type ORDER BY event_type
 """
 
 

@@ -111,8 +111,11 @@ def splitmix17(x: np.ndarray | int, seed: int = 17) -> np.ndarray | np.uint64:
 # link slot j (1-based) targets virtual doc t = splitmix17(8*doc_id+j)
 # % 100003 on host h{t % 16}.example.org. Slot 1 carries a "#top"
 # fragment the extractor must strip. Three junk anchors (relative,
-# fragment-only, mailto) must be dropped by extraction. Anchor bodies
-# are EMPTY so extracted text stays byte-identical to the text column.
+# fragment-only, mailto) must be dropped by extraction; ONLY those junk
+# anchors have empty bodies. Real outlink anchors carry "e{t % 50}"
+# alias bodies (the X117 anchor-text oracle depends on them), so page
+# text extracted from with_links html INCLUDES those alias tokens and
+# is NOT byte-identical to the bare text column (ADVICE r4).
 _LINK_MOD = 100003
 _JUNK_ANCHORS = (
     '<a href="/relative/path"></a><a href="#frag"></a>'

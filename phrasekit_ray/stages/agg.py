@@ -1879,14 +1879,24 @@ def bloom_semi_join(
                 else np.zeros(0, np.int64)
             )
 
+        # OR-merge incrementally with ray.wait — fetch ONE ready partial
+        # at a time so driver residency stays O(size), not
+        # O(blocks × size); unconsumed partials live in the object store
+        # where they can spill (ADVICE r4)
         bloom = np.zeros(size, dtype=np.uint8)
-        for part in ray.get([_partial.remote(r) for r in refs]):
-            np.bitwise_or(bloom, part, out=bloom)
+        pending = [_partial.remote(r) for r in refs]
+        while pending:
+            done, pending = ray.wait(pending, num_returns=1)
+            np.bitwise_or(bloom, ray.get(done[0]), out=bloom)
     else:
-        # filter too large to ship per-task: pull key blocks and build
-        # with the same vectorized kernel (array OR per block, no .at)
+        # filter too large to ship per-task: pull key blocks ONE at a
+        # time (same O(size)+O(block) driver bound) and build with the
+        # same vectorized kernel (array OR per block, no .at)
         bloom = np.zeros(size, dtype=np.uint8)
-        for tbl in ray.get(refs):
+        pending = list(refs)
+        while pending:
+            done, pending = ray.wait(pending, num_returns=1)
+            tbl = ray.get(done[0])
             if tbl.num_rows:
                 np.bitwise_or(
                     bloom,

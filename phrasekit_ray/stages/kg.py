@@ -1509,6 +1509,7 @@ def k_core(
     num_partitions: int | None = None,
     checkpoint_dir: str | None = None,
     checkpoint_partitions: int = 16,
+    input_token: str | None = None,
 ):
     """Distributed k-core (X113): iteratively peel nodes whose
     undirected degree over DISTINCT non-loop edges is < ``k`` until a
@@ -1578,7 +1579,42 @@ def k_core(
 
         from phrasekit_ray.state import lineage
 
-        fp = lineage.fingerprint({"op": "k_core", "k": k})
+        # The fingerprint must identify the INPUT, not just {op, k}:
+        # reusing a checkpoint_dir after the edge set changed would
+        # silently resume from stale edges and return a wrong core
+        # (ADVICE r4). Callers can supply ``input_token`` (e.g. a
+        # source-manifest hash) to skip the extra pass; otherwise we
+        # compute an order-insensitive content signature of the
+        # conformed distinct-edge table — per-block splitmix partial
+        # sums, one row per block on the driver (bounded).
+        if input_token is None:
+            from phrasekit_ray.sources.pages import splitmix17
+
+            def _edge_sig(b: pa.Table) -> pa.Table:
+                a = b["a"].combine_chunks().to_numpy().astype(np.uint64)
+                c = b["b"].combine_chunks().to_numpy().astype(np.uint64)
+                h = splitmix17(
+                    a * np.uint64(0x9E3779B97F4A7C15) ^ splitmix17(c)
+                )
+                with np.errstate(over="ignore"):
+                    s = int(h.sum(dtype=np.uint64))
+                return pa.table(
+                    {
+                        "sig": pa.array([s], pa.uint64()),
+                        "n": pa.array([len(h)], pa.int64()),
+                    }
+                )
+
+            parts = edges.map_batches(
+                _edge_sig, batch_format="pyarrow"
+            ).take_all()
+            sig = sum(int(r["sig"]) for r in parts) % (1 << 64)
+            n_edges = sum(int(r["n"]) for r in parts)
+            input_token = f"{n_edges}:{sig:016x}"
+
+        fp = lineage.fingerprint(
+            {"op": "k_core", "k": k, "input": input_token}
+        )
         last = None
         r = 0
         while lineage.partition_complete(checkpoint_dir, "kcore_round", r, fp):
