@@ -110,13 +110,102 @@ def _ffd_pack_tree(tokens: np.ndarray, capacity: int) -> tuple[np.ndarray, int]:
     return out, n_bins
 
 
+def _ffd_pack_cohort(
+    tokens: np.ndarray, capacity: int
+) -> tuple[np.ndarray, int]:
+    """Exact first-fit-decreasing, vectorized over COHORTS of equal
+    token values (VERDICT r4 item 6 — this removes the per-doc Python
+    loop from the packing hot path).
+
+    Key fact: the input is sorted descending, so it is a sequence of
+    runs of EQUAL values t. Within such a run, first-fit is exactly
+    "walk bins in index order; a bin with residual r >= t absorbs
+    floor(r / t) consecutive items before the walk moves on" — bins
+    before the current one stay ineligible (their residuals are
+    unchanged and were < t), and the current bin stays first-eligible
+    until it no longer fits t. Leftover items open new bins, each
+    absorbing floor(capacity / t) items. One numpy pass per cohort
+    (eligibility mask, per-bin quotas, cumsum + searchsorted cut,
+    np.repeat of bin ids); no per-item work at all. The number of
+    cohorts is bounded by the number of DISTINCT clamped values
+    (≤ capacity), so per-partition cost is O(distinct × bins) in
+    vectorized element ops instead of O(n log bins) interpreted steps.
+
+    Identical placements to `_ffd_pack_scan` / `_ffd_pack_tree` by
+    construction (cross-tested in tests/test_packing.py).
+    """
+    n = len(tokens)
+    out = np.empty(n, np.int64)
+    cap = int(capacity)
+    if n == 0:
+        return out, 0
+    R = np.empty(1024, np.int64)  # bin residuals, grown on demand
+    n_bins = 0
+    # cohort boundaries: runs of equal values in the desc-sorted input
+    change = np.flatnonzero(np.diff(tokens)) + 1
+    bounds = np.concatenate([[0], change, [n]])
+    for ci in range(len(bounds) - 1):
+        s, e = int(bounds[ci]), int(bounds[ci + 1])
+        t = int(tokens[s])
+        k = e - s
+        fill_bins: list[np.ndarray] = []
+        fill_counts: list[np.ndarray] = []
+        if n_bins:
+            Rb = R[:n_bins]
+            elig = np.flatnonzero(Rb >= t)
+            if elig.size:
+                quota = Rb[elig] // t
+                cum = np.cumsum(quota)
+                cut = int(np.searchsorted(cum, k, side="left"))
+                if cut == len(cum):
+                    # every eligible bin fills its full quota
+                    R[elig] -= quota * t
+                    fill_bins.append(elig)
+                    fill_counts.append(quota)
+                    k -= int(cum[-1])
+                else:
+                    # bins before the cut fill fully; the cut bin takes
+                    # the remainder; nothing spills to new bins
+                    used = int(cum[cut - 1]) if cut else 0
+                    rem = k - used
+                    if cut:
+                        R[elig[:cut]] -= quota[:cut] * t
+                        fill_bins.append(elig[:cut])
+                        fill_counts.append(quota[:cut])
+                    b = elig[cut]
+                    R[b] -= rem * t
+                    fill_bins.append(np.array([b], np.int64))
+                    fill_counts.append(np.array([rem], np.int64))
+                    k = 0
+        if k > 0:
+            per_new = cap // t  # >= 1: weights are clamped to <= cap
+            n_new = -(-k // per_new)
+            while n_bins + n_new > len(R):
+                R = np.concatenate([R, np.empty(len(R), np.int64)])
+            counts = np.full(n_new, per_new, np.int64)
+            counts[-1] = k - per_new * (n_new - 1)
+            new_ids = np.arange(n_bins, n_bins + n_new, dtype=np.int64)
+            R[new_ids] = cap - counts * t
+            n_bins += n_new
+            fill_bins.append(new_ids)
+            fill_counts.append(counts)
+        out[s:e] = np.repeat(
+            np.concatenate(fill_bins), np.concatenate(fill_counts)
+        )
+    return out, n_bins
+
+
 def _ffd_pack(tokens: np.ndarray, capacity: int) -> tuple[np.ndarray, int]:
     """First-fit-decreasing over one partition, input already sorted
     descending. The classic FFD bound holds (≤ 11/9·OPT + 6/9 bins).
-    Measured on this container (200k docs / cap 2048 / 19.5k bins):
-    scan 5.17 s → tree 0.70 s (7.4×); tree also wins 3–5× at 16–5k docs.
+    Production uses the cohort-vectorized kernel (no per-doc Python at
+    all); `_ffd_pack_tree` (r4 production) and `_ffd_pack_scan` remain
+    as cross-tested references. Measured on this container, 1M docs /
+    cap 2048 Zipf-ish (Pareto 1.2) lengths, 74.9k bins: tree 2.73 s →
+    cohort 0.09 s (30×), placements identical (tests/test_packing.py
+    differential + BASELINE.md note).
     """
-    return _ffd_pack_tree(tokens, capacity)
+    return _ffd_pack_cohort(tokens, capacity)
 
 
 def pack_sequences(

@@ -168,3 +168,57 @@ def test_ffd_tree_matches_scan_exactly():
     a, na = _ffd_pack_tree(toks, 128)
     b, nb = _ffd_pack_scan(toks, 128)
     assert na == nb == 9000 and np.array_equal(a, b)
+
+
+def test_ffd_cohort_matches_scan_exactly():
+    """The cohort-vectorized production kernel (r5, VERDICT item 6) must
+    produce IDENTICAL placements to the linear-scan reference on any
+    input: random regimes, heavy ties, all-equal, capacity-sized docs,
+    quota-cut boundaries (cohort exactly exhausting / overflowing the
+    eligible bins), and bin-array growth."""
+    from phrasekit_ray.stages.packing import (
+        _ffd_pack,
+        _ffd_pack_cohort,
+        _ffd_pack_scan,
+    )
+
+    rng = np.random.default_rng(11)
+    cases = [
+        np.sort(rng.integers(1, 80, 5000))[::-1],
+        np.sort(rng.integers(1, 129, 3000))[::-1],   # includes t == cap
+        np.full(4000, 17, np.int64),                  # one giant cohort
+        np.sort(rng.zipf(1.5, 6000).clip(1, 128))[::-1],
+        np.array([128, 1], np.int64),
+        np.array([1], np.int64),
+        np.array([], np.int64),
+        np.repeat([64, 32, 16, 8, 4, 2, 1], 300),     # power-of-two quotas
+    ]
+    for toks in cases:
+        toks = np.ascontiguousarray(
+            np.sort(np.asarray(toks, np.int64))[::-1]
+        )
+        a, na = _ffd_pack_scan(toks, 128)
+        b, nb = _ffd_pack_cohort(toks, 128)
+        assert na == nb
+        assert np.array_equal(a, b)
+
+    # randomized fuzz over shapes and capacities
+    for _ in range(60):
+        n = int(rng.integers(1, 1500))
+        cap = int(rng.integers(2, 512))
+        toks = np.sort(rng.integers(1, cap + 1, n))[::-1].astype(np.int64)
+        a, na = _ffd_pack_scan(toks, cap)
+        b, nb = _ffd_pack_cohort(toks, cap)
+        assert na == nb and np.array_equal(a, b), (n, cap)
+
+    # production entry point dispatches to the cohort kernel
+    toks = np.sort(rng.integers(1, 60, 2048))[::-1].astype(np.int64)
+    a, _ = _ffd_pack(toks, 64)
+    b, _ = _ffd_pack_cohort(toks, 64)
+    assert np.array_equal(a, b)
+
+    # growth path: many new bins in one cohort (R array doubles)
+    toks = np.full(9000, 100, np.int64)
+    a, na = _ffd_pack_cohort(toks, 128)
+    b, nb = _ffd_pack_scan(toks, 128)
+    assert na == nb == 9000 and np.array_equal(a, b)
