@@ -4,7 +4,8 @@ Training-data extension. Three decode backends per actor:
 
 - ``backend="numpy"`` — a REAL decoder implemented with numpy alone (no
   PIL/libsndfile/ffmpeg): PNM images (P5 PGM / P6 PPM, binary variants)
-  AND baseline JPEG (pure-numpy codec, core/jpeg.py) with true bilinear
+  AND JPEG — baseline + progressive (pure-numpy codec,
+  core/jpeg.py) — with true bilinear
   resize + area-pooled features, RIFF/WAV PCM-16 audio with per-segment
   mean-|amplitude| filterbank features and real duration, and
   YUV4MPEG2 (y4m) video with uniform frame sampling over the Y plane.
@@ -255,7 +256,8 @@ def _fake_features(payloads: list[bytes | None], dim: int) -> np.ndarray:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Dispatch on magic bytes → float32 grayscale (h, w): binary PNM
-    (P5/P6) or baseline JPEG (pure-numpy codec, core/jpeg.py). Raises
+    (P5/P6) or JPEG, baseline or progressive (pure-numpy codec,
+    core/jpeg.py). Raises
     ValueError on unknown/malformed payloads."""
     if payload[:2] == b"\xff\xd8":
         from phrasekit_ray.core.jpeg import decode_jpeg
@@ -272,11 +274,12 @@ def decode_image(payload: bytes) -> np.ndarray:
 class ImageDecodeActor:
     """media rows → decoded feature rows (actor pool stage).
 
-    backend="numpy" really decodes binary PNM (P5/P6) AND baseline JPEG
+    backend="numpy" really decodes binary PNM (P5/P6) AND JPEG
+    (baseline + progressive)
     payloads (pure-numpy codec, core/jpeg.py — no external library):
     bilinear resize to ``resize`` + area-pooled grayscale features.
     backend="real" uses PIL when installed (feature-detected) for the
-    formats the numpy path doesn't cover (PNG/WebP/progressive JPEG) and
+    formats the numpy path doesn't cover (PNG/WebP/AVIF) and
     raises ImportError with the dependency name when it is not.
     """
 
@@ -295,7 +298,7 @@ class ImageDecodeActor:
             except ImportError as e:
                 raise ImportError(
                     "backend='real' needs Pillow (pip install pillow); "
-                    "backend='numpy' decodes PNM + baseline JPEG without it"
+                    "backend='numpy' decodes PNM + JPEG (incl. progressive) without it"
                 ) from e
 
     def _decode_gray(self, payload: bytes) -> np.ndarray:

@@ -1,4 +1,4 @@
-"""Pure-numpy baseline JPEG codec (core/jpeg.py) — spec goldens,
+"""Pure-numpy JPEG codec (core/jpeg.py), baseline + progressive — spec goldens,
 roundtrips, subsampling, restart markers, rejection of non-baseline
 streams, and the multimodal actor integration (VERDICT r2 item 5)."""
 
@@ -111,11 +111,18 @@ def test_restart_markers_reset_dc_predictors():
     assert np.allclose(img[:, 8:], 112.0)
 
 
-def test_rejects_progressive_and_malformed():
+def test_rejects_unsupported_sof_and_malformed():
     rgb_bytes = jpeg.encode_jpeg(_smooth_rgb(16, 16), 80)
-    progressive = rgb_bytes.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(ValueError, match="baseline"):
-        jpeg.decode_jpeg(progressive)
+    # SOF9 (arithmetic sequential) stays rejected
+    arith = rgb_bytes.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with pytest.raises(ValueError, match="SOF9"):
+        jpeg.decode_jpeg(arith)
+    # a BASELINE body with the marker flipped to SOF2 is NOT a valid
+    # progressive stream (its single scan claims Ss=0,Se=63 — illegal
+    # for a progressive DC scan) and must still raise ValueError
+    fake_prog = rgb_bytes.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(fake_prog)
     with pytest.raises(ValueError):
         jpeg.decode_jpeg(b"\x89PNG\r\n")
     with pytest.raises(ValueError):
@@ -260,9 +267,12 @@ def test_truncated_sof_raises_valueerror():
         jpeg.decode_jpeg(patched)
 
 
-def test_arbitrary_corruption_raises_only_valueerror():
+def test_arbitrary_corruption_raises_only_valueerror(monkeypatch):
     """Fuzz: flipping any single byte of a valid stream must either decode
-    or raise ValueError — never any other exception type."""
+    or raise ValueError — never any other exception type. The pixel cap
+    is tightened so mutations that corrupt the declared dimensions don't
+    spend seconds decoding megapixels of garbage."""
+    monkeypatch.setattr(jpeg, "MAX_DECODE_PIXELS", 64 * 64)
     enc = bytes(jpeg.encode_jpeg(_smooth_rgb(24, 24), quality=75))
     rng = np.random.default_rng(42)
     for _ in range(300):
@@ -282,3 +292,161 @@ def test_truncation_fuzz_raises_only_valueerror():
             jpeg.decode_jpeg(enc[:cut])
         except ValueError:
             pass
+
+
+# --- Progressive (SOF2) decode — VERDICT r4 item 3 ----------------------
+
+
+def test_progressive_decode_matches_baseline_exactly():
+    """encode_jpeg_progressive carries the IDENTICAL quantized
+    coefficients as encode_jpeg (its refinement scans complete down to
+    Al=0), so the two decodes must agree bit-exactly — a full-pipeline
+    differential oracle with no external codec."""
+    rng = np.random.default_rng(3)
+    cases = [
+        (np.full((16, 24), 200.0), "444"),
+        (np.tile(np.arange(64, dtype=np.float64) * 3, (32, 1)), "444"),
+        (_smooth_rgb(), "444"),
+        (_smooth_rgb(37, 41), "420"),
+        (rng.uniform(0, 255, (24, 31, 3)), "444"),
+        (rng.uniform(0, 255, (17, 19)), "444"),
+        ((np.indices((40, 40)).sum(0) % 2 * 255).astype(float), "444"),
+    ]
+    for img, sub in cases:
+        for q in (30, 85, 95):
+            base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, q, subsampling=sub))
+            prog = jpeg.decode_jpeg(
+                jpeg.encode_jpeg_progressive(img, q, subsampling=sub)
+            )
+            assert np.array_equal(base, prog), (img.shape, sub, q)
+
+
+def test_progressive_stream_is_sof2_multiscan():
+    data = jpeg.encode_jpeg_progressive(_smooth_rgb(16, 16), 85)
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data[:200]
+    assert data.count(b"\xff\xda") == 10  # libjpeg default color script
+
+
+def test_ac_refine_unit_fuzz_roundtrip():
+    """Unit-level fuzz of the hardest scan type: AC refinement with
+    EOB runs + positioned correction bits. Encoder and decoder must
+    invert each other for arbitrary sparse coefficient blocks and
+    arbitrary spectral bands."""
+    rng = np.random.default_rng(0)
+    enc_tab = jpeg._build_huff_encode(
+        jpeg.PROG_AC_LUM_BITS, jpeg.PROG_AC_LUM_VALS
+    )
+    dec_tab = jpeg._build_huff_decode(
+        jpeg.PROG_AC_LUM_BITS, jpeg.PROG_AC_LUM_VALS
+    )
+    for _ in range(300):
+        nb = int(rng.integers(1, 8))
+        ct = np.zeros((nb, 64), np.int64)
+        mask = rng.random((nb, 64)) < rng.uniform(0.02, 0.95)
+        vals = rng.integers(-8, 9, (nb, 64))
+        ct[mask] = vals[mask]
+        ss = int(rng.integers(1, 10))
+        se = int(rng.integers(ss, 64))
+        ah = int(rng.integers(1, 3))
+        al = ah - 1
+        e = {"samp": [(1, 1)], "w": nb * 8, "h": 8, "hmax": 1, "vmax": 1,
+             "mcux": nb, "mcuy": 1, "bw": [nb], "coefs": [ct]}
+        w = jpeg._BitWriter()
+        jpeg._emit_ac_scan(e, 0, ss, se, ah, al, enc_tab, w)
+        w.flush()
+        data = bytes(w.out) + b"\xff\xd9"
+        a = np.abs(ct)
+        state = (np.sign(ct) * ((a >> ah) << ah)).astype(np.int64)
+        want = state.copy()
+        want[:, ss:se + 1] = (
+            np.sign(ct) * ((a >> al) << al)
+        ).astype(np.int64)[:, ss:se + 1]
+        reader = jpeg._BitReader(data, 0)
+        eobrun = 0
+        for row in range(nb):
+            eobrun = jpeg._ac_refine_unit(
+                reader, dec_tab, state, row, ss, se, al, eobrun
+            )
+        assert np.array_equal(state, want)
+
+
+def test_progressive_handcrafted_dc_only_golden():
+    """Minimal SOF2 stream assembled byte by byte from T.81 Annex G:
+    a DC-first scan at Al=1 (diff +4 → value 8 after shift) then a DC
+    refinement scan appending bit 0 — same flat-144 golden as the
+    baseline handcrafted test."""
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes([16] * 64)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) \
+        + bytes([1, 0x11, 0])
+    out += b"\xff\xc4" + struct.pack(">H", 19 + 12) + bytes([0x00]) \
+        + bytes(jpeg.DC_LUM_BITS) + bytes(jpeg.DC_LUM_VALS)
+    # scan 1: DC first, Ss=0 Se=0 Ah=0 Al=1; DC diff +4 = sym 3 (code
+    # 100) + mag 100; pad 1s → 1001 0011
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00]) \
+        + bytes([0, 0, 0x01])
+    out += bytes([0b10010011])
+    # scan 2: DC refine, Ah=1 Al=0: one bit (0); pad 1s
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00]) \
+        + bytes([0, 0, 0x10])
+    out += bytes([0b01111111])
+    out += b"\xff\xd9"
+    img = jpeg.decode_jpeg(bytes(out))
+    assert img.shape == (8, 8)
+    # DC = (4<<1 | 0) = 8 → 8·16 = 128 → flat 16 + 128 = 144
+    assert np.allclose(img, 144.0)
+
+
+def test_progressive_corruption_raises_only_valueerror(monkeypatch):
+    monkeypatch.setattr(jpeg, "MAX_DECODE_PIXELS", 64 * 64)
+    enc = bytes(jpeg.encode_jpeg_progressive(_smooth_rgb(24, 24), 75))
+    rng = np.random.default_rng(7)
+    for _ in range(300):
+        pos = int(rng.integers(2, len(enc)))
+        val = int(rng.integers(0, 256))
+        mutated = enc[:pos] + bytes([val]) + enc[pos + 1:]
+        try:
+            jpeg.decode_jpeg(mutated)
+        except ValueError:
+            pass
+    for cut in range(2, len(enc), max(1, len(enc) // 97)):
+        try:
+            jpeg.decode_jpeg(enc[:cut])
+        except ValueError:
+            pass
+
+
+def test_image_actor_decodes_progressive_payloads(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.multimodal import ImageDecodeActor
+
+    rgb = _smooth_rgb(32, 32)
+    base = jpeg.encode_jpeg(rgb, 85)
+    prog = jpeg.encode_jpeg_progressive(rgb, 85)
+    rows = pa.table(
+        {
+            "media_id": pa.array(["base", "prog"]),
+            "media_type": pa.array(["image"] * 2),
+            "payload": pa.array([base, prog], pa.binary()),
+            "width": pa.array([32, 32], pa.int32()),
+            "height": pa.array([32, 32], pa.int32()),
+            "duration_ms": pa.array([-1, -1], pa.int32()),
+        }
+    )
+    out = (
+        ray.data.from_arrow(rows)
+        .map_batches(
+            ImageDecodeActor,
+            fn_constructor_kwargs=dict(backend="numpy", feature_dim=16),
+            batch_format="pyarrow",
+            concurrency=1,
+            batch_size=8,
+        )
+        .to_pandas()
+        .set_index("media_id")
+    )
+    assert bool(out.loc["base", "decoded_ok"])
+    assert bool(out.loc["prog", "decoded_ok"])
+    # identical coefficients → identical decoded features
+    assert np.allclose(out.loc["base", "features"], out.loc["prog", "features"])
