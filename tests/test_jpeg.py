@@ -450,3 +450,48 @@ def test_image_actor_decodes_progressive_payloads(ray_session):
     assert bool(out.loc["prog", "decoded_ok"])
     # identical coefficients → identical decoded features
     assert np.allclose(out.loc["base", "features"], out.loc["prog", "features"])
+
+
+def test_progressive_restart_markers_reset_predictors():
+    """Progressive DC scans honor DRI/RSTn: predictors reset at each
+    restart in both the first and the refinement scan (handcrafted
+    stream, same 144/112 golden as the baseline restart test)."""
+    enc = jpeg._build_huff_encode(jpeg.DC_LUM_BITS, jpeg.DC_LUM_VALS)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes([16] * 64)
+    out += b"\xff\xdd" + struct.pack(">HH", 4, 1)  # DRI = 1 MCU
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 16, 1) \
+        + bytes([1, 0x11, 0])
+    out += b"\xff\xc4" + struct.pack(">H", 19 + 12) + bytes([0x00]) \
+        + bytes(jpeg.DC_LUM_BITS) + bytes(jpeg.DC_LUM_VALS)
+
+    def dc_bits(diff):
+        w = jpeg._BitWriter()
+        t, mag = jpeg._magnitude(diff)
+        code, ln = enc[t]
+        w.write(code, ln)
+        if t:
+            w.write(mag, t)
+        w.flush()
+        return bytes(w.out)
+
+    # scan 1: DC first Al=1; +4 then −4 ABSOLUTE across the restart
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00]) \
+        + bytes([0, 0, 0x01])
+    out += dc_bits(4) + b"\xff\xd0" + dc_bits(-4)
+    # scan 2: DC refine Al=0, one 0-bit per block, restart between
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00]) \
+        + bytes([0, 0, 0x10])
+    w = jpeg._BitWriter()
+    w.write(0, 1)
+    w.flush()
+    out += bytes(w.out) + b"\xff\xd0"
+    w = jpeg._BitWriter()
+    w.write(0, 1)
+    w.flush()
+    out += bytes(w.out)
+    out += b"\xff\xd9"
+    img = jpeg.decode_jpeg(bytes(out))
+    assert img.shape == (8, 16)
+    assert np.allclose(img[:, :8], 144.0)
+    assert np.allclose(img[:, 8:], 112.0)
