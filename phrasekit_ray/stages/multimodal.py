@@ -4,8 +4,8 @@ Training-data extension. Three decode backends per actor:
 
 - ``backend="numpy"`` — a REAL decoder implemented with numpy alone (no
   PIL/libsndfile/ffmpeg): PNM images (P5 PGM / P6 PPM, binary variants)
-  AND JPEG — baseline + progressive (pure-numpy codec,
-  core/jpeg.py) — with true bilinear
+  AND JPEG — baseline + progressive (core/jpeg.py) — AND PNG (all
+  color types / bit depths / Adam7, core/png.py) with true bilinear
   resize + area-pooled features, RIFF/WAV PCM-16 audio with per-segment
   mean-|amplitude| filterbank features and real duration, and
   YUV4MPEG2 (y4m) video with uniform frame sampling over the Y plane.
@@ -256,30 +256,44 @@ def _fake_features(payloads: list[bytes | None], dim: int) -> np.ndarray:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Dispatch on magic bytes → float32 grayscale (h, w): binary PNM
-    (P5/P6) or JPEG, baseline or progressive (pure-numpy codec,
-    core/jpeg.py). Raises
-    ValueError on unknown/malformed payloads."""
+    (P5/P6), JPEG (baseline or progressive, core/jpeg.py), or PNG (all
+    color types / bit depths / Adam7, core/png.py). Raises ValueError
+    on unknown/malformed payloads."""
     if payload[:2] == b"\xff\xd8":
         from phrasekit_ray.core.jpeg import decode_jpeg
 
         img = decode_jpeg(payload)
-        if img.ndim == 3:  # luma per BT.601, matching decode_pnm's gray
-            img = (
-                0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
-            ).astype(np.float32)
-        return img
+        return _to_luma(img)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from phrasekit_ray.core.png import decode_png
+
+        return _to_luma(decode_png(payload))
     return decode_pnm(payload)
+
+
+def _to_luma(img: np.ndarray) -> np.ndarray:
+    """(h,w) passthrough; RGB → BT.601 luma; RGBA → composite over
+    white THEN luma (a transparent pixel reads as background, matching
+    what a browser renders on a white page)."""
+    if img.ndim == 2:
+        return img.astype(np.float32)
+    if img.shape[2] == 4:
+        a = img[..., 3:4] / 255.0
+        img = img[..., :3] * a + 255.0 * (1.0 - a)
+    return (
+        0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+    ).astype(np.float32)
 
 
 class ImageDecodeActor:
     """media rows → decoded feature rows (actor pool stage).
 
-    backend="numpy" really decodes binary PNM (P5/P6) AND JPEG
-    (baseline + progressive)
+    backend="numpy" really decodes binary PNM (P5/P6), JPEG
+    (baseline + progressive), AND PNG (all color types/depths, Adam7)
     payloads (pure-numpy codec, core/jpeg.py — no external library):
     bilinear resize to ``resize`` + area-pooled grayscale features.
     backend="real" uses PIL when installed (feature-detected) for the
-    formats the numpy path doesn't cover (PNG/WebP/AVIF) and
+    formats the numpy path doesn't cover (WebP/AVIF/GIF) and
     raises ImportError with the dependency name when it is not.
     """
 
@@ -298,7 +312,7 @@ class ImageDecodeActor:
             except ImportError as e:
                 raise ImportError(
                     "backend='real' needs Pillow (pip install pillow); "
-                    "backend='numpy' decodes PNM + JPEG (incl. progressive) without it"
+                    "backend='numpy' decodes PNM + JPEG + PNG without it"
                 ) from e
 
     def _decode_gray(self, payload: bytes) -> np.ndarray:
