@@ -5,7 +5,9 @@ Training-data extension. Three decode backends per actor:
 - ``backend="numpy"`` — a REAL decoder implemented with numpy alone (no
   PIL/libsndfile/ffmpeg): PNM images (P5 PGM / P6 PPM, binary variants)
   AND JPEG — baseline + progressive (core/jpeg.py) — AND PNG (all
-  color types / bit depths / Adam7, core/png.py) with true bilinear
+  color types / bit depths / Adam7, core/png.py) AND GIF (LZW,
+  interlace, transparency, animation compositing, core/gif.py) with
+  true bilinear
   resize + area-pooled features, RIFF/WAV PCM-16 audio with per-segment
   mean-|amplitude| filterbank features and real duration, and
   YUV4MPEG2 (y4m) video with uniform frame sampling over the Y plane.
@@ -268,6 +270,11 @@ def decode_image(payload: bytes) -> np.ndarray:
         from phrasekit_ray.core.png import decode_png
 
         return _to_luma(decode_png(payload))
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from phrasekit_ray.core.gif import decode_gif
+
+        frames, _delays = decode_gif(payload)
+        return _to_luma(frames[0].astype(np.float32))
     return decode_pnm(payload)
 
 
@@ -289,11 +296,11 @@ class ImageDecodeActor:
     """media rows → decoded feature rows (actor pool stage).
 
     backend="numpy" really decodes binary PNM (P5/P6), JPEG
-    (baseline + progressive), AND PNG (all color types/depths, Adam7)
+    (baseline + progressive), AND PNG (all color types/depths, Adam7) AND GIF
     payloads (pure-numpy codec, core/jpeg.py — no external library):
     bilinear resize to ``resize`` + area-pooled grayscale features.
     backend="real" uses PIL when installed (feature-detected) for the
-    formats the numpy path doesn't cover (WebP/AVIF/GIF) and
+    formats the numpy path doesn't cover (WebP/AVIF) and
     raises ImportError with the dependency name when it is not.
     """
 
@@ -312,7 +319,7 @@ class ImageDecodeActor:
             except ImportError as e:
                 raise ImportError(
                     "backend='real' needs Pillow (pip install pillow); "
-                    "backend='numpy' decodes PNM + JPEG + PNG without it"
+                    "backend='numpy' decodes PNM + JPEG + PNG + GIF without it"
                 ) from e
 
     def _decode_gray(self, payload: bytes) -> np.ndarray:
