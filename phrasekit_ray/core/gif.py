@@ -225,3 +225,68 @@ def _decode_gif_blocks(payload: bytes) -> tuple[list[np.ndarray], list[int]]:
     if not frames:
         raise ValueError("GIF has no image frames")
     return frames, delays
+
+
+def encode_gif(
+    idx: np.ndarray, palette: np.ndarray, transparent: int | None = None
+) -> bytes:
+    """Single-frame GIF89a from an index raster + palette, using the
+    classic 'uncompressed LZW' encoding (literal codes with a CLEAR
+    every 2^m−2 codes so the decoder's table never forces a width
+    bump). Used by the media-synthesis fixture stage and differential
+    tests; the decoder handles real compressed streams too."""
+    idx = np.asarray(idx, np.uint8)
+    palette = np.asarray(palette, np.uint8).reshape(-1, 3)
+    h, w = idx.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    if int(idx.max(initial=0)) >= len(palette):
+        raise ValueError("index out of palette range")
+    bits = max(1, int(np.ceil(np.log2(max(len(palette), 2)))))
+    n = 1 << bits
+    out = bytearray(b"GIF89a")
+    out += int(w).to_bytes(2, "little") + int(h).to_bytes(2, "little")
+    out += bytes([0x80 | (bits - 1), 0, 0])
+    pal = np.zeros((n, 3), np.uint8)
+    pal[: len(palette)] = palette
+    out += pal.tobytes()
+    if transparent is not None:
+        out += bytes([0x21, 0xF9, 4, 1, 0, 0, int(transparent), 0])
+    out += bytes([0x2C, 0, 0, 0, 0])
+    out += int(w).to_bytes(2, "little") + int(h).to_bytes(2, "little")
+    out += bytes([0])
+    mcs = max(2, bits)
+    clear = 1 << mcs
+    eoi = clear + 1
+    width = mcs + 1
+    acc = 0
+    nb = 0
+    packed = bytearray()
+
+    def put(code: int):
+        nonlocal acc, nb
+        acc |= code << nb
+        nb += width
+        while nb >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            nb -= 8
+
+    put(clear)
+    run = 0
+    for v in idx.reshape(-1):
+        if run == clear - 2:
+            put(clear)
+            run = 0
+        put(int(v))
+        run += 1
+    put(eoi)
+    if nb:
+        packed.append(acc & 0xFF)
+    out += bytes([mcs])
+    data = bytes(packed)
+    for i in range(0, len(data), 255):
+        part = data[i:i + 255]
+        out += bytes([len(part)]) + part
+    out += bytes([0, 0x3B])
+    return bytes(out)

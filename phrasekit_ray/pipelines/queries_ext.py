@@ -3916,3 +3916,74 @@ FROM tot LEFT JOIN dup USING (source) ORDER BY tot.source
 
 EXT_QUERIES.update({"q_dup_rate_per_source": q_dup_rate_per_source})
 EXT_ORACLE_SQL.update({"q_dup_rate_per_source": _sql_dup_rate_per_source()})
+
+
+def q_media_decode(sf_dir: str):
+    """Multimodal decode pipeline (X17/X76, first-class in r5): per-doc
+    deterministic REAL payloads in four formats (PNM / PNG / JPEG /
+    GIF, every 23rd doc truncated) → ImageDecodeActor pool
+    (backend="numpy": the pure-numpy codecs) → per-format decode stats.
+    Not SQL-expressible (binary codecs); rows-only with the invariant
+    columns in-band: n_bad must equal the corrupted count for the
+    deterministic formats (exactness asserted in
+    tests/test_multimodal.py::test_q_media_decode_stats)."""
+    import ray
+
+    from phrasekit_ray.stages.agg import hash_aggregate
+    from phrasekit_ray.stages.multimodal import (
+        decode_images,
+        synthesize_media_from_documents,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    media = synthesize_media_from_documents(docs)
+    decoded = decode_images(
+        media, concurrency=(1, 4), batch_size=64,
+        backend="numpy", feature_dim=16,
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        mid = b["media_id"].combine_chunks()
+        fmt = pc.replace_substring_regex(mid, "_.*$", "")
+        ok = b["decoded_ok"].combine_chunks().cast(pa.int64())
+        # quantized mean feature of successfully decoded rows — pins the
+        # actual pixel path, not just the ok bit
+        feats = b["features"].combine_chunks()
+        off = feats.offsets.to_numpy(zero_copy_only=False)
+        vals = feats.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        sums = np.add.reduceat(
+            np.concatenate([vals, [0.0]]), off[:-1]
+        ) if len(off) > 1 else np.zeros(0)
+        sums = np.where(np.diff(off) == 0, 0.0, sums)
+        fsum = pc.if_else(
+            pc.equal(ok, 1), pa.array(sums, pa.float64()), pa.scalar(0.0)
+        )
+        return pa.table(
+            {
+                "format": fmt,
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
+                "n_ok": ok,
+                "feat_sum_e3": pc.round(
+                    pc.multiply(fsum, 1000.0)
+                ).cast(pa.int64()),
+            }
+        )
+
+    t = _collect(
+        hash_aggregate(
+            decoded.map_batches(prep, batch_format="pyarrow"),
+            ["format"],
+            [("n", "sum"), ("n_ok", "sum"), ("feat_sum_e3", "sum")],
+        )
+    )
+    t = t.take(pc.sort_indices(t, sort_keys=[("format", "ascending")]))
+    bad = pc.subtract(t["n"], t["n_ok"])
+    return _i64(
+        t.append_column("n_bad", bad.combine_chunks().cast(pa.int64())),
+        "n", "n_ok", "feat_sum_e3",
+    )
+
+
+EXT_QUERIES.update({"q_media_decode": q_media_decode})

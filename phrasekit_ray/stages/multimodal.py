@@ -627,3 +627,60 @@ def synth_media_table(n: int = 32, seed: int = 5) -> pa.Table:
         },
         schema=MEDIA_SCHEMA,
     )
+
+
+def synthesize_media_from_documents(docs_ds, side: int = 16,
+                                    corrupt_every: int = 23):
+    """documents → deterministic MEDIA_SCHEMA rows with REAL encoded
+    payloads, one per doc, format by doc_id % 4 (pnm / png / jpeg /
+    gif), pixels derived from splitmix17(doc_id) so any partitioning
+    yields identical bytes. Every ``corrupt_every``-th doc_id ships a
+    truncated payload (decoded_ok=false is part of the contract, not an
+    error path). The per-image encode loop is inherent — entropy coders
+    don't vectorize across images — and runs inside map_batches tasks,
+    parallel across blocks; this is the fixture half of the X17 media
+    pipeline (decode half = ImageDecodeActor)."""
+    from phrasekit_ray.core.gif import encode_gif
+    from phrasekit_ray.core.jpeg import encode_jpeg
+    from phrasekit_ray.core.png import encode_png
+    from phrasekit_ray.sources.pages import splitmix17
+
+    _FMT = ("pnm", "png", "jpeg", "gif")
+
+    def synth(batch: pa.Table) -> pa.Table:
+        dids = batch["doc_id"].combine_chunks().cast(pa.int64()).to_numpy()
+        ids, types, payloads, ws, hs, ds_ = [], [], [], [], [], []
+        gray_pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+        yy, xx = np.mgrid[0:side, 0:side]
+        for d in dids.tolist():
+            base = int(splitmix17(np.uint64(d)) % np.uint64(199))
+            img = ((base + xx + 2 * yy) % 256).astype(np.uint8)
+            f = _FMT[d % 4]
+            if f == "pnm":
+                p = (f"P5 {side} {side} 255\n".encode() + img.tobytes())
+            elif f == "png":
+                p = encode_png(img, "cycle")
+            elif f == "jpeg":
+                p = encode_jpeg(img.astype(np.float64), 90)
+            else:
+                p = encode_gif(img, gray_pal)
+            if corrupt_every and d % corrupt_every == 0:
+                p = p[: max(4, len(p) // 2)]
+            ids.append(f"{f}_{d}")
+            types.append("image")
+            payloads.append(p)
+            ws.append(side)
+            hs.append(side)
+            ds_.append(-1)
+        return pa.table(
+            {
+                "media_id": pa.array(ids),
+                "media_type": pa.array(types),
+                "payload": pa.array(payloads, pa.binary()),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+                "duration_ms": pa.array(ds_, pa.int32()),
+            }
+        )
+
+    return docs_ds.map_batches(synth, batch_format="pyarrow")

@@ -267,3 +267,40 @@ def test_pool2d_smaller_than_grid_is_finite():
     out = multimodal._pool2d_to_dim(img, 32)  # grid g=6 > 4
     assert out.shape == (32,)
     assert np.isfinite(out).all()
+
+
+def test_q_media_decode_stats(ray_session, sf_dir):
+    """q_media_decode (X17 first-class query, r5): per-format counts
+    match the synthesis rule exactly — n = docs/4 per format, and for
+    the formats whose truncation detection is deterministic (pnm, png,
+    gif) n_bad equals the corrupted-doc count; JPEG truncation may
+    decode leniently (bit reader pads past EOI) so only the upper bound
+    is pinned."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    out = (
+        entrymod.queries()["q_media_decode"](sf_dir)
+        .to_pandas()
+        .set_index("format")
+    )
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    fmts = ("pnm", "png", "jpeg", "gif")
+    expected_n = {f: 0 for f in fmts}
+    expected_bad = {f: 0 for f in fmts}
+    for d in range(n_docs):
+        f = fmts[d % 4]
+        expected_n[f] += 1
+        if d % 23 == 0:
+            expected_bad[f] += 1
+    for f in fmts:
+        assert int(out.loc[f, "n"]) == expected_n[f]
+        assert int(out.loc[f, "n"]) == int(out.loc[f, "n_ok"]) + int(
+            out.loc[f, "n_bad"]
+        )
+        if f == "jpeg":
+            assert int(out.loc[f, "n_bad"]) <= expected_bad[f]
+        else:
+            assert int(out.loc[f, "n_bad"]) == expected_bad[f]
+        assert int(out.loc[f, "feat_sum_e3"]) > 0
