@@ -186,6 +186,7 @@ BENCH_QUERY_NAMES = [
         "q_weighted_sample_per_lang",
         "q_lang_mismatch",
         "q_dup_rate_per_source",
+        "q_media_decode",
 ]
 
 
