@@ -46,13 +46,24 @@ class SpellCorrectorStub:
 
 
 class PhraseMatcherRuntime:
-    """Thread-safe, hot-reloadable in-process matcher."""
+    """Thread-safe, hot-reloadable in-process matcher.
 
-    def __init__(self) -> None:
+    Unlike the reference — whose stats latency fields are stubbed zeros
+    (matcher.rs:139-151) — this runtime MEASURES match latency: a fixed
+    4096-slot ring of microsecond samples (bounded memory, O(1) per
+    call) feeding real p50_us/p95_us in ``stats()``. Disable with
+    ``track_latency=False`` for exact reference-stub parity."""
+
+    _RING = 4096
+
+    def __init__(self, track_latency: bool = True) -> None:
         self._lock = threading.Lock()
         self._artifact: Optional[MatcherArtifact] = None
         self._spell = None
         self._hits = 0
+        self._track = track_latency
+        self._lat_us = [0.0] * self._RING
+        self._lat_n = 0  # total samples ever; ring slot = n % _RING
 
     # -- lifecycle (reference lib/phrasekit.rb:13-36) -------------------
 
@@ -81,6 +92,13 @@ class PhraseMatcherRuntime:
     def encode_tokens(self, tokens: Sequence[str]) -> list[int]:
         return self._require().encode_tokens(tokens).tolist()
 
+    def _record_us(self, t0: float) -> None:
+        if self._track:
+            self._lat_us[self._lat_n % self._RING] = (
+                time.perf_counter() - t0
+            ) * 1e6
+            self._lat_n += 1
+
     def match_tokens(
         self,
         token_ids: Sequence[int],
@@ -88,7 +106,10 @@ class PhraseMatcherRuntime:
         max_matches: int = 32,
     ) -> list[dict]:
         self._hits += 1
-        return self._require().match_ids(token_ids, policy, max_matches)
+        t0 = time.perf_counter()
+        out = self._require().match_ids(token_ids, policy, max_matches)
+        self._record_us(t0)
+        return out
 
     def match_text_tokens(
         self,
@@ -100,13 +121,24 @@ class PhraseMatcherRuntime:
         if self._spell is not None:
             tokens = [self._spell.correct(t) for t in tokens]
         self._hits += 1
-        return self._require().match_tokens(tokens, policy, max_matches)
+        t0 = time.perf_counter()
+        out = self._require().match_tokens(tokens, policy, max_matches)
+        self._record_us(t0)
+        return out
 
     # -- health / stats (reference lib/phrasekit.rb:61-79) --------------
 
     def stats(self) -> dict:
         s = self._require().stats()
         s["hits_total"] = self._hits
+        if self._track and self._lat_n > 0:
+            import numpy as np
+
+            n = min(self._lat_n, self._RING)
+            lat = np.asarray(self._lat_us[:n])
+            s["p50_us"] = int(np.percentile(lat, 50))
+            s["p95_us"] = int(np.percentile(lat, 95))
+            s["latency_samples"] = n
         return s
 
     def healthcheck(self) -> dict:

@@ -93,3 +93,34 @@ def test_stats_and_healthcheck(rt):
     assert s["patterns"] == 3
     h = rt.healthcheck()
     assert h.get("loaded") or h.get("status") in ("ok", "healthy", True)
+
+
+def _loaded_runtime(**kw):
+    r = PhraseMatcherRuntime(**kw)
+    r.load(fixture_artifact())
+    return r
+
+
+def test_stats_latency_percentiles_measured():
+    """r5: the runtime MEASURES p50/p95 match latency (the reference
+    stubs them to zero — matcher.rs:139-151); track_latency=False
+    restores exact stub parity. The ring is bounded at 4096 samples."""
+    rt = _loaded_runtime()
+    for _ in range(50):
+        rt.match_text_tokens("the rat cdk10 oligo".split())
+    s = rt.stats()
+    assert s["latency_samples"] == 50
+    assert s["p95_us"] >= s["p50_us"] > 0
+
+    rt2 = _loaded_runtime(track_latency=False)
+    rt2.match_text_tokens("the rat cdk10 oligo".split())
+    s2 = rt2.stats()
+    assert s2["p50_us"] == 0 and s2["p95_us"] == 0  # reference parity
+    assert "latency_samples" not in s2
+
+    # ring wrap: total counter keeps rising, samples cap at the ring
+    rt._lat_n = rt._RING - 2
+    for _ in range(5):
+        rt.match_tokens([1, 2, 3])
+    s3 = rt.stats()
+    assert s3["latency_samples"] == rt._RING
