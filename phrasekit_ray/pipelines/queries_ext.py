@@ -3987,3 +3987,163 @@ def q_media_decode(sf_dir: str):
 
 
 EXT_QUERIES.update({"q_media_decode": q_media_decode})
+
+
+def q_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means with an EXACT SQL oracle (X131): k=8
+    centroids over the embeddings table, 3 fixed iterations, centroids
+    carried as (int64 code sums, count) so the distributed reduction is
+    order-independent; per-cluster size + inertia in integer micro-units
+    (see stages/cluster.py for the exactness argument). One broadcast +
+    one k-row two-phase aggregate per iteration — O(k·dim) driver state,
+    corpus always streaming."""
+    import ray
+
+    from phrasekit_ray.stages.cluster import kmeans_cluster_stats
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kmeans_cluster_stats(emb, k=8, iters=3)
+
+
+def _sql_kmeans(k: int = 8, iters: int = 3, scale: float = 512.0) -> str:
+    """Unrolled Lloyd iteration chain — the same fixed float64
+    expressions over the same exact int64 aggregates as
+    stages/cluster.py (assignment f_j = −2·dot/cnt + ss/cnt²; ties →
+    smallest j; empty clusters keep the previous state via COALESCE)."""
+    s = f"""
+WITH e AS (SELECT vec_id,
+    generate_subscripts(embedding, 1) - 1 AS d,
+    CAST(round(CAST(unnest(embedding) AS DOUBLE) * {scale}) AS BIGINT)
+      AS code
+  FROM embeddings),
+seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
+          FROM (SELECT DISTINCT vec_id FROM embeddings
+                ORDER BY vec_id LIMIT {k})),
+c0 AS (SELECT s.j, e.d, e.code AS sd, CAST(1 AS BIGINT) AS cnt
+       FROM seeds s JOIN e ON e.vec_id = s.vec_id)"""
+    prev = "c0"
+    for i in range(1, iters + 1):
+        s += f""",
+m{i} AS (SELECT j, CAST(SUM(sd * sd) AS BIGINT) AS ss, MIN(cnt) AS cnt
+         FROM {prev} GROUP BY 1),
+d{i} AS (SELECT e.vec_id, c.j, CAST(SUM(e.code * c.sd) AS BIGINT) AS dot
+         FROM e JOIN {prev} c USING (d) GROUP BY 1, 2),
+a{i} AS (SELECT vec_id, j FROM (
+           SELECT d.vec_id, d.j, row_number() OVER (
+             PARTITION BY d.vec_id ORDER BY
+               (-2.0 * CAST(d.dot AS DOUBLE)) / CAST(m.cnt AS DOUBLE)
+               + CAST(m.ss AS DOUBLE)
+                 / (CAST(m.cnt AS DOUBLE) * CAST(m.cnt AS DOUBLE)) ASC,
+               d.j ASC) AS rn
+           FROM d{i} d JOIN m{i} m USING (j)) WHERE rn = 1),
+f{i} AS (SELECT a.j, e.d, CAST(SUM(e.code) AS BIGINT) AS sd,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM a{i} a JOIN e ON e.vec_id = a.vec_id GROUP BY 1, 2),
+c{i} AS (SELECT p.j, p.d, COALESCE(f.sd, p.sd) AS sd,
+                COALESCE(f.cnt, p.cnt) AS cnt
+         FROM {prev} p LEFT JOIN f{i} f ON f.j = p.j AND f.d = p.d)"""
+        prev = f"c{i}"
+    T = iters + 1
+    s += f""",
+m{T} AS (SELECT j, CAST(SUM(sd * sd) AS BIGINT) AS ss, MIN(cnt) AS cnt
+         FROM {prev} GROUP BY 1),
+d{T} AS (SELECT e.vec_id, c.j, CAST(SUM(e.code * c.sd) AS BIGINT) AS dot
+         FROM e JOIN {prev} c USING (d) GROUP BY 1, 2),
+a{T} AS (SELECT vec_id, j, dot FROM (
+           SELECT d.vec_id, d.j, d.dot, row_number() OVER (
+             PARTITION BY d.vec_id ORDER BY
+               (-2.0 * CAST(d.dot AS DOUBLE)) / CAST(m.cnt AS DOUBLE)
+               + CAST(m.ss AS DOUBLE)
+                 / (CAST(m.cnt AS DOUBLE) * CAST(m.cnt AS DOUBLE)) ASC,
+               d.j ASC) AS rn
+           FROM d{T} d JOIN m{T} m USING (j)) WHERE rn = 1),
+xx AS (SELECT vec_id, CAST(SUM(code * code) AS BIGINT) AS sxx
+       FROM e GROUP BY 1),
+st AS (SELECT a.j AS cluster, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(xx.sxx) AS BIGINT) AS sxx,
+              CAST(SUM(a.dot) AS BIGINT) AS sxs
+       FROM a{T} a JOIN xx USING (vec_id) GROUP BY 1)
+SELECT st.cluster, st.n,
+  CAST(round(((CAST(st.sxx AS DOUBLE)
+      - 2.0 * CAST(st.sxs AS DOUBLE) / CAST(m.cnt AS DOUBLE)
+      + CAST(st.n AS DOUBLE) * CAST(m.ss AS DOUBLE)
+        / (CAST(m.cnt AS DOUBLE) * CAST(m.cnt AS DOUBLE)))
+     / ({scale} * {scale})) * 1000000.0) AS BIGINT) AS inertia_micro
+FROM st JOIN m{T} m ON m.j = st.cluster
+ORDER BY st.cluster"""
+    return s
+
+
+SQL_KMEANS = _sql_kmeans(8, 3, 512.0)
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-shaped semantic near-dup removal (X132): nearest-seed
+    cluster assignment + keep-first intra-cluster cosine pruning at
+    τ = 19/20, the entire duplicate decision in exact int64 (see
+    stages/cluster.py). Returns the full (vec_id, cluster, is_dup)
+    audit table."""
+    import ray
+
+    from phrasekit_ray.stages.cluster import semantic_dedup
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    t = _collect(semantic_dedup(emb, n_seeds=8))
+    return t.take(
+        pc.sort_indices(t, sort_keys=[("vec_id", "ascending")])
+    )
+
+
+SQL_SEMANTIC_DEDUP = """
+WITH e AS (SELECT vec_id,
+    generate_subscripts(embedding, 1) - 1 AS d,
+    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 512.0) AS BIGINT)
+      AS code
+  FROM embeddings),
+seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
+          FROM (SELECT DISTINCT vec_id FROM embeddings
+                ORDER BY vec_id LIMIT 8)),
+sc AS (SELECT s.j, e.d, e.code AS sd
+       FROM seeds s JOIN e ON e.vec_id = s.vec_id),
+snrm AS (SELECT j, sqrt(CAST(SUM(sd * sd) AS DOUBLE)) AS nrm
+         FROM sc GROUP BY 1),
+dot AS (SELECT e.vec_id, sc.j, CAST(SUM(e.code * sc.sd) AS BIGINT) AS dp
+        FROM e JOIN sc USING (d) GROUP BY 1, 2),
+asg AS (SELECT vec_id, j AS cluster FROM (
+          SELECT dot.vec_id, dot.j, row_number() OVER (
+            PARTITION BY dot.vec_id
+            ORDER BY CAST(dp AS DOUBLE) / nrm DESC, dot.j ASC) AS rn
+          FROM dot JOIN snrm USING (j)) WHERE rn = 1),
+n2 AS (SELECT vec_id, CAST(SUM(code * code) AS BIGINT) AS nn
+       FROM e GROUP BY 1),
+pair AS (SELECT a.vec_id AS i, b.vec_id AS jv,
+                CAST(SUM(ea.code * eb.code) AS BIGINT) AS dp
+         FROM asg a JOIN asg b
+           ON b.cluster = a.cluster AND b.vec_id < a.vec_id
+         JOIN e ea ON ea.vec_id = a.vec_id
+         JOIN e eb ON eb.vec_id = b.vec_id AND eb.d = ea.d
+         GROUP BY 1, 2),
+dup AS (SELECT DISTINCT p.i AS vec_id
+        FROM pair p
+        JOIN n2 ni ON ni.vec_id = p.i
+        JOIN n2 nj ON nj.vec_id = p.jv
+        WHERE p.dp > 0 AND 400 * p.dp * p.dp >= 361 * ni.nn * nj.nn)
+SELECT a.vec_id, a.cluster,
+       CASE WHEN dup.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
+FROM asg a LEFT JOIN dup USING (vec_id)
+ORDER BY a.vec_id
+"""
+
+
+EXT_QUERIES.update({
+    "q_kmeans": q_kmeans,
+    "q_semantic_dedup": q_semantic_dedup,
+})
+EXT_ORACLE_SQL.update({
+    "q_kmeans": SQL_KMEANS,
+    "q_semantic_dedup": SQL_SEMANTIC_DEDUP,
+})

@@ -1,0 +1,163 @@
+"""Distributed k-means + SemDeDup semantic dedup (stages/cluster.py).
+
+The SQL-oracle equivalence is covered by the parametrized harness in
+test_queries_oracle.py (q_kmeans / q_semantic_dedup); these tests pin
+the algorithmic properties a SQL twin can't express: exactness vs a
+single-process numpy reference, keep-first semantics, the hot-cluster
+cap's one-sided (miss-only) contract, and the int64-overflow guard.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from phrasekit_ray.stages.cluster import (
+    _assign_to_centroids,
+    kmeans_cluster_stats,
+    kmeans_fit,
+    quantize_codes,
+    semantic_dedup,
+)
+
+
+def _emb_table(sf_dir):
+    return pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+
+def _ref_kmeans(tbl: pa.Table, k=8, iters=3, scale=512.0):
+    """Single-process Lloyd on the identical exact-int state machine."""
+    ids = np.asarray(tbl["vec_id"], np.int64)
+    codes = quantize_codes(tbl, "embedding", scale)
+    order = np.argsort(ids, kind="stable")[:k]
+    sums = codes[order].copy()
+    counts = np.ones(len(order), np.int64)
+    for _ in range(iters):
+        lab = _assign_to_centroids(codes, sums, counts)
+        new_sums, new_counts = sums.copy(), counts.copy()
+        for j in range(len(counts)):
+            m = lab == j
+            if m.any():
+                new_sums[j] = codes[m].sum(axis=0)
+                new_counts[j] = int(m.sum())
+        sums, counts = new_sums, new_counts
+    return sums, counts, _assign_to_centroids(codes, sums, counts)
+
+
+def test_kmeans_matches_numpy_reference(ray_session, sf_dir):
+    import ray
+
+    tbl = _emb_table(sf_dir)
+    sums_r, counts_r, lab_r = _ref_kmeans(tbl)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    sums, counts, _ = kmeans_fit(ds, k=8, iters=3)
+    # the distributed int-sum state must be BIT-identical to the
+    # single-process reference (order-independence of int64 sums)
+    assert np.array_equal(sums, sums_r)
+    assert np.array_equal(counts, counts_r)
+    stats = kmeans_cluster_stats(ds, k=8, iters=3)
+    n_by_cluster = dict(
+        zip(stats["cluster"].to_pylist(), stats["n"].to_pylist())
+    )
+    ref_sizes = {
+        int(j): int((lab_r == j).sum())
+        for j in np.unique(lab_r)
+    }
+    assert n_by_cluster == ref_sizes
+    # inertia is nonnegative and finite
+    assert all(v >= 0 for v in stats["inertia_micro"].to_pylist())
+
+
+def test_kmeans_runs_are_deterministic(ray_session, sf_dir):
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    a = kmeans_cluster_stats(ds, k=8, iters=3)
+    b = kmeans_cluster_stats(ds, k=8, iters=3)
+    assert a.equals(b)
+
+
+def _dedup_table(ds, **kw):
+    t = pa.concat_tables(
+        list(
+            semantic_dedup(ds, n_seeds=8, **kw).iter_batches(
+                batch_format="pyarrow"
+            )
+        ),
+        promote_options="default",
+    )
+    return t.sort_by("vec_id")
+
+
+def test_semantic_dedup_keep_first_semantics(ray_session, sf_dir):
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = _dedup_table(ds)
+    tbl = _emb_table(sf_dir)
+    ids = np.asarray(tbl["vec_id"], np.int64)
+    codes = quantize_codes(tbl, "embedding", 512.0)
+    order = np.argsort(ids, kind="stable")
+    ids, codes = ids[order], codes[order]
+    o_ids = np.asarray(out["vec_id"], np.int64)
+    assert np.array_equal(o_ids, ids)
+    cluster = np.asarray(out["cluster"], np.int64)
+    is_dup = np.asarray(out["is_dup"], np.int64)
+    n2 = (codes * codes).sum(axis=1)
+    # exact reference: i dup iff exists j<i in same cluster passing the
+    # int64 test 400·dp² ≥ 361·n2ᵢ·n2ⱼ with dp>0
+    for i in range(len(ids)):
+        hit = False
+        for j in range(i):
+            if cluster[j] != cluster[i]:
+                continue
+            dp = int(codes[i] @ codes[j])
+            if dp > 0 and 400 * dp * dp >= 361 * int(n2[i]) * int(n2[j]):
+                hit = True
+                break
+        assert bool(is_dup[i]) == hit, f"vec {ids[i]}"
+
+
+def test_semantic_dedup_cap_only_misses(ray_session, sf_dir):
+    """cluster_cap may only MISS duplicates (cross-salt pairs), never
+    invent one — capped dups ⊆ uncapped dups."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    full = _dedup_table(ds)
+    capped = _dedup_table(ds, cluster_cap=3)
+    dup_full = {
+        v for v, d in zip(full["vec_id"].to_pylist(), full["is_dup"].to_pylist()) if d
+    }
+    dup_cap = {
+        v
+        for v, d in zip(capped["vec_id"].to_pylist(), capped["is_dup"].to_pylist())
+        if d
+    }
+    assert dup_cap <= dup_full
+    # clusters are unchanged by the cap
+    assert capped["cluster"].to_pylist() == full["cluster"].to_pylist()
+
+
+def test_semantic_dedup_overflow_guard(ray_session, sf_dir):
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="int64"):
+        # scale² ·dim blows the exact-arithmetic bound
+        pa_table = semantic_dedup(ds, scale=1 << 20)
+        del pa_table
+    with pytest.raises(ValueError, match="rational"):
+        semantic_dedup(ds, threshold_num=21, threshold_den=20)
