@@ -4147,3 +4147,132 @@ EXT_ORACLE_SQL.update({
     "q_kmeans": SQL_KMEANS,
     "q_semantic_dedup": SQL_SEMANTIC_DEDUP,
 })
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR-style importance weights (X133): hashed-unigram target-vs-raw
+    LM log-ratio per document in integer micro-nats (target slice =
+    lang 'en'; 65536 hash buckets; see stages/textstats.py dsir_weights
+    for the two-pass broadcast shape)."""
+    import ray
+
+    from phrasekit_ray.stages.textstats import dsir_weights
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    t = _collect(dsir_weights(docs, target_lang="en"))
+    return _i64(
+        t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")])),
+        "doc_id", "n_toks", "dsir_micro",
+    )
+
+
+SQL_DSIR_WEIGHTS = """
+WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+th AS (SELECT doc_id, lang,
+              CAST(md5_number_upper(tok) % 65536 AS BIGINT) AS b
+       FROM toks),
+cr AS (SELECT b, count(*) AS c FROM th GROUP BY 1),
+ctg AS (SELECT b, count(*) AS c FROM th WHERE lang = 'en' GROUP BY 1),
+tot AS (SELECT (SELECT count(*) FROM th) AS nr,
+               (SELECT count(*) FROM th WHERE lang = 'en') AS nt),
+lp AS (SELECT th.doc_id,
+        CAST(round(ln((CAST(COALESCE(ctg.c, 0) AS DOUBLE) + 1.0)
+                      / (tot.nt + 65536)) * 1000000.0) AS BIGINT)
+      - CAST(round(ln((CAST(cr.c AS DOUBLE) + 1.0)
+                      / (tot.nr + 65536)) * 1000000.0) AS BIGINT) AS w
+       FROM th JOIN cr USING (b) LEFT JOIN ctg USING (b) CROSS JOIN tot)
+SELECT d.doc_id,
+       COALESCE(s.n_toks, 0) AS n_toks,
+       COALESCE(s.dsir_micro, 0) AS dsir_micro
+FROM documents d LEFT JOIN (
+  SELECT doc_id, count(*) AS n_toks, CAST(SUM(w) AS BIGINT) AS dsir_micro
+  FROM lp GROUP BY 1) s USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+EXT_QUERIES.update({"q_dsir_weights": q_dsir_weights})
+EXT_ORACLE_SQL.update({"q_dsir_weights": SQL_DSIR_WEIGHTS})
+
+
+def q_link_prediction(sf_dir: str):
+    """Common-neighbor / Adamic–Adar link prediction (X134) over the
+    extracted host link graph (X104): every non-adjacent host pair with
+    ≥1 common neighbor, scored cn + aa_micro (stages/kg.link_prediction
+    — middle-partitioned wedge enumeration + packed-key ANTI join).
+
+    The host→int-id dictionary here is driver-side over the AGGREGATED
+    host edge table (bounded by the distinct-host count; at web scale
+    the same adapter uses the global-enumeration stage X19 instead —
+    the scored kernel is fully distributed either way)."""
+    import ray
+
+    from phrasekit_ray.sources.pages import pages_from_documents
+    from phrasekit_ray.stages.extract import extract_links, host_edges
+    from phrasekit_ray.stages.kg import link_prediction
+
+    pages = pages_from_documents(sf_dir, with_links=True)
+    he = _collect(host_edges(extract_links(pages)))
+    src = he["src_host"].to_pylist()
+    dst = he["dst_host"].to_pylist()
+    hosts = sorted(set(src) | set(dst))
+    hid = {h: i for i, h in enumerate(hosts)}
+    edges = pa.table(
+        {
+            "subj": pa.array([hid[h] for h in src], pa.int64()),
+            "obj": pa.array([hid[h] for h in dst], pa.int64()),
+        }
+    )
+    t = _collect(link_prediction(ray.data.from_arrow(edges)))
+    a = t["a"].to_pylist()
+    b = t["b"].to_pylist()
+    out = pa.table(
+        {
+            "host_a": pa.array([hosts[i] for i in a], pa.string()),
+            "host_b": pa.array([hosts[i] for i in b], pa.string()),
+            "cn": t["cn"].cast(pa.int64()),
+            "aa_micro": t["aa_micro"].cast(pa.int64()),
+        }
+    )
+    return out.take(
+        pc.sort_indices(
+            out,
+            sort_keys=[("host_a", "ascending"), ("host_b", "ascending")],
+        )
+    )
+
+
+SQL_LINK_PREDICTION = f"""
+WITH s AS (SELECT doc_id, source, j
+           FROM documents, generate_series(1, 3) AS g(j)),
+l AS (SELECT source, j,
+        ({_sm_sql('CAST(doc_id AS HUGEINT)*8 + CAST(j AS HUGEINT)')})
+          % 100003 AS t,
+        1 + (({_sm_sql('CAST(doc_id AS HUGEINT)*8 + 7')}) % 3) AS n_links
+      FROM s),
+he AS (SELECT source || '.example.org' AS src_host,
+              'h' || CAST(t % 16 AS VARCHAR) || '.example.org' AS dst_host
+       FROM l WHERE j <= n_links),
+e AS (SELECT DISTINCT LEAST(src_host, dst_host) AS u,
+                      GREATEST(src_host, dst_host) AS v
+      FROM he WHERE src_host <> dst_host),
+adj AS (SELECT u AS z, v AS x FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT z, count(*) AS d FROM adj GROUP BY 1),
+p AS (SELECT a.x AS ha, b.x AS hb, d.d
+      FROM adj a JOIN adj b ON b.z = a.z AND b.x > a.x
+      JOIN deg d ON d.z = a.z),
+agg AS (SELECT ha, hb, count(*) AS cn,
+               CAST(SUM(CAST(round(1000000.0 / ln(d)) AS BIGINT))
+                    AS BIGINT) AS aa_micro
+        FROM p GROUP BY 1, 2),
+ne AS (SELECT * FROM agg WHERE NOT EXISTS
+       (SELECT 1 FROM e WHERE e.u = agg.ha AND e.v = agg.hb))
+SELECT ha AS host_a, hb AS host_b, cn, aa_micro FROM ne ORDER BY 1, 2
+"""
+
+
+EXT_QUERIES.update({"q_link_prediction": q_link_prediction})
+EXT_ORACLE_SQL.update({"q_link_prediction": SQL_LINK_PREDICTION})

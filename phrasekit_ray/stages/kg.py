@@ -1679,3 +1679,136 @@ def k_core(
             "(long peel chains — raise max_rounds)"
         )
     return surv
+
+
+def link_prediction(
+    edges_ds,
+    max_middle_degree: int = 0,
+    num_partitions: int | None = None,
+):
+    """Common-neighbor / Adamic–Adar link prediction over the undirected
+    graph: for every NON-adjacent pair (u, v) with ≥1 common neighbor,
+    emit (u, v, cn, aa_micro) where cn = |Γ(u) ∩ Γ(v)| and aa_micro =
+    Σ_{z ∈ Γ(u)∩Γ(v)} round(10⁶ / ln(deg z)) — Adamic–Adar in integer
+    micro-units, so the distributed sum is order-independent and the SQL
+    twin lands on the identical value (common neighbors always have
+    deg ≥ 2, so ln(deg) > 0).
+
+    Distributed shape: canonical distinct undirected edges → adjacency
+    exploded both ways → hash-partition by the MIDDLE node (a node's
+    whole neighborhood co-locates, so deg(z) = its segment length — no
+    degree join needed) → vectorized within-segment pair enumeration
+    (`_segment_pair_positions`, same stride kernel as
+    cooccurrence_edges) → two-phase (cn, aa) aggregate → packed-key ANTI
+    join against the edge set drops existing links. Wedge blowup is
+    Σ C(deg, 2): ``max_middle_degree > 0`` skips hub middles above the
+    cap (the standard miss-only pressure valve for skewed graphs —
+    capped output ⊆ uncapped; off in oracle-checked runs).
+
+    Node ids must fit 31 bits (packed (u,v) anti-join keys), same
+    contract as triangle_counts.
+    """
+    from phrasekit_ray.stages.agg import (
+        default_partitions,
+        hash_aggregate,
+        key_filter_join,
+    )
+
+    num_partitions = default_partitions(num_partitions)
+    und = _canonical_undirected(edges_ds, num_partitions).materialize()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        u = batch["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = batch["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        z = np.concatenate([u, v])
+        x = np.concatenate([v, u])
+        h = (z.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+        return pa.table(
+            {
+                "z": pa.array(z, pa.int64()),
+                "x": pa.array(x, pa.int64()),
+                "_part": pa.array(
+                    (h % np.uint64(num_partitions)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def wedge_pairs(group: pa.Table) -> pa.Table:
+        z = group["z"].combine_chunks().to_numpy(zero_copy_only=False)
+        x = group["x"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((x, z))
+        z, x = z[order], x[order]
+        # edges are distinct → no within-segment dup (z, x) rows
+        pos, seg_len, _ = _segment_positions(z)
+        if max_middle_degree > 0:
+            keep = seg_len <= max_middle_degree
+            z, x = z[keep], x[keep]
+            if len(z) == 0:
+                return pa.table(
+                    {
+                        "a": pa.array([], pa.int64()),
+                        "b": pa.array([], pa.int64()),
+                        "cn": pa.array([], pa.int64()),
+                        "aa_micro": pa.array([], pa.int64()),
+                    }
+                )
+            pos, seg_len, _ = _segment_positions(z)
+        i, j = _segment_pair_positions(z)
+        deg = seg_len[i].astype(np.float64)  # = deg(z) of the middle
+        w = np.where(
+            seg_len[i] >= 2,
+            np.where(
+                np.log(np.maximum(deg, 2.0)) != 0,
+                1e6 / np.log(np.maximum(deg, 2.0)),
+                0.0,
+            ),
+            0.0,
+        )
+        w_micro = np.where(
+            w >= 0, np.floor(w + 0.5), np.ceil(w - 0.5)
+        ).astype(np.int64)
+        a, b = x[i], x[j]  # x sorted within segment → a < b already
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "cn": pa.array(np.ones(len(a), np.int64), pa.int64()),
+                "aa_micro": pa.array(w_micro, pa.int64()),
+            }
+        )
+
+    pair_scores = hash_aggregate(
+        und.map_batches(explode, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(
+            lambda g: wedge_pairs(g.drop_columns(["_part"])),
+            batch_format="pyarrow",
+        ),
+        ["a", "b"],
+        [("cn", "sum"), ("aa_micro", "sum")],
+        num_partitions=num_partitions,
+    )
+
+    PACK = np.int64(1) << np.int64(31)
+
+    def pack_pairs(batch: pa.Table) -> pa.Table:
+        a = batch["a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = batch["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        return batch.append_column("_pk", pa.array(a * PACK + b, pa.int64()))
+
+    def pack_edges(batch: pa.Table) -> pa.Table:
+        u = batch["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = batch["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"_ek": pa.array(u * PACK + v, pa.int64())})
+
+    non_edges = key_filter_join(
+        pair_scores.map_batches(pack_pairs, batch_format="pyarrow"),
+        und.map_batches(pack_edges, batch_format="pyarrow"),
+        "_pk",
+        "_ek",
+        anti=True,
+    )
+    return non_edges.map_batches(
+        lambda b: b.select(["a", "b", "cn", "aa_micro"]),
+        batch_format="pyarrow",
+    )

@@ -514,3 +514,121 @@ def corpus_entropy_stats(ds, text_col: str = "text"):
             ),
         }
     )
+
+
+def dsir_weights(
+    ds,
+    target_lang: str = "en",
+    buckets: int = 65536,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    **kw,
+):
+    """DSIR-style importance weights (Xie et al. 2023 shape): hashed
+    unigram bag-of-words, a unigram LM of the TARGET slice (lang ==
+    ``target_lang``) vs the RAW corpus, per-document importance
+    log-weight Σ_tok [ln p̂_target(b) − ln p̂_raw(b)] over the token's
+    hash bucket b, add-1 smoothed over ``buckets`` buckets.
+
+    Exactness: each ln is rounded to integer MICRO-nats independently
+    (the q_lm_nll technique), so the per-doc sum is an order-independent
+    int64 and the DuckDB twin (md5_number_upper % buckets) lands on the
+    identical value.
+
+    Scale shape: pass 1 streams the corpus once through a two-phase
+    hash_aggregate keyed on bucket (≤ ``buckets`` rows out); the
+    (bucket → weight) table is one ray.put broadcast of 8·buckets bytes;
+    pass 2 streams the corpus once more, one int64 gather + segment-sum
+    per batch. No shuffle wider than the bucket table.
+    """
+    import ray
+
+    from phrasekit_ray.stages.agg import hash_aggregate
+    from phrasekit_ray.stages.dedup import _token_hashes
+    from phrasekit_ray.stages.lm import _round_away_np
+    from phrasekit_ray.stages.score import _get_broadcast
+
+    B = int(buckets)
+
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        toks = normalize.tokenize_string_array(
+            batch[text_col].combine_chunks(), lowercase=False
+        )
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (_token_hashes(toks.values) % np.uint64(B)).astype(np.int64)
+        langs = batch[lang_col].to_pylist()
+        is_tgt = np.repeat(
+            np.fromiter((1 if l == target_lang else 0 for l in langs),
+                        np.int64, count=len(langs)),
+            np.diff(off),
+        )
+        order = np.argsort(b, kind="stable")
+        bs = b[order]
+        seg = np.flatnonzero(np.concatenate(([True], bs[1:] != bs[:-1])))
+        return pa.table(
+            {
+                "bucket": pa.array(bs[seg], pa.int64()),
+                "c_raw": pa.array(
+                    np.diff(np.append(seg, len(bs))).astype(np.int64), pa.int64()
+                ),
+                "c_tgt": pa.array(
+                    np.add.reduceat(is_tgt[order], seg)
+                    if len(seg)
+                    else np.zeros(0, np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    agg = pa.concat_tables(
+        list(
+            hash_aggregate(
+                ds.map_batches(bucket_counts, batch_format="pyarrow"),
+                ["bucket"],
+                [("c_raw", "sum"), ("c_tgt", "sum")],
+            ).iter_batches(batch_format="pyarrow")
+        ),
+        promote_options="default",
+    )
+    cr = np.zeros(B, np.int64)
+    ct = np.zeros(B, np.int64)
+    bk = agg["bucket"].combine_chunks().cast(pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    cr[bk] = agg["c_raw"].combine_chunks().cast(pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    ct[bk] = agg["c_tgt"].combine_chunks().cast(pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    nr, nt = int(cr.sum()), int(ct.sum())
+    lp_t = _round_away_np(
+        np.log((ct + 1.0) / np.float64(nt + B)) * 1e6
+    ).astype(np.int64)
+    lp_r = _round_away_np(
+        np.log((cr + 1.0) / np.float64(nr + B)) * 1e6
+    ).astype(np.int64)
+    w_ref = ray.put(lp_t - lp_r)
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        w = _get_broadcast(w_ref)
+        toks = normalize.tokenize_string_array(
+            batch[text_col].combine_chunks(), lowercase=False
+        )
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (_token_hashes(toks.values) % np.uint64(B)).astype(np.int64)
+        tok_w = w[b]
+        sums = np.add.reduceat(
+            np.concatenate([tok_w, [0]]), off[:-1] - off[0]
+        ) if len(off) > 1 else np.zeros(0, np.int64)
+        sums = np.where(np.diff(off) == 0, 0, sums)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_toks": pa.array(np.diff(off).astype(np.int64), pa.int64()),
+                "dsir_micro": pa.array(sums.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(per_doc, batch_format="pyarrow", **kw)

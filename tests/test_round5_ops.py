@@ -1,0 +1,189 @@
+"""Round-5 additions: DSIR importance weights (X133) and
+common-neighbor/Adamic–Adar link prediction (X134). SQL-oracle
+equivalence runs in test_queries_oracle.py; these pin the properties a
+SQL twin can't express."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _collect(ds):
+    tables = list(ds.iter_batches(batch_format="pyarrow"))
+    return pa.concat_tables(tables, promote_options="default")
+
+
+def test_dsir_target_slice_scores_higher(ray_session, sf_dir):
+    """The defining DSIR property: documents drawn from the target
+    distribution should average a higher importance weight than the
+    rest (the weight is literally the target-vs-raw LM log-ratio)."""
+    import ray
+
+    from phrasekit_ray.stages.textstats import dsir_weights
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    w = _collect(dsir_weights(docs, target_lang="en")).to_pydict()
+    langs = dict(
+        zip(
+            pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])[
+                "doc_id"
+            ].to_pylist(),
+            pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])[
+                "lang"
+            ].to_pylist(),
+        )
+    )
+    tgt = [
+        m / max(n, 1)
+        for d, n, m in zip(w["doc_id"], w["n_toks"], w["dsir_micro"])
+        if langs[d] == "en"
+    ]
+    rest = [
+        m / max(n, 1)
+        for d, n, m in zip(w["doc_id"], w["n_toks"], w["dsir_micro"])
+        if langs[d] != "en"
+    ]
+    assert tgt and rest
+    assert np.mean(tgt) > np.mean(rest)
+
+
+def test_dsir_matches_single_process_reference(ray_session, sf_dir):
+    """Distributed two-pass result == a one-process recomputation over
+    the same md5-bucket hash and micro-nat rounding."""
+    import hashlib
+
+    import ray
+
+    from phrasekit_ray.stages.lm import _round_away_np
+    from phrasekit_ray.stages.textstats import dsir_weights
+
+    docs_tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    B = 65536
+    cr = np.zeros(B, np.int64)
+    ct = np.zeros(B, np.int64)
+    doc_buckets = {}
+    for d, txt, lang in zip(
+        docs_tbl["doc_id"].to_pylist(),
+        docs_tbl["text"].to_pylist(),
+        docs_tbl["lang"].to_pylist(),
+    ):
+        bs = [
+            int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little") % B
+            for t in (txt or "").split()
+        ]
+        doc_buckets[d] = bs
+        for b in bs:
+            cr[b] += 1
+            if lang == "en":
+                ct[b] += 1
+    nt, nr = int(ct.sum()), int(cr.sum())
+    lp_t = _round_away_np(np.log((ct + 1.0) / np.float64(nt + B)) * 1e6).astype(
+        np.int64
+    )
+    lp_r = _round_away_np(np.log((cr + 1.0) / np.float64(nr + B)) * 1e6).astype(
+        np.int64
+    )
+    diff = lp_t - lp_r
+    ref = {
+        d: (len(bs), int(diff[bs].sum()) if bs else 0)
+        for d, bs in doc_buckets.items()
+    }
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    got = _collect(dsir_weights(ds, target_lang="en")).to_pydict()
+    for d, n, m in zip(got["doc_id"], got["n_toks"], got["dsir_micro"]):
+        assert (n, m) == ref[d], f"doc {d}"
+
+
+def _toy_edges():
+    import ray
+
+    # path + square: 1-2-3-4, 4-5, 2-5  (undirected)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "subj": pa.array([1, 2, 3, 4, 2], pa.int64()),
+                "obj": pa.array([2, 3, 4, 5, 5], pa.int64()),
+            }
+        )
+    )
+
+
+def test_link_prediction_toy_graph(ray_session):
+    from phrasekit_ray.stages.kg import link_prediction
+
+    t = _collect(link_prediction(_toy_edges())).to_pydict()
+    got = {
+        (a, b): (cn, aa)
+        for a, b, cn, aa in zip(
+            t["a"], t["b"], t["cn"], t["aa_micro"]
+        )
+    }
+    # adjacency: 1:{2} 2:{1,3,5} 3:{2,4} 4:{3,5} 5:{2,4}
+    # non-edges with common neighbors:
+    #   (1,3) via 2 (deg 3); (1,5) via 2; (3,5) via 2 and 4 (deg 2)
+    #   (2,4) via 3 and 5 (both deg 2)
+    w3 = round(1e6 / np.log(3.0))
+    w2 = round(1e6 / np.log(2.0))
+    assert got == {
+        (1, 3): (1, w3),
+        (1, 5): (1, w3),
+        (3, 5): (2, w3 + w2),
+        (2, 4): (2, w2 + w2),
+    }
+
+
+def test_link_prediction_never_emits_existing_edges(ray_session, sf_dir):
+    import ray
+
+    from phrasekit_ray.pipelines.queries_ext import q_link_prediction  # noqa: F401
+    from phrasekit_ray.sources.pages import pages_from_documents
+    from phrasekit_ray.stages.extract import extract_links, host_edges
+    from phrasekit_ray.stages.kg import link_prediction
+
+    pages = pages_from_documents(sf_dir, with_links=True)
+    he = _collect(host_edges(extract_links(pages)))
+    hosts = sorted(set(he["src_host"].to_pylist()) | set(he["dst_host"].to_pylist()))
+    hid = {h: i for i, h in enumerate(hosts)}
+    edges = pa.table(
+        {
+            "subj": pa.array([hid[h] for h in he["src_host"].to_pylist()], pa.int64()),
+            "obj": pa.array([hid[h] for h in he["dst_host"].to_pylist()], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(edges)
+    out = _collect(link_prediction(ds)).to_pydict()
+    existing = set()
+    for u, v in zip(edges["subj"].to_pylist(), edges["obj"].to_pylist()):
+        if u != v:
+            existing.add((min(u, v), max(u, v)))
+    predicted = set(zip(out["a"], out["b"]))
+    assert predicted and not (predicted & existing)
+    assert all(c >= 1 for c in out["cn"])
+
+
+def test_link_prediction_cap_only_misses(ray_session):
+    """max_middle_degree is a one-sided pressure valve: capped results
+    are a subset of uncapped (hub middles skipped, nothing invented)."""
+    from phrasekit_ray.stages.kg import link_prediction
+
+    full = _collect(link_prediction(_toy_edges())).to_pydict()
+    capped = _collect(link_prediction(_toy_edges(), max_middle_degree=2)).to_pydict()
+    full_pairs = set(zip(full["a"], full["b"]))
+    capped_pairs = set(zip(capped["a"], capped["b"]))
+    assert capped_pairs < full_pairs  # deg-3 middle (node 2) skipped
+    # surviving pairs keep exact (cn, aa) from deg-2 middles only
+    cap_map = {
+        (a, b): (c, w)
+        for a, b, c, w in zip(
+            capped["a"], capped["b"], capped["cn"], capped["aa_micro"]
+        )
+    }
+    w2 = round(1e6 / np.log(2.0))
+    assert cap_map == {(3, 5): (1, w2), (2, 4): (2, 2 * w2)}
