@@ -187,6 +187,11 @@ BENCH_QUERY_NAMES = [
         "q_lang_mismatch",
         "q_dup_rate_per_source",
         "q_media_decode",
+        "q_kmeans",
+        "q_semantic_dedup",
+        "q_dsir_weights",
+        "q_link_prediction",
+        "q_media_probe",
 ]
 
 

@@ -4276,3 +4276,55 @@ SELECT ha AS host_a, hb AS host_b, cn, aa_micro FROM ne ORDER BY 1, 2
 
 EXT_QUERIES.update({"q_link_prediction": q_link_prediction})
 EXT_ORACLE_SQL.update({"q_link_prediction": SQL_LINK_PREDICTION})
+
+
+def q_media_probe(sf_dir: str):
+    """Compressed-container structural probe (X135): deterministic
+    MP4 / IMA-ADPCM-WAV / MP3 / truncated fixtures synthesized per
+    doc_id → MediaProbeActor pool (REAL ISO-BMFF sample-table parse,
+    MP3 frame walk, ADPCM decompress) → per-container decode stats.
+    Rows-only (binary container parsing is not SQL-expressible); the
+    exact per-format counts are pinned by pytest (test_media.py)."""
+    import ray
+
+    from phrasekit_ray.stages.agg import hash_aggregate
+    from phrasekit_ray.stages.multimodal import (
+        probe_media,
+        synthesize_compressed_media_from_documents,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    probed = probe_media(
+        synthesize_compressed_media_from_documents(docs),
+        concurrency=(1, 4), batch_size=64,
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        mid = b["media_id"].combine_chunks()
+        kind = pc.replace_substring_regex(mid, "_.*$", "")
+        ok = b["ok"].combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                "kind": kind,
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
+                "n_ok": ok,
+                "n_units": b["n_units"].combine_chunks().cast(pa.int64()),
+                "duration_ms": b["duration_ms"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    t = _collect(
+        hash_aggregate(
+            probed.map_batches(prep, batch_format="pyarrow"),
+            ["kind"],
+            [("n", "sum"), ("n_ok", "sum"), ("n_units", "sum"),
+             ("duration_ms", "sum")],
+        )
+    )
+    t = t.take(pc.sort_indices(t, sort_keys=[("kind", "ascending")]))
+    return _i64(t, "n", "n_ok", "n_units", "duration_ms")
+
+
+EXT_QUERIES.update({"q_media_probe": q_media_probe})
