@@ -94,6 +94,13 @@ _DRIVER_FIRST: list[str] = [
     # (decimal128 vs int64); oracle SQL now casts to BIGINT
     "q_events_range_window",
     "q_full_outer_revenue",
+    # 5 new round-5 oracle-bearing operators (k-means, SemDeDup, DSIR,
+    # link prediction, product quantization) — never driver-seen
+    "q_kmeans",
+    "q_semantic_dedup",
+    "q_dsir_weights",
+    "q_link_prediction",
+    "q_pq_encode",
     # flagship re-certification anchors (driver-green r2-r4)
     "q_kg_triples_flagship",
     "q_mine_bigrams",
@@ -101,11 +108,6 @@ _DRIVER_FIRST: list[str] = [
     "q_tag_all_mentions",
     "q_dedup_minhash",
     "q_clean_corpus",
-    "q_graph_components",
-    "q_excise_dup_spans",
-    "q_link_hostgraph",
-    "q_mix_corpora",
-    "q_contamination_fraction",
 ]
 
 

@@ -192,6 +192,7 @@ BENCH_QUERY_NAMES = [
         "q_dsir_weights",
         "q_link_prediction",
         "q_media_probe",
+        "q_pq_encode",
 ]
 
 

@@ -4328,3 +4328,96 @@ def q_media_probe(sf_dir: str):
 
 
 EXT_QUERIES.update({"q_media_probe": q_media_probe})
+
+
+def q_pq_encode(sf_dir: str):
+    """Product-quantization codebook training + encoding (X136): M=8
+    subspaces × K=16 codewords trained with the exact-int Lloyd
+    recurrence (stages/cluster.pq_train — ONE streaming pass per
+    iteration for all M×K centroids), then per (vector, subspace) the
+    assigned codeword and quantization error in integer micro-units."""
+    import ray
+
+    from phrasekit_ray.stages.cluster import pq_encode
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    t = _collect(pq_encode(emb, m_subspaces=8, k_codes=16, iters=3))
+    return t.take(
+        pc.sort_indices(
+            t, sort_keys=[("vec_id", "ascending"), ("m", "ascending")]
+        )
+    )
+
+
+def _sql_pq_encode(
+    m_subspaces: int = 8, k: int = 16, iters: int = 3, scale: float = 512.0,
+    dim: int = 64,
+) -> str:
+    """Unrolled product-quantization Lloyd chain: the kmeans twin with
+    every CTE carrying the subspace key m = d // subdim. Same exact-int
+    state machine and float tail as stages/cluster.pq_train/pq_encode."""
+    sub = dim // m_subspaces
+    s = f"""
+WITH e AS (SELECT vec_id,
+    generate_subscripts(embedding, 1) - 1 AS d,
+    (generate_subscripts(embedding, 1) - 1) // {sub} AS m,
+    CAST(round(CAST(unnest(embedding) AS DOUBLE) * {scale}) AS BIGINT)
+      AS code
+  FROM embeddings),
+seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
+          FROM (SELECT DISTINCT vec_id FROM embeddings
+                ORDER BY vec_id LIMIT {k})),
+c0 AS (SELECT s.j, e.m, e.d, e.code AS sd, CAST(1 AS BIGINT) AS cnt
+       FROM seeds s JOIN e ON e.vec_id = s.vec_id)"""
+    prev = "c0"
+    for i in range(1, iters + 2):
+        s += f""",
+m{i} AS (SELECT m, j, CAST(SUM(sd * sd) AS BIGINT) AS ss, MIN(cnt) AS cnt
+         FROM {prev} GROUP BY 1, 2),
+d{i} AS (SELECT e.vec_id, e.m, c.j,
+                CAST(SUM(e.code * c.sd) AS BIGINT) AS dot
+         FROM e JOIN {prev} c USING (d) GROUP BY 1, 2, 3),
+a{i} AS (SELECT vec_id, m, j, dot FROM (
+           SELECT d.vec_id, d.m, d.j, d.dot, row_number() OVER (
+             PARTITION BY d.vec_id, d.m ORDER BY
+               (-2.0 * CAST(d.dot AS DOUBLE)) / CAST(mm.cnt AS DOUBLE)
+               + CAST(mm.ss AS DOUBLE)
+                 / (CAST(mm.cnt AS DOUBLE) * CAST(mm.cnt AS DOUBLE)) ASC,
+               d.j ASC) AS rn
+           FROM d{i} d JOIN m{i} mm ON mm.m = d.m AND mm.j = d.j)
+         WHERE rn = 1)"""
+        if i <= iters:
+            s += f""",
+f{i} AS (SELECT a.j, e.m, e.d, CAST(SUM(e.code) AS BIGINT) AS sd,
+                CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM a{i} a JOIN e ON e.vec_id = a.vec_id AND e.m = a.m
+         GROUP BY 1, 2, 3),
+c{i} AS (SELECT p.j, p.m, p.d, COALESCE(f.sd, p.sd) AS sd,
+                COALESCE(f.cnt, p.cnt) AS cnt
+         FROM {prev} p LEFT JOIN f{i} f
+           ON f.j = p.j AND f.m = p.m AND f.d = p.d)"""
+            prev = f"c{i}"
+    T = iters + 1
+    s += f""",
+xx AS (SELECT vec_id, m, CAST(SUM(code * code) AS BIGINT) AS sxx
+       FROM e GROUP BY 1, 2)
+SELECT a.vec_id, a.m, a.j AS code,
+  CAST(round(((CAST(xx.sxx AS DOUBLE)
+      - 2.0 * CAST(a.dot AS DOUBLE) / CAST(mm.cnt AS DOUBLE)
+      + CAST(mm.ss AS DOUBLE)
+        / (CAST(mm.cnt AS DOUBLE) * CAST(mm.cnt AS DOUBLE)))
+     / ({scale} * {scale})) * 1000000.0) AS BIGINT) AS sub_err_micro
+FROM a{T} a
+JOIN m{T} mm ON mm.m = a.m AND mm.j = a.j
+JOIN xx ON xx.vec_id = a.vec_id AND xx.m = a.m
+ORDER BY a.vec_id, a.m"""
+    return s
+
+
+SQL_PQ_ENCODE = _sql_pq_encode(8, 16, 3, 512.0, 64)
+
+
+EXT_QUERIES.update({"q_pq_encode": q_pq_encode})
+EXT_ORACLE_SQL.update({"q_pq_encode": SQL_PQ_ENCODE})

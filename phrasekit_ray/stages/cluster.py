@@ -436,3 +436,195 @@ def semantic_dedup(
     return assigned.groupby("_part").map_groups(
         per_partition, batch_format="pyarrow"
     )
+
+
+def pq_train(
+    ds,
+    m_subspaces: int = 8,
+    k_codes: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = DEFAULT_SCALE,
+):
+    """Product-quantization codebook training (Jégou et al. 2011 shape):
+    split each vector into ``m_subspaces`` contiguous subvectors and run
+    the SAME exact-int Lloyd recurrence as kmeans_fit independently in
+    every subspace — but in ONE streaming pass per iteration (the
+    per-batch partial aggregates carry the (subspace, code) key, so all
+    M×K centroids update through a single two-phase hash_aggregate).
+
+    Returns (sums, counts): sums (M, K, subdim) int64, counts (M, K)
+    int64 — the exact rational codebook state (centroid = S/C), bitwise
+    reproducible at any parallelism.
+    """
+    import ray
+
+    from phrasekit_ray.stages.agg import hash_aggregate
+    from phrasekit_ray.stages.score import _get_broadcast
+
+    seed_ids, seeds = seed_codes(ds, k_codes, id_col, vec_col, scale)
+    if seeds.shape[0] == 0:
+        raise ValueError("pq_train: empty input dataset")
+    k = seeds.shape[0]
+    dim = seeds.shape[1]
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by M={m_subspaces}")
+    sub = dim // m_subspaces
+    # seed j of subspace m = sub-codes of the (j+1)-th smallest id
+    sums = seeds.reshape(k, m_subspaces, sub).transpose(1, 0, 2).copy()
+    counts = np.ones((m_subspaces, k), np.int64)
+    sum_cols = [f"_s{i}" for i in range(sub)]
+    M, K = m_subspaces, k
+
+    def _assign(codes_r: np.ndarray, s: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # codes_r (n, M, sub); s (M, K, sub); c (M, K) → labels (n, M)
+        dots = np.einsum("nms,mks->nmk", codes_r, s)  # exact int64
+        cf = c.astype(np.float64)
+        ss = (s * s).sum(axis=2)  # (M, K) exact int64
+        f = (-2.0 * dots.astype(np.float64)) / cf + ss.astype(np.float64) / (
+            cf * cf
+        )
+        return np.argmin(f, axis=2).astype(np.int64)
+
+    for _ in range(iters):
+        state_ref = ray.put((sums, counts))
+
+        def partial(batch: pa.Table, _ref=state_ref) -> pa.Table:
+            s, c = _get_broadcast(_ref)
+            codes = quantize_codes(batch, vec_col, scale)
+            codes_r = codes.reshape(-1, M, sub)
+            lab = _assign(codes_r, s, c)  # (n, M)
+            mk = (np.arange(M, dtype=np.int64)[None, :] * K + lab).ravel()
+            flat = codes_r.reshape(-1, sub)  # row order matches mk
+            order = np.argsort(mk, kind="stable")
+            mk_s = mk[order]
+            seg = np.flatnonzero(
+                np.concatenate(([True], mk_s[1:] != mk_s[:-1]))
+            )
+            gsum = np.add.reduceat(flat[order], seg, axis=0)
+            gcnt = np.diff(np.append(seg, len(mk_s)))
+            cols = {
+                "mk": pa.array(mk_s[seg], pa.int64()),
+                "_n": pa.array(gcnt.astype(np.int64), pa.int64()),
+            }
+            for i, name in enumerate(sum_cols):
+                cols[name] = pa.array(gsum[:, i], pa.int64())
+            return pa.table(cols)
+
+        rows = pa.concat_tables(
+            list(
+                hash_aggregate(
+                    ds.map_batches(partial, batch_format="pyarrow"),
+                    ["mk"],
+                    [("_n", "sum")] + [(c, "sum") for c in sum_cols],
+                ).iter_batches(batch_format="pyarrow")
+            ),
+            promote_options="default",
+        )
+        new_sums, new_counts = sums.copy(), counts.copy()
+        mk = rows["mk"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        n = rows["_n"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        gs = (
+            np.stack(
+                [
+                    rows[c].combine_chunks().cast(pa.int64()).to_numpy(
+                        zero_copy_only=False
+                    )
+                    for c in sum_cols
+                ],
+                axis=1,
+            )
+            if rows.num_rows
+            else np.zeros((0, sub), np.int64)
+        )
+        new_sums[mk // K, mk % K] = gs
+        new_counts[mk // K, mk % K] = n
+        sums, counts = new_sums, new_counts
+
+    return sums, counts
+
+
+def pq_encode(
+    ds,
+    m_subspaces: int = 8,
+    k_codes: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = DEFAULT_SCALE,
+):
+    """Train PQ codebooks, then one labeling pass → Dataset(vec_id, m,
+    code, sub_err_micro): per subspace the assigned codeword and the
+    quantization error ||x_m − μ_{m,code}||² in integer micro-units
+    (the same exact-int float tail as kmeans_cluster_stats, so the SQL
+    twin reproduces every value)."""
+    import ray
+
+    from phrasekit_ray.stages.score import _get_broadcast
+
+    sums, counts = pq_train(
+        ds, m_subspaces, k_codes, iters, id_col, vec_col, scale
+    )
+    M, K, sub = sums.shape
+    state_ref = ray.put((sums, counts))
+
+    def label(batch: pa.Table) -> pa.Table:
+        s, c = _get_broadcast(state_ref)
+        codes = quantize_codes(batch, vec_col, scale)
+        codes_r = codes.reshape(-1, M, sub)
+        dots = np.einsum("nms,mks->nmk", codes_r, s)
+        cf = c.astype(np.float64)
+        ss = (s * s).sum(axis=2)
+        f = (-2.0 * dots.astype(np.float64)) / cf + ss.astype(np.float64) / (
+            cf * cf
+        )
+        lab = np.argmin(f, axis=2)  # (n, M)
+        xx = (codes_r * codes_r).sum(axis=2)  # (n, M) exact
+        take = np.take_along_axis
+        dsel = take(dots, lab[:, :, None], axis=2)[:, :, 0]
+        csel = take(
+            np.broadcast_to(cf[None], dots.shape[:1] + cf.shape),
+            lab[:, :, None],
+            axis=2,
+        )[:, :, 0]
+        sssel = take(
+            np.broadcast_to(
+                ss.astype(np.float64)[None], dots.shape[:1] + ss.shape
+            ),
+            lab[:, :, None],
+            axis=2,
+        )[:, :, 0]
+        err = (
+            xx.astype(np.float64)
+            - 2.0 * dsel.astype(np.float64) / csel
+            + sssel / (csel * csel)
+        ) / (scale * scale)
+        err_micro = np.where(
+            err * 1e6 >= 0,
+            np.floor(err * 1e6 + 0.5),
+            np.ceil(err * 1e6 - 0.5),
+        ).astype(np.int64)
+        ids = (
+            batch[id_col]
+            .combine_chunks()
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        n = len(ids)
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, M), pa.int64()),
+                "m": pa.array(
+                    np.tile(np.arange(M, dtype=np.int64), n), pa.int64()
+                ),
+                "code": pa.array(lab.ravel().astype(np.int64), pa.int64()),
+                "sub_err_micro": pa.array(err_micro.ravel(), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(label, batch_format="pyarrow")

@@ -161,3 +161,99 @@ def test_semantic_dedup_overflow_guard(ray_session, sf_dir):
         del pa_table
     with pytest.raises(ValueError, match="rational"):
         semantic_dedup(ds, threshold_num=21, threshold_den=20)
+
+
+def _ref_pq(tbl: pa.Table, m_sub=8, k=16, iters=3, scale=512.0):
+    """Single-process PQ: per-subspace Lloyd on the same exact-int state."""
+    ids = np.asarray(tbl["vec_id"], np.int64)
+    codes = quantize_codes(tbl, "embedding", scale)
+    dim = codes.shape[1]
+    sub = dim // m_sub
+    order = np.argsort(ids, kind="stable")[:k]
+    sums = codes[order].reshape(k, m_sub, sub).transpose(1, 0, 2).copy()
+    counts = np.ones((m_sub, k), np.int64)
+    codes_r = codes.reshape(-1, m_sub, sub)
+
+    def assign(s, c):
+        dots = np.einsum("nms,mks->nmk", codes_r, s)
+        cf = c.astype(np.float64)
+        ss = (s * s).sum(axis=2)
+        f = (-2.0 * dots.astype(np.float64)) / cf + ss / (cf * cf)
+        return np.argmin(f, axis=2)
+
+    for _ in range(iters):
+        lab = assign(sums, counts)
+        new_s, new_c = sums.copy(), counts.copy()
+        for m in range(m_sub):
+            for j in range(k):
+                msk = lab[:, m] == j
+                if msk.any():
+                    new_s[m, j] = codes_r[msk, m].sum(axis=0)
+                    new_c[m, j] = int(msk.sum())
+        sums, counts = new_s, new_c
+    return sums, counts, assign(sums, counts)
+
+
+def test_pq_train_matches_numpy_reference(ray_session, sf_dir):
+    import ray
+
+    from phrasekit_ray.stages.cluster import pq_train
+
+    tbl = _emb_table(sf_dir)
+    ref_s, ref_c, _ = _ref_pq(tbl)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    got_s, got_c = pq_train(ds, m_subspaces=8, k_codes=16, iters=3)
+    assert np.array_equal(got_s, ref_s)
+    assert np.array_equal(got_c, ref_c)
+    # parallelism-independence: same exact state at a different block count
+    got_s2, got_c2 = pq_train(
+        ds.repartition(7), m_subspaces=8, k_codes=16, iters=3
+    )
+    assert np.array_equal(got_s2, ref_s)
+    assert np.array_equal(got_c2, ref_c)
+
+
+def test_pq_encode_structure_and_labels(ray_session, sf_dir):
+    import ray
+
+    from phrasekit_ray.stages.cluster import pq_encode
+
+    tbl = _emb_table(sf_dir)
+    _, _, ref_lab = _ref_pq(tbl)
+    ids = np.asarray(tbl["vec_id"], np.int64)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = pa.concat_tables(
+        list(pq_encode(ds, 8, 16, 3).iter_batches(batch_format="pyarrow")),
+        promote_options="default",
+    )
+    assert out.num_rows == len(ids) * 8
+    got = {}
+    for v, m, c, e in zip(
+        out["vec_id"].to_pylist(),
+        out["m"].to_pylist(),
+        out["code"].to_pylist(),
+        out["sub_err_micro"].to_pylist(),
+    ):
+        got[(v, m)] = (c, e)
+        assert 0 <= c < 16
+        assert e >= 0
+    order = np.argsort(ids, kind="stable")
+    for row, v in zip(order, ids[order]):
+        for m in range(8):
+            assert got[(int(v), m)][0] == int(ref_lab[row, m])
+
+
+def test_pq_train_rejects_bad_dim(ray_session, sf_dir):
+    import ray
+
+    from phrasekit_ray.stages.cluster import pq_train
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train(ds, m_subspaces=7)
