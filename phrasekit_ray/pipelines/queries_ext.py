@@ -4351,13 +4351,15 @@ def q_pq_encode(sf_dir: str):
     )
 
 
-def _sql_pq_encode(
+def _sql_pq_chain(
     m_subspaces: int = 8, k: int = 16, iters: int = 3, scale: float = 512.0,
     dim: int = 64,
-) -> str:
+) -> tuple[str, str, int]:
     """Unrolled product-quantization Lloyd chain: the kmeans twin with
     every CTE carrying the subspace key m = d // subdim. Same exact-int
-    state machine and float tail as stages/cluster.pq_train/pq_encode."""
+    state machine and float tail as stages/cluster.pq_train/pq_encode.
+    Returns (chain_sql, final_centroid_cte, T) where a{{T}} holds the
+    final assignments and m{{T}} the final (ss, cnt) per (m, j)."""
     sub = dim // m_subspaces
     s = f"""
 WITH e AS (SELECT vec_id,
@@ -4399,7 +4401,14 @@ c{i} AS (SELECT p.j, p.m, p.d, COALESCE(f.sd, p.sd) AS sd,
          FROM {prev} p LEFT JOIN f{i} f
            ON f.j = p.j AND f.m = p.m AND f.d = p.d)"""
             prev = f"c{i}"
-    T = iters + 1
+    return s, prev, iters + 1
+
+
+def _sql_pq_encode(
+    m_subspaces: int = 8, k: int = 16, iters: int = 3, scale: float = 512.0,
+    dim: int = 64,
+) -> str:
+    s, _, T = _sql_pq_chain(m_subspaces, k, iters, scale, dim)
     s += f""",
 xx AS (SELECT vec_id, m, CAST(SUM(code * code) AS BIGINT) AS sxx
        FROM e GROUP BY 1, 2)
@@ -4421,3 +4430,70 @@ SQL_PQ_ENCODE = _sql_pq_encode(8, 16, 3, 512.0, 64)
 
 EXT_QUERIES.update({"q_pq_encode": q_pq_encode})
 EXT_ORACLE_SQL.update({"q_pq_encode": SQL_PQ_ENCODE})
+
+
+def q_pq_search(sf_dir: str):
+    """ADC top-k ANN over PQ codes (X137): the n_queries smallest
+    vec_ids search the whole corpus; per document the distance is an
+    (M,) int64 LUT gather + sum, ranking is exact-integer and therefore
+    SQL-twin-checkable end to end (stages/cluster.pq_search)."""
+    import ray
+
+    from phrasekit_ray.stages.cluster import pq_search
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    t = pq_search(emb, n_queries=8, k=10, m_subspaces=8, k_codes=16, iters=3)
+    return t.take(
+        pc.sort_indices(
+            t, sort_keys=[("query_id", "ascending"), ("rank", "ascending")]
+        )
+    )
+
+
+def _sql_pq_search(
+    nq: int = 8, topk: int = 10, m_subspaces: int = 8, k: int = 16,
+    iters: int = 3, scale: float = 512.0, dim: int = 64,
+) -> str:
+    """PQ chain + per-query LUT + integer ADC sum + rank — the exact
+    twin of stages/cluster.pq_search (same float tail, same micro
+    rounding, same (adc ASC, vec_id ASC) tiebreak)."""
+    s, prevc, T = _sql_pq_chain(m_subspaces, k, iters, scale, dim)
+    s += f""",
+qv AS (SELECT vec_id FROM (SELECT DISTINCT vec_id FROM embeddings
+                           ORDER BY vec_id LIMIT {nq})),
+qdot AS (SELECT e.vec_id AS q_id, e.m, c.j,
+                CAST(SUM(e.code * c.sd) AS BIGINT) AS dot
+         FROM e JOIN qv USING (vec_id) JOIN {prevc} c USING (d)
+         GROUP BY 1, 2, 3),
+qxx AS (SELECT e.vec_id AS q_id, e.m,
+               CAST(SUM(e.code * e.code) AS BIGINT) AS sxx
+        FROM e JOIN qv USING (vec_id) GROUP BY 1, 2),
+lut AS (SELECT q.q_id, q.m, q.j,
+  CAST(round(((CAST(x.sxx AS DOUBLE)
+      - 2.0 * CAST(q.dot AS DOUBLE) / CAST(mm.cnt AS DOUBLE)
+      + CAST(mm.ss AS DOUBLE)
+        / (CAST(mm.cnt AS DOUBLE) * CAST(mm.cnt AS DOUBLE)))
+     / ({scale} * {scale})) * 1000000.0) AS BIGINT) AS dmicro
+  FROM qdot q
+  JOIN m{T} mm ON mm.m = q.m AND mm.j = q.j
+  JOIN qxx x ON x.q_id = q.q_id AND x.m = q.m),
+adc AS (SELECT l.q_id AS query_id, a.vec_id,
+               CAST(SUM(l.dmicro) AS BIGINT) AS adc_micro
+        FROM a{T} a JOIN lut l ON l.m = a.m AND l.j = a.j
+        GROUP BY 1, 2)
+SELECT query_id, vec_id, adc_micro, CAST(rn AS INTEGER) AS rank FROM (
+  SELECT query_id, vec_id, adc_micro, row_number() OVER (
+    PARTITION BY query_id ORDER BY adc_micro ASC, vec_id ASC) AS rn
+  FROM adc)
+WHERE rn <= {topk}
+ORDER BY query_id, rn"""
+    return s
+
+
+SQL_PQ_SEARCH = _sql_pq_search(8, 10, 8, 16, 3, 512.0, 64)
+
+
+EXT_QUERIES.update({"q_pq_search": q_pq_search})
+EXT_ORACLE_SQL.update({"q_pq_search": SQL_PQ_SEARCH})

@@ -628,3 +628,145 @@ def pq_encode(
         )
 
     return ds.map_batches(label, batch_format="pyarrow")
+
+
+def pq_search(
+    ds,
+    n_queries: int = 8,
+    k: int = 10,
+    m_subspaces: int = 8,
+    k_codes: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = DEFAULT_SCALE,
+):
+    """ADC (asymmetric distance computation) top-k over PQ codes — the
+    scale path of the ANN family (Jégou et al. 2011 §IV): train the
+    M×K codebooks, take the ``n_queries`` smallest ids as query vectors,
+    precompute per query an (M, K) lookup table of subspace distances
+    in integer micro-units, then ONE corpus pass where each document
+    costs an (M,) int64 gather + sum — no full-dimension math per doc.
+
+    Everything after the LUT build is exact int64 (sums of rounded
+    per-subspace micro distances), so ranking is order-independent and
+    the SQL twin reproduces every value. Per-batch partial top-k keeps
+    driver traffic O(batches · n_queries · k).
+
+    Returns pa.Table(query_id, vec_id, adc_micro, rank); self-matches
+    are kept (the quantized self-distance is informative and the oracle
+    stays join-shaped).
+    """
+    import heapq
+
+    import ray
+
+    from phrasekit_ray.stages.score import _get_broadcast
+
+    sums, counts = pq_train(
+        ds, m_subspaces, k_codes, iters, id_col, vec_col, scale
+    )
+    M, K, sub = sums.shape
+
+    # query codes: the n_queries smallest ids (same convention as the
+    # seed pick — deterministic and SQL-expressible)
+    qids_arr, qseeds = seed_codes(ds, n_queries, id_col, vec_col, scale)
+    qids = [int(x) for x in qids_arr]
+    if not qids:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "adc_micro": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int32()),
+            }
+        )
+    q_r = qseeds.reshape(-1, M, sub)  # (Q, M, sub) int64
+    qdot = np.einsum("qms,mks->qmk", q_r, sums)  # exact int64
+    qxx = (q_r * q_r).sum(axis=2)  # (Q, M) exact int64
+    cf = counts.astype(np.float64)  # (M, K)
+    ss = (sums * sums).sum(axis=2)  # (M, K) exact int64
+    # same float tail + rounding as pq_encode/sub_err_micro
+    err = (
+        qxx[:, :, None].astype(np.float64)
+        - 2.0 * qdot.astype(np.float64) / cf[None]
+        + ss.astype(np.float64)[None] / (cf * cf)[None]
+    ) / (scale * scale)
+    lut = _round_away(err * 1e6).astype(np.int64)  # (Q, M, K)
+    state_ref = ray.put((sums, counts, lut))
+    Q = len(qids)
+    marange = np.arange(M)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "qi": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "adc_micro": pa.array([], pa.int64()),
+                }
+            )
+        s, c, l = _get_broadcast(state_ref)
+        codes_r = quantize_codes(batch, vec_col, scale).reshape(-1, M, sub)
+        dots = np.einsum("nms,mks->nmk", codes_r, s)
+        cfb = c.astype(np.float64)
+        ssb = (s * s).sum(axis=2)
+        f = (-2.0 * dots.astype(np.float64)) / cfb + ssb.astype(
+            np.float64
+        ) / (cfb * cfb)
+        lab = np.argmin(f, axis=2)  # (n, M)
+        # ADC: gather each query's LUT at the doc's codes, sum subspaces
+        adc = l[:, marange[None, :], lab].sum(axis=2)  # (Q, n) int64
+        ids = (
+            batch[id_col]
+            .combine_chunks()
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        n = len(ids)
+        kk = min(k, n)
+        idx = np.argpartition(adc, kk - 1, axis=1)[:, :kk]
+        return pa.table(
+            {
+                "qi": pa.array(
+                    np.repeat(np.arange(Q, dtype=np.int64), kk), pa.int64()
+                ),
+                id_col: pa.array(ids[idx].ravel(), pa.int64()),
+                "adc_micro": pa.array(
+                    np.take_along_axis(adc, idx, axis=1).ravel(), pa.int64()
+                ),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    # driver-side heap merge, O(batches · Q · k) — mirrors _merge_topk
+    # but ranks by ASCENDING integer distance
+    heaps: dict[int, list] = {i: [] for i in range(Q)}
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for qi, vid, dm in zip(
+            b["qi"].to_pylist(),
+            b[id_col].to_pylist(),
+            b["adc_micro"].to_pylist(),
+        ):
+            h = heaps[qi]
+            item = (-dm, -vid)  # max-heap root = worst kept candidate
+            if len(h) < k:
+                heapq.heappush(h, item)
+            elif item > h[0]:
+                heapq.heapreplace(h, item)
+    out_q, out_v, out_d, out_r = [], [], [], []
+    for qi in range(Q):
+        ranked = sorted(heaps[qi], key=lambda x: (-x[0], -x[1]))
+        for rank, (negd, negv) in enumerate(ranked, 1):
+            out_q.append(qids[qi])
+            out_v.append(-negv)
+            out_d.append(-negd)
+            out_r.append(rank)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            id_col: pa.array(out_v, pa.int64()),
+            "adc_micro": pa.array(out_d, pa.int64()),
+            "rank": pa.array(out_r, pa.int32()),
+        }
+    )

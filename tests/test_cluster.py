@@ -257,3 +257,82 @@ def test_pq_train_rejects_bad_dim(ray_session, sf_dir):
     )
     with pytest.raises(ValueError, match="divisible"):
         pq_train(ds, m_subspaces=7)
+
+
+def _ref_adc(tbl: pa.Table, nq=8, k=10, m_sub=8, kk=16, iters=3, scale=512.0):
+    """Full (no top-k pruning) single-process ADC scan on the trained
+    codebooks — the exact reference for pq_search's distributed
+    partial-top-k + heap merge."""
+    from phrasekit_ray.stages.cluster import _round_away
+
+    ids = np.asarray(tbl["vec_id"], np.int64)
+    codes_r = quantize_codes(tbl, "embedding", scale).reshape(
+        len(ids), m_sub, -1
+    )
+    sums, counts, lab = _ref_pq(tbl, m_sub=m_sub, k=kk, iters=iters)
+    qrows = np.argsort(ids, kind="stable")[:nq]
+    cf = counts.astype(np.float64)
+    ss = (sums * sums).sum(axis=2)
+    out = {}
+    for qi in qrows:
+        q = codes_r[qi]
+        qdot = np.einsum("ms,mks->mk", q, sums)
+        qxx = (q * q).sum(axis=1)
+        err = (
+            qxx[:, None].astype(np.float64)
+            - 2.0 * qdot.astype(np.float64) / cf
+            + ss.astype(np.float64) / (cf * cf)
+        ) / (scale * scale)
+        lut = _round_away(err * 1e6).astype(np.int64)
+        adc = lut[np.arange(m_sub)[None, :], lab].sum(axis=1)
+        top = sorted(zip(adc.tolist(), ids.tolist()))[:k]
+        out[int(ids[qi])] = top
+    return out
+
+
+def test_pq_search_matches_full_adc_scan(ray_session, sf_dir):
+    import ray
+
+    from phrasekit_ray.stages.cluster import pq_search
+
+    tbl = _emb_table(sf_dir)
+    ref = _ref_adc(tbl)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    got = pq_search(ds, n_queries=8, k=10).to_pandas()
+    assert len(got) == 8 * 10
+    for qid, top in ref.items():
+        g = got[got.query_id == qid].sort_values("rank")
+        assert list(zip(g.adc_micro, g.vec_id)) == top
+    # parallelism-independence: identical table at a different block count
+    got2 = pq_search(ds.repartition(7), n_queries=8, k=10).to_pandas()
+    assert got.equals(got2)
+
+
+def test_pq_search_recall_floor(ray_session, sf_dir):
+    """ADC with M=8 x K=16 codebooks is coarse but must beat chance by
+    a wide margin: mean recall@10 vs exact L2 >= 0.2 (measured 0.39 at
+    sf0.001; chance is 10/N ~ 0.02)."""
+    import ray
+
+    from phrasekit_ray.stages.cluster import pq_search
+
+    tbl = _emb_table(sf_dir)
+    ids = np.asarray(tbl["vec_id"], np.int64)
+    order = np.argsort(ids, kind="stable")
+    V = np.stack(
+        [np.asarray(v, np.float64) for v in tbl["embedding"].to_pylist()]
+    )[order]
+    ids = ids[order]
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    got = pq_search(ds, n_queries=8, k=10).to_pandas()
+    recalls = []
+    for qi in range(8):
+        d2 = ((V - V[qi]) ** 2).sum(axis=1)
+        exact = set(ids[np.argsort(d2, kind="stable")[:10]].tolist())
+        approx = set(got[got.query_id == ids[qi]].vec_id.tolist())
+        recalls.append(len(exact & approx) / 10)
+    assert float(np.mean(recalls)) >= 0.2
