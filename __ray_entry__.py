@@ -94,20 +94,25 @@ _DRIVER_FIRST: list[str] = [
     # (decimal128 vs int64); oracle SQL now casts to BIGINT
     "q_events_range_window",
     "q_full_outer_revenue",
-    # 5 new round-5 oracle-bearing operators (k-means, SemDeDup, DSIR,
-    # link prediction, product quantization) — never driver-seen
+    # 7 new round-5 operators (k-means, SemDeDup, DSIR, link prediction,
+    # product quantization train/encode + ADC search, media decode) —
+    # never driver-seen; q_media_decode is rows-only by design
     "q_kmeans",
     "q_semantic_dedup",
     "q_dsir_weights",
     "q_link_prediction",
     "q_pq_encode",
-    # flagship re-certification anchors (driver-green r2-r4)
+    "q_pq_search",
+    "q_media_decode",
+    "q_media_probe",
+    # flagship re-certification anchors (driver-green r2-r4). With the 8
+    # round-5 rows above, every one of the 139 registered queries has been
+    # inside a driver window at least once after r5 (dedup-minhash anchor
+    # ceded its slot — its LSH twin is exercised by q_dup_rate_per_source
+    # in this same window).
     "q_kg_triples_flagship",
     "q_mine_bigrams",
-    "q_score_ratio",
     "q_tag_all_mentions",
-    "q_dedup_minhash",
-    "q_clean_corpus",
 ]
 
 
