@@ -4497,3 +4497,97 @@ SQL_PQ_SEARCH = _sql_pq_search(8, 10, 8, 16, 3, 512.0, 64)
 
 EXT_QUERIES.update({"q_pq_search": q_pq_search})
 EXT_ORACLE_SQL.update({"q_pq_search": SQL_PQ_SEARCH})
+
+
+def q_ppr_hosts(sf_dir: str):
+    """Exact-integer personalized PageRank (X138) over the extracted
+    host link graph: seeds = 4 lexicographically-smallest hosts, 4
+    unrolled rounds of the sink-loss recurrence in int64 micro-units
+    (stages/kg.ppr_exact) — the oracle-checkable sibling of the
+    float-ranked q_host_pagerank. Host→int ids driver-side over the
+    aggregated host table (bounded; X19 global enumeration is the
+    web-scale adapter), id order == lexicographic host order so the
+    stage's smallest-id seed pick matches the SQL's ORDER BY host."""
+    import ray
+
+    from phrasekit_ray.sources.pages import pages_from_documents
+    from phrasekit_ray.stages.extract import extract_links, host_edges
+    from phrasekit_ray.stages.kg import ppr_exact
+
+    pages = pages_from_documents(sf_dir, with_links=True)
+    he = _collect(host_edges(extract_links(pages)))
+    src = he["src_host"].to_pylist()
+    dst = he["dst_host"].to_pylist()
+    hosts = sorted(set(src) | set(dst))
+    hid = {h: i for i, h in enumerate(hosts)}
+    edges = pa.table(
+        {
+            "subj": pa.array([hid[h] for h in src], pa.int64()),
+            "obj": pa.array([hid[h] for h in dst], pa.int64()),
+        }
+    )
+    t = _collect(ppr_exact(ray.data.from_arrow(edges), n_seeds=4, iters=4))
+    out = pa.table(
+        {
+            "host": pa.array(
+                [hosts[i] for i in t["node"].to_pylist()], pa.string()
+            ),
+            "rank_micro": t["rank_micro"].cast(pa.int64()),
+        }
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("host", "ascending")]))
+
+
+def _sql_ppr_hosts(
+    n_seeds: int = 4, iters: int = 4, alpha_num: int = 85,
+    alpha_den: int = 100, total_micro: int = 10**12,
+) -> str:
+    """Unrolled PPR twin of stages/kg.ppr_exact over the host-graph
+    CTEs (same synthesis as SQL_LINK_PREDICTION but DIRECTED distinct
+    edges). DuckDB's // on non-negative BIGINTs == numpy int64 floor
+    division, so every round is bit-exact."""
+    r0 = total_micro // n_seeds
+    base = ((alpha_den - alpha_num) * total_micro) // (alpha_den * n_seeds)
+    s = f"""
+WITH s AS (SELECT doc_id, source, j
+           FROM documents, generate_series(1, 3) AS g(j)),
+l AS (SELECT source, j,
+        ({_sm_sql('CAST(doc_id AS HUGEINT)*8 + CAST(j AS HUGEINT)')})
+          % 100003 AS t,
+        1 + (({_sm_sql('CAST(doc_id AS HUGEINT)*8 + 7')}) % 3) AS n_links
+      FROM s),
+he AS (SELECT source || '.example.org' AS src,
+              'h' || CAST(t % 16 AS VARCHAR) || '.example.org' AS dst
+       FROM l WHERE j <= n_links),
+e AS (SELECT DISTINCT src, dst FROM he WHERE src <> dst),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+od AS (SELECT src AS node, count(*) AS od FROM e GROUP BY 1),
+seeds AS (SELECT node FROM nodes ORDER BY node LIMIT {n_seeds}),
+r0 AS (SELECT n.node,
+              CASE WHEN s.node IS NOT NULL
+                   THEN CAST({r0} AS BIGINT) ELSE CAST(0 AS BIGINT) END AS rm
+       FROM nodes n LEFT JOIN seeds s ON s.node = n.node)"""
+    prev = "r0"
+    for i in range(1, iters + 1):
+        s += f""",
+q{i} AS (SELECT r.node, (r.rm * {alpha_num}) // ({alpha_den} * d.od) AS q
+        FROM {prev} r JOIN od d ON d.node = r.node),
+r{i} AS (SELECT n.node,
+  CAST(CASE WHEN sd.node IS NOT NULL THEN {base} ELSE 0 END
+       + COALESCE(inf.sq, 0) AS BIGINT) AS rm
+  FROM nodes n
+  LEFT JOIN seeds sd ON sd.node = n.node
+  LEFT JOIN (SELECT e.dst AS node, CAST(SUM(q.q) AS BIGINT) AS sq
+             FROM e JOIN q{i} q ON q.node = e.src GROUP BY 1) inf
+    ON inf.node = n.node)"""
+        prev = f"r{i}"
+    s += f"""
+SELECT node AS host, rm AS rank_micro FROM {prev} ORDER BY host"""
+    return s
+
+
+SQL_PPR_HOSTS = _sql_ppr_hosts(4, 4, 85, 100, 10**12)
+
+
+EXT_QUERIES.update({"q_ppr_hosts": q_ppr_hosts})
+EXT_ORACLE_SQL.update({"q_ppr_hosts": SQL_PPR_HOSTS})

@@ -1812,3 +1812,154 @@ def link_prediction(
         lambda b: b.select(["a", "b", "cn", "aa_micro"]),
         batch_format="pyarrow",
     )
+
+
+def ppr_exact(
+    edges_ds,
+    n_seeds: int = 4,
+    iters: int = 4,
+    alpha_num: int = 85,
+    alpha_den: int = 100,
+    total_micro: int = 10**12,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+    num_partitions: int | None = None,
+):
+    """Personalized PageRank in EXACT integer micro-units — the
+    oracle-checkable sibling of :func:`pagerank` (whose float ranks are
+    only verifiable via an in-band residual column).
+
+    Semantics (the "sink-loss" PPR variant; Jeh & Widom 2003 shape):
+
+    - graph = DISTINCT directed edges, self-loops dropped;
+    - seeds = the ``n_seeds`` smallest node ids (deterministic and
+      SQL-expressible, same convention as the k-means/PQ seed pick);
+    - r0(v) = total_micro // |S| for seeds, else 0;
+    - per round, every node u with outdeg d sends each out-neighbor
+      q(u) = (r(u) * alpha_num) // (alpha_den * d)   [int64 floor div]
+      and r'(v) = base(v) + Σ_{u→v} q(u), where base(v ∈ S) =
+      ((alpha_den - alpha_num) * total_micro) // (alpha_den * |S|).
+      Mass reaching dangling nodes is NOT redistributed (documented
+      divergence from :func:`pagerank`): every operation stays a pure
+      int64 function of the input, so the unrolled SQL twin reproduces
+      each round bit-for-bit regardless of partitioning.
+
+    Distribution per round: ONE int-keyed ``lookup_join`` (rank ⋈
+    outdeg — the per-node quotient is computed once, not once per
+    edge), ONE ``lookup_join`` attaching quotients to edges, ONE
+    two-phase ``hash_aggregate`` into the target node; the driver holds
+    only the seed list. Ranks re-materialize once per round (an
+    iterative lazy graph would re-execute all prior rounds).
+
+    Returns Dataset(node: int64, rank_micro: int64).
+    """
+    import ray
+
+    from phrasekit_ray.stages.agg import default_partitions as _dp
+    from phrasekit_ray.stages.agg import grouped_count, hash_aggregate, lookup_join
+
+    if n_seeds < 1:
+        raise ValueError("n_seeds must be >= 1")
+    num_partitions = _dp(num_partitions)
+
+    def conform(batch: pa.Table) -> pa.Table:
+        s = batch[subj_col].cast(pa.int64())
+        o = batch[obj_col].cast(pa.int64())
+        keep = pc.invert(pc.equal(s, o))
+        return pa.table({"subj": s.filter(keep), "obj": o.filter(keep)})
+
+    edges = grouped_count(
+        edges_ds.map_batches(conform, batch_format="pyarrow"),
+        ["subj", "obj"],
+        num_partitions=num_partitions,
+    ).map_batches(
+        lambda b: b.select(["subj", "obj"]), batch_format="pyarrow"
+    ).materialize()
+
+    def halves(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": pa.concat_arrays(
+                [batch["subj"].combine_chunks(), batch["obj"].combine_chunks()]
+            )}
+        )
+
+    nodes = grouped_count(
+        edges.map_batches(halves, batch_format="pyarrow"),
+        "node",
+        num_partitions=num_partitions,
+    ).map_batches(lambda b: b.select(["node"]), batch_format="pyarrow").materialize()
+    if nodes.count() == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "rank_micro": pa.array([], pa.int64())})
+        )
+
+    seeds = sorted(
+        r["node"] for r in nodes.sort("node").limit(n_seeds).take(n_seeds)
+    )
+    n_s = len(seeds)
+    seed_arr = np.asarray(seeds, np.int64)
+    r0 = total_micro // n_s
+    base = ((alpha_den - alpha_num) * total_micro) // (alpha_den * n_s)
+
+    outdeg = grouped_count(
+        edges, "subj", count_col="od", num_partitions=num_partitions
+    ).materialize()
+
+    def init(batch: pa.Table) -> pa.Table:
+        n = batch["node"].combine_chunks().to_numpy(zero_copy_only=False)
+        r = np.where(np.isin(n, seed_arr), np.int64(r0), np.int64(0))
+        return pa.table({"node": batch["node"], "rank_micro": pa.array(r, pa.int64())})
+
+    ranks = nodes.map_batches(init, batch_format="pyarrow").materialize()
+    ranks_schema = pa.schema([("node", pa.int64()), ("rank_micro", pa.int64())])
+    od_schema = pa.schema([("subj", pa.int64()), ("od", pa.int64())])
+    edges_schema = pa.schema([("subj", pa.int64()), ("obj", pa.int64())])
+    q_schema = pa.schema([("node", pa.int64()), ("q", pa.int64())])
+
+    an, ad = np.int64(alpha_num), np.int64(alpha_den)
+
+    for _ in range(iters):
+        rq = lookup_join(
+            ranks, outdeg, "node", "subj", num_partitions,
+            left_schema=ranks_schema, right_schema=od_schema,
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"],
+                    "q": pa.array(
+                        (b["rank_micro"].to_numpy(zero_copy_only=False) * an)
+                        // (ad * b["od"].to_numpy(zero_copy_only=False)),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        contribs = lookup_join(
+            edges, rq, "subj", "node", num_partitions,
+            left_schema=edges_schema, right_schema=q_schema,
+        ).map_batches(
+            lambda b: pa.table({"node": b["obj"], "s": b["q"]}),
+            batch_format="pyarrow",
+        )
+        zeros = nodes.map_batches(
+            lambda b: pa.table(
+                {"node": b["node"],
+                 "s": pa.array(np.zeros(b.num_rows, np.int64))}
+            ),
+            batch_format="pyarrow",
+        )
+        sums = hash_aggregate(
+            contribs.union(zeros), ["node"], [("s", "sum")],
+            num_partitions=num_partitions,
+        )
+
+        def renorm(b: pa.Table) -> pa.Table:
+            n = b["node"].combine_chunks().to_numpy(zero_copy_only=False)
+            s = b["s"].combine_chunks().to_numpy(zero_copy_only=False)
+            r = s + np.where(np.isin(n, seed_arr), np.int64(base), np.int64(0))
+            return pa.table({"node": b["node"], "rank_micro": pa.array(r, pa.int64())})
+
+        ranks = sums.map_batches(renorm, batch_format="pyarrow").materialize()
+    return ranks

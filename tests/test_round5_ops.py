@@ -187,3 +187,77 @@ def test_link_prediction_cap_only_misses(ray_session):
     }
     w2 = round(1e6 / np.log(2.0))
     assert cap_map == {(3, 5): (1, w2), (2, 4): (2, 2 * w2)}
+
+
+def _ref_ppr(E, n_seeds=4, iters=4, an=85, ad=100, M=10**12):
+    """Single-process reference for the exact-int sink-loss PPR
+    recurrence (stages/kg.ppr_exact)."""
+    es = sorted({(int(a), int(b)) for a, b in E if a != b})
+    nodes = sorted({x for e in es for x in e})
+    S = set(nodes[:n_seeds])
+    od = {}
+    for a, _ in es:
+        od[a] = od.get(a, 0) + 1
+    r = {v: (M // len(S) if v in S else 0) for v in nodes}
+    base = ((ad - an) * M) // (ad * len(S))
+    for _ in range(iters):
+        nr = {v: (base if v in S else 0) for v in nodes}
+        for a, b in es:
+            nr[b] += (r[a] * an) // (ad * od[a])
+        r = nr
+    return r
+
+
+def test_ppr_exact_matches_reference_and_is_partition_invariant(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.kg import ppr_exact
+
+    rng = np.random.default_rng(11)
+    E = rng.integers(0, 40, size=(300, 2))
+    edges = pa.table(
+        {
+            "subj": pa.array(E[:, 0], pa.int64()),
+            "obj": pa.array(E[:, 1], pa.int64()),
+        }
+    )
+    want = _ref_ppr(E)
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in _collect(ppr_exact(ray.data.from_arrow(edges))).to_pylist()
+    }
+    assert got == want
+    got2 = {
+        r["node"]: r["rank_micro"]
+        for r in _collect(
+            ppr_exact(ray.data.from_arrow(edges).repartition(9))
+        ).to_pylist()
+    }
+    assert got2 == want
+
+
+def test_ppr_exact_mass_and_seed_locality(ray_session):
+    """Total mass never exceeds the injected total (sink loss + floor
+    division only ever LOSE micro-units), and seeds hold more mass than
+    any non-seed-adjacent far node on a two-cluster graph."""
+    import ray
+
+    from phrasekit_ray.stages.kg import ppr_exact
+
+    # two 4-cliques joined by one directed bridge 3 -> 10
+    edges = []
+    for grp in (range(4), range(10, 14)):
+        g = list(grp)
+        edges += [(a, b) for a in g for b in g if a != b]
+    edges.append((3, 10))
+    t = pa.table(
+        {
+            "subj": pa.array([a for a, _ in edges], pa.int64()),
+            "obj": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    res = _collect(ppr_exact(ray.data.from_arrow(t), n_seeds=2, iters=6))
+    r = {row["node"]: row["rank_micro"] for row in res.to_pylist()}
+    assert sum(r.values()) <= 10**12
+    # seeds are 0 and 1 (smallest ids): their cluster outranks the far one
+    assert min(r[0], r[1]) > max(r[11], r[12], r[13])
