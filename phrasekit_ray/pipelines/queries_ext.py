@@ -4591,3 +4591,90 @@ SQL_PPR_HOSTS = _sql_ppr_hosts(4, 4, 85, 100, 10**12)
 
 EXT_QUERIES.update({"q_ppr_hosts": q_ppr_hosts})
 EXT_ORACLE_SQL.update({"q_ppr_hosts": SQL_PPR_HOSTS})
+
+
+def q_sssp_hosts(sf_dir: str):
+    """Hop-bounded Bellman–Ford shortest paths (X139) over the
+    SYMMETRIZED host link graph (link distance is undirected; the raw
+    graph's lexicographically-smallest host is a pure sink): source =
+    smallest host, 6 relaxation rounds, exact int64 weights
+    w = 1 + ((|src|+|dst|) %% 7) — symmetric and a pure function of the
+    host pair, so the unrolled SQL twin reproduces every distance
+    bit-for-bit (stages/kg.sssp_exact)."""
+    import ray
+
+    from phrasekit_ray.sources.pages import pages_from_documents
+    from phrasekit_ray.stages.extract import extract_links, host_edges
+    from phrasekit_ray.stages.kg import sssp_exact
+
+    pages = pages_from_documents(sf_dir, with_links=True)
+    he = _collect(host_edges(extract_links(pages)))
+    src = he["src_host"].to_pylist()
+    dst = he["dst_host"].to_pylist()
+    hosts = sorted(set(src) | set(dst))
+    hid = {h: i for i, h in enumerate(hosts)}
+    keep = [(a, b) for a, b in zip(src, dst) if a != b]
+    both = keep + [(b, a) for a, b in keep]
+    edges = pa.table(
+        {
+            "subj": pa.array([hid[a] for a, _ in both], pa.int64()),
+            "obj": pa.array([hid[b] for _, b in both], pa.int64()),
+            "w": pa.array(
+                [1 + ((len(a) + len(b)) % 7) for a, b in both], pa.int64()
+            ),
+        }
+    )
+    t = _collect(
+        sssp_exact(ray.data.from_arrow(edges), source=0, iters=6)
+    )
+    out = pa.table(
+        {
+            "host": pa.array(
+                [hosts[i] for i in t["node"].to_pylist()], pa.string()
+            ),
+            "dist": t["dist"].cast(pa.int64()),
+        }
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("host", "ascending")]))
+
+
+def _sql_sssp_hosts(iters: int = 6) -> str:
+    """Unrolled Bellman–Ford twin of stages/kg.sssp_exact over the
+    host-graph CTEs: T rounds of dist ∪ (dist ⋈ edges) → MIN."""
+    s = f"""
+WITH s AS (SELECT doc_id, source, j
+           FROM documents, generate_series(1, 3) AS g(j)),
+l AS (SELECT source, j,
+        ({_sm_sql('CAST(doc_id AS HUGEINT)*8 + CAST(j AS HUGEINT)')})
+          % 100003 AS t,
+        1 + (({_sm_sql('CAST(doc_id AS HUGEINT)*8 + 7')}) % 3) AS n_links
+      FROM s),
+he AS (SELECT source || '.example.org' AS src,
+              'h' || CAST(t % 16 AS VARCHAR) || '.example.org' AS dst
+       FROM l WHERE j <= n_links),
+e0 AS (SELECT DISTINCT src, dst FROM he WHERE src <> dst),
+e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+ew AS (SELECT src, dst,
+              CAST(1 + ((length(src) + length(dst)) % 7) AS BIGINT) AS w
+       FROM e),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+d0 AS (SELECT min(node) AS node, CAST(0 AS BIGINT) AS dist FROM nodes)"""
+    prev = "d0"
+    for i in range(1, iters + 1):
+        s += f""",
+d{i} AS (SELECT node, MIN(dist) AS dist FROM (
+  SELECT node, dist FROM {prev}
+  UNION ALL
+  SELECT ew.dst AS node, d.dist + ew.w AS dist
+  FROM {prev} d JOIN ew ON ew.src = d.node) GROUP BY node)"""
+        prev = f"d{i}"
+    s += f"""
+SELECT node AS host, dist FROM {prev} ORDER BY host"""
+    return s
+
+
+SQL_SSSP_HOSTS = _sql_sssp_hosts(6)
+
+
+EXT_QUERIES.update({"q_sssp_hosts": q_sssp_hosts})
+EXT_ORACLE_SQL.update({"q_sssp_hosts": SQL_SSSP_HOSTS})

@@ -1963,3 +1963,85 @@ def ppr_exact(
 
         ranks = sums.map_batches(renorm, batch_format="pyarrow").materialize()
     return ranks
+
+
+def sssp_exact(
+    edges_ds,
+    source: int,
+    iters: int = 6,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+    weight_col: str = "w",
+    num_partitions: int | None = None,
+):
+    """Hop-bounded single-source shortest paths (Bellman–Ford, T
+    relaxation rounds) with EXACT int64 weights — after round T every
+    returned distance is the exact weight of the lightest path from
+    ``source`` using ≤ T edges; unreached nodes are absent (no ∞
+    sentinel to round-trip through SQL).
+
+    Parallel edges collapse to their MIN weight first (one two-phase
+    aggregate), so the recurrence is a pure function of the distinct
+    weighted edge set. Each round is ONE int-keyed ``lookup_join``
+    (edge ⋈ current frontier distances — the right side is the
+    unique-keyed dist table) + ONE two-phase MIN ``hash_aggregate``
+    over old dists ∪ relaxations; the driver holds only the source id.
+    min() over int64 is order-independent, so the unrolled SQL twin is
+    bit-exact at any partitioning.
+
+    Returns Dataset(node: int64, dist: int64), source included at 0.
+    """
+    import ray
+
+    from phrasekit_ray.stages.agg import default_partitions as _dp
+    from phrasekit_ray.stages.agg import hash_aggregate, lookup_join
+
+    num_partitions = _dp(num_partitions)
+
+    def conform(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subj": batch[subj_col].cast(pa.int64()),
+                "obj": batch[obj_col].cast(pa.int64()),
+                "w": batch[weight_col].cast(pa.int64()),
+            }
+        )
+
+    edges = hash_aggregate(
+        edges_ds.map_batches(conform, batch_format="pyarrow"),
+        ["subj", "obj"],
+        [("w", "min")],
+        num_partitions=num_partitions,
+    ).materialize()
+
+    dist = ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array([int(source)], pa.int64()),
+                "dist": pa.array([0], pa.int64()),
+            }
+        )
+    )
+    edges_schema = pa.schema(
+        [("subj", pa.int64()), ("obj", pa.int64()), ("w", pa.int64())]
+    )
+    dist_schema = pa.schema([("node", pa.int64()), ("dist", pa.int64())])
+
+    for _ in range(iters):
+        relax = lookup_join(
+            edges, dist, "subj", "node", num_partitions,
+            left_schema=edges_schema, right_schema=dist_schema,
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["obj"],
+                    "dist": pc.add_checked(b["w"], b["dist"]),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        dist = hash_aggregate(
+            dist.union(relax), ["node"], [("dist", "min")],
+            num_partitions=num_partitions,
+        ).materialize()
+    return dist

@@ -261,3 +261,79 @@ def test_ppr_exact_mass_and_seed_locality(ray_session):
     assert sum(r.values()) <= 10**12
     # seeds are 0 and 1 (smallest ids): their cluster outranks the far one
     assert min(r[0], r[1]) > max(r[11], r[12], r[13])
+
+
+def _ref_sssp(E, W, src=0, T=6):
+    ew = {}
+    for (a, b), w in zip(E, W):
+        k = (int(a), int(b))
+        ew[k] = min(ew.get(k, 1 << 60), int(w))
+    d = {src: 0}
+    for _ in range(T):
+        nd = dict(d)
+        for (a, b), w in ew.items():
+            if a in d and d[a] + w < nd.get(b, 1 << 60):
+                nd[b] = d[a] + w
+        d = nd
+    return d
+
+
+def test_sssp_exact_matches_reference_and_is_partition_invariant(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.kg import sssp_exact
+
+    rng = np.random.default_rng(5)
+    E = rng.integers(0, 50, size=(400, 2))
+    W = rng.integers(1, 10, size=400)
+    edges = pa.table(
+        {
+            "subj": pa.array(E[:, 0], pa.int64()),
+            "obj": pa.array(E[:, 1], pa.int64()),
+            "w": pa.array(W, pa.int64()),
+        }
+    )
+    want = _ref_sssp(E, W)
+    got = {
+        r["node"]: r["dist"]
+        for r in _collect(
+            sssp_exact(ray.data.from_arrow(edges), source=0)
+        ).to_pylist()
+    }
+    assert got == want
+    got2 = {
+        r["node"]: r["dist"]
+        for r in _collect(
+            sssp_exact(ray.data.from_arrow(edges).repartition(9), source=0)
+        ).to_pylist()
+    }
+    assert got2 == want
+
+
+def test_sssp_hop_bound_semantics(ray_session):
+    """On a weighted path graph 0-1-2-...-9 (w=2 each), T rounds reach
+    exactly T hops; a heavier shortcut 0->9 (w=25) wins only until the
+    cheap path becomes reachable."""
+    import ray
+
+    from phrasekit_ray.stages.kg import sssp_exact
+
+    chain = [(i, i + 1, 2) for i in range(9)] + [(0, 9, 25)]
+    edges = pa.table(
+        {
+            "subj": pa.array([a for a, _, _ in chain], pa.int64()),
+            "obj": pa.array([b for _, b, _ in chain], pa.int64()),
+            "w": pa.array([w for _, _, w in chain], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(edges)
+    d3 = {
+        r["node"]: r["dist"]
+        for r in _collect(sssp_exact(ds, source=0, iters=3)).to_pylist()
+    }
+    assert d3 == {0: 0, 1: 2, 2: 4, 3: 6, 9: 25}
+    d9 = {
+        r["node"]: r["dist"]
+        for r in _collect(sssp_exact(ds, source=0, iters=9)).to_pylist()
+    }
+    assert d9[9] == 18  # the cheap 9-hop path beats the shortcut
