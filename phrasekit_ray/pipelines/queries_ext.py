@@ -4678,3 +4678,56 @@ SQL_SSSP_HOSTS = _sql_sssp_hosts(6)
 
 EXT_QUERIES.update({"q_sssp_hosts": q_sssp_hosts})
 EXT_ORACLE_SQL.update({"q_sssp_hosts": SQL_SSSP_HOSTS})
+
+
+def q_skyline_docs(sf_dir: str):
+    """2D skyline / Pareto frontier (X140): documents not dominated
+    under (maximize whitespace-token count, minimize n_chars) — the
+    "densest information per byte" frontier used to pick exemplar docs.
+    Per-block vectorized local skyline → one-task exact merge
+    (stages/agg.skyline_2d); dominance over ints is exact, so the
+    NOT-EXISTS SQL twin matches row-for-row."""
+    import ray
+
+    from phrasekit_ray.stages.agg import skyline_2d
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(
+            pc.split_pattern(batch["text"], " ")
+        ).cast(pa.int64())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_tokens": toks,
+                "n_chars": batch["n_chars"].cast(pa.int64()),
+            }
+        )
+
+    sky = skyline_2d(
+        docs.map_batches(metrics, batch_format="pyarrow"),
+        "doc_id", "n_tokens", "n_chars",
+    )
+    t = _collect(sky)
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+SQL_SKYLINE_DOCS = """
+WITH m AS (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  CAST(n_chars AS BIGINT) AS n_chars
+           FROM documents)
+SELECT doc_id, n_tokens, n_chars FROM m p
+WHERE NOT EXISTS (
+  SELECT 1 FROM m q
+  WHERE q.n_tokens >= p.n_tokens AND q.n_chars <= p.n_chars
+    AND (q.n_tokens > p.n_tokens OR q.n_chars < p.n_chars))
+ORDER BY doc_id
+"""
+
+
+EXT_QUERIES.update({"q_skyline_docs": q_skyline_docs})
+EXT_ORACLE_SQL.update({"q_skyline_docs": SQL_SKYLINE_DOCS})

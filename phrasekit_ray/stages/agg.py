@@ -2597,3 +2597,64 @@ def weighted_stratified_sample(
     return pruned.groupby("_part").map_groups(
         lambda g: _topn(g, ["_part"]), batch_format="pyarrow"
     )
+
+
+def _skyline_mask(d1: np.ndarray, d2: np.ndarray) -> np.ndarray:
+    """Boolean mask of the 2D skyline (maximize d1, minimize d2) —
+    dominance is q.d1 ≥ p.d1 ∧ q.d2 ≤ p.d2 with strict inequality
+    somewhere; ties on BOTH dims are mutually non-dominating, so every
+    duplicate of a frontier point survives. One lexsort + one cummin:
+    group positions into d1 levels (sorted desc); a point survives iff
+    it ties its level's min d2 AND that min is STRICTLY below the best
+    d2 of every greater level."""
+    n = len(d1)
+    if n == 0:
+        return np.zeros(0, bool)
+    order = np.lexsort((d2, -d1))  # d1 desc, d2 asc
+    s1, s2 = d1[order], d2[order]
+    new_level = np.empty(n, bool)
+    new_level[0] = True
+    new_level[1:] = s1[1:] != s1[:-1]
+    lvl = np.cumsum(new_level) - 1  # level index per position
+    level_min = s2[new_level]  # first position of each level = its min d2
+    prev_best = np.concatenate(
+        ([np.iinfo(np.int64).max], np.minimum.accumulate(level_min)[:-1])
+    )
+    keep_sorted = (s2 == level_min[lvl]) & (s2 < prev_best[lvl])
+    out = np.zeros(n, bool)
+    out[order] = keep_sorted
+    return out
+
+
+def skyline_2d(ds, id_col: str, max_col: str, min_col: str,
+               num_partitions: int | None = None):
+    """Distributed 2D skyline (Pareto frontier): rows not dominated by
+    any other row under (maximize ``max_col``, minimize ``min_col``).
+
+    Two phases, both exact: per-block LOCAL skyline (one lexsort + one
+    cummin per block — a row dominated within its block is dominated
+    globally, so local pruning is lossless), then the surviving
+    candidates coalesce into ONE task for the final exact pass (the 2D
+    frontier is tiny relative to the input — at 100 TB the candidate
+    union is bounded by blocks × per-block frontier, still a single-task
+    table; no driver materialization either way).
+
+    Returns Dataset(id_col, max_col, min_col) of frontier rows.
+    """
+
+    def local(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                max_col: batch[max_col].cast(pa.int64()),
+                min_col: batch[min_col].cast(pa.int64()),
+            }
+        )
+        d1 = t[max_col].combine_chunks().to_numpy(zero_copy_only=False)
+        d2 = t[min_col].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(_skyline_mask(d1, d2)))
+
+    candidates = ds.map_batches(local, batch_format="pyarrow")
+    return candidates.repartition(1).map_batches(
+        local, batch_format="pyarrow", batch_size=None
+    )

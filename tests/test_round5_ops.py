@@ -337,3 +337,57 @@ def test_sssp_hop_bound_semantics(ray_session):
         for r in _collect(sssp_exact(ds, source=0, iters=9)).to_pylist()
     }
     assert d9[9] == 18  # the cheap 9-hop path beats the shortcut
+
+
+def test_skyline_mask_brute_force():
+    from phrasekit_ray.stages.agg import _skyline_mask
+
+    rng = np.random.default_rng(0)
+    for _ in range(150):
+        n = int(rng.integers(1, 60))
+        d1 = rng.integers(0, 8, n).astype(np.int64)
+        d2 = rng.integers(0, 8, n).astype(np.int64)
+        got = _skyline_mask(d1, d2)
+        want = np.array(
+            [
+                not any(
+                    d1[q] >= d1[p]
+                    and d2[q] <= d2[p]
+                    and (d1[q] > d1[p] or d2[q] < d2[p])
+                    for q in range(n)
+                )
+                for p in range(n)
+            ]
+        )
+        assert np.array_equal(got, want)
+
+
+def test_skyline_2d_distributed_equals_single_block(ray_session):
+    """Local-prune + one-task merge must equal the single-block exact
+    skyline at any partitioning, including duplicate frontier points."""
+    import ray
+
+    from phrasekit_ray.stages.agg import skyline_2d
+
+    rng = np.random.default_rng(2)
+    n = 5000
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(n), pa.int64()),
+            "a": pa.array(rng.integers(0, 100, n), pa.int64()),
+            "b": pa.array(rng.integers(0, 100, n), pa.int64()),
+        }
+    )
+
+    def run(ds):
+        out = _collect(skyline_2d(ds, "id", "a", "b"))
+        return sorted(zip(*[out[c].to_pylist() for c in ("id", "a", "b")]))
+
+    one = run(ray.data.from_arrow(t))
+    many = run(ray.data.from_arrow(t).repartition(13))
+    assert one == many
+    # no kept point dominates another kept point
+    for i, (idi, a1, b1) in enumerate(one):
+        for j, (idj, a2, b2) in enumerate(one):
+            if i != j:
+                assert not (a2 >= a1 and b2 <= b1 and (a2 > a1 or b2 < b1))
