@@ -4731,3 +4731,60 @@ ORDER BY doc_id
 
 EXT_QUERIES.update({"q_skyline_docs": q_skyline_docs})
 EXT_ORACLE_SQL.update({"q_skyline_docs": SQL_SKYLINE_DOCS})
+
+
+def q_lm_kn_nll(sf_dir: str):
+    """Interpolated Kneser–Ney bigram NLL per document (X141): fixed
+    D=0.75, continuation counts from the kept bigram-type table, micro-
+    nat integer scores (stages/lm.kn_bigram_nll_scores)."""
+    from phrasekit_ray.stages.lm import kn_bigram_nll_scores
+
+    return _i64(_collect(kn_bigram_nll_scores(_docs(sf_dir))), "doc_id")
+
+
+SQL_LM_KN_NLL = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+              generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents),
+cnt1 AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok
+         HAVING count(*) >= 2),
+uni AS (SELECT tok, c FROM cnt1 ORDER BY c DESC, tok ASC LIMIT 1000000),
+u AS (SELECT count(*) AS u FROM uni),
+bi AS (SELECT t1.doc_id, t1.tok AS w1, t2.tok AS w2,
+              t1.tok || ' ' || t2.tok AS pair
+       FROM toks t1 JOIN toks t2
+         ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1),
+cnt2 AS (SELECT pair, count(*) AS c FROM bi GROUP BY pair
+         HAVING count(*) >= 2),
+big AS (SELECT pair, c FROM cnt2 ORDER BY c DESC, pair ASC LIMIT 1000000),
+bs AS (SELECT string_split(pair, ' ')[1] AS w1,
+              string_split(pair, ' ')[2] AS w2, c FROM big),
+c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1, count(*) AS fol
+       FROM bs GROUP BY w1),
+cont AS (SELECT w2, count(*) AS cont FROM bs GROUP BY w2),
+tt AS (SELECT count(*) AS t FROM big),
+lp AS (SELECT bi.doc_id,
+  CAST(round(ln(
+    CASE WHEN COALESCE(c1.c1, 0) > 0
+      THEN (GREATEST(COALESCE(b.c, 0) - 0.75, 0.0)
+            + 0.75 * c1.fol
+              * ((COALESCE(ct.cont, 0) + 1.0) / (tt.t + u.u)))
+           / c1.c1
+      ELSE (COALESCE(ct.cont, 0) + 1.0) / (tt.t + u.u)
+    END) * 1000000.0) AS BIGINT) AS lpm
+  FROM bi LEFT JOIN big b ON b.pair = bi.pair
+       LEFT JOIN c1 ON c1.w1 = bi.w1
+       LEFT JOIN cont ct ON ct.w2 = bi.w2
+       CROSS JOIN tt CROSS JOIN u)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       COALESCE(s.kn_nll_micro, 0) AS kn_nll_micro
+FROM documents d LEFT JOIN (
+  SELECT doc_id, count(*) AS n_bigrams,
+         CAST(-sum(lpm) AS BIGINT) AS kn_nll_micro
+  FROM lp GROUP BY doc_id) s ON s.doc_id = d.doc_id
+"""
+
+
+EXT_QUERIES.update({"q_lm_kn_nll": q_lm_kn_nll})
+EXT_ORACLE_SQL.update({"q_lm_kn_nll": SQL_LM_KN_NLL})

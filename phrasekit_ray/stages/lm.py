@@ -438,3 +438,121 @@ def bm25_topk(
         .sort(["bm25_micro", id_col], descending=[True, False])
         .limit(topk)
     )
+
+
+def kn_bigram_nll_scores(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    max_vocab: int = 1_000_000,
+    max_bigrams: int = 1_000_000,
+    discount: float = 0.75,
+    num_partitions: int | None = None,
+):
+    """Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; Chen
+    & Goodman 1999 eq. 4.28, fixed discount D) — the standard n-gram
+    smoothing a KenLM-style corpus-quality filter uses, next to the
+    add-one :func:`bigram_nll_scores` baseline.
+
+    Model statistics all derive from the KEPT bigram table (count ≥
+    ``min_count``, capped at ``max_bigrams`` by count desc / pair asc —
+    bounded broadcast regardless of corpus size):
+
+    - c1(w1)  = Σ c over kept pairs with left w1 (left marginal),
+    - fol(w1) = # kept pair types with left w1 (discount mass),
+    - cont(w2)= # kept pair types with right w2 (continuation count),
+    - T       = # kept pair types, U = kept unigram vocab size,
+    - p_cont(w2) = (cont(w2)+1)/(T+U)  [add-one so unseen w2 has mass],
+    - p(w2|w1) = (max(c12−D,0) + D·fol(w1)·p_cont(w2)) / c1(w1)
+                 if c1(w1)>0 else p_cont(w2).
+
+    Every input is an integer count and the float tail is one fixed
+    expression, so micro-nat rounding is reproducible and the SQL twin
+    exact. Scale shape: two two-phase aggregates to train, bounded
+    broadcast model, stateless scoring scan with per-UNIQUE probing.
+
+    Returns Dataset(doc_id, n_bigrams, kn_nll_micro).
+    """
+    import ray
+
+    uni, big, _u = bigram_logprob_tables(
+        docs, text_col, min_count, max_vocab, max_bigrams, num_partitions
+    )
+    U = len(uni)
+    c1: dict = {}
+    fol: dict = {}
+    cont: dict = {}
+    for pair, c in big.items():
+        w1, w2 = pair.split(" ", 1)
+        c1[w1] = c1.get(w1, 0) + c
+        fol[w1] = fol.get(w1, 0) + 1
+        cont[w2] = cont.get(w2, 0) + 1
+    T = len(big)
+    model_ref = ray.put((big, c1, fol, cont))
+    D = float(discount)
+    denom = float(T + U)
+
+    def score(b: pa.Table) -> pa.Table:
+        from phrasekit_ray.stages.score import _get_broadcast
+
+        big_m, c1_m, fol_m, cont_m = _get_broadcast(model_ref)
+        toks = _split_space(b[text_col])
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = offsets - offsets[0]
+        flat = toks.values.slice(offsets[0], int(offsets[-1] - offsets[0]))
+        n = len(flat)
+        dl = np.diff(off)
+        n_big = np.maximum(dl - 1, 0)
+        if n < 2 or int(n_big.sum()) == 0:
+            return pa.table(
+                {
+                    id_col: b[id_col],
+                    "n_bigrams": pa.array(n_big, pa.int64()),
+                    "kn_nll_micro": pa.array(
+                        np.zeros(len(dl), np.int64), pa.int64()
+                    ),
+                }
+            )
+        is_last = np.zeros(n, dtype=bool)
+        ends = off[1:][off[1:] > 0] - 1
+        is_last[ends] = True
+        keep = ~is_last[:-1]
+        w1 = flat.slice(0, n - 1).filter(pa.array(keep))
+        w2 = flat.slice(1, n - 1).filter(pa.array(keep))
+        pairs = pc.binary_join_element_wise(w1, w2, " ")
+
+        def probe(arr, table):
+            enc = pc.dictionary_encode(arr)
+            uniq = enc.dictionary.to_pylist()
+            vals = np.fromiter(
+                (table.get(t, 0) for t in uniq), dtype=np.int64, count=len(uniq)
+            )
+            return vals[enc.indices.to_numpy(zero_copy_only=False)]
+
+        c12 = probe(pairs, big_m).astype(np.float64)
+        c1v = probe(w1, c1_m).astype(np.float64)
+        folv = probe(w1, fol_m).astype(np.float64)
+        contv = probe(w2, cont_m).astype(np.float64)
+        # the SAME fixed expression as the SQL twin, term for term
+        pcs = (contv + 1.0) / denom
+        seen = c1v > 0
+        p = np.where(
+            seen,
+            (np.maximum(c12 - D, 0.0) + D * folv * pcs)
+            / np.where(seen, c1v, 1.0),
+            pcs,
+        )
+        lp = _round_away_np(np.log(p) * 1e6).astype(np.int64)
+        csum = np.concatenate(([0], np.cumsum(lp)))
+        bnd = np.concatenate(([0], np.cumsum(n_big)))
+        doc_sum = csum[bnd[1:]] - csum[bnd[:-1]]
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_bigrams": pa.array(n_big, pa.int64()),
+                "kn_nll_micro": pa.array(-doc_sum, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")

@@ -156,3 +156,40 @@ def test_bm25_empty_corpus(ray_session):
         )
     )
     assert bm25_topk(empty, ["x", "y"]).count() == 0
+
+
+def test_kn_continuation_beats_raw_frequency(ray_session):
+    """The defining Kneser–Ney property: after an UNSEEN context, a
+    token with many distinct predecessors (high continuation count)
+    outscores a token with equal raw frequency but one predecessor —
+    'francisco' appears often but only after 'san', so p_cont punishes
+    it vs a versatile token."""
+    import ray
+
+    from phrasekit_ray.stages.lm import kn_bigram_nll_scores
+
+    # 'versatile' follows 6 distinct tokens (6 bigram types x2 each);
+    # 'francisco' follows only 'san' (1 type, 12 occurrences)
+    train = []
+    for w in ["a", "b", "c", "d", "e", "f"]:
+        train += [f"{w} versatile"] * 2
+    train += ["san francisco"] * 12
+    # two probe docs: identical unseen context, different continuation
+    docs = train + ["zzz versatile", "zzz francisco"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    out = {
+        r["doc_id"]: r["kn_nll_micro"]
+        for b in kn_bigram_nll_scores(
+            ray.data.from_arrow(t), min_count=1
+        ).iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    }
+    nll_versatile = out[len(docs) - 2]
+    nll_francisco = out[len(docs) - 1]
+    # lower NLL = more probable; versatile must win after unseen 'zzz'
+    assert nll_versatile < nll_francisco
