@@ -4788,3 +4788,39 @@ FROM documents d LEFT JOIN (
 
 EXT_QUERIES.update({"q_lm_kn_nll": q_lm_kn_nll})
 EXT_ORACLE_SQL.update({"q_lm_kn_nll": SQL_LM_KN_NLL})
+
+
+def q_blocking_pairs(sf_dir: str):
+    """Sorted-neighborhood blocking candidates (X142): documents
+    totally ordered by (n_chars, doc_id), every pair within 3 sorted
+    positions — the classic ER candidate generator whose output size is
+    n·w regardless of key skew (stages/dedup.sorted_neighborhood_pairs)."""
+    import ray
+
+    from phrasekit_ray.stages.dedup import sorted_neighborhood_pairs
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    t = _collect(
+        sorted_neighborhood_pairs(docs, ["n_chars"], "doc_id", window=3)
+    )
+    return t.take(
+        pc.sort_indices(
+            t, sort_keys=[("a", "ascending"), ("b", "ascending")]
+        )
+    )
+
+
+SQL_BLOCKING_PAIRS = """
+WITH m AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+           FROM documents)
+SELECT a.doc_id AS a, b.doc_id AS b
+FROM m a JOIN m b ON b.rn > a.rn AND b.rn <= a.rn + 3
+ORDER BY a, b
+"""
+
+
+EXT_QUERIES.update({"q_blocking_pairs": q_blocking_pairs})
+EXT_ORACLE_SQL.update({"q_blocking_pairs": SQL_BLOCKING_PAIRS})

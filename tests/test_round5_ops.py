@@ -391,3 +391,50 @@ def test_skyline_2d_distributed_equals_single_block(ray_session):
         for j, (idj, a2, b2) in enumerate(one):
             if i != j:
                 assert not (a2 >= a1 and b2 <= b1 and (a2 > a1 or b2 < b1))
+
+
+def test_sorted_neighborhood_pairs_reference_and_invariance(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.dedup import sorted_neighborhood_pairs
+
+    rng = np.random.default_rng(4)
+    n = 800
+    ids = np.arange(1000, 1000 + n)
+    key = rng.integers(0, 50, n)  # heavy ties exercise the total order
+    t = pa.table(
+        {"id": pa.array(ids, pa.int64()), "k": pa.array(key, pa.int64())}
+    )
+    order = np.lexsort((ids, key))
+    sid = ids[order]
+    w = 3
+    want = sorted(
+        (int(sid[i]), int(sid[j]))
+        for i in range(n)
+        for j in range(i + 1, min(i + w + 1, n))
+    )
+    for parts in (1, 11):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        got = sorted(
+            zip(*[
+                _collect(
+                    sorted_neighborhood_pairs(ds, ["k"], "id", window=w)
+                )[c].to_pylist()
+                for c in ("a", "b")
+            ])
+        )
+        assert got == want
+    assert len(want) == n * w - w * (w + 1) // 2  # n·w minus the tail
+
+
+def test_sorted_neighborhood_rejects_bad_window(ray_session):
+    import pytest
+    import ray
+
+    from phrasekit_ray.stages.dedup import sorted_neighborhood_pairs
+
+    ds = ray.data.from_arrow(
+        pa.table({"id": pa.array([1], pa.int64()), "k": pa.array([1], pa.int64())})
+    )
+    with pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(ds, ["k"], "id", window=0)
