@@ -4824,3 +4824,31 @@ ORDER BY a, b
 
 EXT_QUERIES.update({"q_blocking_pairs": q_blocking_pairs})
 EXT_ORACLE_SQL.update({"q_blocking_pairs": SQL_BLOCKING_PAIRS})
+
+
+def q_ngram_novelty(sf_dir: str):
+    """Heaps-law bigram novelty per document (X143): bigram types whose
+    minimum containing doc_id is this document
+    (stages/textstats.ngram_novelty)."""
+    from phrasekit_ray.stages.textstats import ngram_novelty
+
+    return _i64(_collect(ngram_novelty(_docs(sf_dir))), "doc_id")
+
+
+SQL_NGRAM_NOVELTY = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+              generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents),
+bi AS (SELECT t1.doc_id, t1.tok || ' ' || t2.tok AS g
+       FROM toks t1 JOIN toks t2
+         ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1),
+own AS (SELECT g, min(doc_id) AS doc_id FROM bi GROUP BY g),
+nov AS (SELECT doc_id, count(*) AS new_ngrams FROM own GROUP BY doc_id)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       COALESCE(n.new_ngrams, 0) AS new_ngrams
+FROM documents d LEFT JOIN nov n ON n.doc_id = d.doc_id
+"""
+
+
+EXT_QUERIES.update({"q_ngram_novelty": q_ngram_novelty})
+EXT_ORACLE_SQL.update({"q_ngram_novelty": SQL_NGRAM_NOVELTY})

@@ -632,3 +632,84 @@ def dsir_weights(
         )
 
     return ds.map_batches(per_doc, batch_format="pyarrow", **kw)
+
+
+def ngram_novelty(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+):
+    """Per-document n-gram novelty (the Heaps-law vocabulary-growth
+    curve, bigram edition): for every distinct within-doc-adjacent
+    bigram, its OWNER is the minimum doc_id containing it; a document's
+    novelty is the number of bigram types it owns — the corpus-level
+    "how much genuinely new text does each document add" diagnostic
+    that complements the dup-n-gram signal (X101).
+
+    Scale shape: one vectorized bigram explode (shift+mask on list
+    offsets, doc ids attached by np.repeat), ONE two-phase MIN
+    aggregate keyed by the gram string (duplicates collapse in-block
+    first), ONE two-phase count by owner doc, then a zero-row union so
+    documents owning nothing still report 0 — no driver state at any
+    point.
+
+    Returns Dataset(doc_id, new_ngrams).
+    """
+    from phrasekit_ray.stages.agg import grouped_count, hash_aggregate
+    from phrasekit_ray.stages.lm import _split_space
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks = _split_space(b[text_col])
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = offsets - offsets[0]
+        flat = toks.values.slice(offsets[0], int(offsets[-1] - offsets[0]))
+        n = len(flat)
+        dl = np.diff(off)
+        n_big = np.maximum(dl - 1, 0)
+        ids = b[id_col].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        if n < 2 or int(n_big.sum()) == 0:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                }
+            )
+        is_last = np.zeros(n, dtype=bool)
+        ends = off[1:][off[1:] > 0] - 1
+        is_last[ends] = True
+        keep = ~is_last[:-1]
+        w1 = flat.slice(0, n - 1).filter(pa.array(keep))
+        w2 = flat.slice(1, n - 1).filter(pa.array(keep))
+        return pa.table(
+            {
+                "g": pc.binary_join_element_wise(w1, w2, " "),
+                "doc_id": pa.array(np.repeat(ids, n_big), pa.int64()),
+            }
+        )
+
+    owners = hash_aggregate(
+        docs.map_batches(explode, batch_format="pyarrow"),
+        ["g"],
+        [("doc_id", "min")],
+        num_partitions=num_partitions,
+    )
+    nov = grouped_count(
+        owners, "doc_id", count_col="new_ngrams",
+        num_partitions=num_partitions,
+    )
+    zeros = docs.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b[id_col].cast(pa.int64()),
+                "new_ngrams": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return hash_aggregate(
+        nov.union(zeros), ["doc_id"], [("new_ngrams", "sum")],
+        num_partitions=num_partitions,
+    )

@@ -438,3 +438,36 @@ def test_sorted_neighborhood_rejects_bad_window(ray_session):
     )
     with pytest.raises(ValueError, match="window"):
         sorted_neighborhood_pairs(ds, ["k"], "id", window=0)
+
+
+def test_ngram_novelty_conservation_and_first_doc(ray_session):
+    """Σ novelty == total distinct bigram types, and the smallest
+    doc_id owns every bigram it contains."""
+    import ray
+
+    from phrasekit_ray.stages.textstats import ngram_novelty
+
+    texts = [
+        "a b c a b",      # doc 0: types {a b, b c, c a} -> owns 3
+        "a b x y",        # doc 1: new types {b x, x y} -> owns 2
+        "x y a b",        # doc 2: new type {y a} -> owns 1
+        "q",              # doc 3: no bigrams -> 0
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = {
+        r["doc_id"]: r["new_ngrams"]
+        for r in _collect(
+            ngram_novelty(ray.data.from_arrow(t).repartition(3))
+        ).to_pylist()
+    }
+    assert out == {0: 3, 1: 2, 2: 1, 3: 0}
+    types = set()
+    for s in texts:
+        w = s.split()
+        types |= {f"{a} {b}" for a, b in zip(w, w[1:])}
+    assert sum(out.values()) == len(types)
