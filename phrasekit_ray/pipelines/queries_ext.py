@@ -4852,3 +4852,41 @@ FROM documents d LEFT JOIN nov n ON n.doc_id = d.doc_id
 
 EXT_QUERIES.update({"q_ngram_novelty": q_ngram_novelty})
 EXT_ORACLE_SQL.update({"q_ngram_novelty": SQL_NGRAM_NOVELTY})
+
+
+def q_zonemap_range_read(sf_dir: str):
+    """Zone-map pruned range read (X144): documents range-partitioned
+    by n_chars into 16 zones under /tmp scratch, then a [200, 400]
+    range query that opens ONLY overlapping zones (the manifests prove
+    real pruning — asserted in pytest; the emitted rows are the exact
+    range filter, so the SQL twin is a plain BETWEEN)."""
+    import tempfile
+
+    import ray
+
+    from phrasekit_ray.state.lineage import read_zonemapped, write_zonemapped
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    with tempfile.TemporaryDirectory(prefix="zonemap_") as root:
+        write_zonemapped(docs, root, "docs_by_len", "n_chars", 16,
+                         config_desc=sf_dir)
+        out, _scanned, _total = read_zonemapped(
+            root, "docs_by_len", "n_chars", 200, 400
+        )
+        t = _collect(out.map_batches(
+            lambda b: b.select(["doc_id", "n_chars"]),
+            batch_format="pyarrow",
+        ))
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+SQL_ZONEMAP_RANGE_READ = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents WHERE n_chars BETWEEN 200 AND 400 ORDER BY doc_id
+"""
+
+
+EXT_QUERIES.update({"q_zonemap_range_read": q_zonemap_range_read})
+EXT_ORACLE_SQL.update({"q_zonemap_range_read": SQL_ZONEMAP_RANGE_READ})

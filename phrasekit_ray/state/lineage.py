@@ -289,3 +289,118 @@ def bucketed_join(
     if not refs:
         return rd.from_arrow(pa.table({}))
     return rd.from_arrow_refs(refs)
+
+
+def write_zonemapped(
+    ds,
+    root: str,
+    stage: str,
+    zone_col: str,
+    num_partitions: int = 16,
+    config_desc: Any = None,
+) -> dict:
+    """Range-layout + zone-map write: sort by ``zone_col``, split into
+    ``num_partitions`` equal ROW ranges (deterministic regardless of
+    value skew — a skewed value just spans several zones), and record
+    each partition's min/max of ``zone_col`` in its manifest. A later
+    :func:`read_zonemapped` range query opens ONLY the overlapping
+    partitions — the same file-skipping contract a lakehouse zone map /
+    Parquet row-group index gives, expressed over this engine's own
+    resumable-partition manifests (write_partition's manifest-last
+    ordering keeps crash-resume semantics).
+
+    Equal-row split uses the X19 metadata-only global row index; the
+    sort is the only shuffle. Returns a summary dict with the zone
+    table.
+    """
+    from phrasekit_ray.state.rowindex import with_row_index
+
+    fp = fingerprint(
+        {"stage": stage, "config": config_desc, "np": num_partitions,
+         "zone_col": zone_col, "layout": "range"}
+    )
+    srt = ds.sort(zone_col)
+    idx = with_row_index(srt, "_rn")
+    total = idx.count()
+    if total == 0:
+        for i in range(num_partitions):
+            write_partition(root, stage, i, pa.table({}), fp,
+                            extra={"zone_min": None, "zone_max": None})
+        return {"stage": stage, "partitions": num_partitions,
+                "rows": 0, "fingerprint": fp, "zones": []}
+
+    def assign(batch: pa.Table) -> pa.Table:
+        rn = batch["_rn"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        pk = rn * num_partitions // total
+        return batch.drop_columns(["_rn"]).append_column(
+            PKEY, pa.array(pk, pa.int64())
+        )
+
+    def write_group(group: pa.Table) -> pa.Table:
+        key = int(group[PKEY][0].as_py())
+        table = group.drop_columns([PKEY])
+        zmin = pc.min(table[zone_col]).as_py()
+        zmax = pc.max(table[zone_col]).as_py()
+        write_partition(root, stage, key, table, fp,
+                        extra={"zone_min": zmin, "zone_max": zmax})
+        return pa.table(
+            {"partition": pa.array([key], pa.int64()),
+             "num_rows": pa.array([table.num_rows], pa.int64())}
+        )
+
+    manifests = idx.map_batches(assign, batch_format="pyarrow").groupby(
+        PKEY
+    ).map_groups(write_group, batch_format="pyarrow")
+    rows = manifests.take_all()  # small: one row per partition
+    written = {int(r["partition"]) for r in rows}
+    for i in range(num_partitions):
+        if i not in written:
+            write_partition(root, stage, i, pa.table({}), fp,
+                            extra={"zone_min": None, "zone_max": None})
+    return {"stage": stage, "partitions": num_partitions, "rows": total,
+            "fingerprint": fp}
+
+
+def read_zonemapped(root: str, stage: str, zone_col: str, lo, hi):
+    """Range query over a :func:`write_zonemapped` layout: consult the
+    (tiny) manifests, open ONLY partitions whose [zone_min, zone_max]
+    overlaps [lo, hi], then apply the exact row filter. Returns
+    (Dataset, partitions_scanned, partitions_total) so callers and
+    tests can assert real pruning, not just correct answers."""
+    import ray
+
+    stage_dir = os.path.join(root, stage)
+    paths, total = [], 0
+    for part in sorted(os.listdir(stage_dir)):
+        mp = os.path.join(stage_dir, part, MANIFEST_NAME)
+        try:
+            with open(mp) as f:
+                m = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        total += 1
+        zmin, zmax = m.get("zone_min"), m.get("zone_max")
+        if zmin is None or zmax is None:
+            continue  # empty partition: nothing to scan
+        if zmax < lo or zmin > hi:
+            continue  # disjoint: pruned without opening the file
+        paths.append(os.path.join(stage_dir, part, "data.parquet"))
+    if not paths:
+        return (
+            ray.data.from_arrow(pa.table({zone_col: pa.array([], pa.int64())})),
+            0,
+            total,
+        )
+    ds = ray.data.read_parquet(paths)
+    out = ds.map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b[zone_col], lo),
+                pc.less_equal(b[zone_col], hi),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    return out, len(paths), total

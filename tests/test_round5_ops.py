@@ -471,3 +471,52 @@ def test_ngram_novelty_conservation_and_first_doc(ray_session):
         w = s.split()
         types |= {f"{a} {b}" for a, b in zip(w, w[1:])}
     assert sum(out.values()) == len(types)
+
+
+def test_zonemap_prunes_and_matches_full_scan(ray_session, tmp_path):
+    import ray
+
+    from phrasekit_ray.state.lineage import read_zonemapped, write_zonemapped
+
+    rng = np.random.default_rng(6)
+    n = 20_000
+    vals = rng.integers(0, 10_000, n)
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(n), pa.int64()),
+            "v": pa.array(vals, pa.int64()),
+        }
+    )
+    root = str(tmp_path)
+    write_zonemapped(ray.data.from_arrow(t).repartition(8), root, "s", "v", 16)
+    out, scanned, total = read_zonemapped(root, "s", "v", 1000, 1999)
+    got = sorted(
+        zip(*[_collect(out)[c].to_pylist() for c in ("id", "v")])
+    )
+    want = sorted(
+        (int(i), int(v)) for i, v in zip(np.arange(n), vals)
+        if 1000 <= v <= 1999
+    )
+    assert got == want
+    assert total == 16
+    # a 10% value range over a range layout must NOT open most zones
+    assert scanned <= 4
+    # a disjoint range opens nothing
+    _, scanned0, _ = read_zonemapped(root, "s", "v", 50_000, 60_000)
+    assert scanned0 == 0
+
+
+def test_zonemap_empty_input(ray_session, tmp_path):
+    import ray
+
+    from phrasekit_ray.state.lineage import read_zonemapped, write_zonemapped
+
+    empty = ray.data.from_arrow(
+        pa.table({"id": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    )
+    root = str(tmp_path)
+    s = write_zonemapped(empty, root, "s", "v", 4)
+    assert s["rows"] == 0
+    out, scanned, total = read_zonemapped(root, "s", "v", 0, 10)
+    assert scanned == 0 and total == 4
+    assert out.count() == 0
