@@ -4890,3 +4890,40 @@ FROM documents WHERE n_chars BETWEEN 200 AND 400 ORDER BY doc_id
 
 EXT_QUERIES.update({"q_zonemap_range_read": q_zonemap_range_read})
 EXT_ORACLE_SQL.update({"q_zonemap_range_read": SQL_ZONEMAP_RANGE_READ})
+
+
+def q_kmv_distinct_tokens(sf_dir: str):
+    """KMV distinct-token estimate per language (X145): k=64 minimum
+    md5 hashes, deterministic estimate — the exact-twin-checkable
+    sketch next to the rows-only HLL (stages/agg.kmv_distinct)."""
+    import ray
+
+    from phrasekit_ray.stages.agg import kmv_distinct
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+    return kmv_distinct(docs, "lang", "text", k=64)
+
+
+SQL_KMV_DISTINCT_TOKENS = """
+WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+h AS (SELECT DISTINCT lang, md5_number_upper(tok) AS h FROM toks),
+rk AS (SELECT lang, h,
+              row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+       FROM h),
+cnt AS (SELECT lang, count(*) AS d FROM h GROUP BY lang),
+kth AS (SELECT lang, h AS hk FROM rk WHERE rn = 64)
+SELECT c.lang,
+  CASE WHEN c.d < 64 THEN c.d
+       ELSE CAST(round(63.0 * 18446744073709551616.0
+                       / CAST(k.hk AS DOUBLE)) AS BIGINT)
+  END AS est_distinct
+FROM cnt c LEFT JOIN kth k ON k.lang = c.lang
+ORDER BY c.lang
+"""
+
+
+EXT_QUERIES.update({"q_kmv_distinct_tokens": q_kmv_distinct_tokens})
+EXT_ORACLE_SQL.update({"q_kmv_distinct_tokens": SQL_KMV_DISTINCT_TOKENS})

@@ -2658,3 +2658,115 @@ def skyline_2d(ds, id_col: str, max_col: str, min_col: str,
     return candidates.repartition(1).map_batches(
         local, batch_format="pyarrow", batch_size=None
     )
+
+
+def kmv_distinct(
+    docs,
+    group_col: str = "lang",
+    text_col: str = "text",
+    k: int = 64,
+):
+    """KMV (k-minimum-values) distinct-token sketch per group (Bar-Yossef
+    et al. 2002): keep the k smallest DISTINCT 64-bit token hashes per
+    group; estimate D̂ = (k−1)·2⁶⁴ / h₍ₖ₎, or the exact distinct count
+    when a group has fewer than k. Unlike HLL (X36, rows-only ±4σ
+    check) every step here is a deterministic function of the input —
+    the hash is the engine-wide md5_number_upper convention and the
+    estimate one fixed float64 expression — so the SQL twin is EXACT.
+
+    Scale shape: per-block per-group k-min prune over UNIQUE hashes
+    (one lexsort per batch), so the shuffle carries ≤ k·groups·blocks
+    8-byte values; the per-group merge re-runs the identical prune.
+    Mergeability is the point: partials at any partitioning give the
+    same final sketch.
+
+    Returns pa.Table(group_col, est_distinct) sorted by group — the
+    group cardinality is the #distinct group keys (bounded, e.g.
+    languages), not the corpus.
+    """
+    import hashlib
+
+    def prune(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "h": pa.array([], pa.uint64()),
+                }
+            )
+        if "h" in batch.column_names:  # merge phase: already hashed
+            gv = batch[group_col].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            h = batch["h"].combine_chunks().to_numpy(zero_copy_only=False)
+        else:
+            toks = pc.split_pattern(batch[text_col], " ")
+            n_tok = pc.list_value_length(toks).combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            gv = np.repeat(
+                batch[group_col].combine_chunks().to_numpy(
+                    zero_copy_only=False
+                ),
+                n_tok,
+            )
+            flat = pc.list_flatten(toks).combine_chunks()
+            enc = pc.dictionary_encode(flat)
+            uniq = enc.dictionary.to_pylist()
+            hu = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.md5(t.encode()).digest()[:8], "little"
+                    )
+                    for t in uniq
+                ),
+                dtype=np.uint64,
+                count=len(uniq),
+            )
+            h = hu[enc.indices.to_numpy(zero_copy_only=False)]
+        gv = np.asarray(gv, dtype=object)
+        order = np.lexsort((h, gv))
+        gs, hs = gv[order], h[order]
+        # distinct (group, h) then first k per group
+        first = np.ones(len(gs), bool)
+        first[1:] = (gs[1:] != gs[:-1]) | (hs[1:] != hs[:-1])
+        gs, hs = gs[first], hs[first]
+        new_g = np.ones(len(gs), bool)
+        new_g[1:] = gs[1:] != gs[:-1]
+        pos_in_group = np.arange(len(gs)) - np.maximum.accumulate(
+            np.where(new_g, np.arange(len(gs)), 0)
+        )
+        keep = pos_in_group < k
+        return pa.table(
+            {
+                group_col: pa.array(gs[keep].tolist(), pa.string()),
+                "h": pa.array(hs[keep], pa.uint64()),
+            }
+        )
+
+    def estimate(group: pa.Table) -> pa.Table:
+        t = prune(group)
+        h = np.sort(t["h"].to_numpy(zero_copy_only=False))
+        name = group[group_col][0].as_py()
+        if len(h) < k:
+            est = len(h)
+        else:
+            hk = np.float64(h[k - 1])
+            est = int(
+                np.sign(1.0)
+                * np.floor(np.abs((k - 1.0) * 18446744073709551616.0 / hk) + 0.5)
+            )
+        return pa.table(
+            {
+                group_col: pa.array([name], pa.string()),
+                "est_distinct": pa.array([est], pa.int64()),
+            }
+        )
+
+    partials = docs.map_batches(prune, batch_format="pyarrow")
+    out_ds = partials.groupby(group_col).map_groups(
+        estimate, batch_format="pyarrow"
+    )
+    parts = [b for b in out_ds.iter_batches(batch_format="pyarrow")]
+    t = pa.concat_tables(parts, promote_options="default")
+    return t.take(pc.sort_indices(t, sort_keys=[(group_col, "ascending")]))

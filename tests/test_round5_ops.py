@@ -520,3 +520,57 @@ def test_zonemap_empty_input(ray_session, tmp_path):
     out, scanned, total = read_zonemapped(root, "s", "v", 0, 10)
     assert scanned == 0 and total == 4
     assert out.count() == 0
+
+
+def test_kmv_estimator_accuracy_and_partition_invariance(ray_session):
+    """Synthetic corpus with ~2000 distinct tokens per group exercises
+    the k-th-min estimation branch (the sf fixtures' 31-token vocab
+    stays under k): estimate within 4σ (σ≈1/√(k−2)), identical at any
+    partitioning (sketch mergeability)."""
+    import ray
+
+    from phrasekit_ray.stages.agg import kmv_distinct
+
+    rng = np.random.default_rng(9)
+    texts, langs = [], []
+    true = {"aa": 2000, "bb": 900}
+    for lang, vocab in true.items():
+        toks = [f"{lang}tok{i}" for i in range(vocab)]
+        for _ in range(200):
+            texts.append(" ".join(rng.choice(toks, 40)))
+            langs.append(lang)
+    # ensure every token appears: one doc listing the whole vocab
+    for lang, vocab in true.items():
+        texts.append(" ".join(f"{lang}tok{i}" for i in range(vocab)))
+        langs.append(lang)
+    t = pa.table(
+        {"lang": pa.array(langs, pa.string()), "text": pa.array(texts, pa.string())}
+    )
+    k = 64
+    sigma = 1.0 / np.sqrt(k - 2)
+    res1 = kmv_distinct(ray.data.from_arrow(t), "lang", "text", k=k)
+    res2 = kmv_distinct(
+        ray.data.from_arrow(t).repartition(7), "lang", "text", k=k
+    )
+    assert res1.to_pandas().equals(res2.to_pandas())
+    for row in res1.to_pylist():
+        d = true[row["lang"]]
+        assert abs(row["est_distinct"] - d) <= 4 * sigma * d, row
+
+
+def test_kmv_small_group_is_exact(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.agg import kmv_distinct
+
+    t = pa.table(
+        {
+            "lang": pa.array(["x", "x", "y"], pa.string()),
+            "text": pa.array(["a b c a", "c d", "zz"], pa.string()),
+        }
+    )
+    out = {
+        r["lang"]: r["est_distinct"]
+        for r in kmv_distinct(ray.data.from_arrow(t), "lang", "text").to_pylist()
+    }
+    assert out == {"x": 4, "y": 1}
