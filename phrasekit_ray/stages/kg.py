@@ -1814,6 +1814,33 @@ def link_prediction(
     )
 
 
+def _ppr_driver(edges_tbl: pa.Table, n_seeds, iters, an, ad, total_micro):
+    """Bounded driver fast path for :func:`ppr_exact` — the IDENTICAL
+    integer recurrence vectorized over the pulled edge table (np.add.at
+    int64 sums are order-independent, so fast == distributed exactly;
+    tests force the distributed path with driver_edges_threshold=0)."""
+    subj = edges_tbl["subj"].to_numpy(zero_copy_only=False)
+    obj = edges_tbl["obj"].to_numpy(zero_copy_only=False)
+    nodes = np.unique(np.concatenate([subj, obj]))
+    si = np.searchsorted(nodes, subj)
+    oi = np.searchsorted(nodes, obj)
+    od = np.bincount(si, minlength=len(nodes)).astype(np.int64)
+    n_s = min(n_seeds, len(nodes))
+    r = np.zeros(len(nodes), np.int64)
+    r[:n_s] = total_micro // n_s
+    base = ((ad - an) * total_micro) // (ad * n_s)
+    for _ in range(iters):
+        q = (r[si] * an) // (ad * od[si])
+        nr = np.zeros(len(nodes), np.int64)
+        np.add.at(nr, oi, q)
+        nr[:n_s] += base
+        r = nr
+    return pa.table(
+        {"node": pa.array(nodes, pa.int64()),
+         "rank_micro": pa.array(r, pa.int64())}
+    )
+
+
 def ppr_exact(
     edges_ds,
     n_seeds: int = 4,
@@ -1824,6 +1851,7 @@ def ppr_exact(
     subj_col: str = "subj",
     obj_col: str = "obj",
     num_partitions: int | None = None,
+    driver_edges_threshold: int = 5_000_000,
 ):
     """Personalized PageRank in EXACT integer micro-units — the
     oracle-checkable sibling of :func:`pagerank` (whose float ranks are
@@ -1892,6 +1920,19 @@ def ppr_exact(
         return ray.data.from_arrow(
             pa.table({"node": pa.array([], pa.int64()),
                       "rank_micro": pa.array([], pa.int64())})
+        )
+
+    # bounded fast path (triangle_counts convention): a deduped edge set
+    # under the threshold (~80 MB int64 pairs at the default) runs the
+    # identical recurrence vectorized on the driver — per-round join
+    # scheduling dominates tiny graphs otherwise
+    if edges.count() <= driver_edges_threshold:
+        tbl = pa.concat_tables(
+            list(edges.iter_batches(batch_format="pyarrow")),
+            promote_options="default",
+        )
+        return ray.data.from_arrow(
+            _ppr_driver(tbl, n_seeds, iters, alpha_num, alpha_den, total_micro)
         )
 
     seeds = sorted(
@@ -1965,6 +2006,31 @@ def ppr_exact(
     return ranks
 
 
+def _sssp_driver(edges_tbl: pa.Table, source: int, iters: int):
+    """Bounded driver fast path for :func:`sssp_exact` — identical
+    hop-bounded relaxation vectorized with np.minimum.at (min is
+    order-independent; tests force the distributed path too)."""
+    subj = edges_tbl["subj"].to_numpy(zero_copy_only=False)
+    obj = edges_tbl["obj"].to_numpy(zero_copy_only=False)
+    w = edges_tbl["w"].to_numpy(zero_copy_only=False)
+    nodes = np.unique(np.concatenate([subj, obj, [source]]))
+    si = np.searchsorted(nodes, subj)
+    oi = np.searchsorted(nodes, obj)
+    INF = np.int64(1) << np.int64(62)
+    dist = np.full(len(nodes), INF, np.int64)
+    dist[np.searchsorted(nodes, source)] = 0
+    for _ in range(iters):
+        nd = dist.copy()
+        reach = dist[si] < INF
+        np.minimum.at(nd, oi[reach], dist[si][reach] + w[reach])
+        dist = nd
+    m = dist < INF
+    return pa.table(
+        {"node": pa.array(nodes[m], pa.int64()),
+         "dist": pa.array(dist[m], pa.int64())}
+    )
+
+
 def sssp_exact(
     edges_ds,
     source: int,
@@ -1973,6 +2039,7 @@ def sssp_exact(
     obj_col: str = "obj",
     weight_col: str = "w",
     num_partitions: int | None = None,
+    driver_edges_threshold: int = 5_000_000,
 ):
     """Hop-bounded single-source shortest paths (Bellman–Ford, T
     relaxation rounds) with EXACT int64 weights — after round T every
@@ -2013,6 +2080,13 @@ def sssp_exact(
         [("w", "min")],
         num_partitions=num_partitions,
     ).materialize()
+
+    if edges.count() <= driver_edges_threshold:
+        tbl = pa.concat_tables(
+            list(edges.iter_batches(batch_format="pyarrow")),
+            promote_options="default",
+        )
+        return ray.data.from_arrow(_sssp_driver(tbl, int(source), iters))
 
     dist = ray.data.from_arrow(
         pa.table(

@@ -222,18 +222,24 @@ def test_ppr_exact_matches_reference_and_is_partition_invariant(ray_session):
         }
     )
     want = _ref_ppr(E)
+    # fast (driver) path
     got = {
         r["node"]: r["rank_micro"]
         for r in _collect(ppr_exact(ray.data.from_arrow(edges))).to_pylist()
     }
     assert got == want
-    got2 = {
-        r["node"]: r["rank_micro"]
-        for r in _collect(
-            ppr_exact(ray.data.from_arrow(edges).repartition(9))
-        ).to_pylist()
-    }
-    assert got2 == want
+    # forced fully-distributed path, two partitionings
+    for parts in (1, 9):
+        got2 = {
+            r["node"]: r["rank_micro"]
+            for r in _collect(
+                ppr_exact(
+                    ray.data.from_arrow(edges).repartition(parts),
+                    driver_edges_threshold=0,
+                )
+            ).to_pylist()
+        }
+        assert got2 == want
 
 
 def test_ppr_exact_mass_and_seed_locality(ray_session):
@@ -294,6 +300,7 @@ def test_sssp_exact_matches_reference_and_is_partition_invariant(ray_session):
         }
     )
     want = _ref_sssp(E, W)
+    # fast (driver) path
     got = {
         r["node"]: r["dist"]
         for r in _collect(
@@ -301,13 +308,19 @@ def test_sssp_exact_matches_reference_and_is_partition_invariant(ray_session):
         ).to_pylist()
     }
     assert got == want
-    got2 = {
-        r["node"]: r["dist"]
-        for r in _collect(
-            sssp_exact(ray.data.from_arrow(edges).repartition(9), source=0)
-        ).to_pylist()
-    }
-    assert got2 == want
+    # forced fully-distributed path, two partitionings
+    for parts in (1, 9):
+        got2 = {
+            r["node"]: r["dist"]
+            for r in _collect(
+                sssp_exact(
+                    ray.data.from_arrow(edges).repartition(parts),
+                    source=0,
+                    driver_edges_threshold=0,
+                )
+            ).to_pylist()
+        }
+        assert got2 == want
 
 
 def test_sssp_hop_bound_semantics(ray_session):
