@@ -192,6 +192,15 @@ BENCH_QUERY_NAMES = [
         "q_dsir_weights",
         "q_link_prediction",
         "q_media_probe",
+        "q_pq_search",
+        "q_ppr_hosts",
+        "q_sssp_hosts",
+        "q_skyline_docs",
+        "q_lm_kn_nll",
+        "q_blocking_pairs",
+        "q_ngram_novelty",
+        "q_zonemap_range_read",
+        "q_kmv_distinct_tokens",
         "q_pq_encode",
 ]
 
