@@ -201,6 +201,7 @@ BENCH_QUERY_NAMES = [
         "q_ngram_novelty",
         "q_zonemap_range_read",
         "q_kmv_distinct_tokens",
+        "q_hamming_ann",
         "q_pq_encode",
 ]
 

@@ -4927,3 +4927,48 @@ ORDER BY c.lang
 
 EXT_QUERIES.update({"q_kmv_distinct_tokens": q_kmv_distinct_tokens})
 EXT_ORACLE_SQL.update({"q_kmv_distinct_tokens": SQL_KMV_DISTINCT_TOKENS})
+
+
+def q_hamming_ann(sf_dir: str):
+    """Sign-quantized binary Hamming ANN (X146): the n smallest vec_ids
+    query the corpus over packed sign bits — the third exact-ranking
+    ANN class next to float cosine (X6) and integer ADC (X137)
+    (stages/similarity.hamming_topk)."""
+    import ray
+
+    from phrasekit_ray.stages.similarity import hamming_topk
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    t = hamming_topk(emb, n_queries=8, k=10)
+    return t.take(
+        pc.sort_indices(
+            t, sort_keys=[("query_id", "ascending"), ("rank", "ascending")]
+        )
+    )
+
+
+SQL_HAMMING_ANN = """
+WITH e AS (SELECT vec_id, d,
+                  CASE WHEN embedding[d] > 0 THEN 1 ELSE 0 END AS b
+           FROM embeddings, generate_series(1, 64) g(d)),
+qv AS (SELECT vec_id FROM (SELECT DISTINCT vec_id FROM embeddings
+                           ORDER BY vec_id LIMIT 8)),
+ham AS (SELECT qe.vec_id AS query_id, x.vec_id,
+               CAST(SUM(CASE WHEN qe.b <> x.b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS hamming
+        FROM e qe JOIN qv q ON qe.vec_id = q.vec_id
+        JOIN e x ON x.d = qe.d
+        GROUP BY 1, 2)
+SELECT query_id, vec_id, hamming, CAST(rn AS INTEGER) AS rank FROM (
+  SELECT query_id, vec_id, hamming, row_number() OVER (
+    PARTITION BY query_id ORDER BY hamming ASC, vec_id ASC) AS rn
+  FROM ham)
+WHERE rn <= 10
+ORDER BY query_id, rn
+"""
+
+
+EXT_QUERIES.update({"q_hamming_ann": q_hamming_ann})
+EXT_ORACLE_SQL.update({"q_hamming_ann": SQL_HAMMING_ANN})

@@ -257,3 +257,45 @@ def test_lsh_recall_vs_probe_cost_curve(ray_session):
         curve.append(recall_of(t))
     assert curve[0] <= curve[1] <= curve[2] + 1e-9, curve
     assert curve[2] >= 0.9, f"q_knn_lsh schedule recall@10 {curve[2]}"
+
+
+def test_popcount64_brute_force():
+    from phrasekit_ray.stages.similarity import _popcount64
+
+    rng = np.random.default_rng(1)
+    v = rng.integers(0, 2**63, 5000, dtype=np.int64).astype(np.uint64)
+    v[:4] = [0, 1, 2**64 - 1, 2**63]
+    got = _popcount64(v)
+    want = np.array([bin(int(x)).count("1") for x in v], np.int64)
+    assert np.array_equal(got, want)
+
+
+def test_hamming_topk_matches_full_scan_and_partitioning(ray_session, sf_dir):
+    import ray
+
+    from phrasekit_ray.stages.similarity import hamming_topk
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    t1 = hamming_topk(ds, n_queries=8, k=10).to_pandas()
+    t2 = hamming_topk(ds.repartition(7), n_queries=8, k=10).to_pandas()
+    assert t1.equals(t2)
+    # full-scan numpy reference
+    import pyarrow.parquet as pq_
+
+    tbl = pq_.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(tbl["vec_id"], np.int64)
+    order = np.argsort(ids, kind="stable")
+    V = np.stack(
+        [np.asarray(v, np.float32) for v in tbl["embedding"].to_pylist()]
+    )[order]
+    ids = ids[order]
+    bits = (V > 0).astype(np.int8)
+    for qi in range(8):
+        d = (bits != bits[qi]).sum(axis=1)
+        ref = sorted(zip(d.tolist(), ids.tolist()))[:10]
+        g = t1[t1.query_id == ids[qi]].sort_values("rank")
+        assert list(zip(g.hamming, g.vec_id)) == ref
