@@ -105,12 +105,26 @@ _DRIVER_FIRST: list[str] = [
     "q_pq_search",
     "q_media_decode",
     "q_media_probe",
-    # flagship re-certification anchors (driver-green r2-r4). With the 8
-    # round-5 rows above, every one of the 139 registered queries has been
-    # inside a driver window at least once after r5 (dedup-minhash anchor
-    # ceded its slot — its LSH twin is exercised by q_dup_rate_per_source
-    # in this same window).
+    # 2 of the 9 late-round-5 operators (X138/X139 — the graph ops most
+    # load-bearing for the kg_construct tier); the other 7 late ops sit
+    # immediately after the 50-slot window (below) and stay covered by the
+    # identical in-repo harness until a future window reaches them.
+    "q_ppr_hosts",
+    "q_sssp_hosts",
+    # flagship re-certification anchor (driver-green r2-r4; the final
+    # round's north-star row). q_mine_bigrams / q_tag_all_mentions ceded
+    # their anchor slots to the two graph ops above — both were certified
+    # green in r4, so nothing loses its only external check.
     "q_kg_triples_flagship",
+    # ---- 50-slot window boundary (observed size in r2-r4) ----
+    # remaining late-round-5 operators, first in line if the window grows
+    "q_skyline_docs",
+    "q_lm_kn_nll",
+    "q_blocking_pairs",
+    "q_ngram_novelty",
+    "q_zonemap_range_read",
+    "q_kmv_distinct_tokens",
+    "q_hamming_ann",
     "q_mine_bigrams",
     "q_tag_all_mentions",
 ]
