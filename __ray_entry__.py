@@ -125,6 +125,7 @@ _DRIVER_FIRST: list[str] = [
     "q_zonemap_range_read",
     "q_kmv_distinct_tokens",
     "q_hamming_ann",
+    "q_hits_hosts",
     "q_mine_bigrams",
     "q_tag_all_mentions",
 ]

@@ -202,6 +202,7 @@ BENCH_QUERY_NAMES = [
         "q_zonemap_range_read",
         "q_kmv_distinct_tokens",
         "q_hamming_ann",
+        "q_hits_hosts",
         "q_pq_encode",
 ]
 

@@ -4680,6 +4680,99 @@ EXT_QUERIES.update({"q_sssp_hosts": q_sssp_hosts})
 EXT_ORACLE_SQL.update({"q_sssp_hosts": SQL_SSSP_HOSTS})
 
 
+def q_hits_hosts(sf_dir: str):
+    """Exact-integer HITS hubs & authorities (X147) over the extracted
+    directed host link graph: 4 unrolled rounds of the ceil-quotient-
+    normalized sum recurrence in int64 units (stages/kg.hits_exact) —
+    the link-topology complement to the PageRank family (authorities =
+    hosts good hubs point AT; the aggregator h*.example.org hosts score
+    as authorities, the source hosts as hubs). Host→int ids driver-side
+    over the aggregated host table (bounded; X19 global enumeration is
+    the web-scale adapter), id order == lexicographic host order."""
+    import ray
+
+    from phrasekit_ray.sources.pages import pages_from_documents
+    from phrasekit_ray.stages.extract import extract_links, host_edges
+    from phrasekit_ray.stages.kg import hits_exact
+
+    pages = pages_from_documents(sf_dir, with_links=True)
+    he = _collect(host_edges(extract_links(pages)))
+    src = he["src_host"].to_pylist()
+    dst = he["dst_host"].to_pylist()
+    hosts = sorted(set(src) | set(dst))
+    hid = {h: i for i, h in enumerate(hosts)}
+    edges = pa.table(
+        {
+            "subj": pa.array([hid[h] for h in src], pa.int64()),
+            "obj": pa.array([hid[h] for h in dst], pa.int64()),
+        }
+    )
+    t = _collect(hits_exact(ray.data.from_arrow(edges), iters=4))
+    out = pa.table(
+        {
+            "host": pa.array(
+                [hosts[i] for i in t["node"].to_pylist()], pa.string()
+            ),
+            "auth_micro": t["auth_micro"].cast(pa.int64()),
+            "hub_micro": t["hub_micro"].cast(pa.int64()),
+        }
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("host", "ascending")]))
+
+
+def _sql_hits_hosts(iters: int = 4, scale: int = 10**6) -> str:
+    """Unrolled HITS twin of stages/kg.hits_exact over the host-graph
+    CTEs (same synthesis as SQL_PPR_HOSTS). The ceil-quotient
+    normalization (v // max(ceil(max_v/scale), 1)) is pure BIGINT floor
+    division, so every round is bit-exact at any partitioning."""
+    s = f"""
+WITH s AS (SELECT doc_id, source, j
+           FROM documents, generate_series(1, 3) AS g(j)),
+l AS (SELECT source, j,
+        ({_sm_sql('CAST(doc_id AS HUGEINT)*8 + CAST(j AS HUGEINT)')})
+          % 100003 AS t,
+        1 + (({_sm_sql('CAST(doc_id AS HUGEINT)*8 + 7')}) % 3) AS n_links
+      FROM s),
+he AS (SELECT source || '.example.org' AS src,
+              'h' || CAST(t % 16 AS VARCHAR) || '.example.org' AS dst
+       FROM l WHERE j <= n_links),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM he WHERE src <> dst),
+nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+h0 AS MATERIALIZED (SELECT node, CAST({scale} AS BIGINT) AS v FROM nodes)"""
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        s += f""",
+ar{i} AS MATERIALIZED (SELECT n.node, CAST(COALESCE(sq.sq, 0) AS BIGINT) AS v
+  FROM nodes n
+  LEFT JOIN (SELECT e.dst AS node, CAST(SUM(h.v) AS BIGINT) AS sq
+             FROM e JOIN {prev_h} h ON h.node = e.src GROUP BY 1) sq
+    ON sq.node = n.node),
+a{i} AS MATERIALIZED (SELECT node, CAST(v // GREATEST(
+           (SELECT (MAX(v) + {scale - 1}) // {scale} FROM ar{i}), 1)
+         AS BIGINT) AS v FROM ar{i}),
+hr{i} AS MATERIALIZED (SELECT n.node, CAST(COALESCE(sq.sq, 0) AS BIGINT) AS v
+  FROM nodes n
+  LEFT JOIN (SELECT e.src AS node, CAST(SUM(a.v) AS BIGINT) AS sq
+             FROM e JOIN a{i} a ON a.node = e.dst GROUP BY 1) sq
+    ON sq.node = n.node),
+h{i} AS MATERIALIZED (SELECT node, CAST(v // GREATEST(
+           (SELECT (MAX(v) + {scale - 1}) // {scale} FROM hr{i}), 1)
+         AS BIGINT) AS v FROM hr{i})"""
+        prev_h = f"h{i}"
+    s += f"""
+SELECT a.node AS host, a.v AS auth_micro, h.v AS hub_micro
+FROM a{iters} a JOIN h{iters} h ON h.node = a.node
+ORDER BY host"""
+    return s
+
+
+SQL_HITS_HOSTS = _sql_hits_hosts(4, 10**6)
+
+
+EXT_QUERIES.update({"q_hits_hosts": q_hits_hosts})
+EXT_ORACLE_SQL.update({"q_hits_hosts": SQL_HITS_HOSTS})
+
+
 def q_skyline_docs(sf_dir: str):
     """2D skyline / Pareto frontier (X140): documents not dominated
     under (maximize whitespace-token count, minimize n_chars) — the

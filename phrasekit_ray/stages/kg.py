@@ -2119,3 +2119,187 @@ def sssp_exact(
             num_partitions=num_partitions,
         ).materialize()
     return dist
+
+
+def _hits_driver(edges_tbl: pa.Table, iters: int, scale: int):
+    """Bounded driver fast path for :func:`hits_exact` — identical
+    integer recurrence vectorized with np.add.at (sums and maxima are
+    order-independent; tests force the distributed path too)."""
+    subj = edges_tbl["subj"].to_numpy(zero_copy_only=False)
+    obj = edges_tbl["obj"].to_numpy(zero_copy_only=False)
+    nodes = np.unique(np.concatenate([subj, obj]))
+    si = np.searchsorted(nodes, subj)
+    oi = np.searchsorted(nodes, obj)
+    sc = np.int64(scale)
+    auth = np.full(len(nodes), sc, np.int64)
+    hub = np.full(len(nodes), sc, np.int64)
+    for _ in range(iters):
+        araw = np.zeros(len(nodes), np.int64)
+        np.add.at(araw, oi, hub[si])
+        qa = max((int(araw.max(initial=0)) + scale - 1) // scale, 1)
+        auth = araw // np.int64(qa)
+        hraw = np.zeros(len(nodes), np.int64)
+        np.add.at(hraw, si, auth[oi])
+        qh = max((int(hraw.max(initial=0)) + scale - 1) // scale, 1)
+        hub = hraw // np.int64(qh)
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "auth_micro": pa.array(auth, pa.int64()),
+            "hub_micro": pa.array(hub, pa.int64()),
+        }
+    )
+
+
+def hits_exact(
+    edges_ds,
+    iters: int = 4,
+    scale: int = 10**6,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+    num_partitions: int | None = None,
+    driver_edges_threshold: int = 5_000_000,
+):
+    """HITS hubs & authorities (Kleinberg 1999 shape) in EXACT integer
+    arithmetic — the oracle-checkable complement to PageRank-family
+    centrality (X49 float / X138 exact-int PPR): authorities are pages
+    many good hubs point AT, hubs are pages that point at many good
+    authorities.
+
+    Semantics (pure int64 function of the distinct edge set, so the
+    unrolled SQL twin reproduces every round bit-for-bit):
+
+    - graph = DISTINCT directed edges, self-loops dropped;
+    - a0(v) = h0(v) = ``scale`` for every node;
+    - per round:  araw(v) = Σ_{u→v} h(u);   a(v) = araw(v) // qa
+      with qa = max(ceil(max_v araw(v) / scale), 1)   [the divide-by-
+      ceil form keeps every intermediate ≤ indeg·scale — no
+      (value·scale) multiply that could overflow int64 on a mega-hub];
+      then hraw(u) = Σ_{u→v} a(v);  h(u) = hraw(u) // qh likewise.
+      After normalization the max score each round is ~scale (floor
+      drift ±1 is shared exactly by the SQL twin).
+
+    Distribution per round: TWO int-keyed ``lookup_join``s (edges ⋈
+    hubs on subj, then edges ⋈ authorities on obj — each score table is
+    unique-keyed and small enough to broadcast at any realistic node
+    count) + TWO two-phase sum ``hash_aggregate``s + two scalar MAX
+    reductions; the driver holds only the two scalar maxima. Scores
+    re-materialize once per round (an iterative lazy graph would
+    re-execute all prior rounds).
+
+    Returns Dataset(node: int64, auth_micro: int64, hub_micro: int64).
+    """
+    import ray
+
+    from phrasekit_ray.stages.agg import default_partitions as _dp
+    from phrasekit_ray.stages.agg import grouped_count, hash_aggregate, lookup_join
+
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    num_partitions = _dp(num_partitions)
+
+    def conform(batch: pa.Table) -> pa.Table:
+        s = batch[subj_col].cast(pa.int64())
+        o = batch[obj_col].cast(pa.int64())
+        keep = pc.invert(pc.equal(s, o))
+        return pa.table({"subj": s.filter(keep), "obj": o.filter(keep)})
+
+    edges = grouped_count(
+        edges_ds.map_batches(conform, batch_format="pyarrow"),
+        ["subj", "obj"],
+        num_partitions=num_partitions,
+    ).map_batches(
+        lambda b: b.select(["subj", "obj"]), batch_format="pyarrow"
+    ).materialize()
+
+    def halves(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": pa.concat_arrays(
+                [batch["subj"].combine_chunks(), batch["obj"].combine_chunks()]
+            )}
+        )
+
+    nodes = grouped_count(
+        edges.map_batches(halves, batch_format="pyarrow"),
+        "node",
+        num_partitions=num_partitions,
+    ).map_batches(lambda b: b.select(["node"]), batch_format="pyarrow").materialize()
+    if nodes.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "auth_micro": pa.array([], pa.int64()),
+                    "hub_micro": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    if edges.count() <= driver_edges_threshold:
+        tbl = pa.concat_tables(
+            list(edges.iter_batches(batch_format="pyarrow")),
+            promote_options="default",
+        )
+        return ray.data.from_arrow(_hits_driver(tbl, iters, scale))
+
+    edges_schema = pa.schema([("subj", pa.int64()), ("obj", pa.int64())])
+    score_schema = pa.schema([("node", pa.int64()), ("v", pa.int64())])
+
+    def const_scores(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": b["node"],
+             "v": pa.array(np.full(b.num_rows, scale, np.int64))}
+        )
+
+    def zeros(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": b["node"],
+             "v": pa.array(np.zeros(b.num_rows, np.int64))}
+        )
+
+    def _half_round(edges_ds_, scores, from_col: str, to_col: str):
+        """One HITS half-step: sum scores over edges into ``to_col``
+        endpoints, then ceil-quotient normalize to ~scale."""
+        contrib = lookup_join(
+            edges_ds_, scores, from_col, "node", num_partitions,
+            left_schema=edges_schema, right_schema=score_schema,
+        ).map_batches(
+            lambda b: pa.table({"node": b[to_col], "v": b["v"]}),
+            batch_format="pyarrow",
+        )
+        raw = hash_aggregate(
+            contrib.union(nodes.map_batches(zeros, batch_format="pyarrow")),
+            ["node"], [("v", "sum")],
+            num_partitions=num_partitions,
+        ).materialize()
+        q = np.int64(max((int(raw.max("v") or 0) + scale - 1) // scale, 1))
+        return raw.map_batches(
+            lambda b: pa.table(
+                {"node": b["node"],
+                 "v": pa.array(
+                     b["v"].combine_chunks().to_numpy(zero_copy_only=False)
+                     // q, pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    hubs = nodes.map_batches(const_scores, batch_format="pyarrow").materialize()
+    auth = hubs
+    for _ in range(iters):
+        auth = _half_round(edges, hubs, "subj", "obj")
+        hubs = _half_round(edges, auth, "obj", "subj")
+
+    out = lookup_join(
+        auth.map_batches(
+            lambda b: pa.table({"node": b["node"], "auth_micro": b["v"]}),
+            batch_format="pyarrow",
+        ),
+        hubs.map_batches(
+            lambda b: pa.table({"node": b["node"], "hub_micro": b["v"]}),
+            batch_format="pyarrow",
+        ),
+        "node", "node", num_partitions,
+        left_schema=pa.schema([("node", pa.int64()), ("auth_micro", pa.int64())]),
+        right_schema=pa.schema([("node", pa.int64()), ("hub_micro", pa.int64())]),
+    )
+    return out

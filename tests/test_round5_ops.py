@@ -587,3 +587,106 @@ def test_kmv_small_group_is_exact(ray_session):
         for r in kmv_distinct(ray.data.from_arrow(t), "lang", "text").to_pylist()
     }
     assert out == {"x": 4, "y": 1}
+
+
+# ---------------------------------------------------------------- X147 HITS
+
+
+def _ref_hits(E, iters=4, scale=10**6):
+    """From-scratch HITS reference: the same ceil-quotient-normalized
+    integer recurrence, dict-of-python-ints (no numpy)."""
+    edges = sorted({(int(a), int(b)) for a, b in E if a != b})
+    nodes = sorted({x for e in edges for x in e})
+    a = {n: scale for n in nodes}
+    h = {n: scale for n in nodes}
+    for _ in range(iters):
+        araw = {n: 0 for n in nodes}
+        for s, o in edges:
+            araw[o] += h[s]
+        qa = max((max(araw.values()) + scale - 1) // scale, 1)
+        a = {n: araw[n] // qa for n in nodes}
+        hraw = {n: 0 for n in nodes}
+        for s, o in edges:
+            hraw[s] += a[o]
+        qh = max((max(hraw.values()) + scale - 1) // scale, 1)
+        h = {n: hraw[n] // qh for n in nodes}
+    return {n: (a[n], h[n]) for n in nodes}
+
+
+def test_hits_exact_matches_reference_and_is_partition_invariant(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.kg import hits_exact
+
+    rng = np.random.default_rng(23)
+    E = rng.integers(0, 40, size=(300, 2))
+    t = pa.table(
+        {
+            "subj": pa.array(E[:, 0], pa.int64()),
+            "obj": pa.array(E[:, 1], pa.int64()),
+        }
+    )
+    want = _ref_hits(E)
+    got = {
+        r["node"]: (r["auth_micro"], r["hub_micro"])
+        for r in _collect(hits_exact(ray.data.from_arrow(t))).to_pylist()
+    }
+    assert got == want
+    # forced fully-distributed path, two partitionings
+    for parts in (1, 9):
+        got2 = {
+            r["node"]: (r["auth_micro"], r["hub_micro"])
+            for r in _collect(
+                hits_exact(
+                    ray.data.from_arrow(t).repartition(parts),
+                    driver_edges_threshold=0,
+                )
+            ).to_pylist()
+        }
+        assert got2 == want
+
+
+def test_hits_hub_authority_semantics(ray_session):
+    """A pure hub (only out-edges, pointing at every authority) ends
+    with hub score == scale and authority 0; a pure authority pointed
+    at by every hub ends with authority == scale and hub 0; dup edges
+    and self-loops don't change anything."""
+    import ray
+
+    from phrasekit_ray.stages.kg import hits_exact
+
+    hubs = [0, 1, 2]
+    auths = [10, 11]
+    edges = [(h, a) for h in hubs for a in auths]
+    edges += edges[:3] + [(5, 5)]  # dups + a self-loop
+    t = pa.table(
+        {
+            "subj": pa.array([a for a, _ in edges], pa.int64()),
+            "obj": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    r = {
+        row["node"]: (row["auth_micro"], row["hub_micro"])
+        for row in _collect(hits_exact(ray.data.from_arrow(t), iters=3)).to_pylist()
+    }
+    assert 5 not in r  # self-loop-only node drops out with its loop
+    for h in hubs:
+        assert r[h] == (0, 10**6)
+    for a in auths:
+        assert r[a] == (10**6, 0)
+
+
+def test_hits_empty_and_iters_guard(ray_session):
+    import pytest
+    import ray
+
+    from phrasekit_ray.stages.kg import hits_exact
+
+    empty = pa.table(
+        {"subj": pa.array([], pa.int64()), "obj": pa.array([], pa.int64())}
+    )
+    out = hits_exact(ray.data.from_arrow(empty))
+    assert out.count() == 0
+    assert out.schema().names == ["node", "auth_micro", "hub_micro"]
+    with pytest.raises(ValueError):
+        hits_exact(ray.data.from_arrow(empty), iters=0)
