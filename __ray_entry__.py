@@ -126,6 +126,7 @@ _DRIVER_FIRST: list[str] = [
     "q_kmv_distinct_tokens",
     "q_hamming_ann",
     "q_hits_hosts",
+    "q_kg_negative_edges",
     "q_mine_bigrams",
     "q_tag_all_mentions",
 ]

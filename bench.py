@@ -203,6 +203,7 @@ BENCH_QUERY_NAMES = [
         "q_kmv_distinct_tokens",
         "q_hamming_ann",
         "q_hits_hosts",
+        "q_kg_negative_edges",
         "q_pq_encode",
 ]
 

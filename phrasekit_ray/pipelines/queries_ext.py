@@ -4773,6 +4773,111 @@ EXT_QUERIES.update({"q_hits_hosts": q_hits_hosts})
 EXT_ORACLE_SQL.update({"q_hits_hosts": SQL_HITS_HOSTS})
 
 
+def q_kg_negative_edges(sf_dir: str):
+    """KG-embedding negative sampling (X148) over the extracted host
+    link graph: for every distinct positive edge and slot j ∈ 1..3,
+    the object is corrupted to the node with sorted rank
+    splitmix17((rank(s)·N + rank(o))·3 + j) % N; self-loop and
+    positive-edge collisions are dropped, not resampled
+    (stages/kg.negative_edges). The corrupted-triple training-data
+    generator of TransE-family KG embedding pipelines, deterministic
+    and bit-exact against the SQL twin. Host→int ids driver-side over
+    the aggregated host table (bounded; X19 is the web-scale adapter),
+    id order == lexicographic host order == the stage's sorted ranks."""
+    import ray
+
+    from phrasekit_ray.sources.pages import pages_from_documents
+    from phrasekit_ray.stages.extract import extract_links, host_edges
+    from phrasekit_ray.stages.kg import negative_edges
+
+    pages = pages_from_documents(sf_dir, with_links=True)
+    he = _collect(host_edges(extract_links(pages)))
+    src = he["src_host"].to_pylist()
+    dst = he["dst_host"].to_pylist()
+    hosts = sorted(set(src) | set(dst))
+    hid = {h: i for i, h in enumerate(hosts)}
+    edges = pa.table(
+        {
+            "subj": pa.array([hid[h] for h in src], pa.int64()),
+            "obj": pa.array([hid[h] for h in dst], pa.int64()),
+        }
+    )
+    t = _collect(negative_edges(ray.data.from_arrow(edges), k=3))
+    out = pa.table(
+        {
+            "src_host": pa.array(
+                [hosts[i] for i in t["subj"].to_pylist()], pa.string()
+            ),
+            "neg_dst_host": pa.array(
+                [hosts[i] for i in t["obj_neg"].to_pylist()], pa.string()
+            ),
+            "slot": t["slot"].cast(pa.int64()),
+        }
+    )
+    return out.take(
+        pc.sort_indices(
+            out,
+            sort_keys=[
+                ("src_host", "ascending"),
+                ("neg_dst_host", "ascending"),
+                ("slot", "ascending"),
+            ],
+        )
+    )
+
+
+def _sql_kg_negative_edges(k: int = 3) -> str:
+    """SQL twin of stages/kg.negative_edges over the host-graph CTEs:
+    nodes ranked by lexicographic order, candidate rank =
+    splitmix((s·N + o)·k + j) % N, NOT EXISTS vs positives. The hash
+    input stays far below 2^64 (N < 2^31, k ≤ 256), so the HUGEINT
+    arithmetic equals the stage's wrapping uint64."""
+    key = (
+        f"CAST(c.s AS HUGEINT) * (SELECT n FROM nn) * {k} "
+        f"+ CAST(c.o AS HUGEINT) * {k} + CAST(c.j AS HUGEINT)"
+    )
+    return f"""
+WITH s AS (SELECT doc_id, source, j
+           FROM documents, generate_series(1, 3) AS g(j)),
+l AS (SELECT source, j,
+        ({_sm_sql('CAST(doc_id AS HUGEINT)*8 + CAST(j AS HUGEINT)')})
+          % 100003 AS t,
+        1 + (({_sm_sql('CAST(doc_id AS HUGEINT)*8 + 7')}) % 3) AS n_links
+      FROM s),
+he AS (SELECT source || '.example.org' AS src,
+              'h' || CAST(t % 16 AS VARCHAR) || '.example.org' AS dst
+       FROM l WHERE j <= n_links),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM he WHERE src <> dst),
+nodes AS MATERIALIZED (
+  SELECT node, row_number() OVER (ORDER BY node) - 1 AS idx
+  FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+ei AS MATERIALIZED (
+  SELECT sn.idx AS s, dn.idx AS o
+  FROM e JOIN nodes sn ON sn.node = e.src
+         JOIN nodes dn ON dn.node = e.dst),
+cand AS MATERIALIZED (
+  SELECT c.s, c.j, ({_sm_sql(key)}) % (SELECT n FROM nn) AS r
+  FROM (SELECT ei.s, ei.o, g.j
+        FROM ei, generate_series(1, {k}) AS g(j)) c),
+neg AS (SELECT c.s, c.r, c.j FROM cand c
+        WHERE c.r <> c.s
+          AND NOT EXISTS (SELECT 1 FROM ei x
+                          WHERE x.s = c.s AND x.o = c.r))
+SELECT sn.node AS src_host, dn.node AS neg_dst_host,
+       CAST(neg.j AS BIGINT) AS slot
+FROM neg JOIN nodes sn ON sn.idx = neg.s
+         JOIN nodes dn ON dn.idx = neg.r
+ORDER BY 1, 2, 3"""
+
+
+SQL_KG_NEGATIVE_EDGES = _sql_kg_negative_edges(3)
+
+
+EXT_QUERIES.update({"q_kg_negative_edges": q_kg_negative_edges})
+EXT_ORACLE_SQL.update({"q_kg_negative_edges": SQL_KG_NEGATIVE_EDGES})
+
+
 def q_skyline_docs(sf_dir: str):
     """2D skyline / Pareto frontier (X140): documents not dominated
     under (maximize whitespace-token count, minimize n_chars) — the

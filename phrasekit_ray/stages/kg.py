@@ -2303,3 +2303,244 @@ def hits_exact(
         right_schema=pa.schema([("node", pa.int64()), ("hub_micro", pa.int64())]),
     )
     return out
+
+
+def _negative_edges_driver(
+    edges_tbl: pa.Table, k: int, n_nodes: int, nodes: np.ndarray
+) -> pa.Table:
+    """Bounded driver fast path for :func:`negative_edges` — identical
+    integer hash recurrence, fully vectorized."""
+    from phrasekit_ray.sources.pages import splitmix17
+
+    s = edges_tbl["subj"].to_numpy(zero_copy_only=False)
+    o = edges_tbl["obj"].to_numpy(zero_copy_only=False)
+    si = np.searchsorted(nodes, s)
+    oi = np.searchsorted(nodes, o)
+    kk = np.uint64(k)
+    nn = np.uint64(n_nodes)
+    # all k slots per edge
+    sr = np.repeat(si.astype(np.uint64), k)
+    orr = np.repeat(oi.astype(np.uint64), k)
+    j = np.tile(np.arange(1, k + 1, dtype=np.uint64), len(si))
+    with np.errstate(over="ignore"):
+        key = (sr * nn + orr) * kk + j
+    r = (splitmix17(key) % nn).astype(np.int64)
+    # drop self-loops and collisions with ANY positive edge
+    pos = set(zip(si.tolist(), oi.tolist()))
+    keep = np.array(
+        [a != b and (a, b) not in pos for a, b in zip(sr.astype(np.int64), r)],
+        bool,
+    )
+    return pa.table(
+        {
+            "subj": pa.array(nodes[sr[keep].astype(np.int64)], pa.int64()),
+            "obj_neg": pa.array(nodes[r[keep]], pa.int64()),
+            "slot": pa.array(j[keep].astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def negative_edges(
+    edges_ds,
+    k: int = 3,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+    num_partitions: int | None = None,
+    driver_edges_threshold: int = 5_000_000,
+):
+    """Negative edge sampling for KG-embedding training data (the
+    corrupted-triple scheme of TransE, Bordes et al. 2013): for each
+    DISTINCT directed positive edge (s, o) and slot j ∈ 1..k, corrupt
+    the object to o' = the node with sorted rank
+    ``splitmix17((rank(s)·N + rank(o))·k + j) % N`` over the N distinct
+    nodes. Candidates that are self-loops (o' == s) or collide with ANY
+    positive edge are DROPPED, not resampled (expected loss ≈ graph
+    density × k — negligible on sparse web graphs; a retry loop would
+    make the output a non-fixed-depth function and break the SQL twin).
+    Pure integer function of the distinct edge set ⇒ deterministic,
+    partition-invariant, and bit-exact against the unrolled SQL twin.
+
+    Distributed shape: distinct edges (one two-phase aggregate) →
+    sorted node enumeration (X19 ``with_row_index``) → vectorized
+    k-slot candidate expansion per batch → ONE int-keyed ``lookup_join``
+    (rank → node id) + ONE packed-key ANTI ``key_filter_join`` vs the
+    positive edge set. Node count must fit 31 bits (packed keys and the
+    2^64 hash-input bound at k ≤ 256), same convention as
+    :func:`link_prediction`.
+
+    Returns Dataset(subj: int64, obj_neg: int64, slot: int64).
+    """
+    import ray
+
+    from phrasekit_ray.sources.pages import splitmix17
+    from phrasekit_ray.stages.agg import default_partitions as _dp
+    from phrasekit_ray.stages.agg import (
+        grouped_count,
+        key_filter_join,
+        lookup_join,
+    )
+    from phrasekit_ray.state.rowindex import with_row_index
+
+    if not 1 <= k <= 256:
+        raise ValueError("k must be in [1, 256]")
+    num_partitions = _dp(num_partitions)
+
+    def conform(batch: pa.Table) -> pa.Table:
+        s = batch[subj_col].cast(pa.int64())
+        o = batch[obj_col].cast(pa.int64())
+        keep = pc.invert(pc.equal(s, o))
+        return pa.table({"subj": s.filter(keep), "obj": o.filter(keep)})
+
+    edges = grouped_count(
+        edges_ds.map_batches(conform, batch_format="pyarrow"),
+        ["subj", "obj"],
+        num_partitions=num_partitions,
+    ).map_batches(
+        lambda b: b.select(["subj", "obj"]), batch_format="pyarrow"
+    ).materialize()
+
+    def halves(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": pa.concat_arrays(
+                [batch["subj"].combine_chunks(), batch["obj"].combine_chunks()]
+            )}
+        )
+
+    nodes_ds = grouped_count(
+        edges.map_batches(halves, batch_format="pyarrow"),
+        "node",
+        num_partitions=num_partitions,
+    ).map_batches(lambda b: b.select(["node"]), batch_format="pyarrow")
+    nodes_ds = with_row_index(nodes_ds.sort("node"), col="idx")
+    nodes_ds = nodes_ds.materialize()
+    n_nodes = nodes_ds.count()
+    empty = pa.table(
+        {
+            "subj": pa.array([], pa.int64()),
+            "obj_neg": pa.array([], pa.int64()),
+            "slot": pa.array([], pa.int64()),
+        }
+    )
+    if n_nodes == 0:
+        return ray.data.from_arrow(empty)
+    if n_nodes > (1 << 31):
+        raise ValueError("node count must fit 31 bits; remap ids upstream")
+
+    if edges.count() <= driver_edges_threshold:
+        tbl = pa.concat_tables(
+            list(edges.iter_batches(batch_format="pyarrow")),
+            promote_options="default",
+        )
+        node_arr = np.sort(
+            np.unique(
+                np.concatenate(
+                    [
+                        tbl["subj"].to_numpy(zero_copy_only=False),
+                        tbl["obj"].to_numpy(zero_copy_only=False),
+                    ]
+                )
+            )
+        )
+        return ray.data.from_arrow(
+            _negative_edges_driver(tbl, k, n_nodes, node_arr)
+        )
+
+    # rank edges: attach sorted ranks to both endpoints (two lookups
+    # against the small unique-keyed enumeration table)
+    nodes_schema = pa.schema([("node", pa.int64()), ("idx", pa.int64())])
+    edges_schema = pa.schema([("subj", pa.int64()), ("obj", pa.int64())])
+    sr = lookup_join(
+        edges, nodes_ds, "subj", "node", num_partitions,
+        left_schema=edges_schema, right_schema=nodes_schema,
+    ).map_batches(
+        lambda b: pa.table({"s": b["idx"], "obj": b["obj"]}),
+        batch_format="pyarrow",
+    )
+    ranked = lookup_join(
+        sr, nodes_ds, "obj", "node", num_partitions,
+        left_schema=pa.schema([("s", pa.int64()), ("obj", pa.int64())]),
+        right_schema=nodes_schema,
+    ).map_batches(
+        lambda b: pa.table({"s": b["s"], "o": b["idx"]}),
+        batch_format="pyarrow",
+    )
+
+    nn_u = np.uint64(n_nodes)
+    kk_u = np.uint64(k)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        s = batch["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        o = batch["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        srp = np.repeat(s.astype(np.uint64), k)
+        orp = np.repeat(o.astype(np.uint64), k)
+        j = np.tile(np.arange(1, k + 1, dtype=np.uint64), len(s))
+        with np.errstate(over="ignore"):
+            key = (srp * nn_u + orp) * kk_u + j
+        r = (splitmix17(key) % nn_u).astype(np.int64)
+        keep = r != srp.astype(np.int64)
+        return pa.table(
+            {
+                "s": pa.array(srp[keep].astype(np.int64), pa.int64()),
+                "r": pa.array(r[keep], pa.int64()),
+                "slot": pa.array(j[keep].astype(np.int64), pa.int64()),
+                "pk": pa.array(
+                    srp[keep].astype(np.int64) * n_nodes + r[keep], pa.int64()
+                ),
+            }
+        )
+
+    cand = ranked.map_batches(expand, batch_format="pyarrow")
+    pos_keys = ranked.map_batches(
+        lambda b: pa.table(
+            {
+                "pk": pa.array(
+                    b["s"].combine_chunks().to_numpy(zero_copy_only=False)
+                    * n_nodes
+                    + b["o"].combine_chunks().to_numpy(zero_copy_only=False),
+                    pa.int64(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    neg = key_filter_join(
+        cand, pos_keys, "pk", "pk", anti=True,
+        num_partitions=num_partitions,
+        left_schema=pa.schema(
+            [("s", pa.int64()), ("r", pa.int64()),
+             ("slot", pa.int64()), ("pk", pa.int64())]
+        ),
+    )
+
+    # ranks back to node ids (two lookups against the enumeration table)
+    out = lookup_join(
+        neg.map_batches(
+            lambda b: b.select(["s", "r", "slot"]), batch_format="pyarrow"
+        ),
+        nodes_ds.map_batches(
+            lambda b: pa.table({"idx": b["idx"], "subj": b["node"]}),
+            batch_format="pyarrow",
+        ),
+        "s", "idx", num_partitions,
+        left_schema=pa.schema(
+            [("s", pa.int64()), ("r", pa.int64()), ("slot", pa.int64())]
+        ),
+        right_schema=pa.schema([("idx", pa.int64()), ("subj", pa.int64())]),
+    )
+    out = lookup_join(
+        out.map_batches(
+            lambda b: b.select(["subj", "r", "slot"]), batch_format="pyarrow"
+        ),
+        nodes_ds.map_batches(
+            lambda b: pa.table({"idx": b["idx"], "obj_neg": b["node"]}),
+            batch_format="pyarrow",
+        ),
+        "r", "idx", num_partitions,
+        left_schema=pa.schema(
+            [("subj", pa.int64()), ("r", pa.int64()), ("slot", pa.int64())]
+        ),
+        right_schema=pa.schema([("idx", pa.int64()), ("obj_neg", pa.int64())]),
+    )
+    return out.map_batches(
+        lambda b: b.select(["subj", "obj_neg", "slot"]), batch_format="pyarrow"
+    )

@@ -690,3 +690,99 @@ def test_hits_empty_and_iters_guard(ray_session):
     assert out.schema().names == ["node", "auth_micro", "hub_micro"]
     with pytest.raises(ValueError):
         hits_exact(ray.data.from_arrow(empty), iters=0)
+
+
+# ------------------------------------------------ X148 negative sampling
+
+
+def _ref_negative_edges(E, k=3):
+    from phrasekit_ray.sources.pages import splitmix17
+
+    edges = sorted({(int(a), int(b)) for a, b in E if a != b})
+    nodes = sorted({x for e in edges for x in e})
+    rank = {n: i for i, n in enumerate(nodes)}
+    N = len(nodes)
+    pos = {(rank[a], rank[b]) for a, b in edges}
+    out = []
+    for a, b in edges:
+        s, o = rank[a], rank[b]
+        for j in range(1, k + 1):
+            r = int(splitmix17(np.uint64((s * N + o) * k + j)) % np.uint64(N))
+            if r != s and (s, r) not in pos:
+                out.append((nodes[s], nodes[r], j))
+    return sorted(out)
+
+
+def test_negative_edges_matches_reference_and_is_partition_invariant(
+    ray_session,
+):
+    import ray
+
+    from phrasekit_ray.stages.kg import negative_edges
+
+    rng = np.random.default_rng(31)
+    E = rng.integers(0, 50, size=(400, 2))
+    t = pa.table(
+        {
+            "subj": pa.array(E[:, 0], pa.int64()),
+            "obj": pa.array(E[:, 1], pa.int64()),
+        }
+    )
+    want = _ref_negative_edges(E)
+    got = sorted(
+        (r["subj"], r["obj_neg"], r["slot"])
+        for r in _collect(negative_edges(ray.data.from_arrow(t))).to_pylist()
+    )
+    assert got == want
+    for parts in (1, 7):
+        got2 = sorted(
+            (r["subj"], r["obj_neg"], r["slot"])
+            for r in _collect(
+                negative_edges(
+                    ray.data.from_arrow(t).repartition(parts),
+                    driver_edges_threshold=0,
+                )
+            ).to_pylist()
+        )
+        assert got2 == want
+
+
+def test_negative_edges_never_emit_positives_or_self_loops(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.kg import negative_edges
+
+    rng = np.random.default_rng(5)
+    E = rng.integers(0, 12, size=(120, 2))  # dense graph → many collisions
+    t = pa.table(
+        {
+            "subj": pa.array(E[:, 0], pa.int64()),
+            "obj": pa.array(E[:, 1], pa.int64()),
+        }
+    )
+    pos = {(int(a), int(b)) for a, b in E if a != b}
+    k = 4
+    rows = _collect(negative_edges(ray.data.from_arrow(t), k=k)).to_pylist()
+    assert 0 < len(rows) <= k * len(pos)
+    for r in rows:
+        assert r["subj"] != r["obj_neg"]
+        assert (r["subj"], r["obj_neg"]) not in pos
+        assert 1 <= r["slot"] <= k
+
+
+def test_negative_edges_guards(ray_session):
+    import pytest
+    import ray
+
+    from phrasekit_ray.stages.kg import negative_edges
+
+    empty = pa.table(
+        {"subj": pa.array([], pa.int64()), "obj": pa.array([], pa.int64())}
+    )
+    out = negative_edges(ray.data.from_arrow(empty))
+    assert out.count() == 0
+    assert out.schema().names == ["subj", "obj_neg", "slot"]
+    with pytest.raises(ValueError):
+        negative_edges(ray.data.from_arrow(empty), k=0)
+    with pytest.raises(ValueError):
+        negative_edges(ray.data.from_arrow(empty), k=257)
