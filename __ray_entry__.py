@@ -127,6 +127,8 @@ _DRIVER_FIRST: list[str] = [
     "q_hamming_ann",
     "q_hits_hosts",
     "q_kg_negative_edges",
+    "q_kg_latest_facts",
+    "q_clustering_coeff",
     "q_mine_bigrams",
     "q_tag_all_mentions",
 ]

@@ -204,6 +204,8 @@ BENCH_QUERY_NAMES = [
         "q_hamming_ann",
         "q_hits_hosts",
         "q_kg_negative_edges",
+        "q_kg_latest_facts",
+        "q_clustering_coeff",
         "q_pq_encode",
 ]
 

@@ -4878,6 +4878,178 @@ EXT_QUERIES.update({"q_kg_negative_edges": q_kg_negative_edges})
 EXT_ORACLE_SQL.update({"q_kg_negative_edges": SQL_KG_NEGATIVE_EDGES})
 
 
+def q_kg_latest_facts(sf_dir: str):
+    """Temporal latest-fact snapshot (X149): for every subject in the
+    flagship triple stream, the most recently asserted object — winner
+    = argmax (warc_ts, obj) per subj (obj is the deterministic
+    tiebreak when one crawl asserts several facts). The
+    contradiction-resolution / current-state view a production KG
+    serves next to the full X124 provenance history. One X87
+    ``grouped_argmax`` (two-phase, in-block combiner) over the triple
+    stream; warc_ts is recovered from the triple's source url exactly
+    as pages synthesis defined it (ts_us = EPOCH_US + doc_id·10⁶)."""
+    from phrasekit_ray.config import MineConfig, ScoreConfig
+    from phrasekit_ray.pipelines.kg import run_kg_pipeline
+    from phrasekit_ray.sources.pages import DEMO_BACKGROUND, EPOCH_US, pages_from_documents
+    from phrasekit_ray.stages.agg import grouped_argmax
+
+    pages = pages_from_documents(sf_dir)
+    res = run_kg_pipeline(
+        pages,
+        {" ".join(t): c for t, c in DEMO_BACKGROUND},
+        MineConfig(min_n=2, max_n=5, min_count=3),
+        ScoreConfig(min_domain_count=3),
+        tag_concurrency=(1, 4),
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        d = pc.cast(
+            pc.replace_substring_regex(
+                b["doc_id"].combine_chunks().cast(pa.string()), r"^.*/", ""
+            ),
+            pa.int64(),
+        )
+        ts = pc.add(pc.multiply(d, pa.scalar(1_000_000, pa.int64())),
+                    pa.scalar(EPOCH_US, pa.int64()))
+        return pa.table(
+            {
+                "subj": b["subj"].combine_chunks().cast(pa.int64()),
+                "ts_us": ts,
+                "obj": b["obj"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    latest = grouped_argmax(
+        res.triples.map_batches(prep, batch_format="pyarrow"),
+        "subj", ["ts_us", "obj"], [],
+    )
+    t = _collect(latest)
+    out = pa.table(
+        {
+            "subj": t["subj"].cast(pa.int64()),
+            "obj": t["obj"].cast(pa.int64()),
+            "last_ts": t["ts_us"].cast(pa.int64()),
+        }
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("subj", "ascending")]))
+
+
+def _sql_kg_latest_facts() -> str:
+    from phrasekit_ray.pipelines.queries import _sql_flagship
+    from phrasekit_ray.sources.pages import EPOCH_US
+
+    return f"""
+WITH t AS ({_sql_flagship()}),
+w AS (SELECT subj, obj,
+        CAST({EPOCH_US} AS BIGINT)
+        + CAST(regexp_extract(doc_id, '([0-9]+)$', 1) AS BIGINT) * 1000000
+          AS ts_us
+      FROM t)
+SELECT subj, obj, ts_us AS last_ts
+FROM (SELECT subj, obj, ts_us,
+             row_number() OVER (PARTITION BY subj
+                                ORDER BY ts_us DESC, obj DESC) AS rn
+      FROM w) q
+WHERE rn = 1 ORDER BY subj"""
+
+
+EXT_QUERIES.update({"q_kg_latest_facts": q_kg_latest_facts})
+EXT_ORACLE_SQL.update({"q_kg_latest_facts": _sql_kg_latest_facts()})
+
+
+def q_clustering_coeff(sf_dir: str):
+    """Local clustering coefficient (X150) per triangle-bearing node of
+    the part co-occurrence graph: cc_micro = 2·10⁶·tri(v) //
+    (deg(v)·(deg(v)−1)) in exact integer micro-units — the
+    community-density diagnostic next to raw triangle counts (X62) and
+    k-core shells (X113). Composition: X62 ``triangle_counts`` + one
+    two-phase degree count over the SAME canonical distinct undirected
+    edge set + ONE int-keyed ``lookup_join``; every node in a triangle
+    has deg ≥ 2 so the divisor is never 0."""
+    import ray  # noqa: F401
+
+    from phrasekit_ray.stages.agg import grouped_count, lookup_join
+    from phrasekit_ray.stages.kg import triangle_counts
+
+    edges_ds = _basket_edges_ds(sf_dir)
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = b["subj"].combine_chunks().cast(pa.int64())
+        o = b["obj"].combine_chunks().cast(pa.int64())
+        keep = pc.invert(pc.equal(s, o))
+        s, o = s.filter(keep), o.filter(keep)
+        u = pc.min_element_wise(s, o)
+        v = pc.max_element_wise(s, o)
+        return pa.table({"u": u, "v": v})
+
+    dedup = grouped_count(
+        edges_ds.map_batches(canon, batch_format="pyarrow"), ["u", "v"]
+    ).map_batches(lambda b: b.select(["u", "v"]), batch_format="pyarrow")
+    deg = grouped_count(
+        dedup.map_batches(
+            lambda b: pa.table(
+                {"node": pa.concat_arrays(
+                    [b["u"].combine_chunks(), b["v"].combine_chunks()]
+                )}
+            ),
+            batch_format="pyarrow",
+        ),
+        "node", count_col="d",
+    )
+    tri = triangle_counts(_basket_edges_ds(sf_dir))
+    joined = lookup_join(
+        tri, deg, "node", "node",
+        left_schema=pa.schema([("node", pa.int64()), ("n_triangles", pa.int64())]),
+        right_schema=pa.schema([("node", pa.int64()), ("d", pa.int64())]),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        t = b["n_triangles"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        d = b["d"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cc = (2_000_000 * t) // (d * (d - 1))
+        return pa.table(
+            {
+                "node": b["node"].combine_chunks().cast(pa.int64()),
+                "n_triangles": pa.array(t, pa.int64()),
+                "cc_micro": pa.array(cc, pa.int64()),
+            }
+        )
+
+    out = _collect(joined.map_batches(finish, batch_format="pyarrow"))
+    return out.take(pc.sort_indices(out, sort_keys=[("node", "ascending")]))
+
+
+SQL_CLUSTERING_COEFF = (
+    "WITH "
+    + _SQL_BASKET_EDGES
+    + """,
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+            JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+tc AS (
+  SELECT node, count(*) AS n_triangles
+  FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+  GROUP BY node),
+deg AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+  GROUP BY node)
+SELECT tc.node, CAST(tc.n_triangles AS BIGINT) AS n_triangles,
+       CAST((2000000 * tc.n_triangles) // (deg.d * (deg.d - 1)) AS BIGINT)
+         AS cc_micro
+FROM tc JOIN deg ON deg.node = tc.node
+ORDER BY tc.node"""
+)
+
+
+EXT_QUERIES.update({"q_clustering_coeff": q_clustering_coeff})
+EXT_ORACLE_SQL.update({"q_clustering_coeff": SQL_CLUSTERING_COEFF})
+
+
 def q_skyline_docs(sf_dir: str):
     """2D skyline / Pareto frontier (X140): documents not dominated
     under (maximize whitespace-token count, minimize n_chars) — the

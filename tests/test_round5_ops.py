@@ -786,3 +786,71 @@ def test_negative_edges_guards(ray_session):
         negative_edges(ray.data.from_arrow(empty), k=0)
     with pytest.raises(ValueError):
         negative_edges(ray.data.from_arrow(empty), k=257)
+
+
+# -------------------------------------- X149/X150 snapshot + clustering
+
+
+def test_latest_facts_pick_max_ts_then_max_obj(ray_session, sf_dir):
+    """q_kg_latest_facts: one row per subj; winner == SQL row_number
+    ORDER BY ts DESC, obj DESC (pinned here independently of the
+    DuckDB harness by recomputing from the raw triple stream)."""
+    from phrasekit_ray.config import MineConfig, ScoreConfig
+    from phrasekit_ray.pipelines.kg import run_kg_pipeline
+    from phrasekit_ray.pipelines.queries_ext import q_kg_latest_facts
+    from phrasekit_ray.sources.pages import DEMO_BACKGROUND, EPOCH_US, pages_from_documents
+
+    got = q_kg_latest_facts(sf_dir)
+    assert got.column_names == ["subj", "obj", "last_ts"]
+    subs = got["subj"].to_pylist()
+    assert len(subs) == len(set(subs))  # one fact per subject
+
+    res = run_kg_pipeline(
+        pages_from_documents(sf_dir),
+        {" ".join(t): c for t, c in DEMO_BACKGROUND},
+        MineConfig(min_n=2, max_n=5, min_count=3),
+        ScoreConfig(min_domain_count=3),
+        tag_concurrency=(1, 2),
+    )
+    best = {}
+    for b in res.triples.iter_batches(batch_format="pyarrow"):
+        for s, o, d in zip(
+            b["subj"].to_pylist(),
+            b["obj"].to_pylist(),
+            b["doc_id"].to_pylist(),
+        ):
+            ts = EPOCH_US + int(d.rsplit("/", 1)[1]) * 1_000_000
+            if s not in best or (ts, o) > best[s]:
+                best[s] = (ts, o)
+    want = {s: (o, ts) for s, (ts, o) in best.items()}
+    assert {
+        s: (o, t)
+        for s, o, t in zip(subs, got["obj"].to_pylist(), got["last_ts"].to_pylist())
+    } == want
+
+
+def test_clustering_coeff_toy_values(ray_session, tmp_path):
+    """Triangle 1-2-3 plus pendant 3-4 through a synthetic lineitem
+    basket: cc(1)=cc(2)=10⁶ (deg 2, one triangle), cc(3)=2·10⁶//6
+    (deg 3), node 4 absent (no triangle)."""
+    import pyarrow.parquet as pq_mod
+
+    from phrasekit_ray.pipelines.queries_ext import q_clustering_coeff
+
+    # baskets: order 1 = {1,2,3} (the triangle), order 2 = {3,4}
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "l_partkey": pa.array([1, 2, 3, 3, 4], pa.int64()),
+        }
+    )
+    pq_mod.write_table(tbl, tmp_path / "lineitem.parquet")
+    got = {
+        r["node"]: (r["n_triangles"], r["cc_micro"])
+        for r in q_clustering_coeff(str(tmp_path)).to_pylist()
+    }
+    assert got == {
+        1: (1, 1_000_000),
+        2: (1, 1_000_000),
+        3: (1, 2_000_000 // 6),
+    }
