@@ -129,6 +129,8 @@ _DRIVER_FIRST: list[str] = [
     "q_kg_negative_edges",
     "q_kg_latest_facts",
     "q_clustering_coeff",
+    "q_edge_support",
+    "q_graph_ktruss",
     "q_mine_bigrams",
     "q_tag_all_mentions",
 ]

@@ -206,6 +206,8 @@ BENCH_QUERY_NAMES = [
         "q_kg_negative_edges",
         "q_kg_latest_facts",
         "q_clustering_coeff",
+        "q_edge_support",
+        "q_graph_ktruss",
         "q_pq_encode",
 ]
 

@@ -5050,6 +5050,106 @@ EXT_QUERIES.update({"q_clustering_coeff": q_clustering_coeff})
 EXT_ORACLE_SQL.update({"q_clustering_coeff": SQL_CLUSTERING_COEFF})
 
 
+def q_edge_support(sf_dir: str):
+    """Per-edge triangle support (X151) over the part co-occurrence
+    graph: support(u,v) = number of triangles through the edge = common
+    neighbors of its endpoints (stages/kg.edge_triangle_support — the
+    SEMI-join sibling of X134 link prediction, and the round kernel of
+    the X152 k-truss peel). Edges in no triangle are absent."""
+    from phrasekit_ray.stages.kg import edge_triangle_support
+
+    t = _collect(edge_triangle_support(_basket_edges_ds(sf_dir)))
+    out = pa.table(
+        {
+            "u": t["u"].cast(pa.int64()),
+            "v": t["v"].cast(pa.int64()),
+            "support": t["support"].cast(pa.int64()),
+        }
+    )
+    return out.take(
+        pc.sort_indices(
+            out, sort_keys=[("u", "ascending"), ("v", "ascending")]
+        )
+    )
+
+
+SQL_EDGE_SUPPORT = (
+    "WITH "
+    + _SQL_BASKET_EDGES
+    + """,
+adj AS MATERIALIZED (
+  SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+sup AS (
+  SELECT e.u, e.v, count(*) AS support
+  FROM e JOIN adj x ON x.b = e.u
+         JOIN adj y ON y.b = e.v AND y.a = x.a
+  GROUP BY e.u, e.v)
+SELECT u, v, CAST(support AS BIGINT) AS support
+FROM sup ORDER BY u, v"""
+)
+
+
+EXT_QUERIES.update({"q_edge_support": q_edge_support})
+EXT_ORACLE_SQL.update({"q_edge_support": SQL_EDGE_SUPPORT})
+
+
+def q_graph_ktruss(sf_dir: str):
+    """k-truss peel (X152), fixed-depth variant: k=5, 4 peel rounds
+    over the part co-occurrence graph (stages/kg.k_truss) — each round
+    recomputes in-subgraph triangle support and drops edges below
+    k−2 = 3. Fixed depth ⇒ pure function of the edge set ⇒ exact
+    unrolled SQL twin; tests pin that 4 rounds reach the fixpoint on
+    the fixtures. Output carries each surviving edge's final-round
+    support (≥ 3, the in-band invariant)."""
+    from phrasekit_ray.stages.kg import k_truss
+
+    t = _collect(k_truss(_basket_edges_ds(sf_dir), k=5, rounds=4))
+    out = pa.table(
+        {
+            "u": t["u"].cast(pa.int64()),
+            "v": t["v"].cast(pa.int64()),
+            "support": t["support"].cast(pa.int64()),
+        }
+    )
+    return out.take(
+        pc.sort_indices(
+            out, sort_keys=[("u", "ascending"), ("v", "ascending")]
+        )
+    )
+
+
+def _sql_graph_ktruss(k: int = 5, rounds: int = 4) -> str:
+    """Unrolled k-truss twin of stages/kg.k_truss over the basket-graph
+    CTEs: per round one adjacency CTE, one 3-way wedge-closure count,
+    one ≥ k−2 filter — all MATERIALIZED (DuckDB inlines CTEs; each
+    round references the previous one several times)."""
+    s = "WITH " + _SQL_BASKET_EDGES
+    prev = "e"
+    for i in range(1, rounds + 1):
+        s += f""",
+adj{i} AS MATERIALIZED (
+  SELECT u AS a, v AS b FROM {prev} UNION ALL SELECT v, u FROM {prev}),
+sup{i} AS MATERIALIZED (
+  SELECT e.u, e.v, count(*) AS s
+  FROM {prev} e JOIN adj{i} x ON x.b = e.u
+                JOIN adj{i} y ON y.b = e.v AND y.a = x.a
+  GROUP BY e.u, e.v),
+e{i} AS MATERIALIZED (
+  SELECT u, v FROM sup{i} WHERE s >= {k - 2})"""
+        prev = f"e{i}"
+    s += f"""
+SELECT u, v, CAST(s AS BIGINT) AS support
+FROM sup{rounds} WHERE s >= {k - 2} ORDER BY u, v"""
+    return s
+
+
+SQL_GRAPH_KTRUSS = _sql_graph_ktruss(5, 4)
+
+
+EXT_QUERIES.update({"q_graph_ktruss": q_graph_ktruss})
+EXT_ORACLE_SQL.update({"q_graph_ktruss": SQL_GRAPH_KTRUSS})
+
+
 def q_skyline_docs(sf_dir: str):
     """2D skyline / Pareto frontier (X140): documents not dominated
     under (maximize whitespace-token count, minimize n_chars) — the

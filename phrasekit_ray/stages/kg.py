@@ -2544,3 +2544,204 @@ def negative_edges(
     return out.map_batches(
         lambda b: b.select(["subj", "obj_neg", "slot"]), batch_format="pyarrow"
     )
+
+
+def edge_triangle_support(
+    edges_ds,
+    num_partitions: int | None = None,
+):
+    """Per-edge triangle support over the DISTINCT undirected edge set:
+    for every edge (u, v), support = |Γ(u) ∩ Γ(v)| = the number of
+    triangles the edge participates in — the building block of k-truss
+    decomposition (:func:`k_truss`) and cohesion filtering. Edges in no
+    triangle are ABSENT from the output (support would be 0).
+
+    Identical middle-partitioned wedge shape as :func:`link_prediction`
+    (X134) — deg(z) wedges enumerated at each middle z with one
+    vectorized stride kernel per hash partition, two-phase count
+    aggregate — but the packed pair keys SEMI-join against the edge set
+    (adjacent pairs kept) where link_prediction ANTI-joins (non-adjacent
+    kept). Node ids must fit 31 bits (packed (u,v) keys).
+
+    Returns Dataset(u: int64, v: int64, support: int64), u < v.
+    """
+    from phrasekit_ray.stages.agg import default_partitions
+
+    num_partitions = default_partitions(num_partitions)
+    und = _canonical_undirected(edges_ds, num_partitions).materialize()
+    return _edge_support_over(und, num_partitions)
+
+
+def _edge_support_over(und, num_partitions):
+    """Support counts over an ALREADY-canonical distinct undirected edge
+    Dataset (u < v, no dups) — the per-round kernel of :func:`k_truss`."""
+    from phrasekit_ray.stages.agg import hash_aggregate, key_filter_join
+
+    def explode(batch: pa.Table) -> pa.Table:
+        u = batch["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = batch["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        z = np.concatenate([u, v])
+        x = np.concatenate([v, u])
+        h = (z.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+        return pa.table(
+            {
+                "z": pa.array(z, pa.int64()),
+                "x": pa.array(x, pa.int64()),
+                "_part": pa.array(
+                    (h % np.uint64(num_partitions)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def wedge_pairs(group: pa.Table) -> pa.Table:
+        z = group["z"].combine_chunks().to_numpy(zero_copy_only=False)
+        x = group["x"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((x, z))
+        z, x = z[order], x[order]
+        i, j = _segment_pair_positions(z)
+        return pa.table(
+            {
+                "u": pa.array(x[i], pa.int64()),  # x sorted in segment → u < v
+                "v": pa.array(x[j], pa.int64()),
+                "support": pa.array(np.ones(len(i), np.int64), pa.int64()),
+            }
+        )
+
+    pair_counts = hash_aggregate(
+        und.map_batches(explode, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(
+            lambda g: wedge_pairs(g.drop_columns(["_part"])),
+            batch_format="pyarrow",
+        ),
+        ["u", "v"],
+        [("support", "sum")],
+        num_partitions=num_partitions,
+    )
+
+    PACK = np.int64(1) << np.int64(31)
+
+    def pack_pairs(batch: pa.Table) -> pa.Table:
+        u = batch["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = batch["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        return batch.append_column("_pk", pa.array(u * PACK + v, pa.int64()))
+
+    def pack_edges(batch: pa.Table) -> pa.Table:
+        u = batch["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = batch["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"_ek": pa.array(u * PACK + v, pa.int64())})
+
+    adjacent = key_filter_join(
+        pair_counts.map_batches(pack_pairs, batch_format="pyarrow"),
+        und.map_batches(pack_edges, batch_format="pyarrow"),
+        "_pk",
+        "_ek",
+        anti=False,
+        num_partitions=num_partitions,
+    )
+    return adjacent.map_batches(
+        lambda b: b.select(["u", "v", "support"]), batch_format="pyarrow"
+    )
+
+
+def _k_truss_driver(und_tbl: pa.Table, k: int, rounds: int) -> pa.Table:
+    """Bounded driver fast path for :func:`k_truss` — the identical
+    fixed-R-round peel vectorized (sorted packed-key search for wedge
+    closure; np.add.at support sums are order-independent)."""
+    u = und_tbl["u"].to_numpy(zero_copy_only=False).copy()
+    v = und_tbl["v"].to_numpy(zero_copy_only=False).copy()
+    PACK = np.int64(1) << np.int64(31)
+    sup = np.zeros(0, np.int64)
+    for _ in range(rounds):
+        if len(u) == 0:
+            sup = np.zeros(0, np.int64)
+            break
+        keys = np.sort(u * PACK + v)
+        z = np.concatenate([u, v])
+        x = np.concatenate([v, u])
+        order = np.lexsort((x, z))
+        zs, xs = z[order], x[order]
+        i, j = _segment_pair_positions(zs)
+        pk = xs[i] * PACK + xs[j]
+        idx = np.searchsorted(keys, pk)
+        ok = (idx < len(keys)) & (keys[np.minimum(idx, len(keys) - 1)] == pk)
+        sup_by_key = np.zeros(len(keys), np.int64)
+        np.add.at(sup_by_key, idx[ok], 1)
+        ek = u * PACK + v
+        sup = sup_by_key[np.searchsorted(keys, ek)]
+        keep = sup >= (k - 2)
+        u, v, sup = u[keep], v[keep], sup[keep]
+    return pa.table(
+        {
+            "u": pa.array(u, pa.int64()),
+            "v": pa.array(v, pa.int64()),
+            "support": pa.array(sup, pa.int64()),
+        }
+    )
+
+
+def k_truss(
+    edges_ds,
+    k: int = 4,
+    rounds: int = 6,
+    num_partitions: int | None = None,
+    driver_edges_threshold: int = 5_000_000,
+):
+    """k-truss peel, FIXED ``rounds``-round variant: starting from the
+    distinct undirected edge set, each round computes per-edge triangle
+    support within the surviving subgraph and drops edges with
+    support < k−2. After enough rounds this is the classic maximal
+    k-truss (Cohen 2008) — the fixed depth makes the output a pure
+    function of (edge set, k, rounds), so the unrolled SQL twin is
+    bit-exact, and tests pin that the fixpoint is reached on the
+    fixtures (one extra round changes nothing). At true scale, pass
+    more rounds or iterate externally until the returned edge count
+    stops changing.
+
+    Per round: ONE middle-partitioned wedge enumeration + two-phase
+    count + packed-key SEMI join (:func:`_edge_support_over`) and one
+    survivor SEMI filter; survivors re-materialize per round. Output
+    rows carry the support each edge had in the LAST round's subgraph
+    (≥ k−2 by construction — the in-band invariant).
+
+    Requires k ≥ 3 (k = 2 would be "every edge", but support-0 edges
+    never appear in the support table). Node ids must fit 31 bits.
+
+    Returns Dataset(u: int64, v: int64, support: int64), u < v.
+    """
+    import ray
+
+    from phrasekit_ray.stages.agg import default_partitions
+
+    if k < 3:
+        raise ValueError("k must be >= 3")
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    num_partitions = default_partitions(num_partitions)
+    und = _canonical_undirected(edges_ds, num_partitions).materialize()
+
+    if und.count() <= driver_edges_threshold:
+        tbl_list = list(und.iter_batches(batch_format="pyarrow"))
+        tbl = (
+            pa.concat_tables(tbl_list, promote_options="default")
+            if tbl_list
+            else pa.table(
+                {"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}
+            )
+        )
+        return ray.data.from_arrow(_k_truss_driver(tbl, k, rounds))
+
+    cur = und
+    out = None
+    for _ in range(rounds):
+        sup = _edge_support_over(cur, num_partitions)
+        out = sup.map_batches(
+            lambda b: b.filter(
+                pc.greater_equal(b["support"], pa.scalar(k - 2, pa.int64()))
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        cur = out.map_batches(
+            lambda b: b.select(["u", "v"]), batch_format="pyarrow"
+        ).materialize()
+    return out

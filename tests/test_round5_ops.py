@@ -854,3 +854,134 @@ def test_clustering_coeff_toy_values(ray_session, tmp_path):
         2: (1, 1_000_000),
         3: (1, 2_000_000 // 6),
     }
+
+
+# ------------------------------------------ X151/X152 support + k-truss
+
+
+def _ref_truss_fixpoint(E, k):
+    """Brute-force UNTIL-FIXPOINT k-truss (the classic definition) —
+    the fixed-round stage must land on this once rounds suffice."""
+    edges = {(min(a, b), max(a, b)) for a, b in E if a != b}
+    while True:
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {e: len(adj[e[0]] & adj[e[1]]) for e in edges}
+        drop = {e for e, s in sup.items() if s < k - 2}
+        if not drop:
+            return {e: sup[e] for e in edges}
+        edges -= drop
+
+
+def test_edge_support_toy_and_triangle_consistency(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.kg import edge_triangle_support
+
+    # triangle 1-2-3 plus pendant 3-4
+    t = pa.table(
+        {
+            "subj": pa.array([1, 2, 1, 3], pa.int64()),
+            "obj": pa.array([2, 3, 3, 4], pa.int64()),
+        }
+    )
+    got = {
+        (r["u"], r["v"]): r["support"]
+        for r in _collect(
+            edge_triangle_support(ray.data.from_arrow(t))
+        ).to_pylist()
+    }
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1}  # pendant edge absent
+
+    # random graph: Σ support == 3 · Σ per-node triangles / 3
+    from phrasekit_ray.stages.kg import triangle_counts
+
+    rng = np.random.default_rng(41)
+    E = rng.integers(0, 30, size=(200, 2))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "subj": pa.array(E[:, 0], pa.int64()),
+                "obj": pa.array(E[:, 1], pa.int64()),
+            }
+        )
+    )
+    sup = _collect(edge_triangle_support(ds)).to_pydict()
+    tri = _collect(triangle_counts(ds)).to_pydict()
+    assert sum(sup["support"]) == sum(tri["n_triangles"])
+
+
+def test_k_truss_matches_fixpoint_reference_and_partition_invariant(
+    ray_session,
+):
+    import ray
+
+    from phrasekit_ray.stages.kg import k_truss
+
+    rng = np.random.default_rng(43)
+    E = rng.integers(0, 25, size=(150, 2))
+    t = pa.table(
+        {
+            "subj": pa.array(E[:, 0], pa.int64()),
+            "obj": pa.array(E[:, 1], pa.int64()),
+        }
+    )
+    for k in (3, 4, 5):
+        want = _ref_truss_fixpoint(E, k)
+        # enough rounds to converge on 25 nodes
+        got = {
+            (r["u"], r["v"]): r["support"]
+            for r in _collect(
+                k_truss(ray.data.from_arrow(t), k=k, rounds=10)
+            ).to_pylist()
+        }
+        assert got == want, f"k={k}"
+        # fixpoint: one more round changes nothing
+        got11 = {
+            (r["u"], r["v"]): r["support"]
+            for r in _collect(
+                k_truss(ray.data.from_arrow(t), k=k, rounds=11)
+            ).to_pylist()
+        }
+        assert got11 == got
+    # forced fully-distributed path, two partitionings
+    want4 = _ref_truss_fixpoint(E, 4)
+    for parts in (1, 7):
+        got2 = {
+            (r["u"], r["v"]): r["support"]
+            for r in _collect(
+                k_truss(
+                    ray.data.from_arrow(t).repartition(parts),
+                    k=4,
+                    rounds=10,
+                    driver_edges_threshold=0,
+                )
+            ).to_pylist()
+        }
+        assert got2 == want4
+
+
+def test_k_truss_guards_and_invariant(ray_session, sf_dir):
+    import pytest
+    import ray
+
+    from phrasekit_ray.pipelines.queries_ext import q_graph_ktruss
+    from phrasekit_ray.stages.kg import k_truss
+
+    empty = pa.table(
+        {"subj": pa.array([], pa.int64()), "obj": pa.array([], pa.int64())}
+    )
+    with pytest.raises(ValueError):
+        k_truss(ray.data.from_arrow(empty), k=2)
+    with pytest.raises(ValueError):
+        k_truss(ray.data.from_arrow(empty), rounds=0)
+    out = q_graph_ktruss(sf_dir)
+    sup = out["support"].to_pylist()
+    assert sup and min(sup) >= 3  # k=5 → in-band invariant support ≥ k−2
+    # the query's 4 rounds reach the fixpoint on the fixture
+    from phrasekit_ray.pipelines.queries_ext import _basket_edges_ds
+
+    more = _collect(k_truss(_basket_edges_ds(sf_dir), k=5, rounds=5))
+    assert more.num_rows == out.num_rows
