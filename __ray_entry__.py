@@ -131,6 +131,10 @@ _DRIVER_FIRST: list[str] = [
     "q_clustering_coeff",
     "q_edge_support",
     "q_graph_ktruss",
+    "q_host_reciprocity",
+    "q_degree_histogram",
+    "q_triangle_estimate",
+    "q_katz_hosts",
     "q_mine_bigrams",
     "q_tag_all_mentions",
 ]

@@ -209,6 +209,10 @@ BENCH_QUERY_NAMES = [
         "q_edge_support",
         "q_graph_ktruss",
         "q_pq_encode",
+        "q_host_reciprocity",
+        "q_degree_histogram",
+        "q_triangle_estimate",
+        "q_katz_hosts",
 ]
 
 

@@ -2140,17 +2140,22 @@ def q_link_hostgraph(sf_dir: str):
 def _sm_sql(x: str) -> str:
     """DuckDB twin of sources.pages.splitmix17 over HUGEINT expression
     ``x`` (the 32-bit-split second multiply — see queries.py
-    q_sample_docs_per_lang for the derivation)."""
+    q_sample_docs_per_lang for the derivation). All mod-2^64 / mod-2^32
+    reductions are bitwise AND / shift, not ``%`` / ``//``: HUGEINT
+    DivMod is the hot instruction when a twin evaluates millions of
+    hashes (the X155 wedge-sample twin walks ~14M wedges at sf0.01) and
+    the mask form is ~10× cheaper for identical values (inputs are
+    always non-negative here, where AND-mask ≡ mod)."""
     h1 = (
-        f"CAST((({x} + 17) * 11400714819323198485) % "
-        "18446744073709551616 AS UBIGINT)"
+        f"CAST((({x} + 17) * 11400714819323198485) & "
+        "18446744073709551615 AS UBIGINT)"
     )
     hx = f"CAST(xor({h1}, {h1} >> 31) AS HUGEINT)"
     return (
-        f"((({hx}) % 4294967296) * 484763065 + "
-        f"(((({hx}) % 4294967296) * 3210233709 + "
-        f"(({hx}) // 4294967296) * 484763065) "
-        "% 4294967296) * 4294967296) % 18446744073709551616"
+        f"((({hx}) & 4294967295) * 484763065 + "
+        f"(((({hx}) & 4294967295) * 3210233709 + "
+        f"(({hx}) >> 32) * 484763065) "
+        "& 4294967295) * 4294967296) & 18446744073709551615"
     )
 
 
@@ -2177,23 +2182,25 @@ GROUP BY 1, 2 ORDER BY 1, 2
 def _sm_sql_wide(x: str) -> str:
     """Full-width DuckDB splitmix twin for inputs up to 2^64 (e.g. md5
     token hashes): BOTH multiplies run as 32-bit splits so no INT128
-    overflow. ``x`` must be a HUGEINT expression in [0, 2^64)."""
-    y = f"(({x}) + 17) % 18446744073709551616"
-    yl = f"(({y}) % 4294967296)"
-    yh = f"(({y}) // 4294967296)"
+    overflow. ``x`` must be a HUGEINT expression in [0, 2^64). Same
+    AND-mask/shift form as _sm_sql (HUGEINT DivMod is the hot
+    instruction at millions of hashes; masks are ~10× cheaper)."""
+    y = f"((({x}) + 17) & 18446744073709551615)"
+    yl = f"(({y}) & 4294967295)"
+    yh = f"(({y}) >> 32)"
     # C1 = 0x9E3779B97F4A7C15 -> lo 2135587861, hi 2654435769
     h1 = (
         f"(({yl}) * 2135587861 + "
-        f"((({yl}) * 2654435769 + ({yh}) * 2135587861) % 4294967296) "
-        f"* 4294967296) % 18446744073709551616"
+        f"((({yl}) * 2654435769 + ({yh}) * 2135587861) & 4294967295) "
+        f"* 4294967296) & 18446744073709551615"
     )
     hx = f"CAST(xor(CAST(({h1}) AS UBIGINT), CAST(({h1}) AS UBIGINT) >> 31) AS HUGEINT)"
     # C2 = 0xBF58476D1CE4E5B9 -> lo 484763065, hi 3210233709
     return (
-        f"((({hx}) % 4294967296) * 484763065 + "
-        f"(((({hx}) % 4294967296) * 3210233709 + "
-        f"(({hx}) // 4294967296) * 484763065) "
-        f"% 4294967296) * 4294967296) % 18446744073709551616"
+        f"((({hx}) & 4294967295) * 484763065 + "
+        f"(((({hx}) & 4294967295) * 3210233709 + "
+        f"(({hx}) >> 32) * 484763065) "
+        f"& 4294967295) * 4294967296) & 18446744073709551615"
     )
 
 
@@ -5148,6 +5155,354 @@ SQL_GRAPH_KTRUSS = _sql_graph_ktruss(5, 4)
 
 EXT_QUERIES.update({"q_graph_ktruss": q_graph_ktruss})
 EXT_ORACLE_SQL.update({"q_graph_ktruss": SQL_GRAPH_KTRUSS})
+
+
+def q_host_reciprocity(sf_dir: str):
+    """Per-host link reciprocity (X153): of each host's distinct
+    directed out-edges, how many are reciprocated (the reverse edge
+    exists) — the mutual-linking diagnostic that separates content
+    farms (one-way link spray) from genuine hub communities. One
+    packed-key SEMI ``key_filter_join`` of the distinct edge set
+    against its own swap + two grouped counts with a zero-union so
+    never-reciprocated hosts report 0."""
+    import ray
+
+    from phrasekit_ray.sources.pages import pages_from_documents
+    from phrasekit_ray.stages.agg import grouped_count, key_filter_join, lookup_join
+    from phrasekit_ray.stages.extract import extract_links, host_edges
+
+    pages = pages_from_documents(sf_dir, with_links=True)
+    he = _collect(host_edges(extract_links(pages)))
+    src = he["src_host"].to_pylist()
+    dst = he["dst_host"].to_pylist()
+    hosts = sorted(set(src) | set(dst))
+    hid = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    keep = [(a, b) for a, b in zip(src, dst) if a != b]
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "s": pa.array([hid[a] for a, _ in keep], pa.int64()),
+                "o": pa.array([hid[b] for _, b in keep], pa.int64()),
+            }
+        )
+    )
+    dedup = grouped_count(edges, ["s", "o"]).map_batches(
+        lambda b: pa.table(
+            {
+                "s": b["s"],
+                "o": b["o"],
+                "pk": pc.add(
+                    pc.multiply(
+                        b["s"].combine_chunks().cast(pa.int64()),
+                        pa.scalar(n, pa.int64()),
+                    ),
+                    b["o"].combine_chunks().cast(pa.int64()),
+                ),
+                "rk": pc.add(
+                    pc.multiply(
+                        b["o"].combine_chunks().cast(pa.int64()),
+                        pa.scalar(n, pa.int64()),
+                    ),
+                    b["s"].combine_chunks().cast(pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    n_out = grouped_count(dedup, "s", count_col="n_out")
+    recip = grouped_count(
+        key_filter_join(
+            dedup,
+            dedup.map_batches(
+                lambda b: b.select(["pk"]), batch_format="pyarrow"
+            ),
+            "rk", "pk", anti=False,
+            left_schema=pa.schema(
+                [("s", pa.int64()), ("o", pa.int64()),
+                 ("pk", pa.int64()), ("rk", pa.int64())]
+            ),
+        ),
+        "s", count_col="n_recip",
+    )
+    # lookup_join is INNER, but never-reciprocated hosts must still
+    # report 0 → zero-union: recip ∪ per-host zeros, one two-phase sum
+    from phrasekit_ray.stages.agg import hash_aggregate
+
+    zeros = n_out.map_batches(
+        lambda b: pa.table(
+            {"s": b["s"],
+             "n_recip": pa.array(np.zeros(b.num_rows, np.int64))}
+        ),
+        batch_format="pyarrow",
+    )
+    recip_full = hash_aggregate(
+        recip.union(zeros), ["s"], [("n_recip", "sum")]
+    )
+    out_ds = lookup_join(
+        n_out, recip_full, "s", "s",
+        left_schema=pa.schema([("s", pa.int64()), ("n_out", pa.int64())]),
+        right_schema=pa.schema([("s", pa.int64()), ("n_recip", pa.int64())]),
+    )
+    t = _collect(out_ds)
+    out = pa.table(
+        {
+            "host": pa.array(
+                [hosts[i] for i in t["s"].to_pylist()], pa.string()
+            ),
+            "n_out": t["n_out"].cast(pa.int64()),
+            "n_recip": t["n_recip"].cast(pa.int64()),
+        }
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("host", "ascending")]))
+
+
+SQL_HOST_RECIPROCITY = f"""
+WITH s AS (SELECT doc_id, source, j
+           FROM documents, generate_series(1, 3) AS g(j)),
+l AS (SELECT source, j,
+        ({_sm_sql('CAST(doc_id AS HUGEINT)*8 + CAST(j AS HUGEINT)')})
+          % 100003 AS t,
+        1 + (({_sm_sql('CAST(doc_id AS HUGEINT)*8 + 7')}) % 3) AS n_links
+      FROM s),
+he AS (SELECT source || '.example.org' AS src,
+              'h' || CAST(t % 16 AS VARCHAR) || '.example.org' AS dst
+       FROM l WHERE j <= n_links),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM he WHERE src <> dst)
+SELECT e.src AS host, COUNT(*) AS n_out,
+       CAST(SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_recip
+FROM e LEFT JOIN e r ON r.src = e.dst AND r.dst = e.src
+GROUP BY e.src ORDER BY host"""
+
+
+EXT_QUERIES.update({"q_host_reciprocity": q_host_reciprocity})
+EXT_ORACLE_SQL.update({"q_host_reciprocity": SQL_HOST_RECIPROCITY})
+
+
+def q_degree_histogram(sf_dir: str):
+    """Log₂-bucketed degree distribution (X154) of the undirected part
+    co-occurrence graph — the power-law sanity check every web-graph
+    pipeline runs before trusting centrality numbers. Bucket =
+    floor(log₂ deg) computed EXACTLY via the float64 exponent
+    (np.frexp; deg < 2⁵³ so the mantissa is exact), matching DuckDB's
+    length(bin(d))−1; one degree count + one bucket count, both
+    two-phase."""
+    from phrasekit_ray.stages.agg import grouped_count
+
+    edges_ds = _basket_edges_ds(sf_dir)
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = b["subj"].combine_chunks().cast(pa.int64())
+        o = b["obj"].combine_chunks().cast(pa.int64())
+        keep = pc.invert(pc.equal(s, o))
+        s, o = s.filter(keep), o.filter(keep)
+        return pa.table(
+            {"u": pc.min_element_wise(s, o), "v": pc.max_element_wise(s, o)}
+        )
+
+    dedup = grouped_count(
+        edges_ds.map_batches(canon, batch_format="pyarrow"), ["u", "v"]
+    )
+    deg = grouped_count(
+        dedup.map_batches(
+            lambda b: pa.table(
+                {"node": pa.concat_arrays(
+                    [b["u"].combine_chunks(), b["v"].combine_chunks()]
+                )}
+            ),
+            batch_format="pyarrow",
+        ),
+        "node", count_col="d",
+    )
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        d = b["d"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        bucket = (np.frexp(d.astype(np.float64))[1] - 1).astype(np.int64)
+        return pa.table({"bucket": pa.array(bucket, pa.int64())})
+
+    hist = grouped_count(
+        deg.map_batches(bucketize, batch_format="pyarrow"),
+        "bucket", count_col="n_nodes",
+    )
+    t = _collect(hist)
+    out = pa.table(
+        {
+            "bucket": t["bucket"].cast(pa.int64()),
+            "n_nodes": t["n_nodes"].cast(pa.int64()),
+        }
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("bucket", "ascending")]))
+
+
+SQL_DEGREE_HISTOGRAM = (
+    "WITH "
+    + _SQL_BASKET_EDGES
+    + """,
+deg AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+  GROUP BY node)
+SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS bucket,
+       count(*) AS n_nodes
+FROM deg GROUP BY 1 ORDER BY bucket"""
+)
+
+
+EXT_QUERIES.update({"q_degree_histogram": q_degree_histogram})
+EXT_ORACLE_SQL.update({"q_degree_histogram": SQL_DEGREE_HISTOGRAM})
+
+
+def q_triangle_estimate(sf_dir: str):
+    """Wedge-sampled triangle estimate (X155) over the part
+    co-occurrence graph at rate 16/1024 — the trillion-edge scale path
+    next to the exact X62 count: deterministic splitmix wedge sampling
+    means the ESTIMATOR ITSELF is a pure integer function of the edge
+    set, so the SQL twin checks it bit-for-bit (accuracy vs the exact
+    count is pinned separately in pytest at a higher rate)
+    (stages/kg.sampled_triangle_estimate)."""
+    from phrasekit_ray.stages.kg import sampled_triangle_estimate
+
+    return _collect(
+        sampled_triangle_estimate(
+            _basket_edges_ds(sf_dir), rate_num=16, rate_den=1024
+        )
+    )
+
+
+def _sql_triangle_estimate(rate_num: int = 16, rate_den: int = 1024) -> str:
+    hz = _sm_sql("CAST(x.a AS HUGEINT)")
+    key2 = (
+        f"((({hz}) + CAST(x.b AS HUGEINT)*2147483648 + CAST(y.b AS HUGEINT))"
+        " & 18446744073709551615)"
+    )
+    # one more DivMod dodged per wedge when the rate is a power of two
+    sel = (
+        f"({_sm_sql_wide(key2)}) & {rate_den - 1}"
+        if rate_den & (rate_den - 1) == 0
+        else f"({_sm_sql_wide(key2)}) % {rate_den}"
+    )
+    return (
+        "WITH "
+        + _SQL_BASKET_EDGES
+        + f""",
+adj AS MATERIALIZED (
+  SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT a, count(*) AS d FROM adj GROUP BY a),
+tot AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS wt FROM deg),
+samp AS MATERIALIZED (
+  SELECT x.a AS z, x.b AS v, y.b AS w
+  FROM adj x JOIN adj y ON y.a = x.a AND y.b > x.b
+  WHERE ({sel}) < {rate_num}),
+scnt AS (SELECT count(*) AS ws FROM samp),
+closed AS (SELECT count(*) AS c
+           FROM samp s JOIN e ON e.u = s.v AND e.v = s.w)
+SELECT tot.wt AS wedges_total, scnt.ws AS wedges_sampled,
+       closed.c AS closed_sampled,
+       CAST((closed.c * {rate_den} * 1000) // ({rate_num} * 3) AS BIGINT)
+         AS est_triangles_milli
+FROM tot, scnt, closed"""
+    )
+
+
+SQL_TRIANGLE_ESTIMATE = _sql_triangle_estimate(16, 1024)
+
+
+EXT_QUERIES.update({"q_triangle_estimate": q_triangle_estimate})
+EXT_ORACLE_SQL.update({"q_triangle_estimate": SQL_TRIANGLE_ESTIMATE})
+
+
+def q_katz_hosts(sf_dir: str):
+    """Exact-integer Katz centrality (X156) over the extracted directed
+    host link graph: 4 unrolled rounds of x ← scale + β·Aᵀx with β =
+    1/5 and the ceil-quotient normalization, all in int64 units
+    (stages/kg.katz_exact) — the attenuated-path centrality that gives
+    every host a base score and weights a length-r inbound path by βʳ,
+    next to PPR (X138) and HITS (X147). Host→int ids driver-side over
+    the aggregated host table (bounded; X19 is the web-scale adapter),
+    id order == lexicographic host order."""
+    import ray
+
+    from phrasekit_ray.sources.pages import pages_from_documents
+    from phrasekit_ray.stages.extract import extract_links, host_edges
+    from phrasekit_ray.stages.kg import katz_exact
+
+    pages = pages_from_documents(sf_dir, with_links=True)
+    he = _collect(host_edges(extract_links(pages)))
+    src = he["src_host"].to_pylist()
+    dst = he["dst_host"].to_pylist()
+    hosts = sorted(set(src) | set(dst))
+    hid = {h: i for i, h in enumerate(hosts)}
+    edges = pa.table(
+        {
+            "subj": pa.array([hid[h] for h in src], pa.int64()),
+            "obj": pa.array([hid[h] for h in dst], pa.int64()),
+        }
+    )
+    t = _collect(
+        katz_exact(ray.data.from_arrow(edges), iters=4, beta_num=1, beta_den=5)
+    )
+    out = pa.table(
+        {
+            "host": pa.array(
+                [hosts[i] for i in t["node"].to_pylist()], pa.string()
+            ),
+            "katz_micro": t["katz_micro"].cast(pa.int64()),
+        }
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("host", "ascending")]))
+
+
+def _sql_katz_hosts(
+    iters: int = 4, scale: int = 10**6, beta_num: int = 1, beta_den: int = 5
+) -> str:
+    """Unrolled Katz twin of stages/kg.katz_exact over the host-graph
+    CTEs (same synthesis as SQL_HITS_HOSTS). Per-edge floor division
+    (x·num // den) and the ceil-quotient normalizer are pure BIGINT
+    ops, so every round is bit-exact at any partitioning. MATERIALIZED
+    round CTEs keep the twin linear (X147 lesson: the scalar-subquery
+    normalizer doubles references per round)."""
+    s = f"""
+WITH s AS (SELECT doc_id, source, j
+           FROM documents, generate_series(1, 3) AS g(j)),
+l AS (SELECT source, j,
+        ({_sm_sql('CAST(doc_id AS HUGEINT)*8 + CAST(j AS HUGEINT)')})
+          % 100003 AS t,
+        1 + (({_sm_sql('CAST(doc_id AS HUGEINT)*8 + 7')}) % 3) AS n_links
+      FROM s),
+he AS (SELECT source || '.example.org' AS src,
+              'h' || CAST(t % 16 AS VARCHAR) || '.example.org' AS dst
+       FROM l WHERE j <= n_links),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM he WHERE src <> dst),
+nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+x0 AS MATERIALIZED (SELECT node, CAST({scale} AS BIGINT) AS v FROM nodes)"""
+    prev = "x0"
+    for i in range(1, iters + 1):
+        s += f""",
+kr{i} AS MATERIALIZED (SELECT n.node,
+    CAST({scale} + COALESCE(sq.sq, 0) AS BIGINT) AS v
+  FROM nodes n
+  LEFT JOIN (SELECT e.dst AS node,
+               CAST(SUM((x.v * {beta_num}) // {beta_den}) AS BIGINT) AS sq
+             FROM e JOIN {prev} x ON x.node = e.src GROUP BY 1) sq
+    ON sq.node = n.node),
+x{i} AS MATERIALIZED (SELECT node, CAST(v // GREATEST(
+           (SELECT (MAX(v) + {scale - 1}) // {scale} FROM kr{i}), 1)
+         AS BIGINT) AS v FROM kr{i})"""
+        prev = f"x{i}"
+    s += f"""
+SELECT node AS host, v AS katz_micro
+FROM x{iters} ORDER BY host"""
+    return s
+
+
+SQL_KATZ_HOSTS = _sql_katz_hosts(4, 10**6, 1, 5)
+
+
+EXT_QUERIES.update({"q_katz_hosts": q_katz_hosts})
+EXT_ORACLE_SQL.update({"q_katz_hosts": SQL_KATZ_HOSTS})
 
 
 def q_skyline_docs(sf_dir: str):

@@ -2745,3 +2745,303 @@ def k_truss(
             lambda b: b.select(["u", "v"]), batch_format="pyarrow"
         ).materialize()
     return out
+
+
+def sampled_triangle_estimate(
+    edges_ds,
+    rate_num: int = 64,
+    rate_den: int = 1024,
+    num_partitions: int | None = None,
+):
+    """Wedge-sampled triangle ESTIMATE (the Schank–Wagner/Seshadhri
+    wedge-sampling family) — the scale path for graphs whose exact
+    triangle count (X62) is infeasible: sample each wedge with
+    probability rate_num/rate_den, test closure only for sampled
+    wedges, and scale up. Deterministic sampling — wedge (z, v, w) is
+    kept iff splitmix17(splitmix17(z) + v·2³¹ + w) % rate_den <
+    rate_num — makes the estimate a pure integer function of the edge
+    set: partition-invariant and bit-exact against the SQL twin
+    (estimator semantics, exactly reproducible).
+
+    est_triangles_milli = closed_sampled · rate_den · 1000 //
+    (rate_num · 3): each triangle is 3 closed wedges, each kept with
+    probability rate_num/rate_den ⇒ unbiased. Sampled wedges never
+    leave the wedge kernel unsampled — the wedge stream shrinks by the
+    rate at the source, so the closure SEMI join sees rate × Σ C(deg,2)
+    rows instead of all wedges.
+
+    Returns a ONE-ROW Dataset(wedges_total, wedges_sampled,
+    closed_sampled, est_triangles_milli), all int64.
+    """
+    import ray
+
+    from phrasekit_ray.sources.pages import splitmix17
+    from phrasekit_ray.stages.agg import (
+        default_partitions,
+        grouped_count,
+        key_filter_join,
+    )
+
+    if not 0 < rate_num <= rate_den:
+        raise ValueError("need 0 < rate_num <= rate_den")
+    num_partitions = default_partitions(num_partitions)
+    und = _canonical_undirected(edges_ds, num_partitions).materialize()
+    PACK = np.int64(1) << np.int64(31)
+    num_u, den_u = np.uint64(rate_num), np.uint64(rate_den)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        u = batch["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = batch["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        z = np.concatenate([u, v])
+        x = np.concatenate([v, u])
+        h = (z.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+        return pa.table(
+            {
+                "z": pa.array(z, pa.int64()),
+                "x": pa.array(x, pa.int64()),
+                "_part": pa.array(
+                    (h % np.uint64(num_partitions)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def sampled_wedges(group: pa.Table) -> pa.Table:
+        z = group["z"].combine_chunks().to_numpy(zero_copy_only=False)
+        x = group["x"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((x, z))
+        z, x = z[order], x[order]
+        i, j = _segment_pair_positions(z)
+        v, w = x[i], x[j]  # sorted in segment → v < w
+        mid = z[i]
+        with np.errstate(over="ignore"):
+            k2 = (
+                splitmix17(mid.astype(np.uint64))
+                + v.astype(np.uint64) * np.uint64(PACK)
+                + w.astype(np.uint64)
+            )
+            keep = (splitmix17(k2) % den_u) < num_u
+        n_w = len(i)
+        v, w = v[keep], w[keep]
+        # one sentinel row per group carries the group's pre-sampling
+        # wedge total (pk = -1 is never a packed edge key), so the
+        # exact denominator needs no second wedge pass
+        pk = np.concatenate([v * PACK + w, np.array([-1], np.int64)])
+        wt = np.concatenate(
+            [np.zeros(len(v), np.int64), np.array([n_w], np.int64)]
+        )
+        return pa.table(
+            {"pk": pa.array(pk, pa.int64()), "wt": pa.array(wt, pa.int64())}
+        )
+
+    wedges = (
+        und.map_batches(explode, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(
+            lambda g: sampled_wedges(g.drop_columns(["_part"])),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    wedges_total = wedges.sum("wt") or 0
+    real = wedges.map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b["pk"], pa.scalar(0, pa.int64()))
+        ).select(["pk"]),
+        batch_format="pyarrow",
+    )
+    wedges_sampled = real.count()
+
+    def pack_edges(batch: pa.Table) -> pa.Table:
+        u = batch["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = batch["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"_ek": pa.array(u * PACK + v, pa.int64())})
+
+    closed = key_filter_join(
+        real,
+        und.map_batches(pack_edges, batch_format="pyarrow"),
+        "pk", "_ek", anti=False,
+        num_partitions=num_partitions,
+        left_schema=pa.schema([("pk", pa.int64())]),
+    )
+    closed_sampled = closed.count()
+    est = (closed_sampled * rate_den * 1000) // (rate_num * 3)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "wedges_total": pa.array([wedges_total], pa.int64()),
+                "wedges_sampled": pa.array([wedges_sampled], pa.int64()),
+                "closed_sampled": pa.array([closed_sampled], pa.int64()),
+                "est_triangles_milli": pa.array([est], pa.int64()),
+            }
+        )
+    )
+
+
+def _katz_driver(
+    edges_tbl: pa.Table, iters: int, scale: int, beta_num: int, beta_den: int
+):
+    """Bounded driver fast path for :func:`katz_exact` — identical
+    integer recurrence vectorized with np.add.at (the sum and max are
+    order-independent; tests force the distributed path too)."""
+    subj = edges_tbl["subj"].to_numpy(zero_copy_only=False)
+    obj = edges_tbl["obj"].to_numpy(zero_copy_only=False)
+    nodes = np.unique(np.concatenate([subj, obj]))
+    si = np.searchsorted(nodes, subj)
+    oi = np.searchsorted(nodes, obj)
+    sc = np.int64(scale)
+    x = np.full(len(nodes), sc, np.int64)
+    for _ in range(iters):
+        raw = np.full(len(nodes), sc, np.int64)
+        np.add.at(raw, oi, x[si] * np.int64(beta_num) // np.int64(beta_den))
+        q = max((int(raw.max(initial=0)) + scale - 1) // scale, 1)
+        x = raw // np.int64(q)
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "katz_micro": pa.array(x, pa.int64()),
+        }
+    )
+
+
+def katz_exact(
+    edges_ds,
+    iters: int = 4,
+    scale: int = 10**6,
+    beta_num: int = 1,
+    beta_den: int = 5,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+    num_partitions: int | None = None,
+    driver_edges_threshold: int = 5_000_000,
+):
+    """Katz attenuated-path centrality (Katz 1953 recurrence shape,
+    x ← 1 + β·Aᵀx) in EXACT integer arithmetic with the X147
+    ceil-quotient per-round normalization — the every-node-gets-a-base
+    centrality that, unlike HITS/PageRank, scores isolated-in-degree
+    nodes a nonzero floor and weights a length-r inbound path by βʳ.
+
+    Semantics (pure int64 function of the distinct edge set ⇒ an
+    unrolled SQL twin reproduces every round bit-for-bit):
+
+    - graph = DISTINCT directed edges, self-loops dropped;
+    - x0(v) = ``scale`` for every node;
+    - per round: raw(v) = scale + Σ_{u→v} (x(u)·beta_num // beta_den)
+      [divide-per-edge keeps every addend ≤ scale, so raw ≤
+      scale·(1+indeg) — no overflow short of a 10¹²-indegree hub];
+      x(v) = raw(v) // max(ceil(max_v raw(v) / scale), 1).
+
+    Distribution per round: ONE int-keyed ``lookup_join`` (edges ⋈
+    scores on subj — the score table is unique-keyed per node) + ONE
+    two-phase sum ``hash_aggregate`` + one scalar MAX; the driver holds
+    only the scalar normalizer. Same bounded driver fast
+    path / forced-distributed contract as hits_exact
+    (driver_edges_threshold, tests force 0).
+
+    Returns Dataset(node: int64, katz_micro: int64).
+    """
+    import ray
+
+    from phrasekit_ray.stages.agg import default_partitions as _dp
+    from phrasekit_ray.stages.agg import grouped_count, hash_aggregate, lookup_join
+
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    if not 0 < beta_num <= beta_den:
+        raise ValueError("need 0 < beta_num <= beta_den")
+    num_partitions = _dp(num_partitions)
+
+    def conform(batch: pa.Table) -> pa.Table:
+        s = batch[subj_col].cast(pa.int64())
+        o = batch[obj_col].cast(pa.int64())
+        keep = pc.invert(pc.equal(s, o))
+        return pa.table({"subj": s.filter(keep), "obj": o.filter(keep)})
+
+    edges = grouped_count(
+        edges_ds.map_batches(conform, batch_format="pyarrow"),
+        ["subj", "obj"],
+        num_partitions=num_partitions,
+    ).map_batches(
+        lambda b: b.select(["subj", "obj"]), batch_format="pyarrow"
+    ).materialize()
+
+    def halves(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": pa.concat_arrays(
+                [batch["subj"].combine_chunks(), batch["obj"].combine_chunks()]
+            )}
+        )
+
+    nodes = grouped_count(
+        edges.map_batches(halves, batch_format="pyarrow"),
+        "node",
+        num_partitions=num_partitions,
+    ).map_batches(lambda b: b.select(["node"]), batch_format="pyarrow").materialize()
+    if nodes.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "katz_micro": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    if edges.count() <= driver_edges_threshold:
+        tbl = pa.concat_tables(
+            list(edges.iter_batches(batch_format="pyarrow")),
+            promote_options="default",
+        )
+        return ray.data.from_arrow(
+            _katz_driver(tbl, iters, scale, beta_num, beta_den)
+        )
+
+    edges_schema = pa.schema([("subj", pa.int64()), ("obj", pa.int64())])
+    score_schema = pa.schema([("node", pa.int64()), ("v", pa.int64())])
+    bn, bd = np.int64(beta_num), np.int64(beta_den)
+
+    def const_scores(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": b["node"],
+             "v": pa.array(np.full(b.num_rows, scale, np.int64))}
+        )
+
+    def bases(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": b["node"],
+             "v": pa.array(np.full(b.num_rows, scale, np.int64))}
+        )
+
+    x = nodes.map_batches(const_scores, batch_format="pyarrow").materialize()
+    for _ in range(iters):
+        contrib = lookup_join(
+            edges, x, "subj", "node", num_partitions,
+            left_schema=edges_schema, right_schema=score_schema,
+        ).map_batches(
+            lambda b: pa.table(
+                {"node": b["obj"],
+                 "v": pa.array(
+                     b["v"].combine_chunks().to_numpy(zero_copy_only=False)
+                     * bn // bd, pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        raw = hash_aggregate(
+            contrib.union(nodes.map_batches(bases, batch_format="pyarrow")),
+            ["node"], [("v", "sum")],
+            num_partitions=num_partitions,
+        ).materialize()
+        q = np.int64(max((int(raw.max("v") or 0) + scale - 1) // scale, 1))
+        x = raw.map_batches(
+            lambda b, q=q: pa.table(
+                {"node": b["node"],
+                 "v": pa.array(
+                     b["v"].combine_chunks().to_numpy(zero_copy_only=False)
+                     // q, pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    return x.map_batches(
+        lambda b: pa.table({"node": b["node"], "katz_micro": b["v"]}),
+        batch_format="pyarrow",
+    )

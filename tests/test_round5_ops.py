@@ -985,3 +985,204 @@ def test_k_truss_guards_and_invariant(ray_session, sf_dir):
 
     more = _collect(k_truss(_basket_edges_ds(sf_dir), k=5, rounds=5))
     assert more.num_rows == out.num_rows
+
+
+def test_triangle_estimate_full_rate_is_exact(ray_session):
+    """rate_num == rate_den keeps every wedge ⇒ the 'estimate' IS the
+    exact triangle count (×1000): the unbiasedness claim made concrete
+    at the degenerate rate."""
+    import ray
+
+    from phrasekit_ray.stages.kg import (
+        sampled_triangle_estimate,
+        triangle_counts,
+    )
+
+    rng = np.random.default_rng(47)
+    E = rng.integers(0, 40, size=(300, 2))
+    t = pa.table(
+        {
+            "subj": pa.array(E[:, 0], pa.int64()),
+            "obj": pa.array(E[:, 1], pa.int64()),
+        }
+    )
+    est = _collect(
+        sampled_triangle_estimate(
+            ray.data.from_arrow(t), rate_num=64, rate_den=64
+        )
+    ).to_pylist()[0]
+    exact = sum(
+        _collect(triangle_counts(ray.data.from_arrow(t))).to_pydict()[
+            "n_triangles"
+        ]
+    ) // 3
+    assert est["wedges_sampled"] == est["wedges_total"]
+    assert est["est_triangles_milli"] == exact * 1000
+
+
+def test_triangle_estimate_accuracy_and_partition_invariance(ray_session):
+    """At rate 1/4 the estimate lands within 15% of the exact count on
+    a dense-enough random graph (deterministic sampler ⇒ this is a
+    fixed property of the edge set, not a flaky statistical bound), and
+    the whole output row is bit-identical across partitionings."""
+    import ray
+
+    from phrasekit_ray.stages.kg import (
+        sampled_triangle_estimate,
+        triangle_counts,
+    )
+
+    rng = np.random.default_rng(48)
+    E = rng.integers(0, 60, size=(900, 2))
+    t = pa.table(
+        {
+            "subj": pa.array(E[:, 0], pa.int64()),
+            "obj": pa.array(E[:, 1], pa.int64()),
+        }
+    )
+    exact = sum(
+        _collect(triangle_counts(ray.data.from_arrow(t))).to_pydict()[
+            "n_triangles"
+        ]
+    ) // 3
+    rows = []
+    for parts in (1, 5, 13):
+        rows.append(
+            _collect(
+                sampled_triangle_estimate(
+                    ray.data.from_arrow(t).repartition(parts),
+                    rate_num=256,
+                    rate_den=1024,
+                )
+            ).to_pylist()[0]
+        )
+    assert rows[0] == rows[1] == rows[2]
+    est = rows[0]["est_triangles_milli"] / 1000
+    assert exact > 100  # the bound below is meaningless on a sparse graph
+    assert abs(est - exact) / exact < 0.15, (est, exact)
+
+
+def test_triangle_estimate_guards(ray_session):
+    import pytest
+    import ray
+
+    from phrasekit_ray.stages.kg import sampled_triangle_estimate
+
+    t = pa.table(
+        {"subj": pa.array([1], pa.int64()), "obj": pa.array([2], pa.int64())}
+    )
+    with pytest.raises(ValueError):
+        sampled_triangle_estimate(ray.data.from_arrow(t), rate_num=0)
+    with pytest.raises(ValueError):
+        sampled_triangle_estimate(
+            ray.data.from_arrow(t), rate_num=9, rate_den=8
+        )
+    # triangle-free graph: estimate 0, wedge bookkeeping still sane
+    out = _collect(
+        sampled_triangle_estimate(
+            ray.data.from_arrow(t), rate_num=64, rate_den=64
+        )
+    ).to_pylist()[0]
+    assert out["est_triangles_milli"] == 0
+    assert out["wedges_total"] == 0
+
+
+def _ref_katz(E, iters, scale, bn, bd):
+    """From-scratch reference: dict-of-lists adjacency, per-round
+    integer recurrence applied literally."""
+    nodes = sorted({int(x) for r in E for x in r if r[0] != r[1]})
+    dedup = {(int(a), int(b)) for a, b in E if a != b}
+    x = {v: scale for v in nodes}
+    for _ in range(iters):
+        raw = {v: scale for v in nodes}
+        for a, b in dedup:
+            raw[b] += x[a] * bn // bd
+        q = max((max(raw.values(), default=0) + scale - 1) // scale, 1)
+        x = {v: r // q for v, r in raw.items()}
+    return x
+
+
+def test_katz_matches_reference_and_is_partition_invariant(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.kg import katz_exact
+
+    rng = np.random.default_rng(49)
+    E = rng.integers(0, 30, size=(200, 2))
+    t = pa.table(
+        {
+            "subj": pa.array(E[:, 0], pa.int64()),
+            "obj": pa.array(E[:, 1], pa.int64()),
+        }
+    )
+    want = _ref_katz(E, 4, 10**6, 1, 5)
+    got = {
+        r["node"]: r["katz_micro"]
+        for r in _collect(
+            katz_exact(ray.data.from_arrow(t), iters=4)
+        ).to_pylist()
+    }
+    assert got == want
+    # forced fully-distributed path, two partitionings
+    for parts in (1, 7):
+        got2 = {
+            r["node"]: r["katz_micro"]
+            for r in _collect(
+                katz_exact(
+                    ray.data.from_arrow(t).repartition(parts),
+                    iters=4,
+                    driver_edges_threshold=0,
+                )
+            ).to_pylist()
+        }
+        assert got2 == want, parts
+
+
+def test_katz_base_floor_and_attenuation_semantics(ray_session):
+    """The properties that make Katz Katz: a node with no in-edges
+    scores exactly the normalized base (nonzero — unlike HITS where it
+    collapses to 0), and longer inbound chains contribute strictly less
+    per hop (β < 1 attenuation)."""
+    import ray
+
+    from phrasekit_ray.stages.kg import katz_exact
+
+    # chain 1→2→3→4 plus isolated-in-degree source 1
+    t = pa.table(
+        {
+            "subj": pa.array([1, 2, 3], pa.int64()),
+            "obj": pa.array([2, 3, 4], pa.int64()),
+        }
+    )
+    got = {
+        r["node"]: r["katz_micro"]
+        for r in _collect(
+            katz_exact(ray.data.from_arrow(t), iters=4)
+        ).to_pylist()
+    }
+    assert got[1] > 0  # base floor: no in-edges, still scored
+    # one in-hop beats zero; deeper chains accumulate attenuated extras
+    assert got[2] > got[1]
+    assert got[3] > got[2] - got[1]  # second hop adds less than the first
+    assert got[4] >= got[3]
+
+
+def test_katz_guards_and_empty(ray_session):
+    import pytest
+    import ray
+
+    from phrasekit_ray.stages.kg import katz_exact
+
+    t = pa.table(
+        {"subj": pa.array([1], pa.int64()), "obj": pa.array([2], pa.int64())}
+    )
+    with pytest.raises(ValueError):
+        katz_exact(ray.data.from_arrow(t), iters=0)
+    with pytest.raises(ValueError):
+        katz_exact(ray.data.from_arrow(t), beta_num=0)
+    with pytest.raises(ValueError):
+        katz_exact(ray.data.from_arrow(t), beta_num=6, beta_den=5)
+    empty = pa.table(
+        {"subj": pa.array([7], pa.int64()), "obj": pa.array([7], pa.int64())}
+    )  # only a self-loop → empty conformed graph
+    assert katz_exact(ray.data.from_arrow(empty)).count() == 0
