@@ -135,6 +135,8 @@ _DRIVER_FIRST: list[str] = [
     "q_degree_histogram",
     "q_triangle_estimate",
     "q_katz_hosts",
+    "q_kg_edge_decay",
+    "q_graph_eccentricity",
     "q_mine_bigrams",
     "q_tag_all_mentions",
 ]

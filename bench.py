@@ -213,6 +213,8 @@ BENCH_QUERY_NAMES = [
         "q_degree_histogram",
         "q_triangle_estimate",
         "q_katz_hosts",
+        "q_kg_edge_decay",
+        "q_graph_eccentricity",
 ]
 
 

@@ -5505,6 +5505,207 @@ EXT_QUERIES.update({"q_katz_hosts": q_katz_hosts})
 EXT_ORACLE_SQL.update({"q_katz_hosts": SQL_KATZ_HOSTS})
 
 
+_DECAY_HL_US = 250_000_000  # half-life: 250 s of crawl time per bucket
+_DECAY_MAX_SHIFT = 40  # 10^6 >> 40 == 0: older assertions weigh nothing
+
+
+def q_kg_edge_decay(sf_dir: str):
+    """Recency-weighted KG edge strength (X157): every assertion of an
+    edge contributes weight 10⁶ >> min(age // half_life, 40) — an exact
+    power-of-two half-life decay in integer micro-units (no float exp,
+    so the SQL twin is bit-exact) — and the per-(subj, obj) sum is the
+    freshness-weighted confidence a living KG serves next to the raw
+    count (X124 provenance) and the winner-only X149 snapshot. Age is
+    measured from the corpus' newest assertion (one scalar MAX over the
+    triple stream); ts_us is recovered from the triple's source url
+    exactly as pages synthesis defines it (ts_us = EPOCH_US +
+    doc_id·10⁶). One map_batches weight pass + ONE two-phase sum."""
+    from phrasekit_ray.config import MineConfig, ScoreConfig
+    from phrasekit_ray.pipelines.kg import run_kg_pipeline
+    from phrasekit_ray.sources.pages import DEMO_BACKGROUND, EPOCH_US, pages_from_documents
+    from phrasekit_ray.stages.agg import hash_aggregate
+
+    pages = pages_from_documents(sf_dir)
+    res = run_kg_pipeline(
+        pages,
+        {" ".join(t): c for t, c in DEMO_BACKGROUND},
+        MineConfig(min_n=2, max_n=5, min_count=3),
+        ScoreConfig(min_domain_count=3),
+        tag_concurrency=(1, 4),
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        d = pc.cast(
+            pc.replace_substring_regex(
+                b["doc_id"].combine_chunks().cast(pa.string()), r"^.*/", ""
+            ),
+            pa.int64(),
+        )
+        ts = pc.add(pc.multiply(d, pa.scalar(1_000_000, pa.int64())),
+                    pa.scalar(EPOCH_US, pa.int64()))
+        return pa.table(
+            {
+                "subj": b["subj"].combine_chunks().cast(pa.int64()),
+                "obj": b["obj"].combine_chunks().cast(pa.int64()),
+                "ts_us": ts,
+            }
+        )
+
+    stamped = res.triples.map_batches(prep, batch_format="pyarrow").materialize()
+    if stamped.count() == 0:
+        return pa.table(
+            {
+                "subj": pa.array([], pa.int64()),
+                "obj": pa.array([], pa.int64()),
+                "n_assert": pa.array([], pa.int64()),
+                "strength_micro": pa.array([], pa.int64()),
+            }
+        )
+    max_ts = np.int64(stamped.max("ts_us"))
+
+    def weigh(b: pa.Table) -> pa.Table:
+        ts = b["ts_us"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = np.minimum(
+            (max_ts - ts) // np.int64(_DECAY_HL_US),
+            np.int64(_DECAY_MAX_SHIFT),
+        )
+        w = np.int64(10**6) >> k
+        return pa.table(
+            {
+                "subj": b["subj"],
+                "obj": b["obj"],
+                "one": pa.array(np.ones(b.num_rows, np.int64)),
+                "w_micro": pa.array(w, pa.int64()),
+            }
+        )
+
+    agg = hash_aggregate(
+        stamped.map_batches(weigh, batch_format="pyarrow"),
+        ["subj", "obj"],
+        [("one", "sum"), ("w_micro", "sum")],
+    )
+    t = _collect(agg)
+    out = pa.table(
+        {
+            "subj": t["subj"].cast(pa.int64()),
+            "obj": t["obj"].cast(pa.int64()),
+            "n_assert": t["one"].cast(pa.int64()),
+            "strength_micro": t["w_micro"].cast(pa.int64()),
+        }
+    )
+    return out.take(
+        pc.sort_indices(
+            out, sort_keys=[("subj", "ascending"), ("obj", "ascending")]
+        )
+    )
+
+
+def _sql_kg_edge_decay() -> str:
+    from phrasekit_ray.pipelines.queries import _sql_flagship
+    from phrasekit_ray.sources.pages import EPOCH_US
+
+    return f"""
+WITH t AS ({_sql_flagship()}),
+w AS (SELECT subj, obj,
+        CAST({EPOCH_US} AS BIGINT)
+        + CAST(regexp_extract(doc_id, '([0-9]+)$', 1) AS BIGINT) * 1000000
+          AS ts_us
+      FROM t),
+mx AS (SELECT MAX(ts_us) AS max_ts FROM w)
+SELECT subj, obj, COUNT(*) AS n_assert,
+       CAST(SUM(1000000 // (CAST(1 AS BIGINT) << LEAST(
+           (mx.max_ts - ts_us) // {_DECAY_HL_US}, {_DECAY_MAX_SHIFT})))
+         AS BIGINT) AS strength_micro
+FROM w, mx
+GROUP BY subj, obj ORDER BY subj, obj"""
+
+
+EXT_QUERIES.update({"q_kg_edge_decay": q_kg_edge_decay})
+EXT_ORACLE_SQL.update({"q_kg_edge_decay": _sql_kg_edge_decay()})
+
+
+_ECC_SEEDS = 4
+_ECC_HOPS = 8
+
+
+def q_graph_eccentricity(sf_dir: str):
+    """Hop-bounded multi-seed eccentricity / diameter lower bound
+    (X158) over the part co-occurrence graph: for each of the 4
+    smallest node ids, BFS to 8 hops (X63 k_hop — bounded driver fast
+    path, frontier semi/anti-join distributed fallback) and report
+    ecc_lb = max distance reached and n_reached = nodes within range.
+    max(ecc_lb) over seeds is the standard cheap diameter lower bound
+    (the iFUB seed stage); on this graph 8 hops exhausts every
+    component the seeds touch, so ecc_lb is the true eccentricity.
+    Per-seed BFS re-canonicalizes the edge set (4×) — at corpus scale
+    share one materialized canonical edge table across seeds."""
+    from phrasekit_ray.stages.kg import k_hop
+
+    edges_ds = _basket_edges_ds(sf_dir).materialize()
+
+    def nodes_of(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        b["subj"].combine_chunks().cast(pa.int64()),
+                        b["obj"].combine_chunks().cast(pa.int64()),
+                    ]
+                )
+            }
+        )
+
+    seeds = sorted(
+        r["node"]
+        for r in edges_ds.map_batches(nodes_of, batch_format="pyarrow")
+        .groupby("node")
+        .count()
+        .sort("node")
+        .limit(_ECC_SEEDS)
+        .take(_ECC_SEEDS)
+    )
+    rows = []
+    for s in seeds:
+        lab = k_hop(edges_ds, hops=_ECC_HOPS, seed=int(s)).materialize()
+        rows.append(
+            {
+                "seed": int(s),
+                "ecc_lb": int(lab.max("dist") or 0),
+                "n_reached": int(lab.count()),
+            }
+        )
+    return pa.table(
+        {
+            "seed": pa.array([r["seed"] for r in rows], pa.int64()),
+            "ecc_lb": pa.array([r["ecc_lb"] for r in rows], pa.int64()),
+            "n_reached": pa.array([r["n_reached"] for r in rows], pa.int64()),
+        }
+    )
+
+
+SQL_GRAPH_ECCENTRICITY = (
+    "WITH RECURSIVE "
+    + _SQL_BASKET_EDGES
+    + f""",
+adj AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+seeds AS (SELECT DISTINCT src AS seed FROM adj
+          ORDER BY seed LIMIT {_ECC_SEEDS}),
+bfs AS (
+  SELECT seed, seed AS node, 0 AS dist FROM seeds
+  UNION
+  SELECT bfs.seed, adj.dst, bfs.dist + 1
+  FROM bfs JOIN adj ON adj.src = bfs.node WHERE bfs.dist < {_ECC_HOPS}),
+lab AS (SELECT seed, node, MIN(dist) AS dist FROM bfs GROUP BY seed, node)
+SELECT seed, CAST(MAX(dist) AS BIGINT) AS ecc_lb,
+       COUNT(*) AS n_reached
+FROM lab GROUP BY seed ORDER BY seed"""
+)
+
+
+EXT_QUERIES.update({"q_graph_eccentricity": q_graph_eccentricity})
+EXT_ORACLE_SQL.update({"q_graph_eccentricity": SQL_GRAPH_ECCENTRICITY})
+
+
 def q_skyline_docs(sf_dir: str):
     """2D skyline / Pareto frontier (X140): documents not dominated
     under (maximize whitespace-token count, minimize n_chars) — the
