@@ -137,6 +137,8 @@ _DRIVER_FIRST: list[str] = [
     "q_katz_hosts",
     "q_kg_edge_decay",
     "q_graph_eccentricity",
+    "q_edge_embeddedness",
+    "q_kg_cardinality_profile",
     "q_mine_bigrams",
     "q_tag_all_mentions",
 ]

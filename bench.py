@@ -215,6 +215,8 @@ BENCH_QUERY_NAMES = [
         "q_katz_hosts",
         "q_kg_edge_decay",
         "q_graph_eccentricity",
+        "q_edge_embeddedness",
+        "q_kg_cardinality_profile",
 ]
 
 

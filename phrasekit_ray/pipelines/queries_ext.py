@@ -5706,6 +5706,219 @@ EXT_QUERIES.update({"q_graph_eccentricity": q_graph_eccentricity})
 EXT_ORACLE_SQL.update({"q_graph_eccentricity": SQL_GRAPH_ECCENTRICITY})
 
 
+def q_edge_embeddedness(sf_dir: str):
+    """Edge embeddedness (X159): for every triangle-bearing edge of the
+    part co-occurrence graph, the neighborhood Jaccard of its endpoints
+    — emb_micro = 10⁶·|N(u)∩N(v)| // |N(u)∪N(v)∖{u,v}| = 10⁶·support //
+    (deg(u)+deg(v)−2−support) in exact integer micro-units. The
+    Granovetter weak-tie diagnostic: high-embeddedness edges live
+    inside communities, zero/low ones are the bridges CC and community
+    ops should respect. Composition: X151 ``edge_triangle_support`` +
+    one two-phase degree count over the SAME canonical distinct edge
+    set + TWO int-keyed ``lookup_join``s. For support ≥ 1 both degrees
+    are ≥ support+1, so the divisor is never 0."""
+    from phrasekit_ray.stages.agg import grouped_count, lookup_join
+    from phrasekit_ray.stages.kg import edge_triangle_support
+
+    edges_ds = _basket_edges_ds(sf_dir)
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = b["subj"].combine_chunks().cast(pa.int64())
+        o = b["obj"].combine_chunks().cast(pa.int64())
+        keep = pc.invert(pc.equal(s, o))
+        s, o = s.filter(keep), o.filter(keep)
+        return pa.table(
+            {"u": pc.min_element_wise(s, o), "v": pc.max_element_wise(s, o)}
+        )
+
+    dedup = grouped_count(
+        edges_ds.map_batches(canon, batch_format="pyarrow"), ["u", "v"]
+    )
+    deg = grouped_count(
+        dedup.map_batches(
+            lambda b: pa.table(
+                {"node": pa.concat_arrays(
+                    [b["u"].combine_chunks(), b["v"].combine_chunks()]
+                )}
+            ),
+            batch_format="pyarrow",
+        ),
+        "node", count_col="d",
+    )
+    sup = edge_triangle_support(edges_ds)
+    sup_schema = pa.schema(
+        [("u", pa.int64()), ("v", pa.int64()), ("support", pa.int64())]
+    )
+    deg_schema = pa.schema([("node", pa.int64()), ("d", pa.int64())])
+    with_du = lookup_join(
+        sup, deg, "u", "node",
+        left_schema=sup_schema, right_schema=deg_schema,
+    ).map_batches(
+        lambda b: pa.table(
+            {"u": b["u"], "v": b["v"], "support": b["support"], "du": b["d"]}
+        ),
+        batch_format="pyarrow",
+    )
+    both = lookup_join(
+        with_du, deg, "v", "node",
+        left_schema=pa.schema(
+            [("u", pa.int64()), ("v", pa.int64()),
+             ("support", pa.int64()), ("du", pa.int64())]
+        ),
+        right_schema=deg_schema,
+    )
+
+    def emb(b: pa.Table) -> pa.Table:
+        s = b["support"].combine_chunks().to_numpy(zero_copy_only=False)
+        du = b["du"].combine_chunks().to_numpy(zero_copy_only=False)
+        dv = b["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": b["u"],
+                "v": b["v"],
+                "support": b["support"],
+                "emb_micro": pa.array(
+                    np.int64(10**6) * s // (du + dv - 2 - s), pa.int64()
+                ),
+            }
+        )
+
+    t = _collect(both.map_batches(emb, batch_format="pyarrow"))
+    out = pa.table(
+        {
+            "u": t["u"].cast(pa.int64()),
+            "v": t["v"].cast(pa.int64()),
+            "support": t["support"].cast(pa.int64()),
+            "emb_micro": t["emb_micro"].cast(pa.int64()),
+        }
+    )
+    return out.take(
+        pc.sort_indices(
+            out, sort_keys=[("u", "ascending"), ("v", "ascending")]
+        )
+    )
+
+
+SQL_EDGE_EMBEDDEDNESS = (
+    "WITH "
+    + _SQL_BASKET_EDGES
+    + """,
+adj AS MATERIALIZED (
+  SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT a AS node, count(*) AS d FROM adj GROUP BY a),
+sup AS (
+  SELECT e.u, e.v, count(*) AS support
+  FROM e JOIN adj x ON x.b = e.u
+         JOIN adj y ON y.b = e.v AND y.a = x.a
+  GROUP BY e.u, e.v)
+SELECT s.u, s.v, CAST(s.support AS BIGINT) AS support,
+       CAST(1000000 * s.support //
+            (du.d + dv.d - 2 - s.support) AS BIGINT) AS emb_micro
+FROM sup s JOIN deg du ON du.node = s.u JOIN deg dv ON dv.node = s.v
+ORDER BY s.u, s.v"""
+)
+
+
+EXT_QUERIES.update({"q_edge_embeddedness": q_edge_embeddedness})
+EXT_ORACLE_SQL.update({"q_edge_embeddedness": SQL_EDGE_EMBEDDEDNESS})
+
+
+def q_kg_cardinality_profile(sf_dir: str):
+    """KG cardinality / functionality profile (X160): the one-row
+    shape summary entity-linking pipelines read before trusting a
+    relation (PARIS-style functionality): total assertions, distinct
+    (subj, obj) edges, distinct subjects/objects, max subject fan-out,
+    functionality_micro = 10⁶·n_subjects // n_edges and
+    inv_functionality_micro = 10⁶·n_objects // n_edges (all exact
+    int64). Composition over the flagship triple stream: ONE two-phase
+    (subj, obj) count → per-subject fan-out count → scalar MAX/COUNT
+    reductions; the driver holds six scalars."""
+    from phrasekit_ray.config import MineConfig, ScoreConfig
+    from phrasekit_ray.pipelines.kg import run_kg_pipeline
+    from phrasekit_ray.sources.pages import DEMO_BACKGROUND, pages_from_documents
+    from phrasekit_ray.stages.agg import grouped_count
+
+    pages = pages_from_documents(sf_dir)
+    res = run_kg_pipeline(
+        pages,
+        {" ".join(t): c for t, c in DEMO_BACKGROUND},
+        MineConfig(min_n=2, max_n=5, min_count=3),
+        ScoreConfig(min_domain_count=3),
+        tag_concurrency=(1, 4),
+    )
+
+    def so(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subj": b["subj"].combine_chunks().cast(pa.int64()),
+                "obj": b["obj"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    pairs = grouped_count(
+        res.triples.map_batches(so, batch_format="pyarrow"),
+        ["subj", "obj"], count_col="n",
+    ).materialize()
+    n_triples = int(pairs.sum("n") or 0)
+    n_edges = int(pairs.count())
+    fan = grouped_count(
+        pairs.map_batches(
+            lambda b: pa.table({"subj": b["subj"]}), batch_format="pyarrow"
+        ),
+        "subj", count_col="fanout",
+    ).materialize()
+    n_subj = int(fan.count())
+    max_fanout = int(fan.max("fanout") or 0)
+    n_obj = int(
+        grouped_count(
+            pairs.map_batches(
+                lambda b: pa.table({"obj": b["obj"]}), batch_format="pyarrow"
+            ),
+            "obj",
+        ).count()
+    )
+    return pa.table(
+        {
+            "n_triples": pa.array([n_triples], pa.int64()),
+            "n_edges": pa.array([n_edges], pa.int64()),
+            "n_subjects": pa.array([n_subj], pa.int64()),
+            "n_objects": pa.array([n_obj], pa.int64()),
+            "max_fanout": pa.array([max_fanout], pa.int64()),
+            "functionality_micro": pa.array(
+                [10**6 * n_subj // n_edges if n_edges else 0], pa.int64()
+            ),
+            "inv_functionality_micro": pa.array(
+                [10**6 * n_obj // n_edges if n_edges else 0], pa.int64()
+            ),
+        }
+    )
+
+
+def _sql_kg_cardinality_profile() -> str:
+    from phrasekit_ray.pipelines.queries import _sql_flagship
+
+    return f"""
+WITH t AS ({_sql_flagship()}),
+pairs AS (SELECT subj, obj, count(*) AS n FROM t GROUP BY subj, obj),
+fan AS (SELECT subj, count(*) AS fanout FROM pairs GROUP BY subj)
+SELECT CAST(SUM(n) AS BIGINT) AS n_triples,
+       COUNT(*) AS n_edges,
+       (SELECT COUNT(*) FROM fan) AS n_subjects,
+       (SELECT COUNT(DISTINCT obj) FROM pairs) AS n_objects,
+       (SELECT CAST(MAX(fanout) AS BIGINT) FROM fan) AS max_fanout,
+       CAST(1000000 * (SELECT COUNT(*) FROM fan) // COUNT(*) AS BIGINT)
+         AS functionality_micro,
+       CAST(1000000 * (SELECT COUNT(DISTINCT obj) FROM pairs) // COUNT(*)
+         AS BIGINT) AS inv_functionality_micro
+FROM pairs"""
+
+
+EXT_QUERIES.update({"q_kg_cardinality_profile": q_kg_cardinality_profile})
+EXT_ORACLE_SQL.update(
+    {"q_kg_cardinality_profile": _sql_kg_cardinality_profile()}
+)
+
+
 def q_skyline_docs(sf_dir: str):
     """2D skyline / Pareto frontier (X140): documents not dominated
     under (maximize whitespace-token count, minimize n_chars) — the
