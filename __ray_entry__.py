@@ -139,6 +139,8 @@ _DRIVER_FIRST: list[str] = [
     "q_graph_eccentricity",
     "q_edge_embeddedness",
     "q_kg_cardinality_profile",
+    "q_ipc_interop",
+    "q_user_activity_bitmap",
     "q_mine_bigrams",
     "q_tag_all_mentions",
 ]

@@ -217,6 +217,8 @@ BENCH_QUERY_NAMES = [
         "q_graph_eccentricity",
         "q_edge_embeddedness",
         "q_kg_cardinality_profile",
+        "q_ipc_interop",
+        "q_user_activity_bitmap",
 ]
 
 

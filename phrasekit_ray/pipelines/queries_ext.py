@@ -5919,6 +5919,147 @@ EXT_ORACLE_SQL.update(
 )
 
 
+def q_ipc_interop(sf_dir: str):
+    """Arrow IPC / Feather v2 interop (X161): documents re-written as
+    sharded zstd Feather files under /tmp scratch, read back with the
+    distributed IPC reader (column-pruned decode — IPC is columnar, so
+    pruning skips buffer bytes), aggregated per source. The SQL twin
+    runs the SAME aggregate over the original parquet — equality proves
+    the IPC path preserves rows, values and types end to end."""
+    import os
+    import tempfile
+
+    import ray
+
+    from phrasekit_ray.sources.ipc import read_ipc, write_ipc_file
+    from phrasekit_ray.stages.agg import hash_aggregate
+
+    src = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"],
+    )
+    d = tempfile.mkdtemp(prefix="ipc_", dir="/tmp")
+    tabs = [
+        t
+        for t in ray.get(src.materialize().to_arrow_refs())
+        if t.num_columns and t.num_rows
+    ]
+    paths = []
+    for i, t in enumerate(tabs):
+        p = os.path.join(d, f"part{i:03d}.feather")
+        write_ipc_file(p, t)
+        paths.append(p)
+
+    ds = read_ipc(paths, columns=["source", "n_chars", "doc_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "chars_sum": b["n_chars"].cast(pa.int64()),
+                "id_min": b["doc_id"].cast(pa.int64()),
+                "id_max": b["doc_id"].cast(pa.int64()),
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+
+    t = _collect(
+        hash_aggregate(
+            ds.map_batches(prep, batch_format="pyarrow"),
+            ["source"],
+            [("chars_sum", "sum"), ("id_min", "min"),
+             ("id_max", "max"), ("n", "sum")],
+        )
+    )
+    return _i64(
+        t.take(pc.sort_indices(t, sort_keys=[("source", "ascending")])),
+        "chars_sum", "id_min", "id_max", "n",
+    )
+
+
+SQL_IPC_INTEROP = """
+SELECT source,
+       CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+       CAST(min(doc_id) AS BIGINT) AS id_min,
+       CAST(max(doc_id) AS BIGINT) AS id_max,
+       count(*) AS n
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+EXT_QUERIES.update({"q_ipc_interop": q_ipc_interop})
+EXT_ORACLE_SQL.update({"q_ipc_interop": SQL_IPC_INTEROP})
+
+
+def q_user_activity_bitmap(sf_dir: str):
+    """Per-user hour-of-day activity bitmap (X162): bitmask =
+    OR over the user's events of 1 << hour(ts), n_active_hours =
+    popcount — the 24-bit behavioral fingerprint session-quality and
+    bot-detection pipelines key on (a human clusters in a diurnal band;
+    a crawler lights all 24 bits). Exact int64: OR of single-bit values
+    ≡ SUM over DISTINCT (user, hour) of 1 << hour, so the whole op is
+    one two-phase distinct + one two-phase sum + a popcount map — no
+    bitwise aggregate needed in the shuffle."""
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_count, hash_aggregate
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def hours(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"].combine_chunks().cast(pa.int64()),
+                "hour": pc.hour(b["ts"].combine_chunks()).cast(pa.int64()),
+            }
+        )
+
+    distinct = grouped_count(
+        ev.map_batches(hours, batch_format="pyarrow"), ["user_id", "hour"]
+    )
+
+    def bits(b: pa.Table) -> pa.Table:
+        h = b["hour"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "bit": pa.array(np.int64(1) << h, pa.int64()),
+                "one": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        distinct.map_batches(bits, batch_format="pyarrow"),
+        ["user_id"],
+        [("bit", "sum"), ("one", "sum")],
+    )
+    t = _collect(agg)
+    out = pa.table(
+        {
+            "user_id": t["user_id"].cast(pa.int64()),
+            "hour_bitmap": t["bit"].cast(pa.int64()),
+            "n_active_hours": t["one"].cast(pa.int64()),
+        }
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("user_id", "ascending")]))
+
+
+SQL_USER_ACTIVITY_BITMAP = """
+WITH uh AS (SELECT DISTINCT user_id, EXTRACT(hour FROM ts) AS h
+            FROM events)
+SELECT user_id,
+       CAST(SUM(CAST(1 AS BIGINT) << h) AS BIGINT) AS hour_bitmap,
+       COUNT(*) AS n_active_hours
+FROM uh GROUP BY user_id ORDER BY user_id
+"""
+
+
+EXT_QUERIES.update({"q_user_activity_bitmap": q_user_activity_bitmap})
+EXT_ORACLE_SQL.update({"q_user_activity_bitmap": SQL_USER_ACTIVITY_BITMAP})
+
+
 def q_skyline_docs(sf_dir: str):
     """2D skyline / Pareto frontier (X140): documents not dominated
     under (maximize whitespace-token count, minimize n_chars) — the

@@ -96,3 +96,24 @@ def test_orc_roundtrip_and_pruning(ray_session, tmp_path):
     pruned = _collect(read_orc([p1, p2], columns=["b"]))
     assert pruned.column_names == ["b"]
     assert sorted(pruned["b"].to_pylist()) == ["x", "y", "z"]
+
+
+def test_ipc_roundtrip_pruning_and_compression(ray_session, tmp_path):
+    from phrasekit_ray.sources.ipc import read_ipc, write_ipc_file
+
+    t = pa.table(
+        {
+            "a": pa.array([1, 2, 3], pa.int64()),
+            "b": pa.array(["x", "y", "z"]),
+            "c": pa.array([1.5, 2.5, 3.5], pa.float64()),
+        }
+    )
+    p1 = str(tmp_path / "p1.feather")
+    p2 = str(tmp_path / "p2.feather")
+    write_ipc_file(p1, t.slice(0, 2))  # zstd default
+    write_ipc_file(p2, t.slice(2), compression="uncompressed")
+    full = _collect(read_ipc([p1, p2])).sort_by("a")
+    assert full.equals(t)
+    pruned = _collect(read_ipc([p1, p2], columns=["b"]))
+    assert pruned.column_names == ["b"]
+    assert sorted(pruned["b"].to_pylist()) == ["x", "y", "z"]
