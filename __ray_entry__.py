@@ -141,6 +141,8 @@ _DRIVER_FIRST: list[str] = [
     "q_kg_cardinality_profile",
     "q_ipc_interop",
     "q_user_activity_bitmap",
+    "q_corpus_drift",
+    "q_source_ttr",
     "q_mine_bigrams",
     "q_tag_all_mentions",
 ]

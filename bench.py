@@ -219,6 +219,8 @@ BENCH_QUERY_NAMES = [
         "q_kg_cardinality_profile",
         "q_ipc_interop",
         "q_user_activity_bitmap",
+        "q_corpus_drift",
+        "q_source_ttr",
 ]
 
 

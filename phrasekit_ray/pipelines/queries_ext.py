@@ -6060,6 +6060,184 @@ EXT_QUERIES.update({"q_user_activity_bitmap": q_user_activity_bitmap})
 EXT_ORACLE_SQL.update({"q_user_activity_bitmap": SQL_USER_ACTIVITY_BITMAP})
 
 
+def q_corpus_drift(sf_dir: str):
+    """Corpus distribution-shift top movers (X163): split the corpus
+    into deterministic halves (doc_id parity — stand-in for two crawl
+    snapshots), compute each token's frequency share per half in exact
+    integer micro-units (pᵢ = cᵢ·10⁶ // Tᵢ), and report the 20 tokens
+    with the largest share drift |p₀ − p₁| — the between-snapshot
+    distribution-shift monitor a continuously-retrained pipeline runs
+    before mixing a new crawl in. One explode + ONE two-phase
+    (tok, parity) count + conditional pivot-sum by tok; the two totals
+    are scalar reductions; final top-20 via per-block partial top-k
+    then a single 20·blocks-row merge (never a full vocab sort)."""
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_count, hash_aggregate
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"].combine_chunks(), " ")
+        sizes = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        par = pc.bit_wise_and(
+            b["doc_id"].combine_chunks().cast(pa.int64()),
+            pa.scalar(1, pa.int64()),
+        ).take(pa.array(np.repeat(np.arange(len(sizes)), sizes)))
+        return pa.table({"tok": toks.values, "par": par})
+
+    counts = grouped_count(
+        docs.map_batches(explode, batch_format="pyarrow"), ["tok", "par"]
+    ).materialize()
+
+    def pivot(b: pa.Table) -> pa.Table:
+        par = b["par"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = b["count"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "tok": b["tok"],
+                "c0": pa.array(np.where(par == 0, c, 0), pa.int64()),
+                "c1": pa.array(np.where(par == 1, c, 0), pa.int64()),
+            }
+        )
+
+    piv = hash_aggregate(
+        counts.map_batches(pivot, batch_format="pyarrow"),
+        ["tok"], [("c0", "sum"), ("c1", "sum")],
+    ).materialize()
+    t0 = np.int64(piv.sum("c0") or 0)
+    t1 = np.int64(piv.sum("c1") or 0)
+
+    def shares_topk(b: pa.Table) -> pa.Table:
+        c0 = b["c0"].combine_chunks().to_numpy(zero_copy_only=False)
+        c1 = b["c1"].combine_chunks().to_numpy(zero_copy_only=False)
+        p0 = c0 * np.int64(10**6) // max(t0, np.int64(1))
+        p1 = c1 * np.int64(10**6) // max(t1, np.int64(1))
+        out = pa.table(
+            {
+                "tok": b["tok"],
+                "p0_micro": pa.array(p0, pa.int64()),
+                "p1_micro": pa.array(p1, pa.int64()),
+                "d_micro": pa.array(np.abs(p0 - p1), pa.int64()),
+            }
+        )
+        out = out.sort_by(
+            [("d_micro", "descending"), ("tok", "ascending")]
+        )
+        return out.slice(0, 20)
+
+    partial = _collect(
+        piv.map_batches(shares_topk, batch_format="pyarrow")
+    )
+    final = partial.sort_by(
+        [("d_micro", "descending"), ("tok", "ascending")]
+    ).slice(0, 20)
+    return final
+
+
+SQL_CORPUS_DRIFT = """
+WITH toks AS (SELECT doc_id % 2 AS par,
+                     unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+c AS (SELECT tok, par, count(*) AS c FROM toks GROUP BY tok, par),
+piv AS (SELECT tok,
+          CAST(COALESCE(SUM(CASE WHEN par = 0 THEN c END), 0) AS BIGINT) AS c0,
+          CAST(COALESCE(SUM(CASE WHEN par = 1 THEN c END), 0) AS BIGINT) AS c1
+        FROM c GROUP BY tok),
+tot AS (SELECT GREATEST(SUM(c0), 1) AS t0, GREATEST(SUM(c1), 1) AS t1
+        FROM piv),
+p AS (SELECT tok,
+        CAST(c0 * 1000000 // tot.t0 AS BIGINT) AS p0_micro,
+        CAST(c1 * 1000000 // tot.t1 AS BIGINT) AS p1_micro
+      FROM piv, tot)
+SELECT tok, p0_micro, p1_micro,
+       CAST(ABS(p0_micro - p1_micro) AS BIGINT) AS d_micro
+FROM p ORDER BY d_micro DESC, tok ASC LIMIT 20
+"""
+
+
+EXT_QUERIES.update({"q_corpus_drift": q_corpus_drift})
+EXT_ORACLE_SQL.update({"q_corpus_drift": SQL_CORPUS_DRIFT})
+
+
+def q_source_ttr(sf_dir: str):
+    """Per-source type-token ratio (X164): lexical diversity
+    ttr_micro = 10⁶·|distinct tokens| // |tokens| per source — the
+    boilerplate/template detector next to Gopher repetition (X42) and
+    corpus entropy (X123): a template farm's TTR collapses while a
+    genuine-prose source stays high. ONE explode + ONE two-phase
+    (source, tok) distinct + per-source count + token-count sum — all
+    exact int64."""
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_count, hash_aggregate, lookup_join
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"].combine_chunks(), " ")
+        sizes = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        src = b["source"].combine_chunks().take(
+            pa.array(np.repeat(np.arange(len(sizes)), sizes))
+        )
+        return pa.table({"source": src, "tok": toks.values})
+
+    pairs = grouped_count(
+        docs.map_batches(explode, batch_format="pyarrow"),
+        ["source", "tok"],
+    ).materialize()
+
+    def per_source(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "n_types": pa.array(np.ones(b.num_rows, np.int64)),
+                "n_toks": b["count"].cast(pa.int64()),
+            }
+        )
+
+    agg = hash_aggregate(
+        pairs.map_batches(per_source, batch_format="pyarrow"),
+        ["source"], [("n_types", "sum"), ("n_toks", "sum")],
+    )
+
+    def ttr(b: pa.Table) -> pa.Table:
+        ty = b["n_types"].combine_chunks().to_numpy(zero_copy_only=False)
+        tk = b["n_toks"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": b["source"],
+                "n_types": pa.array(ty, pa.int64()),
+                "n_toks": pa.array(tk, pa.int64()),
+                "ttr_micro": pa.array(
+                    np.int64(10**6) * ty // np.maximum(tk, 1), pa.int64()
+                ),
+            }
+        )
+
+    t = _collect(agg.map_batches(ttr, batch_format="pyarrow"))
+    return t.take(pc.sort_indices(t, sort_keys=[("source", "ascending")]))
+
+
+SQL_SOURCE_TTR = """
+WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+c AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok)
+SELECT source, COUNT(*) AS n_types,
+       CAST(SUM(c) AS BIGINT) AS n_toks,
+       CAST(1000000 * COUNT(*) // GREATEST(SUM(c), 1) AS BIGINT) AS ttr_micro
+FROM c GROUP BY source ORDER BY source
+"""
+
+
+EXT_QUERIES.update({"q_source_ttr": q_source_ttr})
+EXT_ORACLE_SQL.update({"q_source_ttr": SQL_SOURCE_TTR})
+
+
 def q_skyline_docs(sf_dir: str):
     """2D skyline / Pareto frontier (X140): documents not dominated
     under (maximize whitespace-token count, minimize n_chars) — the
