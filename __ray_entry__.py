@@ -143,6 +143,7 @@ _DRIVER_FIRST: list[str] = [
     "q_user_activity_bitmap",
     "q_corpus_drift",
     "q_source_ttr",
+    "q_webgraph_profile",
     "q_mine_bigrams",
     "q_tag_all_mentions",
 ]

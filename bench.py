@@ -221,6 +221,7 @@ BENCH_QUERY_NAMES = [
         "q_user_activity_bitmap",
         "q_corpus_drift",
         "q_source_ttr",
+        "q_webgraph_profile",
 ]
 
 

@@ -285,6 +285,20 @@ def cmd_links(args) -> int:
     return 0
 
 
+def cmd_webgraph(args) -> int:
+    import pyarrow.parquet as pq
+    import ray
+
+    from phrasekit_ray.pipelines.webgraph import webgraph_profile
+
+    _init_ray()
+    pages = ray.data.read_parquet(args.pages)
+    profile = webgraph_profile(pages, iters=args.iters)
+    pq.write_table(profile, args.output)
+    print(json.dumps({"stage": "webgraph", "hosts": profile.num_rows}))
+    return 0
+
+
 def cmd_mix(args) -> int:
     import ray
 
@@ -664,6 +678,15 @@ def main(argv=None) -> int:
     ln.add_argument("--html-col", dest="html_col", default="html")
     ln.add_argument("--host-graph", dest="host_graph", action="store_true")
     ln.set_defaults(fn=cmd_links)
+
+    wg = sub.add_parser(
+        "webgraph",
+        help="one-pass host-graph profile (degrees/reciprocity/CC/HITS/Katz)",
+    )
+    wg.add_argument("--pages", required=True)
+    wg.add_argument("--output", required=True)
+    wg.add_argument("--iters", type=int, default=4)
+    wg.set_defaults(fn=cmd_webgraph)
 
     mx = sub.add_parser(
         "mix", help="deterministic corpus mixing / oversampling by source rate"

@@ -6238,6 +6238,119 @@ EXT_QUERIES.update({"q_source_ttr": q_source_ttr})
 EXT_ORACLE_SQL.update({"q_source_ttr": SQL_SOURCE_TTR})
 
 
+def q_webgraph_profile(sf_dir: str):
+    """Composed web-graph profile (X165): ONE corpus link-extraction
+    pass → ONE shared host edge table → every host-level signal in a
+    single wide row per host: out/in degree, reciprocated out-edges,
+    undirected component (as its lexicographically smallest host),
+    HITS authority/hub and Katz centrality in exact int64 micro-units
+    (pipelines/webgraph.webgraph_profile). The \"all signals, one
+    pass\" shape a production web pipeline runs instead of five
+    separate extractions."""
+    from phrasekit_ray.pipelines.webgraph import webgraph_profile
+    from phrasekit_ray.sources.pages import pages_from_documents
+
+    return webgraph_profile(
+        pages_from_documents(sf_dir, with_links=True), iters=4
+    )
+
+
+def _sql_webgraph_profile(iters: int = 4, scale: int = 10**6) -> str:
+    """Composed twin: host-graph CTEs + degrees + reciprocity +
+    recursive-closure components + the unrolled HITS (X147) and Katz
+    (X156) round chains, all over the SAME ``e`` CTE the Ray side
+    shares."""
+    s = f"""
+WITH RECURSIVE s AS (SELECT doc_id, source, j
+           FROM documents, generate_series(1, 3) AS g(j)),
+l AS (SELECT source, j,
+        ({_sm_sql('CAST(doc_id AS HUGEINT)*8 + CAST(j AS HUGEINT)')})
+          % 100003 AS t,
+        1 + (({_sm_sql('CAST(doc_id AS HUGEINT)*8 + 7')}) % 3) AS n_links
+      FROM s),
+he AS (SELECT source || '.example.org' AS src,
+              'h' || CAST(t % 16 AS VARCHAR) || '.example.org' AS dst
+       FROM l WHERE j <= n_links),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM he WHERE src <> dst),
+-- explicit DISTINCT over UNION ALL: inside WITH RECURSIVE, DuckDB 1.0
+-- compiles a non-recursive CTE's bare UNION as UNION ALL (observed:
+-- nodes came back 2x|e| rows), so the dedup must be spelled out
+nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+odeg AS (SELECT src AS node, count(*) AS od FROM e GROUP BY 1),
+ideg AS (SELECT dst AS node, count(*) AS idg FROM e GROUP BY 1),
+recip AS (SELECT e.src AS node,
+            CAST(SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS nr
+          FROM e LEFT JOIN e r ON r.src = e.dst AND r.dst = e.src
+          GROUP BY 1),
+ee AS (SELECT DISTINCT u, v FROM
+  (SELECT src AS u, dst AS v FROM e UNION ALL SELECT dst, src FROM e)),
+reach(a, b) AS (
+  SELECT u, v FROM ee
+  UNION
+  SELECT r.a, ee.v FROM reach r JOIN ee ON r.b = ee.u),
+cc AS (SELECT a AS node, least(a, min(b)) AS comp FROM reach GROUP BY a),
+h0 AS MATERIALIZED (SELECT node, CAST({scale} AS BIGINT) AS v FROM nodes),
+x0 AS MATERIALIZED (SELECT node, CAST({scale} AS BIGINT) AS v FROM nodes)"""
+    prev_h, prev_x = "h0", "x0"
+    for i in range(1, iters + 1):
+        s += f""",
+ar{i} AS MATERIALIZED (SELECT n.node, CAST(COALESCE(sq.sq, 0) AS BIGINT) AS v
+  FROM nodes n
+  LEFT JOIN (SELECT e.dst AS node, CAST(SUM(h.v) AS BIGINT) AS sq
+             FROM e JOIN {prev_h} h ON h.node = e.src GROUP BY 1) sq
+    ON sq.node = n.node),
+a{i} AS MATERIALIZED (SELECT node, CAST(v // GREATEST(
+           (SELECT (MAX(v) + {scale - 1}) // {scale} FROM ar{i}), 1)
+         AS BIGINT) AS v FROM ar{i}),
+hr{i} AS MATERIALIZED (SELECT n.node, CAST(COALESCE(sq.sq, 0) AS BIGINT) AS v
+  FROM nodes n
+  LEFT JOIN (SELECT e.src AS node, CAST(SUM(a.v) AS BIGINT) AS sq
+             FROM e JOIN a{i} a ON a.node = e.dst GROUP BY 1) sq
+    ON sq.node = n.node),
+h{i} AS MATERIALIZED (SELECT node, CAST(v // GREATEST(
+           (SELECT (MAX(v) + {scale - 1}) // {scale} FROM hr{i}), 1)
+         AS BIGINT) AS v FROM hr{i}),
+xr{i} AS MATERIALIZED (SELECT n.node,
+    CAST({scale} + COALESCE(sq.sq, 0) AS BIGINT) AS v
+  FROM nodes n
+  LEFT JOIN (SELECT e.dst AS node,
+               CAST(SUM((x.v * 1) // 5) AS BIGINT) AS sq
+             FROM e JOIN {prev_x} x ON x.node = e.src GROUP BY 1) sq
+    ON sq.node = n.node),
+x{i} AS MATERIALIZED (SELECT node, CAST(v // GREATEST(
+           (SELECT (MAX(v) + {scale - 1}) // {scale} FROM xr{i}), 1)
+         AS BIGINT) AS v FROM xr{i})"""
+        prev_h, prev_x = f"h{i}", f"x{i}"
+    s += f"""
+SELECT n.node AS host,
+       CAST(COALESCE(odeg.od, 0) AS BIGINT) AS out_deg,
+       CAST(COALESCE(ideg.idg, 0) AS BIGINT) AS in_deg,
+       CAST(COALESCE(recip.nr, 0) AS BIGINT) AS n_recip,
+       cc.comp AS component_host,
+       a{iters}.v AS auth_micro,
+       h{iters}.v AS hub_micro,
+       x{iters}.v AS katz_micro
+FROM nodes n
+LEFT JOIN odeg ON odeg.node = n.node
+LEFT JOIN ideg ON ideg.node = n.node
+LEFT JOIN recip ON recip.node = n.node
+JOIN cc ON cc.node = n.node
+JOIN a{iters} ON a{iters}.node = n.node
+JOIN h{iters} ON h{iters}.node = n.node
+JOIN x{iters} ON x{iters}.node = n.node
+ORDER BY host"""
+    return s
+
+
+SQL_WEBGRAPH_PROFILE = _sql_webgraph_profile(4, 10**6)
+
+
+EXT_QUERIES.update({"q_webgraph_profile": q_webgraph_profile})
+EXT_ORACLE_SQL.update({"q_webgraph_profile": SQL_WEBGRAPH_PROFILE})
+
+
 def q_skyline_docs(sf_dir: str):
     """2D skyline / Pareto frontier (X140): documents not dominated
     under (maximize whitespace-token count, minimize n_chars) — the
