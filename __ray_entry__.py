@@ -144,6 +144,8 @@ _DRIVER_FIRST: list[str] = [
     "q_corpus_drift",
     "q_source_ttr",
     "q_webgraph_profile",
+    "q_host_cocitation",
+    "q_kg_growth",
     "q_mine_bigrams",
     "q_tag_all_mentions",
 ]

@@ -222,6 +222,8 @@ BENCH_QUERY_NAMES = [
         "q_corpus_drift",
         "q_source_ttr",
         "q_webgraph_profile",
+        "q_host_cocitation",
+        "q_kg_growth",
 ]
 
 

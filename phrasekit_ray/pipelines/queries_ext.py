@@ -6351,6 +6351,208 @@ EXT_QUERIES.update({"q_webgraph_profile": q_webgraph_profile})
 EXT_ORACLE_SQL.update({"q_webgraph_profile": SQL_WEBGRAPH_PROFILE})
 
 
+def q_host_cocitation(sf_dir: str):
+    """Host co-citation & bibliographic coupling (X166) — the classic
+    Kessler/Small similarity pair next to HITS: coupling(a,b) =
+    |out(a) ∩ out(b)| (hosts citing the same targets), cocitation(a,b)
+    = |in(a) ∩ in(b)| (hosts cited by the same sources), over the
+    distinct directed host edge set. Both are ONE wedge enumeration via
+    X64 ``cooccurrence_edges`` (group = shared endpoint, middle-
+    partitioned stride kernel) + ONE two-phase pair count; the two pair
+    sets merge with the zero-union + sum pattern so a pair strong in
+    one measure and absent in the other reports 0 there."""
+    import ray
+
+    from phrasekit_ray.sources.pages import pages_from_documents
+    from phrasekit_ray.stages.agg import grouped_count, hash_aggregate
+    from phrasekit_ray.stages.extract import extract_links, host_edges
+    from phrasekit_ray.stages.kg import cooccurrence_edges
+
+    pages = pages_from_documents(sf_dir, with_links=True)
+    he = _collect(host_edges(extract_links(pages)))
+    src = he["src_host"].to_pylist()
+    dst = he["dst_host"].to_pylist()
+    pairs = sorted({(a, b) for a, b in zip(src, dst) if a != b})
+    hosts = sorted({h for p in pairs for h in p})
+    hid = {h: i for i, h in enumerate(hosts)}
+    e = pa.table(
+        {
+            "s": pa.array([hid[a] for a, _ in pairs], pa.int64()),
+            "o": pa.array([hid[b] for _, b in pairs], pa.int64()),
+        }
+    )
+    eds = ray.data.from_arrow(e).materialize()
+    n_rows = e.num_rows
+
+    def count_pairs(group_col, item_col, out_col):
+        pr = cooccurrence_edges(
+            eds, group_col, item_col, input_rows=n_rows
+        )
+        return grouped_count(pr, ["subj", "obj"], count_col=out_col)
+
+    couple = count_pairs("o", "s", "n_couple").materialize()
+    cocite = count_pairs("s", "o", "n_cocite").materialize()
+
+    def with_zero(ds_, have: str, missing: str):
+        return ds_.map_batches(
+            lambda b, h=have, m=missing: pa.table(
+                {
+                    "subj": b["subj"],
+                    "obj": b["obj"],
+                    h: b[h].cast(pa.int64()),
+                    m: pa.array(np.zeros(b.num_rows, np.int64)),
+                }
+            ).select(["subj", "obj", "n_couple", "n_cocite"]),
+            batch_format="pyarrow",
+        )
+
+    merged = hash_aggregate(
+        with_zero(couple, "n_couple", "n_cocite").union(
+            with_zero(cocite, "n_cocite", "n_couple")
+        ),
+        ["subj", "obj"],
+        [("n_couple", "sum"), ("n_cocite", "sum")],
+    )
+    t = _collect(merged)
+    out = pa.table(
+        {
+            "a_host": pa.array(
+                [hosts[i] for i in t["subj"].to_pylist()], pa.string()
+            ),
+            "b_host": pa.array(
+                [hosts[i] for i in t["obj"].to_pylist()], pa.string()
+            ),
+            "n_couple": t["n_couple"].cast(pa.int64()),
+            "n_cocite": t["n_cocite"].cast(pa.int64()),
+        }
+    )
+    return out.take(
+        pc.sort_indices(
+            out, sort_keys=[("a_host", "ascending"), ("b_host", "ascending")]
+        )
+    )
+
+
+SQL_HOST_COCITATION = f"""
+WITH s AS (SELECT doc_id, source, j
+           FROM documents, generate_series(1, 3) AS g(j)),
+l AS (SELECT source, j,
+        ({_sm_sql('CAST(doc_id AS HUGEINT)*8 + CAST(j AS HUGEINT)')})
+          % 100003 AS t,
+        1 + (({_sm_sql('CAST(doc_id AS HUGEINT)*8 + 7')}) % 3) AS n_links
+      FROM s),
+he AS (SELECT source || '.example.org' AS src,
+              'h' || CAST(t % 16 AS VARCHAR) || '.example.org' AS dst
+       FROM l WHERE j <= n_links),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM he WHERE src <> dst),
+couple AS (
+  SELECT x.src AS a, y.src AS b, count(*) AS n
+  FROM e x JOIN e y ON y.dst = x.dst AND y.src > x.src
+  GROUP BY 1, 2),
+cocite AS (
+  SELECT x.dst AS a, y.dst AS b, count(*) AS n
+  FROM e x JOIN e y ON y.src = x.src AND y.dst > x.dst
+  GROUP BY 1, 2)
+SELECT COALESCE(cp.a, cc.a) AS a_host, COALESCE(cp.b, cc.b) AS b_host,
+       CAST(COALESCE(cp.n, 0) AS BIGINT) AS n_couple,
+       CAST(COALESCE(cc.n, 0) AS BIGINT) AS n_cocite
+FROM couple cp FULL OUTER JOIN cocite cc ON cc.a = cp.a AND cc.b = cp.b
+ORDER BY a_host, b_host"""
+
+
+EXT_QUERIES.update({"q_host_cocitation": q_host_cocitation})
+EXT_ORACLE_SQL.update({"q_host_cocitation": SQL_HOST_COCITATION})
+
+
+_GROWTH_WIN_US = 100_000_000  # 100 s of crawl time per window
+
+
+def q_kg_growth(sf_dir: str):
+    """KG growth curve (X167): per crawl window, how many NEVER-SEEN
+    (subj, obj) edges first appear — the discovery-rate diagnostic that
+    tells a continuously-crawling KG whether a source still yields new
+    facts or only re-asserts known ones (the KG-side Heaps law, next to
+    X143 per-doc vocabulary novelty). Edge birth = MIN assertion ts
+    (ONE two-phase min over the flagship triple stream, ts recovered
+    from the source url as pages synthesis defines it), then ONE
+    two-phase count per tumbling window."""
+    from phrasekit_ray.config import MineConfig, ScoreConfig
+    from phrasekit_ray.pipelines.kg import run_kg_pipeline
+    from phrasekit_ray.sources.pages import DEMO_BACKGROUND, EPOCH_US, pages_from_documents
+    from phrasekit_ray.stages.agg import grouped_count, hash_aggregate
+
+    pages = pages_from_documents(sf_dir)
+    res = run_kg_pipeline(
+        pages,
+        {" ".join(t): c for t, c in DEMO_BACKGROUND},
+        MineConfig(min_n=2, max_n=5, min_count=3),
+        ScoreConfig(min_domain_count=3),
+        tag_concurrency=(1, 4),
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        d = pc.cast(
+            pc.replace_substring_regex(
+                b["doc_id"].combine_chunks().cast(pa.string()), r"^.*/", ""
+            ),
+            pa.int64(),
+        )
+        ts = pc.add(pc.multiply(d, pa.scalar(1_000_000, pa.int64())),
+                    pa.scalar(EPOCH_US, pa.int64()))
+        return pa.table(
+            {
+                "subj": b["subj"].combine_chunks().cast(pa.int64()),
+                "obj": b["obj"].combine_chunks().cast(pa.int64()),
+                "ts_us": ts,
+            }
+        )
+
+    births = hash_aggregate(
+        res.triples.map_batches(prep, batch_format="pyarrow"),
+        ["subj", "obj"], [("ts_us", "min")],
+    )
+
+    def win(b: pa.Table) -> pa.Table:
+        ts = b["ts_us"].combine_chunks().to_numpy(zero_copy_only=False)
+        from phrasekit_ray.sources.pages import EPOCH_US as E
+        return pa.table(
+            {"w": pa.array((ts - np.int64(E)) // np.int64(_GROWTH_WIN_US),
+                           pa.int64())}
+        )
+
+    curve = grouped_count(
+        births.map_batches(win, batch_format="pyarrow"),
+        "w", count_col="n_new_edges",
+    )
+    t = _collect(curve)
+    out = pa.table(
+        {
+            "w": t["w"].cast(pa.int64()),
+            "n_new_edges": t["n_new_edges"].cast(pa.int64()),
+        }
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("w", "ascending")]))
+
+
+def _sql_kg_growth() -> str:
+    from phrasekit_ray.pipelines.queries import _sql_flagship
+    from phrasekit_ray.sources.pages import EPOCH_US
+
+    return f"""
+WITH t AS ({_sql_flagship()}),
+w AS (SELECT subj, obj,
+        CAST(regexp_extract(doc_id, '([0-9]+)$', 1) AS BIGINT) * 1000000
+          AS rel_us
+      FROM t),
+births AS (SELECT subj, obj, MIN(rel_us) AS birth FROM w GROUP BY subj, obj)
+SELECT birth // {_GROWTH_WIN_US} AS w, COUNT(*) AS n_new_edges
+FROM births GROUP BY 1 ORDER BY w"""
+
+
+EXT_QUERIES.update({"q_kg_growth": q_kg_growth})
+EXT_ORACLE_SQL.update({"q_kg_growth": _sql_kg_growth()})
+
+
 def q_skyline_docs(sf_dir: str):
     """2D skyline / Pareto frontier (X140): documents not dominated
     under (maximize whitespace-token count, minimize n_chars) — the
