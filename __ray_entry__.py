@@ -146,6 +146,7 @@ _DRIVER_FIRST: list[str] = [
     "q_webgraph_profile",
     "q_host_cocitation",
     "q_kg_growth",
+    "q_kg_npmi_edges",
     "q_mine_bigrams",
     "q_tag_all_mentions",
 ]

@@ -224,6 +224,7 @@ BENCH_QUERY_NAMES = [
         "q_webgraph_profile",
         "q_host_cocitation",
         "q_kg_growth",
+        "q_kg_npmi_edges",
 ]
 
 

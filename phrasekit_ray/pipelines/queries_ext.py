@@ -6553,6 +6553,137 @@ EXT_QUERIES.update({"q_kg_growth": q_kg_growth})
 EXT_ORACLE_SQL.update({"q_kg_growth": _sql_kg_growth()})
 
 
+def q_kg_npmi_edges(sf_dir: str):
+    """NPMI-weighted KG edges (X168) — the north-star edge weighting:
+    per distinct (subj, obj) pair over the flagship triple stream,
+    npmi = (ln c_so + ln N − ln c_s − ln c_o) / (ln N − ln c_so) in
+    [−1, 1], where c_s/c_o are subject/object assertion marginals and
+    N the total assertion count. Association strength normalized so
+    co-occurrence-by-chance scores 0 and always-together scores 1 —
+    the weight entity-resolution and edge-pruning passes threshold on.
+
+    Exactness: every ln runs on an INTEGER-valued double (the X123
+    precedent: libm ln on integers is bit-identical between numpy and
+    DuckDB here), the expression is written in the SAME order both
+    sides, and the result rounds half-away-from-zero to int64
+    micro-units BEFORE any comparison. c_so == N (a one-pair KG) would
+    zero the denominator → defined as npmi_micro = 10⁶.
+
+    Distribution: ONE two-phase pair count + TWO marginal counts +
+    TWO int-keyed lookup_joins + a vectorized map; N is one scalar."""
+    from phrasekit_ray.config import MineConfig, ScoreConfig
+    from phrasekit_ray.pipelines.kg import run_kg_pipeline
+    from phrasekit_ray.sources.pages import DEMO_BACKGROUND, pages_from_documents
+    from phrasekit_ray.stages.agg import grouped_count, lookup_join
+
+    pages = pages_from_documents(sf_dir)
+    res = run_kg_pipeline(
+        pages,
+        {" ".join(t): c for t, c in DEMO_BACKGROUND},
+        MineConfig(min_n=2, max_n=5, min_count=3),
+        ScoreConfig(min_domain_count=3),
+        tag_concurrency=(1, 4),
+    )
+
+    def so(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subj": b["subj"].combine_chunks().cast(pa.int64()),
+                "obj": b["obj"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    stream = res.triples.map_batches(so, batch_format="pyarrow").materialize()
+    pairs = grouped_count(stream, ["subj", "obj"], count_col="c_so").materialize()
+    n_total = int(pairs.sum("c_so") or 0)
+    subj_m = grouped_count(
+        stream.map_batches(
+            lambda b: pa.table({"subj": b["subj"]}), batch_format="pyarrow"
+        ),
+        "subj", count_col="c_s",
+    )
+    obj_m = grouped_count(
+        stream.map_batches(
+            lambda b: pa.table({"obj": b["obj"]}), batch_format="pyarrow"
+        ),
+        "obj", count_col="c_o",
+    )
+    p_schema = pa.schema(
+        [("subj", pa.int64()), ("obj", pa.int64()), ("c_so", pa.int64())]
+    )
+    with_s = lookup_join(
+        pairs, subj_m, "subj", "subj",
+        left_schema=p_schema,
+        right_schema=pa.schema([("subj", pa.int64()), ("c_s", pa.int64())]),
+    )
+    with_so = lookup_join(
+        with_s, obj_m, "obj", "obj",
+        left_schema=pa.schema(
+            [("subj", pa.int64()), ("obj", pa.int64()),
+             ("c_so", pa.int64()), ("c_s", pa.int64())]
+        ),
+        right_schema=pa.schema([("obj", pa.int64()), ("c_o", pa.int64())]),
+    )
+
+    lnN = np.log(np.float64(max(n_total, 1)))
+
+    def npmi(b: pa.Table) -> pa.Table:
+        cso = b["c_so"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        cs = b["c_s"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        co = b["c_o"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        num = np.log(cso) + lnN - np.log(cs) - np.log(co)
+        den = lnN - np.log(cso)
+        val = np.where(den == 0.0, 1.0, num / np.where(den == 0.0, 1.0, den))
+        term = val * 1e6
+        micro = np.where(
+            term >= 0, np.floor(term + 0.5), np.ceil(term - 0.5)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "subj": b["subj"],
+                "obj": b["obj"],
+                "c_so": b["c_so"].cast(pa.int64()),
+                "npmi_micro": pa.array(micro, pa.int64()),
+            }
+        )
+
+    t = _collect(with_so.map_batches(npmi, batch_format="pyarrow"))
+    return t.take(
+        pc.sort_indices(
+            t, sort_keys=[("subj", "ascending"), ("obj", "ascending")]
+        )
+    )
+
+
+def _sql_kg_npmi_edges() -> str:
+    from phrasekit_ray.pipelines.queries import _sql_flagship
+
+    return f"""
+WITH t AS ({_sql_flagship()}),
+pairs AS (SELECT subj, obj, CAST(count(*) AS BIGINT) AS c_so
+          FROM t GROUP BY subj, obj),
+sm AS (SELECT subj, CAST(count(*) AS BIGINT) AS c_s FROM t GROUP BY subj),
+om AS (SELECT obj, CAST(count(*) AS BIGINT) AS c_o FROM t GROUP BY obj),
+tot AS (SELECT GREATEST(CAST(SUM(c_so) AS BIGINT), 1) AS n FROM pairs),
+v AS (SELECT p.subj, p.obj, p.c_so,
+        (ln(CAST(p.c_so AS DOUBLE)) + ln(CAST(tot.n AS DOUBLE))
+         - ln(CAST(sm.c_s AS DOUBLE)) - ln(CAST(om.c_o AS DOUBLE))) AS num,
+        (ln(CAST(tot.n AS DOUBLE)) - ln(CAST(p.c_so AS DOUBLE))) AS den
+      FROM pairs p
+      JOIN sm ON sm.subj = p.subj JOIN om ON om.obj = p.obj, tot)
+SELECT subj, obj, c_so,
+       CAST(CASE WHEN den = 0 THEN 1000000
+            ELSE CASE WHEN num / den >= 0
+                 THEN floor(num / den * 1000000 + 0.5)
+                 ELSE ceil(num / den * 1000000 - 0.5) END
+            END AS BIGINT) AS npmi_micro
+FROM v ORDER BY subj, obj"""
+
+
+EXT_QUERIES.update({"q_kg_npmi_edges": q_kg_npmi_edges})
+EXT_ORACLE_SQL.update({"q_kg_npmi_edges": _sql_kg_npmi_edges()})
+
+
 def q_skyline_docs(sf_dir: str):
     """2D skyline / Pareto frontier (X140): documents not dominated
     under (maximize whitespace-token count, minimize n_chars) — the
