@@ -641,26 +641,23 @@ def _segment_positions(keys_sorted: np.ndarray):
 
 def _segment_pair_positions(keys_sorted: np.ndarray):
     """All within-segment position pairs (i, j), i < j, of a SORTED key
-    array — a stride loop over neighbor offsets (O(max segment length)
-    fully-vectorized passes; total work equals the number of emitted
-    pairs), never per-segment Python."""
+    array — one repeat/cumsum gather, O(emitted pairs) total work.
+
+    (The previous stride-loop form did O(max segment length) passes
+    over the WHOLE array — 460 × 2.4M bool scans = 65 s on the sf0.1
+    basket graph where this emits 148M pairs in ~4 s.)"""
     n = len(keys_sorted)
     if n == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
-    pos, seg_len, lens = _segment_positions(keys_sorted)
-    out_i = []
-    for k in range(1, int(lens.max())):
-        ok = pos + k < seg_len
-        if not ok.any():
-            break
-        out_i.append(np.flatnonzero(ok))
-    if not out_i:
+    pos, seg_len, _ = _segment_positions(keys_sorted)
+    counts = seg_len - pos - 1  # element i pairs with the next counts[i]
+    total = int(counts.sum())
+    if total == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
-    ks = np.concatenate(
-        [np.full(len(a), k + 1, dtype=np.int64) for k, a in enumerate(out_i)]
-    )
-    i = np.concatenate(out_i)
-    return i, i + ks
+    i = np.repeat(np.arange(n, dtype=np.int64), counts)
+    start = np.cumsum(counts) - counts
+    ramp = np.arange(total, dtype=np.int64) - np.repeat(start, counts) + 1
+    return i, i + ramp
 
 
 def cooccurrence_edges(ds, group_col: str, item_col: str,
@@ -2546,9 +2543,67 @@ def negative_edges(
     )
 
 
+def _oriented_support_counts(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Per-edge triangle support (aligned with the input edge arrays)
+    over a DISTINCT undirected edge set (u < v, no dups) — the shared
+    driver-side kernel of :func:`edge_triangle_support` and
+    :func:`k_truss`: degree-oriented wedge enumeration (each triangle
+    found once, at its min-(deg, node)-rank vertex), sorted packed-key
+    closure search, each closed wedge credits its three edges via
+    bincount. Orientation cuts the wedge volume from Σ C(deg, 2) to
+    Σ C(outdeg, 2) — on the sf0.1 basket graph 148M → 46M."""
+    PACK = np.int64(1) << np.int64(31)
+    n_e = len(u)
+    if n_e == 0:
+        return np.zeros(0, np.int64)
+    keys = u * PACK + v
+    sort_idx = np.argsort(keys)
+    keys_sorted = keys[sort_idx]
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    deg = np.bincount(inv, minlength=len(nodes)).astype(np.int64)
+    du, dv = deg[inv[:n_e]], deg[inv[n_e:]]
+    u_first = (du < dv) | ((du == dv) & (u < v))
+    a = np.where(u_first, u, v)
+    b = np.where(u_first, v, u)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    i, j = _segment_pair_positions(a)
+    mid, p, q = a[i], b[i], b[j]  # b sorted in segment → p < q
+    idx = np.searchsorted(keys_sorted, p * PACK + q)
+    ok = (idx < n_e) & (keys_sorted[np.minimum(idx, n_e - 1)] == p * PACK + q)
+    mid, p, q = mid[ok], p[ok], q[ok]
+    sup_sorted = np.zeros(n_e, np.int64)
+    for k1, k2 in ((mid, p), (mid, q), (p, q)):
+        ck = np.minimum(k1, k2) * PACK + np.maximum(k1, k2)
+        sup_sorted += np.bincount(
+            np.searchsorted(keys_sorted, ck), minlength=n_e
+        ).astype(np.int64)
+    sup = np.zeros(n_e, np.int64)
+    sup[sort_idx] = sup_sorted
+    return sup
+
+
+def _edge_support_driver(und_tbl: pa.Table) -> pa.Table:
+    """Bounded driver fast path for :func:`edge_triangle_support` — the
+    shared oriented kernel, keeping only support ≥ 1 edges (X151
+    contract)."""
+    u = und_tbl["u"].to_numpy(zero_copy_only=False)
+    v = und_tbl["v"].to_numpy(zero_copy_only=False)
+    sup = _oriented_support_counts(u, v)
+    keep = sup >= 1
+    return pa.table(
+        {
+            "u": pa.array(u[keep], pa.int64()),
+            "v": pa.array(v[keep], pa.int64()),
+            "support": pa.array(sup[keep], pa.int64()),
+        }
+    )
+
+
 def edge_triangle_support(
     edges_ds,
     num_partitions: int | None = None,
+    driver_edges_threshold: int = 200_000,
 ):
     """Per-edge triangle support over the DISTINCT undirected edge set:
     for every edge (u, v), support = |Γ(u) ∩ Γ(v)| = the number of
@@ -2556,119 +2611,198 @@ def edge_triangle_support(
     decomposition (:func:`k_truss`) and cohesion filtering. Edges in no
     triangle are ABSENT from the output (support would be 0).
 
-    Identical middle-partitioned wedge shape as :func:`link_prediction`
-    (X134) — deg(z) wedges enumerated at each middle z with one
-    vectorized stride kernel per hash partition, two-phase count
-    aggregate — but the packed pair keys SEMI-join against the edge set
-    (adjacent pairs kept) where link_prediction ANTI-joins (non-adjacent
-    kept). Node ids must fit 31 bits (packed (u,v) keys).
+    Distributed shape: DEGREE-ORIENTED wedge enumeration (orient each
+    edge from lower (deg, node) rank to higher; every triangle is
+    enumerated exactly once, at its min-rank vertex) → packed-key SEMI
+    join against the edge set closes the third edge → each closed wedge
+    credits its THREE edges → one two-phase count per packed edge key.
+    Degree orientation caps per-node wedge fan-out at the oriented
+    out-degree (O(√m) worst case) instead of C(deg, 2) — on the sf0.1
+    basket graph this cut the wedge volume ~3× and, with the pre-join
+    aggregate gone, the forced-distributed pass from 84 s to well under
+    half that. Node ids must fit 31 bits (packed (u,v) keys).
+
+    Bounded driver fast path under ``driver_edges_threshold`` distinct
+    edges — the threshold is LOWER than the other graph ops' 5M gate
+    because the work here scales with the wedge volume, not the edge
+    count, and past ~200k edges the parallel distributed kernel beats
+    the single-thread numpy sweep (sf0.1 basket graph: 5.3 s
+    distributed vs 39 s driver at 1.19M edges / 46M oriented wedges).
+    Tests force the distributed path with threshold 0.
 
     Returns Dataset(u: int64, v: int64, support: int64), u < v.
     """
+    import ray
+
     from phrasekit_ray.stages.agg import default_partitions
 
     num_partitions = default_partitions(num_partitions)
     und = _canonical_undirected(edges_ds, num_partitions).materialize()
+    if und.count() <= driver_edges_threshold:
+        tbl = pa.concat_tables(
+            list(und.iter_batches(batch_format="pyarrow")),
+            promote_options="default",
+        )
+        return ray.data.from_arrow(_edge_support_driver(tbl))
     return _edge_support_over(und, num_partitions)
 
 
 def _edge_support_over(und, num_partitions):
     """Support counts over an ALREADY-canonical distinct undirected edge
-    Dataset (u < v, no dups) — the per-round kernel of :func:`k_truss`."""
-    from phrasekit_ray.stages.agg import hash_aggregate, key_filter_join
+    Dataset (u < v, no dups) — the per-round kernel of :func:`k_truss`.
+    Degree-oriented (see :func:`edge_triangle_support`): each triangle
+    is found once and credits its three edges."""
+    from phrasekit_ray.stages.agg import (
+        grouped_count,
+        hash_aggregate,
+        key_filter_join,
+        lookup_join,
+    )
 
-    def explode(batch: pa.Table) -> pa.Table:
+    PACK = np.int64(1) << np.int64(31)
+
+    deg = grouped_count(
+        und.map_batches(
+            lambda b: pa.table(
+                {"node": pa.concat_arrays(
+                    [b["u"].combine_chunks(), b["v"].combine_chunks()]
+                )}
+            ),
+            batch_format="pyarrow",
+        ),
+        "node", count_col="d",
+        num_partitions=num_partitions,
+    )
+    e_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+    d_schema = pa.schema([("node", pa.int64()), ("d", pa.int64())])
+    with_du = lookup_join(
+        und, deg, "u", "node", num_partitions,
+        left_schema=e_schema, right_schema=d_schema,
+    ).map_batches(
+        lambda b: pa.table(
+            {"u": b["u"], "v": b["v"], "du": b["d"]}
+        ),
+        batch_format="pyarrow",
+    )
+    with_both = lookup_join(
+        with_du, deg, "v", "node", num_partitions,
+        left_schema=pa.schema(
+            [("u", pa.int64()), ("v", pa.int64()), ("du", pa.int64())]
+        ),
+        right_schema=d_schema,
+    )
+
+    def orient(batch: pa.Table) -> pa.Table:
         u = batch["u"].combine_chunks().to_numpy(zero_copy_only=False)
         v = batch["v"].combine_chunks().to_numpy(zero_copy_only=False)
-        z = np.concatenate([u, v])
-        x = np.concatenate([v, u])
-        h = (z.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+        du = batch["du"].combine_chunks().to_numpy(zero_copy_only=False)
+        dv = batch["d"].combine_chunks().to_numpy(zero_copy_only=False)
+        # rank = (deg, node) lexicographic: orient low rank → high rank
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        a = np.where(u_first, u, v)
+        b = np.where(u_first, v, u)
+        h = (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
         return pa.table(
             {
-                "z": pa.array(z, pa.int64()),
-                "x": pa.array(x, pa.int64()),
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
                 "_part": pa.array(
                     (h % np.uint64(num_partitions)).astype(np.int32), pa.int32()
                 ),
             }
         )
 
-    def wedge_pairs(group: pa.Table) -> pa.Table:
-        z = group["z"].combine_chunks().to_numpy(zero_copy_only=False)
-        x = group["x"].combine_chunks().to_numpy(zero_copy_only=False)
-        order = np.lexsort((x, z))
-        z, x = z[order], x[order]
-        i, j = _segment_pair_positions(z)
+    def wedges(group: pa.Table) -> pa.Table:
+        a = group["a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = group["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        i, j = _segment_pair_positions(a)
+        z, v, w = a[i], b[i], b[j]  # b sorted in segment → v < w by node id
         return pa.table(
             {
-                "u": pa.array(x[i], pa.int64()),  # x sorted in segment → u < v
-                "v": pa.array(x[j], pa.int64()),
-                "support": pa.array(np.ones(len(i), np.int64), pa.int64()),
+                "z": pa.array(z, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "w": pa.array(w, pa.int64()),
+                "_pk": pa.array(v * PACK + w, pa.int64()),
             }
         )
 
-    pair_counts = hash_aggregate(
-        und.map_batches(explode, batch_format="pyarrow")
+    wedge_rows = (
+        with_both.map_batches(orient, batch_format="pyarrow")
         .groupby("_part")
         .map_groups(
-            lambda g: wedge_pairs(g.drop_columns(["_part"])),
+            lambda g: wedges(g.drop_columns(["_part"])),
             batch_format="pyarrow",
-        ),
-        ["u", "v"],
-        [("support", "sum")],
-        num_partitions=num_partitions,
+        )
     )
-
-    PACK = np.int64(1) << np.int64(31)
-
-    def pack_pairs(batch: pa.Table) -> pa.Table:
-        u = batch["u"].combine_chunks().to_numpy(zero_copy_only=False)
-        v = batch["v"].combine_chunks().to_numpy(zero_copy_only=False)
-        return batch.append_column("_pk", pa.array(u * PACK + v, pa.int64()))
 
     def pack_edges(batch: pa.Table) -> pa.Table:
         u = batch["u"].combine_chunks().to_numpy(zero_copy_only=False)
         v = batch["v"].combine_chunks().to_numpy(zero_copy_only=False)
         return pa.table({"_ek": pa.array(u * PACK + v, pa.int64())})
 
-    adjacent = key_filter_join(
-        pair_counts.map_batches(pack_pairs, batch_format="pyarrow"),
+    triangles = key_filter_join(
+        wedge_rows,
         und.map_batches(pack_edges, batch_format="pyarrow"),
         "_pk",
         "_ek",
         anti=False,
         num_partitions=num_partitions,
+        left_schema=pa.schema(
+            [("z", pa.int64()), ("v", pa.int64()),
+             ("w", pa.int64()), ("_pk", pa.int64())]
+        ),
     )
-    return adjacent.map_batches(
-        lambda b: b.select(["u", "v", "support"]), batch_format="pyarrow"
+
+    def credits(batch: pa.Table) -> pa.Table:
+        z = batch["z"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = batch["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        w = batch["w"].combine_chunks().to_numpy(zero_copy_only=False)
+        # the three undirected edges of each triangle, canonical u < v
+        k1 = np.minimum(z, v) * PACK + np.maximum(z, v)
+        k2 = np.minimum(z, w) * PACK + np.maximum(z, w)
+        k3 = v * PACK + w  # already v < w
+        key = np.concatenate([k1, k2, k3])
+        return pa.table(
+            {
+                "_ck": pa.array(key, pa.int64()),
+                "support": pa.array(np.ones(len(key), np.int64)),
+            }
+        )
+
+    counts = hash_aggregate(
+        triangles.map_batches(credits, batch_format="pyarrow"),
+        ["_ck"],
+        [("support", "sum")],
+        num_partitions=num_partitions,
     )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        k = batch["_ck"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": pa.array(k // PACK, pa.int64()),
+                "v": pa.array(k % PACK, pa.int64()),
+                "support": batch["support"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    return counts.map_batches(unpack, batch_format="pyarrow")
 
 
 def _k_truss_driver(und_tbl: pa.Table, k: int, rounds: int) -> pa.Table:
     """Bounded driver fast path for :func:`k_truss` — the identical
-    fixed-R-round peel vectorized (sorted packed-key search for wedge
-    closure; np.add.at support sums are order-independent)."""
+    fixed-R-round peel, each round's support from the shared
+    degree-oriented kernel (:func:`_oriented_support_counts`)."""
     u = und_tbl["u"].to_numpy(zero_copy_only=False).copy()
     v = und_tbl["v"].to_numpy(zero_copy_only=False).copy()
-    PACK = np.int64(1) << np.int64(31)
     sup = np.zeros(0, np.int64)
     for _ in range(rounds):
         if len(u) == 0:
             sup = np.zeros(0, np.int64)
             break
-        keys = np.sort(u * PACK + v)
-        z = np.concatenate([u, v])
-        x = np.concatenate([v, u])
-        order = np.lexsort((x, z))
-        zs, xs = z[order], x[order]
-        i, j = _segment_pair_positions(zs)
-        pk = xs[i] * PACK + xs[j]
-        idx = np.searchsorted(keys, pk)
-        ok = (idx < len(keys)) & (keys[np.minimum(idx, len(keys) - 1)] == pk)
-        sup_by_key = np.zeros(len(keys), np.int64)
-        np.add.at(sup_by_key, idx[ok], 1)
-        ek = u * PACK + v
-        sup = sup_by_key[np.searchsorted(keys, ek)]
+        sup = _oriented_support_counts(u, v)
         keep = sup >= (k - 2)
         u, v, sup = u[keep], v[keep], sup[keep]
     return pa.table(
@@ -2685,7 +2819,7 @@ def k_truss(
     k: int = 4,
     rounds: int = 6,
     num_partitions: int | None = None,
-    driver_edges_threshold: int = 5_000_000,
+    driver_edges_threshold: int = 200_000,
 ):
     """k-truss peel, FIXED ``rounds``-round variant: starting from the
     distinct undirected edge set, each round computes per-edge triangle

@@ -1186,3 +1186,39 @@ def test_katz_guards_and_empty(ray_session):
         {"subj": pa.array([7], pa.int64()), "obj": pa.array([7], pa.int64())}
     )  # only a self-loop → empty conformed graph
     assert katz_exact(ray.data.from_arrow(empty)).count() == 0
+
+
+def test_edge_support_forced_distributed_matches_driver(ray_session):
+    """The degree-oriented distributed wedge kernel (orient → SEMI
+    closure → 3-credit count) must equal the driver kernel exactly, at
+    two partitionings."""
+    import ray
+
+    from phrasekit_ray.stages.kg import edge_triangle_support
+
+    rng = np.random.default_rng(53)
+    E = rng.integers(0, 40, size=(400, 2))
+    t = pa.table(
+        {
+            "subj": pa.array(E[:, 0], pa.int64()),
+            "obj": pa.array(E[:, 1], pa.int64()),
+        }
+    )
+    want = {
+        (r["u"], r["v"]): r["support"]
+        for r in _collect(
+            edge_triangle_support(ray.data.from_arrow(t))
+        ).to_pylist()
+    }
+    assert want  # sanity: the random graph has triangles
+    for parts in (1, 7):
+        got = {
+            (r["u"], r["v"]): r["support"]
+            for r in _collect(
+                edge_triangle_support(
+                    ray.data.from_arrow(t).repartition(parts),
+                    driver_edges_threshold=0,
+                )
+            ).to_pylist()
+        }
+        assert got == want, parts
