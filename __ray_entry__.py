@@ -147,6 +147,8 @@ _DRIVER_FIRST: list[str] = [
     "q_host_cocitation",
     "q_kg_growth",
     "q_kg_npmi_edges",
+    "q_kg_2hop_paths",
+    "q_kg_symmetry",
     "q_mine_bigrams",
     "q_tag_all_mentions",
 ]

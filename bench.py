@@ -225,6 +225,8 @@ BENCH_QUERY_NAMES = [
         "q_host_cocitation",
         "q_kg_growth",
         "q_kg_npmi_edges",
+        "q_kg_2hop_paths",
+        "q_kg_symmetry",
 ]
 
 

@@ -6976,3 +6976,219 @@ ORDER BY query_id, rn
 
 EXT_QUERIES.update({"q_hamming_ann": q_hamming_ann})
 EXT_ORACLE_SQL.update({"q_hamming_ann": SQL_HAMMING_ANN})
+
+
+def _flagship_distinct_edges(sf_dir: str):
+    """Shared prologue for the KG path/symmetry profilers: flagship
+    triples → MATERIALIZED distinct directed edge set (s, o), self-loops
+    dropped, plus its row count (the driver fast-path gate for the
+    wedge kernel). One two-phase count-aggregate."""
+    from phrasekit_ray.config import MineConfig, ScoreConfig
+    from phrasekit_ray.pipelines.kg import run_kg_pipeline
+    from phrasekit_ray.sources.pages import DEMO_BACKGROUND, pages_from_documents
+    from phrasekit_ray.stages.agg import grouped_count
+
+    pages = pages_from_documents(sf_dir)
+    res = run_kg_pipeline(
+        pages,
+        {" ".join(t): c for t, c in DEMO_BACKGROUND},
+        MineConfig(min_n=2, max_n=5, min_count=3),
+        ScoreConfig(min_domain_count=3),
+        tag_concurrency=(1, 4),
+    )
+
+    def so(b: pa.Table) -> pa.Table:
+        s = b["subj"].combine_chunks().cast(pa.int64())
+        o = b["obj"].combine_chunks().cast(pa.int64())
+        keep = pc.not_equal(s, o)
+        return pa.table({"s": s.filter(keep), "o": o.filter(keep)})
+
+    dist = grouped_count(
+        res.triples.map_batches(so, batch_format="pyarrow"), ["s", "o"]
+    ).map_batches(lambda b: b.select(["s", "o"]), batch_format="pyarrow")
+    eds = dist.materialize()
+    return eds, eds.count()
+
+
+def q_kg_2hop_paths(sf_dir: str):
+    """Directed 2-hop path join (X170) — the SPARQL ``?a p ?m . ?m p
+    ?c`` pattern over the flagship KG's distinct edge set: every (a, c)
+    pair, a ≠ c, reachable through ≥1 intermediate, with ``n_mids`` =
+    distinct intermediates and ``direct`` = 1 when (a, c) is itself an
+    asserted edge (closed triad) vs 0 (open — the triadic-closure /
+    inference candidates an entity-resolution pass ranks).
+
+    Composition: ONE ``directed_wedges`` enumeration (mid-partitioned,
+    driver fast path under the same bound the triangle family uses) +
+    ONE two-phase pair count + the zero-union merge with the edge set
+    itself for the direct flag — no driver-side pair loop anywhere."""
+    from phrasekit_ray.stages.agg import grouped_count, hash_aggregate
+    from phrasekit_ray.stages.kg import directed_wedges
+
+    eds, n_rows = _flagship_distinct_edges(sf_dir)
+    paths = grouped_count(
+        directed_wedges(eds, input_rows=n_rows), ["subj", "obj"],
+        count_col="n_mids",
+    )
+
+    def tag_paths(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subj": b["subj"].combine_chunks().cast(pa.int64()),
+                "obj": b["obj"].combine_chunks().cast(pa.int64()),
+                "n_mids": b["n_mids"].combine_chunks().cast(pa.int64()),
+                "direct": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        )
+
+    def tag_edges(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subj": b["s"].combine_chunks().cast(pa.int64()),
+                "obj": b["o"].combine_chunks().cast(pa.int64()),
+                "n_mids": pa.array(np.zeros(b.num_rows, np.int64)),
+                "direct": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+
+    merged = hash_aggregate(
+        paths.map_batches(tag_paths, batch_format="pyarrow").union(
+            eds.map_batches(tag_edges, batch_format="pyarrow")
+        ),
+        ["subj", "obj"],
+        [("n_mids", "sum"), ("direct", "sum")],
+    )
+    t = _collect(merged)
+    t = t.filter(pc.greater(t["n_mids"], 0))
+    out = pa.table(
+        {
+            "subj": t["subj"].combine_chunks().cast(pa.int64()),
+            "obj": t["obj"].combine_chunks().cast(pa.int64()),
+            "n_mids": t["n_mids"].combine_chunks().cast(pa.int64()),
+            "direct": t["direct"].combine_chunks().cast(pa.int64()),
+        }
+    )
+    return out.take(
+        pc.sort_indices(
+            out, sort_keys=[("subj", "ascending"), ("obj", "ascending")]
+        )
+    )
+
+
+def _sql_kg_2hop_paths() -> str:
+    from phrasekit_ray.pipelines.queries import _sql_flagship
+
+    return f"""
+WITH t AS ({_sql_flagship()}),
+e AS MATERIALIZED (SELECT DISTINCT subj AS s, obj AS o FROM t
+                   WHERE subj <> obj),
+w AS (SELECT x.s AS subj, y.o AS obj, count(*) AS n_mids
+      FROM e x JOIN e y ON y.s = x.o AND y.o <> x.s
+      GROUP BY 1, 2)
+SELECT w.subj, w.obj, CAST(w.n_mids AS BIGINT) AS n_mids,
+       CAST(CASE WHEN d.s IS NULL THEN 0 ELSE 1 END AS BIGINT) AS direct
+FROM w LEFT JOIN e d ON d.s = w.subj AND d.o = w.obj
+ORDER BY subj, obj"""
+
+
+EXT_QUERIES.update({"q_kg_2hop_paths": q_kg_2hop_paths})
+EXT_ORACLE_SQL.update({"q_kg_2hop_paths": _sql_kg_2hop_paths()})
+
+
+def q_kg_symmetry(sf_dir: str):
+    """KG relation symmetry profile (X171): per unordered entity pair
+    (a < b) over the flagship triple stream, the directed assertion
+    counts ``n_fwd`` (a→b), ``n_rev`` (b→a) and ``symmetric`` = 1 when
+    both directions are asserted. The ontology diagnostic next to the
+    X160 cardinality profile: alias/sibling co-mentions assert both
+    ways, functional relations one way — the edge-orientation evidence
+    a canonicalization pass weighs before merging a pair.
+
+    ONE two-phase directed-pair count + a vectorized canonical fold +
+    ONE two-phase sum merge (zero-union pattern) — no joins at all."""
+    from phrasekit_ray.config import MineConfig, ScoreConfig
+    from phrasekit_ray.pipelines.kg import run_kg_pipeline
+    from phrasekit_ray.sources.pages import DEMO_BACKGROUND, pages_from_documents
+    from phrasekit_ray.stages.agg import grouped_count, hash_aggregate
+
+    pages = pages_from_documents(sf_dir)
+    res = run_kg_pipeline(
+        pages,
+        {" ".join(t): c for t, c in DEMO_BACKGROUND},
+        MineConfig(min_n=2, max_n=5, min_count=3),
+        ScoreConfig(min_domain_count=3),
+        tag_concurrency=(1, 4),
+    )
+
+    def so(b: pa.Table) -> pa.Table:
+        s = b["subj"].combine_chunks().cast(pa.int64())
+        o = b["obj"].combine_chunks().cast(pa.int64())
+        keep = pc.not_equal(s, o)
+        return pa.table({"s": s.filter(keep), "o": o.filter(keep)})
+
+    directed = grouped_count(
+        res.triples.map_batches(so, batch_format="pyarrow"),
+        ["s", "o"], count_col="n",
+    )
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = b["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        o = b["o"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = b["n"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        fwd = s < o
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(s, o), pa.int64()),
+                "b": pa.array(np.maximum(s, o), pa.int64()),
+                "n_fwd": pa.array(np.where(fwd, n, 0), pa.int64()),
+                "n_rev": pa.array(np.where(fwd, 0, n), pa.int64()),
+            }
+        )
+
+    merged = hash_aggregate(
+        directed.map_batches(canon, batch_format="pyarrow"),
+        ["a", "b"],
+        [("n_fwd", "sum"), ("n_rev", "sum")],
+    )
+
+    def flag(b: pa.Table) -> pa.Table:
+        nf = b["n_fwd"].combine_chunks().cast(pa.int64())
+        nr = b["n_rev"].combine_chunks().cast(pa.int64())
+        sym = pc.cast(
+            pc.and_(pc.greater(nf, 0), pc.greater(nr, 0)), pa.int64()
+        )
+        return pa.table(
+            {
+                "a": b["a"].combine_chunks().cast(pa.int64()),
+                "b": b["b"].combine_chunks().cast(pa.int64()),
+                "n_fwd": nf,
+                "n_rev": nr,
+                "symmetric": sym,
+            }
+        )
+
+    t = _collect(merged.map_batches(flag, batch_format="pyarrow"))
+    return t.take(
+        pc.sort_indices(t, sort_keys=[("a", "ascending"), ("b", "ascending")])
+    )
+
+
+def _sql_kg_symmetry() -> str:
+    from phrasekit_ray.pipelines.queries import _sql_flagship
+
+    return f"""
+WITH t AS ({_sql_flagship()}),
+d AS (SELECT subj, obj, count(*) AS n FROM t WHERE subj <> obj
+      GROUP BY 1, 2),
+c AS (SELECT LEAST(subj, obj) AS a, GREATEST(subj, obj) AS b,
+             SUM(CASE WHEN subj < obj THEN n ELSE 0 END) AS n_fwd,
+             SUM(CASE WHEN subj > obj THEN n ELSE 0 END) AS n_rev
+      FROM d GROUP BY 1, 2)
+SELECT a, b, CAST(n_fwd AS BIGINT) AS n_fwd, CAST(n_rev AS BIGINT) AS n_rev,
+       CAST(CASE WHEN n_fwd > 0 AND n_rev > 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS symmetric
+FROM c ORDER BY a, b"""
+
+
+EXT_QUERIES.update({"q_kg_symmetry": q_kg_symmetry})
+EXT_ORACLE_SQL.update({"q_kg_symmetry": _sql_kg_symmetry()})

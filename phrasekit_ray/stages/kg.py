@@ -750,6 +750,121 @@ def cooccurrence_edges(ds, group_col: str, item_col: str,
     )
 
 
+def _wedge_cross(in_m, in_a, out_m, out_c):
+    """Directed-wedge cross products: given the in-side (mid, predecessor)
+    rows SORTED by mid and the out-side (mid, successor) rows SORTED by
+    mid, emit one (a, c) row per wedge a→m→c with a ≠ c. O(emitted)
+    total work — per-mid blowup is kin·kout, bounded by the max in/out
+    degree, never the corpus."""
+    if len(in_m) == 0 or len(out_m) == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    um_in, in_start, kin = np.unique(in_m, return_index=True, return_counts=True)
+    um_out, out_start, kout = np.unique(out_m, return_index=True, return_counts=True)
+    common, ii, oo = np.intersect1d(um_in, um_out, return_indices=True)
+    if len(common) == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    kin, in_start = kin[ii], in_start[ii]
+    kout, out_start = kout[oo], out_start[oo]
+    n = kin * kout
+    total = int(n.sum())
+    rep = np.repeat(np.arange(len(n), dtype=np.int64), n)
+    off = np.cumsum(n) - n
+    w = np.arange(total, dtype=np.int64) - off[rep]
+    a = in_a[in_start[rep] + w // kout[rep]]
+    c = out_c[out_start[rep] + w % kout[rep]]
+    keep = a != c
+    return a[keep], c[keep]
+
+
+def directed_wedges(edges_ds, num_partitions: int | None = None,
+                    input_rows: int | None = None,
+                    driver_rows_threshold: int = 20_000_000):
+    """Directed 2-hop wedge enumeration: edges(s, o) — assumed DISTINCT
+    with s ≠ o — → one (subj=a, obj=c) row per path a→m→c, a ≠ c. The
+    KG path-join primitive (the SPARQL ``?a p ?m . ?m p ?c`` pattern);
+    feed through ``grouped_count`` for per-(a, c) distinct-intermediate
+    counts (each wedge appears exactly once because the edge set is
+    distinct).
+
+    Same two physical paths as ``cooccurrence_edges``: a bounded driver
+    fast path (one numpy sort + segment cross per side) under
+    ``driver_rows_threshold``, else hash-partition by the MIDDLE node —
+    each edge is shipped twice, once as an in-edge at its dst and once
+    as an out-edge at its src, so a mid never straddles partitions and
+    one vectorized cross-product kernel runs per partition. That is the
+    100 TB shape; per-mid blowup is in-degree × out-degree (salt/split
+    hot mids upstream if a single mid's wedge set exceeds a task)."""
+    from phrasekit_ray.stages.agg import default_partitions
+
+    num_partitions = default_partitions(num_partitions)
+
+    if input_rows is not None and input_rows <= driver_rows_threshold:
+        import ray
+
+        mat = edges_ds.materialize()
+        tbl = pa.concat_tables(ray.get(mat.to_arrow_refs()))
+        s = tbl.column("s").combine_chunks().cast(pa.int64()).to_numpy()
+        o = tbl.column("o").combine_chunks().cast(pa.int64()).to_numpy()
+        in_order = np.argsort(o, kind="stable")
+        out_order = np.argsort(s, kind="stable")
+        a, c = _wedge_cross(
+            o[in_order], s[in_order], s[out_order], o[out_order]
+        )
+        out = pa.table(
+            {"subj": pa.array(a, pa.int64()), "obj": pa.array(c, pa.int64())}
+        )
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        step = max(1, -(-out.num_rows // cpus))
+        slices = [out.slice(i, step) for i in range(0, max(out.num_rows, 1), step)]
+        return ray.data.from_arrow(slices)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        s = batch["s"].combine_chunks().cast(pa.int64()).to_numpy()
+        o = batch["o"].combine_chunks().cast(pa.int64()).to_numpy()
+        # each edge contributes to its dst's partition as an in-edge
+        # (side 0, node = predecessor) and to its src's as an out-edge
+        m = np.concatenate((o, s))
+        node = np.concatenate((s, o))
+        side = np.concatenate(
+            (np.zeros(len(s), np.int8), np.ones(len(s), np.int8))
+        )
+        h = (m.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+        return pa.table(
+            {
+                "m": pa.array(m, pa.int64()),
+                "node": pa.array(node, pa.int64()),
+                "side": pa.array(side, pa.int8()),
+                "_part": pa.array(
+                    (h % np.uint64(num_partitions)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def wedges(group: pa.Table) -> pa.Table:
+        m = group["m"].combine_chunks().to_numpy()
+        node = group["node"].combine_chunks().to_numpy()
+        side = group["side"].combine_chunks().to_numpy()
+        is_in = side == 0
+        in_order = np.argsort(m[is_in], kind="stable")
+        out_order = np.argsort(m[~is_in], kind="stable")
+        a, c = _wedge_cross(
+            m[is_in][in_order], node[is_in][in_order],
+            m[~is_in][out_order], node[~is_in][out_order],
+        )
+        return pa.table(
+            {"subj": pa.array(a, pa.int64()), "obj": pa.array(c, pa.int64())}
+        )
+
+    return (
+        edges_ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(
+            lambda grp: wedges(grp.drop_columns(["_part"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def _canonical_undirected(edges_ds, num_partitions=None):
     """edges(subj,obj,...) → distinct undirected pairs (u,v) with u<v,
     self-loops dropped. One count-aggregate (in-block combine first)."""

@@ -503,9 +503,11 @@ def test_zonemap_prunes_and_matches_full_scan(ray_session, tmp_path):
     root = str(tmp_path)
     write_zonemapped(ray.data.from_arrow(t).repartition(8), root, "s", "v", 16)
     out, scanned, total = read_zonemapped(root, "s", "v", 1000, 1999)
-    got = sorted(
-        zip(*[_collect(out)[c].to_pylist() for c in ("id", "v")])
-    )
+    # collect ONCE: two _collect calls would execute the read twice, and
+    # iter_batches block order is not stable across executions — zipping
+    # id from one run with v from another fabricates crossed pairs
+    ot = _collect(out)
+    got = sorted(zip(ot["id"].to_pylist(), ot["v"].to_pylist()))
     want = sorted(
         (int(i), int(v)) for i, v in zip(np.arange(n), vals)
         if 1000 <= v <= 1999
@@ -1222,3 +1224,65 @@ def test_edge_support_forced_distributed_matches_driver(ray_session):
             ).to_pylist()
         }
         assert got == want, parts
+
+
+def test_directed_wedges_matches_brute_force_both_paths(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.kg import directed_wedges
+
+    rng = np.random.default_rng(41)
+    n_nodes, n_edges = 60, 400
+    s = rng.integers(0, n_nodes, n_edges)
+    o = rng.integers(0, n_nodes, n_edges)
+    keep = s != o
+    pairs = sorted({(int(a), int(b)) for a, b in zip(s[keep], o[keep])})
+    t = pa.table(
+        {
+            "s": pa.array([a for a, _ in pairs], pa.int64()),
+            "o": pa.array([b for _, b in pairs], pa.int64()),
+        }
+    )
+    es = set(pairs)
+    want = sorted(
+        (a, c)
+        for a, m1 in es
+        for m2, c in es
+        if m1 == m2 and a != c
+    )
+    # bounded driver fast path
+    got_fast = sorted(
+        (r["subj"], r["obj"])
+        for r in _collect(
+            directed_wedges(ray.data.from_arrow(t), input_rows=len(pairs))
+        ).to_pylist()
+    )
+    assert got_fast == want
+    # forced distributed mid-partitioned path, two partitionings
+    for parts in (1, 5):
+        got = sorted(
+            (r["subj"], r["obj"])
+            for r in _collect(
+                directed_wedges(ray.data.from_arrow(t).repartition(parts))
+            ).to_pylist()
+        )
+        assert got == want, parts
+
+
+def test_directed_wedges_empty_and_no_match(ray_session):
+    import ray
+
+    from phrasekit_ray.stages.kg import directed_wedges
+
+    # a→b, c→d: no shared mid, no wedges (both paths)
+    t = pa.table(
+        {"s": pa.array([0, 2], pa.int64()), "o": pa.array([1, 3], pa.int64())}
+    )
+    for kwargs in ({"input_rows": 2}, {}):
+        assert directed_wedges(ray.data.from_arrow(t), **kwargs).count() == 0
+    # a→b→a closes into a 2-cycle: the only wedge candidates are a→b→a
+    # and b→a→b, both excluded by a != c
+    t2 = pa.table(
+        {"s": pa.array([0, 1], pa.int64()), "o": pa.array([1, 0], pa.int64())}
+    )
+    assert directed_wedges(ray.data.from_arrow(t2), input_rows=2).count() == 0
