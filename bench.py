@@ -227,6 +227,7 @@ BENCH_QUERY_NAMES = [
         "q_kg_npmi_edges",
         "q_kg_2hop_paths",
         "q_kg_symmetry",
+        "q_random_walks",
 ]
 
 

@@ -7192,3 +7192,204 @@ FROM c ORDER BY a, b"""
 
 EXT_QUERIES.update({"q_kg_symmetry": q_kg_symmetry})
 EXT_ORACLE_SQL.update({"q_kg_symmetry": _sql_kg_symmetry()})
+
+
+_WALK_STEPS = 4
+
+
+def q_random_walks(sf_dir: str):
+    """Deterministic random-walk corpus (X172) — the DeepWalk/node2vec
+    preprocessing stage: one length-4 walk per host over the extracted
+    host link graph (X104), where step t from node u follows out-edge
+    rank ``splitmix17(8·walk + t) % out_degree(u)`` (the repo's shared
+    seeded hash, exactly twinned in SQL) and a node with no out-edges
+    holds position. Emits (start_host, step, host) for steps 0..4 —
+    the token stream a skip-gram embedding trains on.
+
+    Distribution: the WALK is the scale-bearing part — one row per
+    (node, step) advanced by TWO int-keyed broadcast ``lookup_join``s
+    per step (degree attach, then packed (node, rank) → successor);
+    dead ends bypass the successor join via a filter split, so no row
+    is ever dropped by the inner join. The host→id dictionary and
+    ranked adjacency are driver-side over the AGGREGATED host edge
+    table (bounded by distinct hosts/edges — the X134 precedent; at
+    web scale the X19 global-enumeration stage replaces the dict and
+    the ranking becomes one groupby-enumerate, leaving the walk loop
+    unchanged). Rank packing assumes node id < 2^31 and out-degree
+    < 2^32."""
+    import ray
+
+    from phrasekit_ray.sources.pages import pages_from_documents, splitmix17
+    from phrasekit_ray.stages.agg import lookup_join
+    from phrasekit_ray.stages.extract import extract_links, host_edges
+
+    pages = pages_from_documents(sf_dir, with_links=True)
+    he = _collect(host_edges(extract_links(pages)))
+    src = he["src_host"].to_pylist()
+    dst = he["dst_host"].to_pylist()
+    pairs = sorted({(a, b) for a, b in zip(src, dst) if a != b})
+    hosts = sorted({h for p in pairs for h in p})
+    hid = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    u = np.array([hid[a] for a, _ in pairs], np.int64)
+    v = np.array([hid[b] for _, b in pairs], np.int64)
+    # ranked adjacency: pairs are sorted (host-name order == id order),
+    # so v is already ascending within each u segment
+    deg = np.bincount(u, minlength=n).astype(np.int64)
+    first = np.concatenate(([0], np.cumsum(deg)[:-1]))
+    rank = np.arange(len(u), dtype=np.int64) - first[u]
+    adj_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(u * (1 << 32) + rank, pa.int64()),
+                "nxt": pa.array(v, pa.int64()),
+            }
+        )
+    )
+    deg_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "u": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+                "d": pa.array(deg, pa.int64()),
+            }
+        )
+    )
+
+    state = ray.data.from_arrow(
+        pa.table(
+            {
+                "walk": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+                "cur": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            }
+        )
+    )
+    st_schema = pa.schema([("walk", pa.int64()), ("cur", pa.int64())])
+    outs = [state.map_batches(
+        lambda b: pa.table(
+            {
+                "walk": b["walk"],
+                "step": pa.array(np.zeros(b.num_rows, np.int64)),
+                "node": b["cur"],
+            }
+        ),
+        batch_format="pyarrow",
+    )]
+    for t in range(1, _WALK_STEPS + 1):
+        with_deg = lookup_join(
+            state, deg_ds, "cur", "u",
+            left_schema=st_schema,
+            right_schema=pa.schema([("u", pa.int64()), ("d", pa.int64())]),
+        )
+
+        def pick(b: pa.Table, step=t) -> pa.Table:
+            w = b["walk"].combine_chunks().to_numpy(zero_copy_only=False)
+            cur = b["cur"].combine_chunks().to_numpy(zero_copy_only=False)
+            d = b["d"].combine_chunks().to_numpy(zero_copy_only=False)
+            live = d > 0
+            r = np.zeros(len(w), np.int64)
+            if live.any():
+                h = splitmix17(
+                    (w[live] * 8 + step).astype(np.uint64)
+                )
+                r[live] = (h % d[live].astype(np.uint64)).astype(np.int64)
+            return pa.table(
+                {
+                    "walk": pa.array(w, pa.int64()),
+                    "cur": pa.array(cur, pa.int64()),
+                    "live": pa.array(live),
+                    "k": pa.array(cur * (1 << 32) + r, pa.int64()),
+                }
+            )
+
+        picked = with_deg.map_batches(pick, batch_format="pyarrow")
+        live_next = lookup_join(
+            picked.map_batches(
+                lambda b: b.filter(b["live"]).select(["walk", "k"]),
+                batch_format="pyarrow",
+            ),
+            adj_ds, "k", "k",
+            left_schema=pa.schema([("walk", pa.int64()), ("k", pa.int64())]),
+            right_schema=pa.schema([("k", pa.int64()), ("nxt", pa.int64())]),
+        ).map_batches(
+            lambda b: pa.table({"walk": b["walk"], "cur": b["nxt"]}),
+            batch_format="pyarrow",
+        )
+        stuck = picked.map_batches(
+            lambda b: b.filter(pc.invert(b["live"])).select(["walk", "cur"]),
+            batch_format="pyarrow",
+        )
+        state = live_next.union(stuck).materialize()
+        outs.append(state.map_batches(
+            lambda b, step=t: pa.table(
+                {
+                    "walk": b["walk"],
+                    "step": pa.array(np.full(b.num_rows, step, np.int64)),
+                    "node": b["cur"],
+                }
+            ),
+            batch_format="pyarrow",
+        ))
+
+    t_all = _collect(outs[0].union(*outs[1:]))
+    names = pa.array(hosts, pa.string())
+    out = pa.table(
+        {
+            "start_host": names.take(t_all["walk"].combine_chunks()),
+            "step": t_all["step"].combine_chunks().cast(pa.int64()),
+            "host": names.take(t_all["node"].combine_chunks()),
+        }
+    )
+    return out.take(
+        pc.sort_indices(
+            out,
+            sort_keys=[("start_host", "ascending"), ("step", "ascending")],
+        )
+    )
+
+
+def _sql_random_walks() -> str:
+    steps = []
+    prev = "w0"
+    for t in range(1, _WALK_STEPS + 1):
+        sm = _sm_sql(f"CAST(w.walk AS HUGEINT)*8 + {t}")
+        steps.append(f"""
+w{t} AS (SELECT w.walk, COALESCE(a.v, w.cur) AS cur
+         FROM {prev} w
+         LEFT JOIN deg ON deg.u = w.cur
+         LEFT JOIN adj a ON a.u = w.cur
+              AND a.r = ({sm}) % CAST(deg.d AS HUGEINT))""")
+        prev = f"w{t}"
+    unions = "\nUNION ALL\n".join(
+        f"SELECT walk, {t} AS step, cur FROM w{t}"
+        for t in range(0, _WALK_STEPS + 1)
+    )
+    return f"""
+WITH s AS (SELECT doc_id, source, j
+           FROM documents, generate_series(1, 3) AS g(j)),
+l AS (SELECT source, j,
+        ({_sm_sql('CAST(doc_id AS HUGEINT)*8 + CAST(j AS HUGEINT)')})
+          % 100003 AS t,
+        1 + (({_sm_sql('CAST(doc_id AS HUGEINT)*8 + 7')}) % 3) AS n_links
+      FROM s),
+he AS (SELECT DISTINCT source || '.example.org' AS src,
+              'h' || CAST(t % 16 AS VARCHAR) || '.example.org' AS dst
+       FROM l WHERE j <= n_links),
+hosts AS (SELECT DISTINCT h FROM
+          (SELECT src AS h FROM he UNION SELECT dst FROM he)),
+hid AS MATERIALIZED (SELECT h, row_number() OVER (ORDER BY h) - 1 AS id
+                     FROM hosts),
+e AS (SELECT su.id AS u, du.id AS v
+      FROM he JOIN hid su ON su.h = he.src JOIN hid du ON du.h = he.dst
+      WHERE su.id <> du.id),
+adj AS MATERIALIZED (SELECT u, v,
+        row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS r FROM e),
+deg AS MATERIALIZED (SELECT u, count(*) AS d FROM e GROUP BY u),
+w0 AS (SELECT id AS walk, id AS cur FROM hid),{','.join(steps)},
+allsteps AS ({unions})
+SELECT sh.h AS start_host, CAST(a.step AS BIGINT) AS step, ch.h AS host
+FROM allsteps a JOIN hid sh ON sh.id = a.walk JOIN hid ch ON ch.id = a.cur
+ORDER BY start_host, step"""
+
+
+EXT_QUERIES.update({"q_random_walks": q_random_walks})
+EXT_ORACLE_SQL.update({"q_random_walks": _sql_random_walks()})

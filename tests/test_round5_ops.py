@@ -1286,3 +1286,30 @@ def test_directed_wedges_empty_and_no_match(ray_session):
         {"s": pa.array([0, 1], pa.int64()), "o": pa.array([1, 0], pa.int64())}
     )
     assert directed_wedges(ray.data.from_arrow(t2), input_rows=2).count() == 0
+
+
+def test_random_walks_follow_edges_and_hold_at_dead_ends(ray_session, sf_dir):
+    from phrasekit_ray.pipelines.queries_ext import q_random_walks
+    from phrasekit_ray.sources.pages import pages_from_documents
+    from phrasekit_ray.stages.extract import extract_links, host_edges
+
+    out = q_random_walks(sf_dir).to_pydict()
+    he = _collect(
+        host_edges(extract_links(pages_from_documents(sf_dir, with_links=True)))
+    )
+    edges = set(zip(he["src_host"].to_pylist(), he["dst_host"].to_pylist()))
+    has_out = {a for a, b in edges if a != b}
+    walks = {}
+    for s, t, h in zip(out["start_host"], out["step"], out["host"]):
+        walks.setdefault(s, {})[t] = h
+    assert walks and all(len(w) == 5 for w in walks.values())
+    for s, w in walks.items():
+        assert w[0] == s  # step 0 is the start node
+        for t in range(1, 5):
+            prev, cur = w[t - 1], w[t]
+            if prev in has_out:
+                assert (prev, cur) in edges, (s, t)  # real out-edge taken
+            else:
+                assert cur == prev, (s, t)  # dead end holds position
+    # determinism: a second run is identical
+    assert q_random_walks(sf_dir).to_pydict() == out
