@@ -150,6 +150,7 @@ _DRIVER_FIRST: list[str] = [
     "q_kg_2hop_paths",
     "q_kg_symmetry",
     "q_random_walks",
+    "q_kg_conflicts",
     "q_mine_bigrams",
     "q_tag_all_mentions",
 ]

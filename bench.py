@@ -228,6 +228,7 @@ BENCH_QUERY_NAMES = [
         "q_kg_2hop_paths",
         "q_kg_symmetry",
         "q_random_walks",
+        "q_kg_conflicts",
 ]
 
 

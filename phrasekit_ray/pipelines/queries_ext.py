@@ -7393,3 +7393,102 @@ ORDER BY start_host, step"""
 
 EXT_QUERIES.update({"q_random_walks": q_random_walks})
 EXT_ORACLE_SQL.update({"q_random_walks": _sql_random_walks()})
+
+
+def q_kg_conflicts(sf_dir: str):
+    """Functional-property conflict audit (X173): subjects of the
+    flagship KG that assert ≥2 DISTINCT objects under the single lift
+    predicate, with the top two objects by assertion count (ties →
+    smaller entity id) — the contradiction shortlist an ontology-
+    constrained KG hands to entity resolution (is the subject genuinely
+    multi-valued, or are the two objects aliases to merge?). Complements
+    the X160 cardinality profile (which reports the aggregate rate,
+    not the offending pairs).
+
+    ONE two-phase (subj, obj) count + ONE groupby-subject top-2 scan
+    (each group is one subject's object list — bounded by per-subject
+    distinct objects, never the corpus)."""
+    from phrasekit_ray.config import MineConfig, ScoreConfig
+    from phrasekit_ray.pipelines.kg import run_kg_pipeline
+    from phrasekit_ray.sources.pages import DEMO_BACKGROUND, pages_from_documents
+    from phrasekit_ray.stages.agg import grouped_count
+
+    pages = pages_from_documents(sf_dir)
+    res = run_kg_pipeline(
+        pages,
+        {" ".join(t): c for t, c in DEMO_BACKGROUND},
+        MineConfig(min_n=2, max_n=5, min_count=3),
+        ScoreConfig(min_domain_count=3),
+        tag_concurrency=(1, 4),
+    )
+
+    def so(b: pa.Table) -> pa.Table:
+        s = b["subj"].combine_chunks().cast(pa.int64())
+        o = b["obj"].combine_chunks().cast(pa.int64())
+        keep = pc.not_equal(s, o)
+        return pa.table({"s": s.filter(keep), "o": o.filter(keep)})
+
+    counts = grouped_count(
+        res.triples.map_batches(so, batch_format="pyarrow"),
+        ["s", "o"], count_col="n",
+    )
+
+    def top2(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return pa.table(
+                {
+                    "subj": pa.array([], pa.int64()),
+                    "n_objs": pa.array([], pa.int64()),
+                    "n_asserts": pa.array([], pa.int64()),
+                    "top_obj": pa.array([], pa.int64()),
+                    "top_n": pa.array([], pa.int64()),
+                    "second_obj": pa.array([], pa.int64()),
+                    "second_n": pa.array([], pa.int64()),
+                }
+            )
+        t = group.sort_by([("n", "descending"), ("o", "ascending")])
+        o = t["o"].combine_chunks()
+        n = t["n"].combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                "subj": pa.array([t["s"][0].as_py()], pa.int64()),
+                "n_objs": pa.array([t.num_rows], pa.int64()),
+                "n_asserts": pa.array([int(pc.sum(n).as_py())], pa.int64()),
+                "top_obj": pa.array([o[0].as_py()], pa.int64()),
+                "top_n": pa.array([n[0].as_py()], pa.int64()),
+                "second_obj": pa.array([o[1].as_py()], pa.int64()),
+                "second_n": pa.array([n[1].as_py()], pa.int64()),
+            }
+        )
+
+    out = _collect(
+        counts.groupby("s").map_groups(top2, batch_format="pyarrow")
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("subj", "ascending")]))
+
+
+def _sql_kg_conflicts() -> str:
+    from phrasekit_ray.pipelines.queries import _sql_flagship
+
+    return f"""
+WITH t AS ({_sql_flagship()}),
+d AS (SELECT subj, obj, count(*) AS n FROM t WHERE subj <> obj
+      GROUP BY 1, 2),
+r AS (SELECT subj, obj, n,
+        row_number() OVER (PARTITION BY subj ORDER BY n DESC, obj ASC) AS rk,
+        count(*) OVER (PARTITION BY subj) AS n_objs,
+        SUM(n) OVER (PARTITION BY subj) AS n_asserts
+      FROM d)
+SELECT subj, CAST(n_objs AS BIGINT) AS n_objs,
+       CAST(n_asserts AS BIGINT) AS n_asserts,
+       CAST(MAX(CASE WHEN rk = 1 THEN obj END) AS BIGINT) AS top_obj,
+       CAST(MAX(CASE WHEN rk = 1 THEN n END) AS BIGINT) AS top_n,
+       CAST(MAX(CASE WHEN rk = 2 THEN obj END) AS BIGINT) AS second_obj,
+       CAST(MAX(CASE WHEN rk = 2 THEN n END) AS BIGINT) AS second_n
+FROM r WHERE n_objs >= 2 AND rk <= 2
+GROUP BY subj, n_objs, n_asserts
+ORDER BY subj"""
+
+
+EXT_QUERIES.update({"q_kg_conflicts": q_kg_conflicts})
+EXT_ORACLE_SQL.update({"q_kg_conflicts": _sql_kg_conflicts()})
