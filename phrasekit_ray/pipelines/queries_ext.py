@@ -17,7 +17,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from phrasekit_ray.pipelines.queries import _collect, _docs, _i64
+from phrasekit_ray.pipelines.queries import _collect, _docs, _flagship_triples, _i64
 
 _CUTOFF = "1998-06-01"
 _CUTOFF_US = 896659200_000_000  # 1998-06-01T00:00:00Z in epoch microseconds
@@ -3488,19 +3488,9 @@ def q_kg_edge_provenance(sf_dir: str):
     production KG keeps next to every edge. One two-phase aggregate
     over the triple stream; the SQL twin wraps the full flagship
     recursive-CTE oracle."""
-    from phrasekit_ray.config import MineConfig, ScoreConfig
-    from phrasekit_ray.pipelines.kg import run_kg_pipeline
-    from phrasekit_ray.sources.pages import DEMO_BACKGROUND, pages_from_documents
     from phrasekit_ray.stages.agg import hash_aggregate
 
-    pages = pages_from_documents(sf_dir)
-    res = run_kg_pipeline(
-        pages,
-        {" ".join(t): c for t, c in DEMO_BACKGROUND},
-        MineConfig(min_n=2, max_n=5, min_count=3),
-        ScoreConfig(min_domain_count=3),
-        tag_concurrency=(1, 4),
-    )
+    triples = _flagship_triples(sf_dir)
 
     def prep(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -3515,7 +3505,7 @@ def q_kg_edge_provenance(sf_dir: str):
 
     t = _collect(
         hash_aggregate(
-            res.triples.map_batches(prep, batch_format="pyarrow"),
+            triples.map_batches(prep, batch_format="pyarrow"),
             ["subj", "obj"],
             [("n_mentions", "sum"), ("first_url", "min"), ("last_url", "max")],
         )
@@ -4895,19 +4885,10 @@ def q_kg_latest_facts(sf_dir: str):
     ``grouped_argmax`` (two-phase, in-block combiner) over the triple
     stream; warc_ts is recovered from the triple's source url exactly
     as pages synthesis defined it (ts_us = EPOCH_US + doc_id·10⁶)."""
-    from phrasekit_ray.config import MineConfig, ScoreConfig
-    from phrasekit_ray.pipelines.kg import run_kg_pipeline
-    from phrasekit_ray.sources.pages import DEMO_BACKGROUND, EPOCH_US, pages_from_documents
+    from phrasekit_ray.sources.pages import EPOCH_US
     from phrasekit_ray.stages.agg import grouped_argmax
 
-    pages = pages_from_documents(sf_dir)
-    res = run_kg_pipeline(
-        pages,
-        {" ".join(t): c for t, c in DEMO_BACKGROUND},
-        MineConfig(min_n=2, max_n=5, min_count=3),
-        ScoreConfig(min_domain_count=3),
-        tag_concurrency=(1, 4),
-    )
+    triples = _flagship_triples(sf_dir)
 
     def prep(b: pa.Table) -> pa.Table:
         d = pc.cast(
@@ -4927,7 +4908,7 @@ def q_kg_latest_facts(sf_dir: str):
         )
 
     latest = grouped_argmax(
-        res.triples.map_batches(prep, batch_format="pyarrow"),
+        triples.map_batches(prep, batch_format="pyarrow"),
         "subj", ["ts_us", "obj"], [],
     )
     t = _collect(latest)
@@ -5520,19 +5501,10 @@ def q_kg_edge_decay(sf_dir: str):
     triple stream); ts_us is recovered from the triple's source url
     exactly as pages synthesis defines it (ts_us = EPOCH_US +
     doc_id·10⁶). One map_batches weight pass + ONE two-phase sum."""
-    from phrasekit_ray.config import MineConfig, ScoreConfig
-    from phrasekit_ray.pipelines.kg import run_kg_pipeline
-    from phrasekit_ray.sources.pages import DEMO_BACKGROUND, EPOCH_US, pages_from_documents
+    from phrasekit_ray.sources.pages import EPOCH_US
     from phrasekit_ray.stages.agg import hash_aggregate
 
-    pages = pages_from_documents(sf_dir)
-    res = run_kg_pipeline(
-        pages,
-        {" ".join(t): c for t, c in DEMO_BACKGROUND},
-        MineConfig(min_n=2, max_n=5, min_count=3),
-        ScoreConfig(min_domain_count=3),
-        tag_concurrency=(1, 4),
-    )
+    triples = _flagship_triples(sf_dir)
 
     def prep(b: pa.Table) -> pa.Table:
         d = pc.cast(
@@ -5551,7 +5523,7 @@ def q_kg_edge_decay(sf_dir: str):
             }
         )
 
-    stamped = res.triples.map_batches(prep, batch_format="pyarrow").materialize()
+    stamped = triples.map_batches(prep, batch_format="pyarrow").materialize()
     if stamped.count() == 0:
         return pa.table(
             {
@@ -5833,19 +5805,9 @@ def q_kg_cardinality_profile(sf_dir: str):
     int64). Composition over the flagship triple stream: ONE two-phase
     (subj, obj) count → per-subject fan-out count → scalar MAX/COUNT
     reductions; the driver holds six scalars."""
-    from phrasekit_ray.config import MineConfig, ScoreConfig
-    from phrasekit_ray.pipelines.kg import run_kg_pipeline
-    from phrasekit_ray.sources.pages import DEMO_BACKGROUND, pages_from_documents
     from phrasekit_ray.stages.agg import grouped_count
 
-    pages = pages_from_documents(sf_dir)
-    res = run_kg_pipeline(
-        pages,
-        {" ".join(t): c for t, c in DEMO_BACKGROUND},
-        MineConfig(min_n=2, max_n=5, min_count=3),
-        ScoreConfig(min_domain_count=3),
-        tag_concurrency=(1, 4),
-    )
+    triples = _flagship_triples(sf_dir)
 
     def so(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -5856,7 +5818,7 @@ def q_kg_cardinality_profile(sf_dir: str):
         )
 
     pairs = grouped_count(
-        res.triples.map_batches(so, batch_format="pyarrow"),
+        triples.map_batches(so, batch_format="pyarrow"),
         ["subj", "obj"], count_col="n",
     ).materialize()
     n_triples = int(pairs.sum("n") or 0)
@@ -6476,19 +6438,10 @@ def q_kg_growth(sf_dir: str):
     (ONE two-phase min over the flagship triple stream, ts recovered
     from the source url as pages synthesis defines it), then ONE
     two-phase count per tumbling window."""
-    from phrasekit_ray.config import MineConfig, ScoreConfig
-    from phrasekit_ray.pipelines.kg import run_kg_pipeline
-    from phrasekit_ray.sources.pages import DEMO_BACKGROUND, EPOCH_US, pages_from_documents
+    from phrasekit_ray.sources.pages import EPOCH_US
     from phrasekit_ray.stages.agg import grouped_count, hash_aggregate
 
-    pages = pages_from_documents(sf_dir)
-    res = run_kg_pipeline(
-        pages,
-        {" ".join(t): c for t, c in DEMO_BACKGROUND},
-        MineConfig(min_n=2, max_n=5, min_count=3),
-        ScoreConfig(min_domain_count=3),
-        tag_concurrency=(1, 4),
-    )
+    triples = _flagship_triples(sf_dir)
 
     def prep(b: pa.Table) -> pa.Table:
         d = pc.cast(
@@ -6508,7 +6461,7 @@ def q_kg_growth(sf_dir: str):
         )
 
     births = hash_aggregate(
-        res.triples.map_batches(prep, batch_format="pyarrow"),
+        triples.map_batches(prep, batch_format="pyarrow"),
         ["subj", "obj"], [("ts_us", "min")],
     )
 
@@ -6571,19 +6524,9 @@ def q_kg_npmi_edges(sf_dir: str):
 
     Distribution: ONE two-phase pair count + TWO marginal counts +
     TWO int-keyed lookup_joins + a vectorized map; N is one scalar."""
-    from phrasekit_ray.config import MineConfig, ScoreConfig
-    from phrasekit_ray.pipelines.kg import run_kg_pipeline
-    from phrasekit_ray.sources.pages import DEMO_BACKGROUND, pages_from_documents
     from phrasekit_ray.stages.agg import grouped_count, lookup_join
 
-    pages = pages_from_documents(sf_dir)
-    res = run_kg_pipeline(
-        pages,
-        {" ".join(t): c for t, c in DEMO_BACKGROUND},
-        MineConfig(min_n=2, max_n=5, min_count=3),
-        ScoreConfig(min_domain_count=3),
-        tag_concurrency=(1, 4),
-    )
+    triples = _flagship_triples(sf_dir)
 
     def so(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -6593,7 +6536,7 @@ def q_kg_npmi_edges(sf_dir: str):
             }
         )
 
-    stream = res.triples.map_batches(so, batch_format="pyarrow").materialize()
+    stream = triples.map_batches(so, batch_format="pyarrow").materialize()
     pairs = grouped_count(stream, ["subj", "obj"], count_col="c_so").materialize()
     n_total = int(pairs.sum("c_so") or 0)
     subj_m = grouped_count(
@@ -6983,19 +6926,9 @@ def _flagship_distinct_edges(sf_dir: str):
     triples → MATERIALIZED distinct directed edge set (s, o), self-loops
     dropped, plus its row count (the driver fast-path gate for the
     wedge kernel). One two-phase count-aggregate."""
-    from phrasekit_ray.config import MineConfig, ScoreConfig
-    from phrasekit_ray.pipelines.kg import run_kg_pipeline
-    from phrasekit_ray.sources.pages import DEMO_BACKGROUND, pages_from_documents
     from phrasekit_ray.stages.agg import grouped_count
 
-    pages = pages_from_documents(sf_dir)
-    res = run_kg_pipeline(
-        pages,
-        {" ".join(t): c for t, c in DEMO_BACKGROUND},
-        MineConfig(min_n=2, max_n=5, min_count=3),
-        ScoreConfig(min_domain_count=3),
-        tag_concurrency=(1, 4),
-    )
+    triples = _flagship_triples(sf_dir)
 
     def so(b: pa.Table) -> pa.Table:
         s = b["subj"].combine_chunks().cast(pa.int64())
@@ -7004,7 +6937,7 @@ def _flagship_distinct_edges(sf_dir: str):
         return pa.table({"s": s.filter(keep), "o": o.filter(keep)})
 
     dist = grouped_count(
-        res.triples.map_batches(so, batch_format="pyarrow"), ["s", "o"]
+        triples.map_batches(so, batch_format="pyarrow"), ["s", "o"]
     ).map_batches(lambda b: b.select(["s", "o"]), batch_format="pyarrow")
     eds = dist.materialize()
     return eds, eds.count()
@@ -7106,19 +7039,9 @@ def q_kg_symmetry(sf_dir: str):
 
     ONE two-phase directed-pair count + a vectorized canonical fold +
     ONE two-phase sum merge (zero-union pattern) — no joins at all."""
-    from phrasekit_ray.config import MineConfig, ScoreConfig
-    from phrasekit_ray.pipelines.kg import run_kg_pipeline
-    from phrasekit_ray.sources.pages import DEMO_BACKGROUND, pages_from_documents
     from phrasekit_ray.stages.agg import grouped_count, hash_aggregate
 
-    pages = pages_from_documents(sf_dir)
-    res = run_kg_pipeline(
-        pages,
-        {" ".join(t): c for t, c in DEMO_BACKGROUND},
-        MineConfig(min_n=2, max_n=5, min_count=3),
-        ScoreConfig(min_domain_count=3),
-        tag_concurrency=(1, 4),
-    )
+    triples = _flagship_triples(sf_dir)
 
     def so(b: pa.Table) -> pa.Table:
         s = b["subj"].combine_chunks().cast(pa.int64())
@@ -7127,7 +7050,7 @@ def q_kg_symmetry(sf_dir: str):
         return pa.table({"s": s.filter(keep), "o": o.filter(keep)})
 
     directed = grouped_count(
-        res.triples.map_batches(so, batch_format="pyarrow"),
+        triples.map_batches(so, batch_format="pyarrow"),
         ["s", "o"], count_col="n",
     )
 
@@ -7408,19 +7331,9 @@ def q_kg_conflicts(sf_dir: str):
     ONE two-phase (subj, obj) count + ONE groupby-subject top-2 scan
     (each group is one subject's object list — bounded by per-subject
     distinct objects, never the corpus)."""
-    from phrasekit_ray.config import MineConfig, ScoreConfig
-    from phrasekit_ray.pipelines.kg import run_kg_pipeline
-    from phrasekit_ray.sources.pages import DEMO_BACKGROUND, pages_from_documents
     from phrasekit_ray.stages.agg import grouped_count
 
-    pages = pages_from_documents(sf_dir)
-    res = run_kg_pipeline(
-        pages,
-        {" ".join(t): c for t, c in DEMO_BACKGROUND},
-        MineConfig(min_n=2, max_n=5, min_count=3),
-        ScoreConfig(min_domain_count=3),
-        tag_concurrency=(1, 4),
-    )
+    triples = _flagship_triples(sf_dir)
 
     def so(b: pa.Table) -> pa.Table:
         s = b["subj"].combine_chunks().cast(pa.int64())
@@ -7429,7 +7342,7 @@ def q_kg_conflicts(sf_dir: str):
         return pa.table({"s": s.filter(keep), "o": o.filter(keep)})
 
     counts = grouped_count(
-        res.triples.map_batches(so, batch_format="pyarrow"),
+        triples.map_batches(so, batch_format="pyarrow"),
         ["s", "o"], count_col="n",
     )
 
