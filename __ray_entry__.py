@@ -151,6 +151,7 @@ _DRIVER_FIRST: list[str] = [
     "q_kg_symmetry",
     "q_random_walks",
     "q_kg_conflicts",
+    "q_boilerplate_segments",
     "q_mine_bigrams",
     "q_tag_all_mentions",
 ]

@@ -229,6 +229,7 @@ BENCH_QUERY_NAMES = [
         "q_kg_symmetry",
         "q_random_walks",
         "q_kg_conflicts",
+        "q_boilerplate_segments",
 ]
 
 

@@ -7405,3 +7405,143 @@ ORDER BY subj"""
 
 EXT_QUERIES.update({"q_kg_conflicts": q_kg_conflicts})
 EXT_ORACLE_SQL.update({"q_kg_conflicts": _sql_kg_conflicts()})
+
+
+def q_boilerplate_segments(sf_dir: str):
+    """Per-host boilerplate detection (X174) — the CCNet-style template
+    signal a web-cleaning pass removes before dedup/LM-filtering: an
+    html segment (text between ``<`` delimiters) present on ≥80% of a
+    host's pages is template scaffolding, not content. Emits (host,
+    segment, n_pages, host_pages) for every boilerplate segment; page
+    text and per-page outlink anchors fall under the threshold, the
+    fixed page template and the junk anchors clear it.
+
+    Differential design (the X104 pattern): the Ray side only ever
+    PARSES the html; the SQL twin recomputes the page template and the
+    deterministic anchor scheme from the generation rule — parser bugs
+    (segment boundary, empty-segment retention, per-page dedup) surface
+    as value mismatches.
+
+    Distribution: one vectorized split + per-page in-batch DISTINCT
+    (arrow group_by — a page never straddles batches), ONE two-phase
+    (host, segment) page count, host page totals broadcast (bounded by
+    distinct hosts; the threshold compare is integer 5·n ≥ 4·total)."""
+    import ray
+
+    from phrasekit_ray.sources.pages import pages_from_documents
+    from phrasekit_ray.stages.agg import grouped_count
+    from phrasekit_ray.stages.extract import host_of
+
+    pages = pages_from_documents(sf_dir, with_links=True)
+
+    def segs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"host": pa.array([], pa.string()),
+                 "seg": pa.array([], pa.string())}
+            )
+        host = host_of(batch["url"])
+        html = pc.cast(batch["html"].combine_chunks(), pa.large_binary())
+        parts = pc.split_pattern(html, b"<")
+        lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(parts)
+        pg = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens)
+        keep = pc.greater(pc.binary_length(flat), 0).to_numpy(
+            zero_copy_only=False
+        )
+        tbl = pa.table(
+            {
+                "pg": pa.array(pg[keep], pa.int64()),
+                "host": host.take(pa.array(pg[keep])),
+                "seg": flat.filter(pa.array(keep)).cast(pa.string()),
+            }
+        )
+        # DISTINCT per page: repeated junk anchors on one page count once
+        return tbl.group_by(["pg", "host", "seg"]).aggregate([]).drop_columns(
+            ["pg"]
+        )
+
+    per_page = pages.map_batches(segs, batch_format="pyarrow")
+    counts = grouped_count(per_page, ["host", "seg"], count_col="n_pages")
+
+    hp = _collect(
+        grouped_count(
+            pages.map_batches(
+                lambda b: pa.table({"host": host_of(b["url"])}),
+                batch_format="pyarrow",
+            ),
+            "host", count_col="host_pages",
+        )
+    )
+    totals = dict(
+        zip(hp["host"].to_pylist(), hp["host_pages"].to_pylist())
+    )
+    import ray as _ray
+    tot_ref = _ray.put(totals)
+
+    def attach(b: pa.Table) -> pa.Table:
+        from phrasekit_ray.stages.score import _get_broadcast
+
+        tot = _get_broadcast(tot_ref)
+        hosts = b["host"].combine_chunks()
+        n = b["n_pages"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        hpv = np.array([tot[h] for h in hosts.to_pylist()], np.int64)
+        keep = 5 * n >= 4 * hpv
+        return pa.table(
+            {
+                "host": hosts.filter(pa.array(keep)),
+                "segment": b["seg"].combine_chunks().filter(pa.array(keep)),
+                "n_pages": pa.array(n[keep], pa.int64()),
+                "host_pages": pa.array(hpv[keep], pa.int64()),
+            }
+        )
+
+    out = _collect(counts.map_batches(attach, batch_format="pyarrow"))
+    return out.take(
+        pc.sort_indices(
+            out, sort_keys=[("host", "ascending"), ("segment", "ascending")]
+        )
+    )
+
+
+def _sql_boilerplate_segments() -> str:
+    # regenerate html from the fixture rule: template + junk anchors +
+    # 1 + sm(8d+7)%3 real anchors (slot 1 carries "#top")
+    def slot(j: int) -> str:
+        t = f"({_sm_sql(f'CAST(doc_id AS HUGEINT)*8 + {j}')}) % 100003"
+        frag = "#top" if j == 1 else ""
+        return (
+            f"'<a href=\"https://h' || CAST(({t}) % 16 AS VARCHAR) || "
+            f"'.example.org/doc/' || CAST({t} AS VARCHAR) || '{frag}\">e' || "
+            f"CAST(({t}) % 50 AS VARCHAR) || '</a>'"
+        )
+
+    junk = (
+        "'<a href=\"/relative/path\"></a><a href=\"#frag\"></a>"
+        "<a href=\"mailto:ab@example.org\"></a>'"
+    )
+    nl = f"1 + (({_sm_sql('CAST(doc_id AS HUGEINT)*8 + 7')}) % 3)"
+    return f"""
+WITH h AS (SELECT source || '.example.org' AS host, doc_id,
+        '<html><body><p>' || text || '</p>' || {junk}
+        || {slot(1)}
+        || CASE WHEN ({nl}) >= 2 THEN {slot(2)} ELSE '' END
+        || CASE WHEN ({nl}) >= 3 THEN {slot(3)} ELSE '' END
+        || '</body></html>' AS html
+      FROM documents),
+seg AS (SELECT DISTINCT host, doc_id, u.x AS segment
+        FROM h, unnest(string_split(h.html, '<')) AS u(x)
+        WHERE u.x <> ''),
+hp AS (SELECT host, count(*) AS host_pages FROM h GROUP BY 1),
+cnt AS (SELECT host, segment, count(*) AS n_pages FROM seg GROUP BY 1, 2)
+SELECT c.host AS host, c.segment, CAST(c.n_pages AS BIGINT) AS n_pages,
+       CAST(hp.host_pages AS BIGINT) AS host_pages
+FROM cnt c JOIN hp ON hp.host = c.host
+WHERE 5 * c.n_pages >= 4 * hp.host_pages
+ORDER BY c.host, c.segment"""
+
+
+EXT_QUERIES.update({"q_boilerplate_segments": q_boilerplate_segments})
+EXT_ORACLE_SQL.update({"q_boilerplate_segments": _sql_boilerplate_segments()})
