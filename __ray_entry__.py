@@ -152,6 +152,7 @@ _DRIVER_FIRST: list[str] = [
     "q_random_walks",
     "q_kg_conflicts",
     "q_boilerplate_segments",
+    "q_kg_alias_ambiguity",
     "q_mine_bigrams",
     "q_tag_all_mentions",
 ]

@@ -230,6 +230,7 @@ BENCH_QUERY_NAMES = [
         "q_random_walks",
         "q_kg_conflicts",
         "q_boilerplate_segments",
+        "q_kg_alias_ambiguity",
 ]
 
 

@@ -7545,3 +7545,102 @@ ORDER BY c.host, c.segment"""
 
 EXT_QUERIES.update({"q_boilerplate_segments": q_boilerplate_segments})
 EXT_ORACLE_SQL.update({"q_boilerplate_segments": _sql_boilerplate_segments()})
+
+
+def q_kg_alias_ambiguity(sf_dir: str):
+    """Alias-token ambiguity profile (X175): for every token of the
+    model's phrase vocabulary, how many distinct phrases contain it and
+    how many distinct canonical entities those phrases resolve to — the
+    evidence an entity-LINKING stage weighs before trusting a single
+    token as an alias (``n_entities ≥ 2`` ⇒ the token alone cannot
+    disambiguate; the X117 anchor-text aliases are exactly such
+    tokens). Mining/scoring run distributed (the flagship prologue up
+    to the artifact build); the profile itself is a model-side pass
+    over the artifact's pattern table + canonical mapping — the SAME
+    artifact-sized bound the canonicalization pass relies on (SURVEY
+    §7.3), so the corpus is never re-read."""
+    from phrasekit_ray.config import MineConfig, ScoreConfig
+    from phrasekit_ray.pipelines.phrase import run_phrase_pipeline
+    from phrasekit_ray.sources.pages import DEMO_BACKGROUND, pages_from_documents
+    from phrasekit_ray.stages import kg as kgmod
+
+    phase = run_phrase_pipeline(
+        pages_from_documents(sf_dir),
+        {" ".join(t): c for t, c in DEMO_BACKGROUND},
+        MineConfig(min_n=2, max_n=5, min_count=3),
+        ScoreConfig(min_domain_count=3),
+        tag_concurrency=(1, 4),
+    )
+    art = phase.artifact
+    mapping = kgmod.canonical_mapping(
+        art.phrase_ids, kgmod.alias_edges_from_artifact(art)
+    )
+    prof: dict[str, tuple[set, set]] = {}
+    for pid, toks in zip(art.phrase_ids, art.pattern_tokens):
+        ent = mapping[int(pid)]
+        for tok in set(toks):
+            ps, es = prof.setdefault(tok, (set(), set()))
+            ps.add(int(pid))
+            es.add(ent)
+    toks_sorted = sorted(prof)
+    return pa.table(
+        {
+            "tok": pa.array(toks_sorted, pa.string()),
+            "n_phrases": pa.array(
+                [len(prof[t][0]) for t in toks_sorted], pa.int64()
+            ),
+            "n_entities": pa.array(
+                [len(prof[t][1]) for t in toks_sorted], pa.int64()
+            ),
+        }
+    )
+
+
+def _sql_kg_alias_ambiguity() -> str:
+    # flagship prefix CTEs (pages → phrases → alias closure → canon),
+    # duplicated from _sql_flagship rather than refactoring ten live
+    # oracles; the token profile replaces the match/lift suffix
+    from phrasekit_ray.pipelines.queries import _sql_win
+
+    wins = " UNION ALL ".join(_sql_win(n) for n in range(2, 6))
+    bg = ", ".join(
+        f"('{n}', {c})"
+        for n, c in [("for the", 50000), ("in the", 30000), ("to the", 25000),
+                     ("lysis buffer", 8), ("western blot", 5)]
+    )
+    return f"""
+WITH RECURSIVE pages AS (
+  SELECT 'https://example.org/' || source || '/' || CAST(doc_id AS VARCHAR) AS doc_id, text
+  FROM documents),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM pages),
+wins AS ({wins}),
+counts AS (SELECT ngram, count(*) AS cnt FROM wins GROUP BY 1 HAVING count(*) >= 3),
+bg(ngram, bcount) AS (SELECT * FROM (VALUES {bg}) v(n, c)),
+scored AS (
+  SELECT c.ngram, CAST(c.cnt AS DOUBLE) / (COALESCE(b.bcount, 0) + 1) AS salience
+  FROM counts c LEFT JOIN bg b USING (ngram)
+  WHERE CAST(c.cnt AS DOUBLE) / (COALESCE(b.bcount, 0) + 1) >= 2.0),
+phrases AS (
+  SELECT ngram, 999 + CAST(row_number() OVER (ORDER BY salience DESC, ngram ASC) AS BIGINT)
+         AS phrase_id FROM scored),
+ealias AS (SELECT a.phrase_id AS u, b.phrase_id AS v
+           FROM phrases a JOIN phrases b ON starts_with(b.ngram, a.ngram || ' ')),
+und AS (SELECT u, v FROM ealias UNION SELECT v, u FROM ealias
+        UNION SELECT phrase_id, phrase_id FROM phrases),
+reach(u, v) AS (SELECT u, v FROM und
+                UNION SELECT r.u, d.v FROM reach r JOIN und d ON d.u = r.v),
+canon AS (SELECT u AS phrase_id, min(v) AS entity FROM reach GROUP BY 1),
+ptoks AS (SELECT phrase_id, unnest(string_split(ngram, ' ')) AS tok
+          FROM phrases),
+j AS (SELECT DISTINCT p.tok, p.phrase_id, c.entity
+      FROM ptoks p JOIN canon c USING (phrase_id))
+SELECT tok, CAST(count(DISTINCT phrase_id) AS BIGINT) AS n_phrases,
+       CAST(count(DISTINCT entity) AS BIGINT) AS n_entities
+FROM j GROUP BY tok ORDER BY tok"""
+
+
+EXT_QUERIES.update({"q_kg_alias_ambiguity": q_kg_alias_ambiguity})
+EXT_ORACLE_SQL.update({"q_kg_alias_ambiguity": _sql_kg_alias_ambiguity()})
