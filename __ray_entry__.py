@@ -153,6 +153,7 @@ _DRIVER_FIRST: list[str] = [
     "q_kg_conflicts",
     "q_boilerplate_segments",
     "q_kg_alias_ambiguity",
+    "q_clean_boilerplate",
     "q_mine_bigrams",
     "q_tag_all_mentions",
 ]

@@ -231,6 +231,7 @@ BENCH_QUERY_NAMES = [
         "q_kg_conflicts",
         "q_boilerplate_segments",
         "q_kg_alias_ambiguity",
+        "q_clean_boilerplate",
 ]
 
 

@@ -7644,3 +7644,146 @@ FROM j GROUP BY tok ORDER BY tok"""
 
 EXT_QUERIES.update({"q_kg_alias_ambiguity": q_kg_alias_ambiguity})
 EXT_ORACLE_SQL.update({"q_kg_alias_ambiguity": _sql_kg_alias_ambiguity()})
+
+
+def q_clean_boilerplate(sf_dir: str):
+    """Composed boilerplate removal (X176) — X174's detector applied
+    back to every page, the two-pass shape of production template
+    cleaning (CCNet/trafilatura style): pass 1 computes each host's
+    boilerplate segment set (≥80% of the host's pages), pass 2 re-reads
+    the pages and reports, per page, total html segments, segments
+    removed as boilerplate, and the byte length of the CONTENT kept
+    (text after each surviving segment's first ``>``). The per-host
+    template set broadcasts once (``ray.put``, bounded by hosts ×
+    template size); the corpus is read twice rather than materialized —
+    the documented 100 TB trade (pipelines/clean.py precedent)."""
+    import ray
+
+    from phrasekit_ray.sources.pages import pages_from_documents
+    from phrasekit_ray.stages.extract import host_of
+
+    boiler = q_boilerplate_segments(sf_dir)
+    bref = ray.put(
+        pc.binary_join_element_wise(
+            boiler["host"].combine_chunks(),
+            boiler["segment"].combine_chunks(),
+            "\x00",
+        )
+    )
+
+    pages = pages_from_documents(sf_dir, with_links=True)
+
+    def clean(batch: pa.Table) -> pa.Table:
+        from phrasekit_ray.stages.score import _get_broadcast
+
+        bm = _get_broadcast(bref)
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "n_segs": pa.array([], pa.int64()),
+                    "n_boiler": pa.array([], pa.int64()),
+                    "content_chars": pa.array([], pa.int64()),
+                }
+            )
+        hosts = host_of(batch["url"])
+        html = pc.cast(batch["html"].combine_chunks(), pa.large_binary())
+        parts = pc.split_pattern(html, b"<")
+        lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(parts)
+        pg = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens)
+        keep = pc.greater(pc.binary_length(flat), 0).to_numpy(
+            zero_copy_only=False
+        )
+        pgk = pg[keep]
+        segk = flat.filter(pa.array(keep)).cast(pa.string())
+        # content length = bytes after the segment's first '>' (the tag
+        # body; a '>'-less segment keeps its full length, as the twin's
+        # CASE) — find_substring avoids a list gather
+        seg_len = pc.binary_length(flat).to_numpy(zero_copy_only=False)
+        gt = pc.find_substring(flat, ">").to_numpy(zero_copy_only=False)
+        body_len = np.where(gt >= 0, seg_len - gt - 1, seg_len)[keep]
+        # vectorized membership: one is_in over packed host\x00segment
+        # keys against the broadcast template set — no per-row Python
+        cand_keys = pc.binary_join_element_wise(
+            hosts.take(pa.array(pgk)), segk, "\x00"
+        )
+        isb = pc.is_in(cand_keys, value_set=bm).to_numpy(
+            zero_copy_only=False
+        )
+        n = batch.num_rows
+        n_segs = np.bincount(pgk, minlength=n).astype(np.int64)
+        n_boiler = np.bincount(pgk[isb], minlength=n).astype(np.int64)
+        kept_chars = np.bincount(
+            pgk[~isb], weights=body_len[~isb].astype(np.float64),
+            minlength=n,
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "url": batch["url"].combine_chunks().cast(pa.string()),
+                "n_segs": pa.array(n_segs, pa.int64()),
+                "n_boiler": pa.array(n_boiler, pa.int64()),
+                "content_chars": pa.array(kept_chars, pa.int64()),
+            }
+        )
+
+    out = _collect(pages.map_batches(clean, batch_format="pyarrow"))
+    return out.take(pc.sort_indices(out, sort_keys=[("url", "ascending")]))
+
+
+def _sql_clean_boilerplate() -> str:
+    base = _sql_boilerplate_segments()
+    # reuse X174's twin as a CTE: strip its ORDER BY tail and wrap
+    inner = base.rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH boiler AS ({inner}),
+h2 AS (SELECT 'https://' || source || '.example.org/' ||
+              CAST(doc_id AS VARCHAR) AS url,
+              source || '.example.org' AS host, doc_id, html
+       FROM ({_sql_boilerplate_pages()})),
+seg AS (SELECT url, host, u.x AS segment,
+               length(CASE WHEN position('>' IN u.x) > 0
+                      THEN substr(u.x, position('>' IN u.x) + 1)
+                      ELSE u.x END) AS body_len
+        FROM h2, unnest(string_split(h2.html, '<')) AS u(x)
+        WHERE u.x <> '')
+SELECT s.url AS url,
+       CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(SUM(CASE WHEN b.segment IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_boiler,
+       CAST(SUM(CASE WHEN b.segment IS NULL THEN s.body_len ELSE 0 END)
+            AS BIGINT) AS content_chars
+FROM seg s LEFT JOIN boiler b
+  ON b.host = s.host AND b.segment = s.segment
+GROUP BY s.url ORDER BY s.url"""
+
+
+def _sql_boilerplate_pages() -> str:
+    """The regenerated (host, doc_id, html) page table shared by the
+    X174/X176 twins (generation rule of sources/pages.py)."""
+
+    def slot(j: int) -> str:
+        t = f"({_sm_sql(f'CAST(doc_id AS HUGEINT)*8 + {j}')}) % 100003"
+        frag = "#top" if j == 1 else ""
+        return (
+            f"'<a href=\"https://h' || CAST(({t}) % 16 AS VARCHAR) || "
+            f"'.example.org/doc/' || CAST({t} AS VARCHAR) || '{frag}\">e' || "
+            f"CAST(({t}) % 50 AS VARCHAR) || '</a>'"
+        )
+
+    junk = (
+        "'<a href=\"/relative/path\"></a><a href=\"#frag\"></a>"
+        "<a href=\"mailto:ab@example.org\"></a>'"
+    )
+    nl = f"1 + (({_sm_sql('CAST(doc_id AS HUGEINT)*8 + 7')}) % 3)"
+    return f"""SELECT source, doc_id,
+        '<html><body><p>' || text || '</p>' || {junk}
+        || {slot(1)}
+        || CASE WHEN ({nl}) >= 2 THEN {slot(2)} ELSE '' END
+        || CASE WHEN ({nl}) >= 3 THEN {slot(3)} ELSE '' END
+        || '</body></html>' AS html
+      FROM documents"""
+
+
+EXT_QUERIES.update({"q_clean_boilerplate": q_clean_boilerplate})
+EXT_ORACLE_SQL.update({"q_clean_boilerplate": _sql_clean_boilerplate()})
