@@ -7787,3 +7787,152 @@ def _sql_boilerplate_pages() -> str:
 
 EXT_QUERIES.update({"q_clean_boilerplate": q_clean_boilerplate})
 EXT_ORACLE_SQL.update({"q_clean_boilerplate": _sql_clean_boilerplate()})
+
+
+def q_doc_keywords(sf_dir: str):
+    """Per-document top-3 TF-IDF keywords (X177) — the classic
+    keyword-extraction shape (Salton TF-IDF; the per-doc summary signal
+    next to corpus-level salience scoring F1-F3): score_micro =
+    round_half_away(tf · (ln N − ln df) · 10⁶) in exact int64
+    micro-units, top 3 per doc by (score desc, tok asc).
+
+    Exactness: ln runs on INTEGER-valued doubles only (the X123/X168
+    precedent — libm ln on integers is bit-identical between numpy and
+    DuckDB), the product is written in the SAME order both sides, and
+    ordering compares the ROUNDED int64, never the float.
+
+    Distribution: ONE explode + ONE two-phase (doc, tok) count, then df
+    WITHOUT a join — the tf stream shuffles once BY TOKEN and each
+    token's document frequency is just its segment length inside the
+    partition (rows are distinct (doc, tok) pairs), scattered back
+    vectorized. Top-3 per doc via the lossless two-phase
+    ``grouped_topk`` (per-block partial top-k, only survivors shuffle).
+    N is one metadata-count scalar."""
+    import ray
+
+    from phrasekit_ray.stages.agg import (
+        _part_column,
+        default_partitions,
+        grouped_count,
+        grouped_topk,
+        round_away,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    n_docs = docs.count()
+    lnN = np.log(np.float64(max(n_docs, 1)))
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"].combine_chunks(), " ")
+        sizes = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        did = b["doc_id"].combine_chunks().cast(pa.int64()).take(
+            pa.array(np.repeat(np.arange(len(sizes)), sizes))
+        )
+        return pa.table({"doc_id": did, "tok": toks.values})
+
+    tf = grouped_count(
+        docs.map_batches(explode, batch_format="pyarrow"),
+        ["doc_id", "tok"], count_col="tf",
+    )
+
+    nparts = default_partitions(None)
+
+    def add_tok_part(b: pa.Table) -> pa.Table:
+        return b.append_column("_part", _part_column(b, ["tok"], nparts))
+
+    def score_partition(g: pa.Table) -> pa.Table:
+        # all rows of a token are in this partition: df = segment size
+        t = g.drop_columns(["_part"])
+        t = t.take(pc.sort_indices(t, sort_keys=[("tok", "ascending")]))
+        tok = t["tok"].combine_chunks().to_numpy(zero_copy_only=False)
+        new = np.concatenate(([True], tok[1:] != tok[:-1]))
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(tok)))
+        df = np.repeat(sizes, sizes).astype(np.float64)
+        tfv = t["tf"].combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        idf = lnN - np.log(df)
+        term = tfv.astype(np.float64) * idf * 1e6
+        # same floor(x+0.5)/ceil(x-0.5) formulation as the SQL twin
+        # (X168 precedent) so float-boundary halves round identically
+        micro = np.where(
+            term >= 0, np.floor(term + 0.5), np.ceil(term - 0.5)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
+                "tok": t["tok"],
+                "tf": pa.array(tfv, pa.int64()),
+                "score_micro": pa.array(micro, pa.int64()),
+            }
+        )
+
+    scored = (
+        tf.map_batches(add_tok_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(score_partition, batch_format="pyarrow")
+    )
+
+    top = grouped_topk(
+        scored, "doc_id",
+        [("score_micro", "descending"), ("tok", "ascending")], k=3,
+    )
+    t = _collect(top)
+    t = t.take(
+        pc.sort_indices(
+            t,
+            sort_keys=[
+                ("doc_id", "ascending"),
+                ("score_micro", "descending"),
+                ("tok", "ascending"),
+            ],
+        )
+    )
+    did = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    new = np.concatenate(([True], did[1:] != did[:-1]))
+    starts = np.flatnonzero(new)
+    rank = (
+        np.arange(len(did))
+        - np.repeat(starts, np.diff(np.append(starts, len(did))))
+        + 1
+    )
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "rank": pa.array(rank.astype(np.int64), pa.int64()),
+            "tok": t["tok"],
+            "tf": t["tf"],
+            "score_micro": t["score_micro"],
+        }
+    )
+
+
+SQL_DOC_KEYWORDS = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY doc_id, tok),
+df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+s AS (SELECT t.doc_id, t.tok, t.tf,
+        CAST(t.tf AS DOUBLE)
+          * (ln(CAST(nd.n AS DOUBLE)) - ln(CAST(d.df AS DOUBLE)))
+          * 1000000 AS term
+      FROM tf t JOIN df d USING (tok), nd),
+m AS (SELECT doc_id, tok, tf,
+        CAST(CASE WHEN term >= 0 THEN floor(term + 0.5)
+             ELSE ceil(term - 0.5) END AS BIGINT) AS score_micro
+      FROM s),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score_micro DESC, tok ASC) AS rn
+      FROM m)
+SELECT doc_id, CAST(rn AS BIGINT) AS rank, tok, tf, score_micro
+FROM r WHERE rn <= 3 ORDER BY doc_id, rank
+"""
+
+
+EXT_QUERIES.update({"q_doc_keywords": q_doc_keywords})
+EXT_ORACLE_SQL.update({"q_doc_keywords": SQL_DOC_KEYWORDS})

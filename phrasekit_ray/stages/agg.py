@@ -1693,6 +1693,65 @@ def grouped_argmax(
     )
 
 
+def grouped_topk(
+    ds,
+    key_col: str,
+    sort_keys: list[tuple[str, str]],
+    k: int,
+    num_partitions: int | None = None,
+):
+    """Top-k rows per group under an arbitrary Arrow sort order — the
+    k-row generalization of ``grouped_argmax`` (SQL
+    ``QUALIFY row_number() OVER (PARTITION BY key ORDER BY ...) <= k``).
+
+    ``sort_keys`` is a pyarrow ``sort_indices`` spec
+    (``[("score", "descending"), ("tok", "ascending")]``) — mixed
+    int/string columns are fine because the kernel sorts through Arrow,
+    not numpy. The order must be TOTAL per key (add a unique tiebreak
+    column) for a deterministic result.
+
+    Scale shape: two-phase and lossless. Per-key top-k of a union is
+    contained in the union of per-block top-ks, so phase 1 reduces each
+    input block to ≤ k rows per key it contains (one Arrow sort + one
+    vectorized segment-rank mask), and only those survivors shuffle;
+    phase 2 runs the identical kernel per key partition. No Python
+    loops, no driver state.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    num_partitions = default_partitions(num_partitions)
+    spec = [(key_col, "ascending"), *sort_keys]
+
+    def reduce_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        t = batch.take(pc.sort_indices(batch, sort_keys=spec))
+        key = t[key_col].combine_chunks()
+        if pa.types.is_integer(key.type):
+            keyn = key.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            new = np.concatenate(([True], keyn[1:] != keyn[:-1]))
+        else:
+            keyn = key.to_numpy(zero_copy_only=False)
+            new = np.concatenate(([True], keyn[1:] != keyn[:-1]))
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(keyn)))
+        rank = np.arange(len(keyn)) - np.repeat(starts, sizes)
+        return t.filter(pa.array(rank < k))
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_part", _part_column(batch, [key_col], num_partitions)
+        )
+
+    reduced = ds.map_batches(reduce_block, batch_format="pyarrow").map_batches(
+        add_part, batch_format="pyarrow"
+    )
+    return reduced.groupby("_part").map_groups(
+        lambda g: reduce_block(g.drop_columns(["_part"])),
+        batch_format="pyarrow",
+    )
+
+
 def grouped_string_agg(
     ds,
     key_col: str,

@@ -1313,3 +1313,60 @@ def test_random_walks_follow_edges_and_hold_at_dead_ends(ray_session, sf_dir):
                 assert cur == prev, (s, t)  # dead end holds position
     # determinism: a second run is identical
     assert q_random_walks(sf_dir).to_pydict() == out
+
+
+def test_grouped_topk_matches_bruteforce_and_partitioning(ray_session):
+    """grouped_topk (X177 primitive): exact vs a driver brute force at
+    three partitionings, mixed int/string sort keys, duplicate order
+    values broken by the tiebreak column."""
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_topk
+
+    rng = np.random.RandomState(7)
+    n = 5000
+    key = rng.randint(0, 97, n).astype(np.int64)
+    score = rng.randint(0, 20, n).astype(np.int64)  # heavy ties
+    tok = np.array([f"t{v:04d}" for v in rng.randint(0, 500, n)])
+    t = pa.table(
+        {
+            "k": pa.array(key),
+            "score": pa.array(score),
+            "tok": pa.array(tok, pa.string()),
+        }
+    )
+
+    def brute(k_n):
+        import pandas as pd
+
+        df = t.to_pandas().sort_values(
+            ["k", "score", "tok"], ascending=[True, False, True]
+        )
+        out = df.groupby("k", sort=True).head(k_n)
+        return out.reset_index(drop=True)
+
+    for k_n in (1, 3):
+        want = brute(k_n)
+        for nblocks in (1, 4, 16):
+            ds = ray.data.from_arrow(t).repartition(nblocks)
+            got = (
+                grouped_topk(
+                    ds, "k",
+                    [("score", "descending"), ("tok", "ascending")], k_n,
+                )
+                .to_pandas()
+                .sort_values(["k", "score", "tok"], ascending=[True, False, True])
+                .reset_index(drop=True)
+            )
+            assert got.equals(want), (k_n, nblocks)
+
+
+def test_grouped_topk_rejects_bad_k(ray_session):
+    import pytest
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_topk
+
+    ds = ray.data.from_arrow(pa.table({"k": pa.array([1], pa.int64())}))
+    with pytest.raises(ValueError):
+        grouped_topk(ds, "k", [], 0)
