@@ -7936,3 +7936,112 @@ FROM r WHERE rn <= 3 ORDER BY doc_id, rank
 
 EXT_QUERIES.update({"q_doc_keywords": q_doc_keywords})
 EXT_ORACLE_SQL.update({"q_doc_keywords": SQL_DOC_KEYWORDS})
+
+
+def q_kg_threshold_curve(sf_dir: str, driver_edges_threshold: int = 2_000_000):
+    """Canonicalization threshold-sensitivity curve (X178): the KG
+    edge-pruning sweep an entity-resolution pass runs before picking an
+    NPMI cutoff (X168's stated purpose) — for each threshold θ, keep
+    edges with npmi_micro ≥ θ and report how fragmented the graph gets:
+    kept-edge count, incident-node count, connected-component count and
+    largest-component size. A cliff in n_components between two θ
+    values means the cutoff sits inside a load-bearing band; the
+    giant-component share falling is the over-merge risk going away.
+
+    Distribution: the NPMI edge table is model-sized (distinct KG
+    edges, the SURVEY §7.3 bound). Under ``driver_edges_threshold`` the
+    per-θ components run the deterministic min-root union-find the
+    canonicalization pass itself uses (the kg.py bounded-fast-path
+    convention — work is O(edges α(n)), far under one distributed
+    round's fixed cost here); above it, or when tests force it with
+    threshold=0, each θ runs the DISTRIBUTED hash-min label-propagation
+    operator (stages/kg.connected_components_distributed — the 100 TB
+    scale path) + a two-phase size count, and the driver only ever
+    holds the per-label size table (≤ nodes rows)."""
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_count
+    from phrasekit_ray.stages.kg import (
+        UnionFind,
+        connected_components_distributed,
+    )
+
+    npmi = q_kg_npmi_edges(sf_dir)
+    thetas = [480000, 520000, 560000, 600000]
+    out = {
+        "theta_micro": [], "n_edges": [], "n_nodes": [],
+        "n_components": [], "max_comp_size": [],
+    }
+    for th in thetas:
+        kept = npmi.filter(
+            pc.greater_equal(npmi["npmi_micro"], th)
+        ).select(["subj", "obj"])
+        out["theta_micro"].append(th)
+        out["n_edges"].append(kept.num_rows)
+        if kept.num_rows == 0:
+            out["n_nodes"].append(0)
+            out["n_components"].append(0)
+            out["max_comp_size"].append(0)
+            continue
+        if kept.num_rows <= driver_edges_threshold:
+            s = kept["subj"].to_numpy(zero_copy_only=False)
+            o = kept["obj"].to_numpy(zero_copy_only=False)
+            uf = UnionFind()
+            for a, b in zip(s.tolist(), o.tolist()):
+                uf.union(a, b)
+            nodes = np.unique(np.concatenate((s, o)))
+            lab = np.fromiter(
+                (uf.find(int(x)) for x in nodes), np.int64, len(nodes)
+            )
+            sz = np.unique(lab, return_counts=True)[1]
+        else:
+            labels = connected_components_distributed(
+                ray.data.from_arrow(kept), src_col="subj", dst_col="obj"
+            )
+            sizes = _collect(
+                grouped_count(labels, ["label"], count_col="sz")
+            )
+            sz = sizes["sz"].to_numpy(zero_copy_only=False)
+        out["n_nodes"].append(int(sz.sum()))
+        out["n_components"].append(len(sz))
+        out["max_comp_size"].append(int(sz.max()))
+    return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+
+def _sql_kg_threshold_curve() -> str:
+    # npmi CTE = the X168 twin nested as a subquery; per-θ recursive
+    # closure components (the X91/X165 pattern), sizes → one scalar row
+    from phrasekit_ray.pipelines.queries_ext import _sql_kg_npmi_edges
+
+    # np/e{i} MATERIALIZED (X165 lesson): DuckDB inlines CTEs, which
+    # would re-evaluate the whole nested flagship pipeline once per
+    # threshold — 4x the work and thousands of concurrent parquet-scan
+    # file handles (observed: "Too many open files" at 20k ulimit)
+    s = f"""
+WITH RECURSIVE np AS MATERIALIZED ({_sql_kg_npmi_edges()})"""
+    rows = []
+    for i, th in enumerate([480000, 520000, 560000, 600000]):
+        s += f""",
+e{i} AS MATERIALIZED (SELECT subj, obj FROM np WHERE npmi_micro >= {th}),
+ee{i} AS (SELECT subj AS u, obj AS v FROM e{i}
+          UNION SELECT obj, subj FROM e{i}),
+reach{i}(a, b) AS (
+  SELECT u, v FROM ee{i}
+  UNION
+  SELECT r.a, d.v FROM reach{i} r JOIN ee{i} d ON d.u = r.b),
+cc{i} AS (SELECT a AS node, least(a, min(b)) AS label
+          FROM reach{i} GROUP BY a),
+sz{i} AS (SELECT label, count(*) AS cnt FROM cc{i} GROUP BY label),
+row{i} AS (SELECT CAST({th} AS BIGINT) AS theta_micro,
+        (SELECT CAST(count(*) AS BIGINT) FROM e{i}) AS n_edges,
+        CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_nodes,
+        CAST(COUNT(*) AS BIGINT) AS n_components,
+        CAST(COALESCE(MAX(cnt), 0) AS BIGINT) AS max_comp_size
+      FROM sz{i})"""
+        rows.append(f"SELECT * FROM row{i}")
+    s += "\n" + " UNION ALL ".join(rows) + " ORDER BY theta_micro"
+    return s
+
+
+EXT_QUERIES.update({"q_kg_threshold_curve": q_kg_threshold_curve})
+EXT_ORACLE_SQL.update({"q_kg_threshold_curve": _sql_kg_threshold_curve()})

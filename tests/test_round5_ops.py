@@ -1370,3 +1370,19 @@ def test_grouped_topk_rejects_bad_k(ray_session):
     ds = ray.data.from_arrow(pa.table({"k": pa.array([1], pa.int64())}))
     with pytest.raises(ValueError):
         grouped_topk(ds, "k", [], 0)
+
+
+def test_kg_threshold_curve_distributed_matches_fast_path(ray_session, sf_dir):
+    """X178: the forced-distributed path (driver_edges_threshold=0 →
+    hash-min label propagation + two-phase size count per θ) returns
+    the identical curve as the bounded union-find fast path."""
+    from phrasekit_ray.pipelines.queries_ext import q_kg_threshold_curve
+
+    fast = q_kg_threshold_curve(sf_dir)
+    dist = q_kg_threshold_curve(sf_dir, driver_edges_threshold=0)
+    assert fast.equals(dist)
+    d = fast.to_pydict()
+    # monotonicity: raising θ never adds edges; the giant component
+    # can only fragment
+    assert d["n_edges"] == sorted(d["n_edges"], reverse=True)
+    assert d["max_comp_size"] == sorted(d["max_comp_size"], reverse=True)
