@@ -8045,3 +8045,140 @@ row{i} AS (SELECT CAST({th} AS BIGINT) AS theta_micro,
 
 EXT_QUERIES.update({"q_kg_threshold_curve": q_kg_threshold_curve})
 EXT_ORACLE_SQL.update({"q_kg_threshold_curve": _sql_kg_threshold_curve()})
+
+
+def q_alias_disambig(sf_dir: str):
+    """Alias disambiguation by assertion evidence (X179) — the
+    entity-LINK-scoring step the north star names: for every ambiguous
+    alias token (X175's ``n_entities ≥ 2`` case — the token alone
+    cannot identify an entity), rank its candidate entities by how
+    often each is asserted in the KG (appearances as subject or object
+    of the flagship triple stream — the popularity prior a linker
+    falls back to without context) and emit the winner, ties to the
+    smaller entity id. Candidates never asserted score 0 (zero-union).
+
+    Distribution: mining/scoring/tagging run distributed (the flagship
+    prologue); the entity assertion marginal is ONE two-phase count
+    over the triple stream (each triple credits subj and obj once);
+    the candidate table is model-sized (artifact pattern table ×
+    canonical mapping — the SURVEY §7.3 bound), so the final argmax is
+    a model-side vectorized pass."""
+    from phrasekit_ray.config import MineConfig, ScoreConfig
+    from phrasekit_ray.pipelines.phrase import run_phrase_pipeline
+    from phrasekit_ray.sources.pages import DEMO_BACKGROUND, pages_from_documents
+    from phrasekit_ray.stages import kg as kgmod
+    from phrasekit_ray.stages.agg import grouped_count
+
+    phase = run_phrase_pipeline(
+        pages_from_documents(sf_dir),
+        {" ".join(t): c for t, c in DEMO_BACKGROUND},
+        MineConfig(min_n=2, max_n=5, min_count=3),
+        ScoreConfig(min_domain_count=3),
+        tag_concurrency=(1, 4),
+    )
+    art = phase.artifact
+    mapping = kgmod.canonical_mapping(
+        art.phrase_ids, kgmod.alias_edges_from_artifact(art)
+    )
+    cand: dict[str, set[int]] = {}
+    for pid, toks in zip(art.phrase_ids, art.pattern_tokens):
+        ent = mapping[int(pid)]
+        for tok in set(toks):
+            cand.setdefault(tok, set()).add(ent)
+
+    triples = _flagship_triples(sf_dir)
+
+    def ents(b: pa.Table) -> pa.Table:
+        s = b["subj"].combine_chunks().cast(pa.int64())
+        o = b["obj"].combine_chunks().cast(pa.int64())
+        return pa.table({"e": pa.concat_arrays([s, o])})
+
+    ec = _collect(
+        grouped_count(
+            triples.map_batches(ents, batch_format="pyarrow"),
+            ["e"], count_col="cnt",
+        )
+    )
+    counts = dict(
+        zip(ec["e"].to_pylist(), (int(c) for c in ec["cnt"].to_pylist()))
+    )
+
+    rows = []
+    for tok in sorted(cand):
+        es = cand[tok]
+        if len(es) < 2:
+            continue
+        best = min(es, key=lambda e: (-counts.get(e, 0), e))
+        rows.append((tok, len(es), best, counts.get(best, 0)))
+    return pa.table(
+        {
+            "tok": pa.array([r[0] for r in rows], pa.string()),
+            "n_entities": pa.array([r[1] for r in rows], pa.int64()),
+            "best_entity": pa.array([r[2] for r in rows], pa.int64()),
+            "best_count": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _sql_alias_disambig() -> str:
+    # X175's phrase/canon prefix + the flagship triple stream nested as
+    # one CTE (X168 pattern; inner WITH shadows the prefix names);
+    # winner per ambiguous token via a ranked window over the
+    # assertion-marginal zero-union
+    from phrasekit_ray.pipelines.queries import _sql_flagship, _sql_win
+
+    wins = " UNION ALL ".join(_sql_win(n) for n in range(2, 6))
+    bg = ", ".join(
+        f"('{n}', {c})"
+        for n, c in [("for the", 50000), ("in the", 30000), ("to the", 25000),
+                     ("lysis buffer", 8), ("western blot", 5)]
+    )
+    return f"""
+WITH RECURSIVE pages AS (
+  SELECT 'https://example.org/' || source || '/' || CAST(doc_id AS VARCHAR) AS doc_id, text
+  FROM documents),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM pages),
+wins AS ({wins}),
+counts AS (SELECT ngram, count(*) AS cnt FROM wins GROUP BY 1 HAVING count(*) >= 3),
+bg(ngram, bcount) AS (SELECT * FROM (VALUES {bg}) v(n, c)),
+scored AS (
+  SELECT c.ngram, CAST(c.cnt AS DOUBLE) / (COALESCE(b.bcount, 0) + 1) AS salience
+  FROM counts c LEFT JOIN bg b USING (ngram)
+  WHERE CAST(c.cnt AS DOUBLE) / (COALESCE(b.bcount, 0) + 1) >= 2.0),
+phrases AS (
+  SELECT ngram, 999 + CAST(row_number() OVER (ORDER BY salience DESC, ngram ASC) AS BIGINT)
+         AS phrase_id FROM scored),
+ealias AS (SELECT a.phrase_id AS u, b.phrase_id AS v
+           FROM phrases a JOIN phrases b ON starts_with(b.ngram, a.ngram || ' ')),
+und AS (SELECT u, v FROM ealias UNION SELECT v, u FROM ealias
+        UNION SELECT phrase_id, phrase_id FROM phrases),
+reach(u, v) AS (SELECT u, v FROM und
+                UNION SELECT r.u, d.v FROM reach r JOIN und d ON d.u = r.v),
+canon AS (SELECT u AS phrase_id, min(v) AS entity FROM reach GROUP BY 1),
+ptoks AS (SELECT phrase_id, unnest(string_split(ngram, ' ')) AS tok
+          FROM phrases),
+cand AS (SELECT DISTINCT p.tok, c.entity
+         FROM ptoks p JOIN canon c USING (phrase_id)),
+amb AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_entities
+        FROM cand GROUP BY tok HAVING count(*) >= 2),
+t AS MATERIALIZED ({_sql_flagship()}),
+ec AS (SELECT e, CAST(count(*) AS BIGINT) AS cnt FROM
+         (SELECT subj AS e FROM t UNION ALL SELECT obj FROM t)
+       GROUP BY e),
+ranked AS (
+  SELECT cand.tok, amb.n_entities, cand.entity,
+         COALESCE(ec.cnt, 0) AS cnt,
+         row_number() OVER (PARTITION BY cand.tok
+                            ORDER BY COALESCE(ec.cnt, 0) DESC,
+                                     cand.entity ASC) AS rn
+  FROM cand JOIN amb USING (tok) LEFT JOIN ec ON ec.e = cand.entity)
+SELECT tok, n_entities, entity AS best_entity,
+       CAST(cnt AS BIGINT) AS best_count
+FROM ranked WHERE rn = 1 ORDER BY tok"""
+
+
+EXT_QUERIES.update({"q_alias_disambig": q_alias_disambig})
+EXT_ORACLE_SQL.update({"q_alias_disambig": _sql_alias_disambig()})
