@@ -232,6 +232,9 @@ BENCH_QUERY_NAMES = [
         "q_boilerplate_segments",
         "q_kg_alias_ambiguity",
         "q_clean_boilerplate",
+        "q_doc_keywords",
+        "q_kg_threshold_curve",
+        "q_alias_disambig",
 ]
 
 
