@@ -235,6 +235,7 @@ BENCH_QUERY_NAMES = [
         "q_doc_keywords",
         "q_kg_threshold_curve",
         "q_alias_disambig",
+        "q_entity_density",
 ]
 
 

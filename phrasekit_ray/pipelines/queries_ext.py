@@ -8182,3 +8182,123 @@ FROM ranked WHERE rn = 1 ORDER BY tok"""
 
 EXT_QUERIES.update({"q_alias_disambig": q_alias_disambig})
 EXT_ORACLE_SQL.update({"q_alias_disambig": _sql_alias_disambig()})
+
+
+def q_entity_density(sf_dir: str):
+    """Per-document entity-mention density (X180) — the
+    weak-supervision yield QA a labeling pipeline reads before trusting
+    its projected labels: per doc the token count, detected mention
+    count, DISTINCT phrase count, and density_micro =
+    10⁶·n_mentions // n_tokens. Dense docs are label-rich training
+    material; zero-mention docs are the recall blind spot to sample
+    and audit (they report 0s via zero-union, never drop out).
+
+    Distribution: mentions come from the distributed tagger
+    (_tagged_all_bigrams — load-once actor pool); per-doc mention and
+    DISTINCT-phrase counts are two-phase aggregates; token counts are
+    one vectorized map over the corpus. The three streams merge by
+    UNION + one summing hash_aggregate (the zero-union pattern) — no
+    outer join, one shuffle."""
+    from phrasekit_ray.pipelines.queries import _docs, _tagged_all_bigrams
+    from phrasekit_ray.stages import kg as kgmod
+    from phrasekit_ray.stages.agg import (
+        grouped_count,
+        grouped_count_distinct,
+        hash_aggregate,
+    )
+
+    tagged, _ = _tagged_all_bigrams(sf_dir)
+    mentions = kgmod.mentions_from_tagged(tagged)
+
+    def m_sel(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": b["doc_id"].combine_chunks().cast(pa.int64())}
+        )
+
+    mc = grouped_count(
+        mentions.map_batches(m_sel, batch_format="pyarrow"),
+        ["doc_id"], count_col="n_mentions",
+    )
+    pd_ = grouped_count_distinct(
+        mentions, "doc_id", "phrase_id", count_col="n_phrases"
+    )
+
+    def widen(col: str):
+        def f(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            z = pa.array(np.zeros(n, np.int64))
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"].combine_chunks().cast(pa.int64()),
+                    "n_tokens": b[col].cast(pa.int64())
+                    if col == "n_tokens" else z,
+                    "n_mentions": b[col].cast(pa.int64())
+                    if col == "n_mentions" else z,
+                    "n_phrases": b[col].cast(pa.int64())
+                    if col == "n_phrases" else z,
+                }
+            )
+
+        return f
+
+    def tok_counts(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].combine_chunks().cast(pa.int64()),
+                "n_tokens": pc.list_value_length(
+                    pc.split_pattern(b["text"], " ")
+                ).cast(pa.int64()),
+            }
+        )
+
+    tc = _docs(sf_dir).map_batches(tok_counts, batch_format="pyarrow")
+    unioned = (
+        tc.map_batches(widen("n_tokens"), batch_format="pyarrow")
+        .union(mc.map_batches(widen("n_mentions"), batch_format="pyarrow"))
+        .union(pd_.map_batches(widen("n_phrases"), batch_format="pyarrow"))
+    )
+    agg = hash_aggregate(
+        unioned, ["doc_id"],
+        [("n_tokens", "sum"), ("n_mentions", "sum"), ("n_phrases", "sum")],
+    )
+
+    def density(b: pa.Table) -> pa.Table:
+        nt = b["n_tokens"].combine_chunks().to_numpy(zero_copy_only=False)
+        nm = b["n_mentions"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].combine_chunks().cast(pa.int64()),
+                "n_tokens": pa.array(nt, pa.int64()),
+                "n_mentions": pa.array(nm, pa.int64()),
+                "n_phrases": b["n_phrases"].cast(pa.int64()),
+                "density_micro": pa.array(
+                    np.int64(10**6) * nm // np.maximum(nt, 1), pa.int64()
+                ),
+            }
+        )
+
+    t = _collect(agg.map_batches(density, batch_format="pyarrow"))
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+def _sql_entity_density() -> str:
+    from phrasekit_ray.pipelines.queries import _sql_mentions
+
+    return f"""
+{_sql_mentions()},
+tcounts AS (SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents),
+md AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_mentions,
+              CAST(count(DISTINCT phrase_id) AS BIGINT) AS n_phrases
+       FROM mentions GROUP BY doc_id)
+SELECT t.doc_id, t.n_tokens,
+       CAST(COALESCE(m.n_mentions, 0) AS BIGINT) AS n_mentions,
+       CAST(COALESCE(m.n_phrases, 0) AS BIGINT) AS n_phrases,
+       CAST(1000000 * COALESCE(m.n_mentions, 0)
+            // GREATEST(t.n_tokens, 1) AS BIGINT) AS density_micro
+FROM tcounts t LEFT JOIN md m USING (doc_id) ORDER BY t.doc_id"""
+
+
+EXT_QUERIES.update({"q_entity_density": q_entity_density})
+EXT_ORACLE_SQL.update({"q_entity_density": _sql_entity_density()})
