@@ -236,6 +236,7 @@ BENCH_QUERY_NAMES = [
         "q_kg_threshold_curve",
         "q_alias_disambig",
         "q_entity_density",
+        "q_walk_ppmi",
 ]
 
 

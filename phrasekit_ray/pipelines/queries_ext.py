@@ -8302,3 +8302,163 @@ FROM tcounts t LEFT JOIN md m USING (doc_id) ORDER BY t.doc_id"""
 
 EXT_QUERIES.update({"q_entity_density": q_entity_density})
 EXT_ORACLE_SQL.update({"q_entity_density": _sql_entity_density()})
+
+
+_PPMI_WINDOW = 2
+
+
+def q_walk_ppmi(sf_dir: str):
+    """Skip-gram PPMI co-occurrence over the random-walk corpus (X181) —
+    the matrix DeepWalk factorizes: for every ordered (center, context)
+    host pair within ±2 steps inside one X172 walk,
+    ppmi = max(0, ln c_ab + ln N − ln c_a − ln c_b) where c_a / c_b are
+    center / context marginals over the pair stream and N its total.
+    The embedding-ready association table a node2vec-as-matrix pass
+    trains on — walks (X172) → windowed pairs → PPMI (this operator)
+    → truncated factorization.
+
+    Exactness: X168's bit-exact protocol — every ln on an
+    INTEGER-valued double, identical expression order both sides,
+    round half-away-from-zero to int64 micro-units, clamp at 0 AFTER
+    rounding.
+
+    Distribution: walks arrive as fixed-length sequences (one list row
+    per walk — at web scale the X172 generator emits them partitioned,
+    whole walks never straddle blocks); pair emission is one vectorized
+    strided-offset map (no Python per-pair loop), then ONE two-phase
+    pair count + TWO marginal counts + TWO int-keyed lookup_joins +
+    a vectorized PPMI map, N one scalar. Host-id dictionary is
+    model-sized (SURVEY §7.3 bound) exactly as in X172."""
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_count, lookup_join
+
+    wt = q_random_walks(sf_dir)  # sorted by (start_host, step)
+    n_steps = _WALK_STEPS + 1
+    hosts = pc.unique(wt["start_host"]).to_pylist()  # ascending
+    hid = {h: i for i, h in enumerate(hosts)}
+    node = np.array([hid[h] for h in wt["host"].to_pylist()], np.int64)
+    seq = node.reshape(-1, n_steps)
+    walks = ray.data.from_arrow(
+        pa.table(
+            {
+                "walk": pa.array(np.arange(seq.shape[0], dtype=np.int64)),
+                "seq": pa.array(seq.tolist(), pa.list_(pa.int64())),
+            }
+        )
+    )
+
+    def emit_pairs(b: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(b["seq"]).to_numpy(zero_copy_only=False)
+        m = flat.reshape(-1, n_steps)
+        cs, xs = [], []
+        for d in range(1, _PPMI_WINDOW + 1):
+            a, bb = m[:, :-d].ravel(), m[:, d:].ravel()
+            cs.append(a)
+            xs.append(bb)
+            cs.append(bb)
+            xs.append(a)
+        return pa.table(
+            {
+                "c": pa.array(np.concatenate(cs), pa.int64()),
+                "x": pa.array(np.concatenate(xs), pa.int64()),
+            }
+        )
+
+    stream = walks.map_batches(emit_pairs, batch_format="pyarrow").materialize()
+    pair_c = grouped_count(stream, ["c", "x"], count_col="c_ab").materialize()
+    n_total = int(pair_c.sum("c_ab") or 0)
+    cm = grouped_count(
+        stream.map_batches(
+            lambda b: pa.table({"c": b["c"]}), batch_format="pyarrow"
+        ),
+        "c", count_col="c_c",
+    )
+    xm = grouped_count(
+        stream.map_batches(
+            lambda b: pa.table({"x": b["x"]}), batch_format="pyarrow"
+        ),
+        "x", count_col="c_x",
+    )
+    p_schema = pa.schema(
+        [("c", pa.int64()), ("x", pa.int64()), ("c_ab", pa.int64())]
+    )
+    with_c = lookup_join(
+        pair_c, cm, "c", "c",
+        left_schema=p_schema,
+        right_schema=pa.schema([("c", pa.int64()), ("c_c", pa.int64())]),
+    )
+    with_cx = lookup_join(
+        with_c, xm, "x", "x",
+        left_schema=pa.schema(
+            [("c", pa.int64()), ("x", pa.int64()),
+             ("c_ab", pa.int64()), ("c_c", pa.int64())]
+        ),
+        right_schema=pa.schema([("x", pa.int64()), ("c_x", pa.int64())]),
+    )
+
+    lnN = np.log(np.float64(max(n_total, 1)))
+
+    def ppmi(b: pa.Table) -> pa.Table:
+        cab = b["c_ab"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        cc = b["c_c"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        cx = b["c_x"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = np.log(cab) + lnN - np.log(cc) - np.log(cx)
+        term = pmi * 1e6
+        micro = np.where(
+            term >= 0, np.floor(term + 0.5), np.ceil(term - 0.5)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "c": b["c"],
+                "x": b["x"],
+                "c_ab": b["c_ab"].cast(pa.int64()),
+                "ppmi_micro": pa.array(np.maximum(micro, 0), pa.int64()),
+            }
+        )
+
+    t = _collect(with_cx.map_batches(ppmi, batch_format="pyarrow"))
+    names = pa.array(hosts, pa.string())
+    out = pa.table(
+        {
+            "center_host": names.take(t["c"].combine_chunks()),
+            "context_host": names.take(t["x"].combine_chunks()),
+            "c_ab": t["c_ab"].combine_chunks(),
+            "ppmi_micro": t["ppmi_micro"].combine_chunks(),
+        }
+    )
+    return out.take(
+        pc.sort_indices(
+            out,
+            sort_keys=[
+                ("center_host", "ascending"),
+                ("context_host", "ascending"),
+            ],
+        )
+    )
+
+
+def _sql_walk_ppmi() -> str:
+    return f"""
+WITH wt AS MATERIALIZED ({_sql_random_walks()}),
+pr AS (SELECT a.host AS c, b.host AS x
+       FROM wt a JOIN wt b ON b.start_host = a.start_host
+        AND abs(a.step - b.step) BETWEEN 1 AND {_PPMI_WINDOW}),
+pairs AS (SELECT c, x, CAST(count(*) AS BIGINT) AS c_ab
+          FROM pr GROUP BY c, x),
+cm AS (SELECT c, CAST(count(*) AS BIGINT) AS c_c FROM pr GROUP BY c),
+xm AS (SELECT x, CAST(count(*) AS BIGINT) AS c_x FROM pr GROUP BY x),
+tot AS (SELECT GREATEST(CAST(SUM(c_ab) AS BIGINT), 1) AS n FROM pairs),
+v AS (SELECT p.c, p.x, p.c_ab,
+        (ln(CAST(p.c_ab AS DOUBLE)) + ln(CAST(tot.n AS DOUBLE))
+         - ln(CAST(cm.c_c AS DOUBLE)) - ln(CAST(xm.c_x AS DOUBLE))) AS pmi
+      FROM pairs p JOIN cm ON cm.c = p.c JOIN xm ON xm.x = p.x, tot)
+SELECT c AS center_host, x AS context_host, c_ab,
+       CAST(GREATEST(CASE WHEN pmi >= 0 THEN floor(pmi * 1000000 + 0.5)
+                          ELSE ceil(pmi * 1000000 - 0.5) END,
+                     0) AS BIGINT) AS ppmi_micro
+FROM v ORDER BY center_host, context_host"""
+
+
+EXT_QUERIES.update({"q_walk_ppmi": q_walk_ppmi})
+EXT_ORACLE_SQL.update({"q_walk_ppmi": _sql_walk_ppmi()})
