@@ -237,6 +237,8 @@ BENCH_QUERY_NAMES = [
         "q_alias_disambig",
         "q_entity_density",
         "q_walk_ppmi",
+        "q_ccnet_buckets",
+        "q_containment_pairs",
 ]
 
 

@@ -8462,3 +8462,143 @@ FROM v ORDER BY center_host, context_host"""
 
 EXT_QUERIES.update({"q_walk_ppmi": q_walk_ppmi})
 EXT_ORACLE_SQL.update({"q_walk_ppmi": _sql_walk_ppmi()})
+
+
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet-style per-language perplexity-tercile partition (X182):
+    each document scored by the corpus-trained unigram LM (X66's exact
+    integer micro-nat NLL), then split head/middle/tail WITHIN its
+    language by the exact per-lang NLL terciles — the canonical
+    pretraining-corpus quality gate (Wenzek et al. 2020: keep the head,
+    sample the middle, drop the tail). bucket 0 = head (lowest NLL).
+
+    Scale shape (the reason this is threshold-based, not rank-based):
+    thresholds come from X43's exact distributed ``grouped_quantiles_int``
+    (shuffle moves (lang, nll) DISTINCT-VALUE counts, not docs), the
+    2-per-lang threshold table is model-sized and broadcast, and bucket
+    assignment is one vectorized compare per batch — no per-lang global
+    sort of the corpus, no skew exposure on the 5-language key. The
+    tercile q's are 1/3 and 2/3 as float64 (1.0/3.0 both sides) and the
+    stage replicates DuckDB quantile_cont interpolation bit-for-bit, so
+    the int64-vs-threshold compares are exact."""
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_quantiles_int, lookup_join
+    from phrasekit_ray.stages.lm import unigram_nll_scores
+
+    docs = _docs(sf_dir)
+    nll = unigram_nll_scores(docs).materialize()
+    lang = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    with_lang = lookup_join(nll, lang, "doc_id", "doc_id").materialize()
+
+    th_t = _collect(
+        grouped_quantiles_int(
+            with_lang, "lang", "nll_micro",
+            {"q33": 1.0 / 3.0, "q67": 2.0 / 3.0},
+        )
+    )
+    q33 = dict(zip(th_t["lang"].to_pylist(), th_t["q33"].to_pylist()))
+    q67 = dict(zip(th_t["lang"].to_pylist(), th_t["q67"].to_pylist()))
+
+    def assign(b: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(b["lang"].combine_chunks())
+        uniq = enc.dictionary.to_pylist()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        v = b["nll_micro"].combine_chunks().to_numpy(zero_copy_only=False)
+        lo = np.array([q33[l] for l in uniq], np.float64)[idx]
+        hi = np.array([q67[l] for l in uniq], np.float64)[idx]
+        vf = v.astype(np.float64)  # nll_micro << 2^53, exact
+        bucket = np.where(vf <= lo, 0, np.where(vf <= hi, 1, 2))
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "lang": b["lang"],
+                "nll_micro": b["nll_micro"].cast(pa.int64()),
+                "bucket": pa.array(bucket.astype(np.int64), pa.int64()),
+            }
+        )
+
+    t = _collect(with_lang.map_batches(assign, batch_format="pyarrow"))
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+SQL_CCNET_BUCKETS = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok
+        HAVING count(*) >= 2),
+vocab AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok ASC LIMIT 1000000),
+tot AS (SELECT CAST(sum(c) + count(*) AS DOUBLE) AS denom FROM vocab),
+lp AS (SELECT t.doc_id,
+         CAST(round(ln((COALESCE(v.c, 0) + 1.0) / tot.denom) * 1000000.0)
+              AS BIGINT) AS lpm
+       FROM toks t LEFT JOIN vocab v ON v.tok = t.tok CROSS JOIN tot),
+nll AS (SELECT d.doc_id, d.lang, COALESCE(s.nll_micro, 0) AS nll_micro
+        FROM documents d LEFT JOIN (
+          SELECT doc_id, CAST(-sum(lpm) AS BIGINT) AS nll_micro
+          FROM lp GROUP BY doc_id) s ON s.doc_id = d.doc_id),
+th AS (SELECT lang,
+         quantile_cont(CAST(nll_micro AS DOUBLE), 1.0/3.0) AS q33,
+         quantile_cont(CAST(nll_micro AS DOUBLE), 2.0/3.0) AS q67
+       FROM nll GROUP BY lang)
+SELECT CAST(n.doc_id AS BIGINT) AS doc_id, n.lang, n.nll_micro,
+       CAST(CASE WHEN CAST(n.nll_micro AS DOUBLE) <= th.q33 THEN 0
+                 WHEN CAST(n.nll_micro AS DOUBLE) <= th.q67 THEN 1
+                 ELSE 2 END AS BIGINT) AS bucket
+FROM nll n JOIN th ON th.lang = n.lang
+ORDER BY doc_id
+"""
+
+
+EXT_QUERIES.update({"q_ccnet_buckets": q_ccnet_buckets})
+EXT_ORACLE_SQL.update({"q_ccnet_buckets": SQL_CCNET_BUCKETS})
+
+
+def q_containment_pairs(sf_dir: str):
+    """Directed shingle-containment join (X183): C(A→B) = |A∩B|/|A| ≥ 0.8
+    over distinct 3-shingles — the quote / partial-duplication detector
+    the symmetric Jaccard join (X4) misses (a paragraph pasted into a
+    much larger page scores near-zero Jaccard but containment ≈ 1
+    src→dst). Same inverted-index core as X4
+    (stages/dedup._shingle_pair_with_sizes); exact integer
+    cont_micro = 10⁶·|A∩B| // |A|."""
+    from phrasekit_ray.pipelines.queries import tokenize_documents
+    from phrasekit_ray.stages.dedup import containment_pairs
+
+    docs = tokenize_documents(_docs(sf_dir))
+    t = _collect(containment_pairs(docs, k=3, min_containment_micro=800_000))
+    t = _i64(t, "src", "dst", "n_inter", "n_src", "cont_micro")
+    return t.take(
+        pc.sort_indices(
+            t, sort_keys=[("src", "ascending"), ("dst", "ascending")]
+        )
+    )
+
+
+SQL_CONTAINMENT_PAIRS = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents),
+sh AS (SELECT DISTINCT t0.doc_id,
+         t0.tok || ' ' || t1.tok || ' ' || t2.tok AS shingle
+       FROM toks t0
+       JOIN toks t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+       JOIN toks t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS src, b.doc_id AS dst,
+                 CAST(count(*) AS BIGINT) AS n_inter
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2)
+SELECT i.src, i.dst, i.n_inter, CAST(s.n AS BIGINT) AS n_src,
+       CAST(1000000 * i.n_inter // GREATEST(s.n, 1) AS BIGINT) AS cont_micro
+FROM inter i JOIN sizes s ON s.doc_id = i.src
+WHERE 1000000 * i.n_inter // GREATEST(s.n, 1) >= 800000
+ORDER BY src, dst
+"""
+
+
+EXT_QUERIES.update({"q_containment_pairs": q_containment_pairs})
+EXT_ORACLE_SQL.update({"q_containment_pairs": SQL_CONTAINMENT_PAIRS})

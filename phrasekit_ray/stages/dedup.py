@@ -584,17 +584,18 @@ def ngram_jaccard(tokens_a: list[str], tokens_b: list[str], k: int = 3) -> float
     return len(sa & sb) / len(sa | sb)
 
 
-def jaccard_pairs(
+def _shingle_pair_with_sizes(
     ds,
     k: int = 3,
-    threshold: float = 0.8,
     id_col: str = "doc_id",
     tokens_col: str = "tokens",
     max_docs_per_shingle: int | None = None,
     num_partitions: int | None = None,
 ):
-    """Distributed EXACT k-shingle Jaccard near-dup pairs over a corpus:
-    Dataset(doc_id, tokens) → Dataset(left, right, jaccard ≥ threshold).
+    """Shared set-similarity-join core: Dataset(doc_id, tokens) →
+    Dataset(left, right, n=|A∩B|, n_left=|A|, n_right=|B|) over every
+    unordered doc pair sharing ≥1 distinct k-shingle (left < right), or
+    ``None`` when no pair co-occurs.
 
     Shape (all-pairs via inverted index, the classic set-similarity join):
       1. per-doc DISTINCT shingles (stateless map_batches; shingle = the
@@ -608,10 +609,12 @@ def jaccard_pairs(
          by thousands of docs contributes no discriminative signal but
          quadratic pairs; None = exact, keep everything);
       4. hash_aggregate pair intersection counts → two int-keyed size
-         joins → vectorized Jaccard = |A∩B| / (|A|+|B|−|A∩B|) filter.
+         joins.
 
     Every stage shuffles by shingle / pair / doc key and stays fully
-    distributed end to end.
+    distributed end to end. Consumers: ``jaccard_pairs`` (symmetric
+    |A∩B|/|A∪B| filter) and ``containment_pairs`` (directed |A∩B|/|A|
+    filter).
     """
     from phrasekit_ray.stages.agg import default_partitions
 
@@ -733,15 +736,7 @@ def jaccard_pairs(
     # time ahead of the two joins, and short-circuit the empty case
     pair_counts = pair_counts.materialize()
     if pair_counts.count() == 0:
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "left": pa.array([], pa.int64()),
-                    "right": pa.array([], pa.int64()),
-                    "jaccard": pa.array([], pa.float64()),
-                }
-            )
-        )
+        return None
 
     def size_as(col: str):
         def fn(b: pa.Table) -> pa.Table:
@@ -772,6 +767,38 @@ def jaccard_pairs(
         right_schema=sr_schema,
     )
 
+    return with_both
+
+
+def jaccard_pairs(
+    ds,
+    k: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    max_docs_per_shingle: int | None = None,
+    num_partitions: int | None = None,
+):
+    """Distributed EXACT k-shingle Jaccard near-dup pairs over a corpus:
+    Dataset(doc_id, tokens) → Dataset(left, right, jaccard ≥ threshold).
+    See ``_shingle_pair_with_sizes`` for the inverted-index shape; this
+    wrapper applies the symmetric |A∩B| / (|A|+|B|−|A∩B|) filter."""
+    import ray
+
+    with_both = _shingle_pair_with_sizes(
+        ds, k, id_col, tokens_col, max_docs_per_shingle, num_partitions
+    )
+    if with_both is None:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "left": pa.array([], pa.int64()),
+                    "right": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+
     def jaccard_filter(batch: pa.Table) -> pa.Table:
         inter = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
         na = batch["n_left"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -787,6 +814,69 @@ def jaccard_pairs(
         ).filter(pa.array(keep))
 
     return with_both.map_batches(jaccard_filter, batch_format="pyarrow")
+
+
+def containment_pairs(
+    ds,
+    k: int = 3,
+    min_containment_micro: int = 800_000,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    max_docs_per_shingle: int | None = None,
+    num_partitions: int | None = None,
+):
+    """Distributed DIRECTED shingle-containment join (Broder's containment
+    C(A→B) = |A∩B| / |A| — the quote / partial-duplication / subset
+    detector Jaccard misses: a paragraph pasted into a much larger page
+    scores near-zero Jaccard but containment ≈ 1 in the src→dst
+    direction): Dataset(doc_id, tokens) →
+    Dataset(src, dst, n_inter, n_src, cont_micro ≥ bound).
+
+    Same inverted-index core as ``jaccard_pairs``
+    (``_shingle_pair_with_sizes``); the final map emits BOTH directions
+    of each co-occurring unordered pair and keeps those meeting the
+    bound, with cont_micro = 10⁶·|A∩B| // |A| in exact int64 so the SQL
+    twin hash-matches."""
+    import ray
+
+    with_both = _shingle_pair_with_sizes(
+        ds, k, id_col, tokens_col, max_docs_per_shingle, num_partitions
+    )
+    empty = pa.table(
+        {
+            "src": pa.array([], pa.int64()),
+            "dst": pa.array([], pa.int64()),
+            "n_inter": pa.array([], pa.int64()),
+            "n_src": pa.array([], pa.int64()),
+            "cont_micro": pa.array([], pa.int64()),
+        }
+    )
+    if with_both is None:
+        return ray.data.from_arrow(empty)
+
+    def containment_filter(batch: pa.Table) -> pa.Table:
+        inter = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        l = batch["left"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = batch["right"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nl = batch["n_left"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nr = batch["n_right"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate((l, r))
+        dst = np.concatenate((r, l))
+        ns = np.concatenate((nl, nr))
+        ii = np.concatenate((inter, inter))
+        cont = np.int64(10**6) * ii // np.maximum(ns, 1)
+        keep = cont >= min_containment_micro
+        return pa.table(
+            {
+                "src": pa.array(src[keep], pa.int64()),
+                "dst": pa.array(dst[keep], pa.int64()),
+                "n_inter": pa.array(ii[keep], pa.int64()),
+                "n_src": pa.array(ns[keep], pa.int64()),
+                "cont_micro": pa.array(cont[keep], pa.int64()),
+            }
+        )
+
+    return with_both.map_batches(containment_filter, batch_format="pyarrow")
 
 
 # --- embedding cosine near-dup ---------------------------------------------
