@@ -239,6 +239,7 @@ BENCH_QUERY_NAMES = [
         "q_walk_ppmi",
         "q_ccnet_buckets",
         "q_containment_pairs",
+        "q_prefix_jaccard_pairs",
 ]
 
 

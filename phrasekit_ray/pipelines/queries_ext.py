@@ -8602,3 +8602,53 @@ ORDER BY src, dst
 
 EXT_QUERIES.update({"q_containment_pairs": q_containment_pairs})
 EXT_ORACLE_SQL.update({"q_containment_pairs": SQL_CONTAINMENT_PAIRS})
+
+
+def q_prefix_jaccard_pairs(sf_dir: str):
+    """Prefix-filtered exact set-similarity join (X184): the AllPairs /
+    PPJoin-family scale path — each doc indexes only its rare-first
+    (df asc, shingle asc) prefix of length n − ⌈θn⌉ + 1, candidates come
+    from shared PREFIX shingles only, and two native hash joins verify
+    the exact intersection. Provably lossless (prefix-filtering lemma),
+    so the oracle is the SAME inverted-index SQL as the exact join X4 —
+    the twin certifies zero lost pairs, not just plausibility
+    (stages/dedup.prefix_filter_jaccard_pairs)."""
+    from phrasekit_ray.pipelines.queries import tokenize_documents
+    from phrasekit_ray.stages.dedup import prefix_filter_jaccard_pairs
+
+    docs = tokenize_documents(_docs(sf_dir))
+    t = _collect(prefix_filter_jaccard_pairs(docs, k=3, threshold=0.5))
+    t = _i64(t, "left", "right")
+    return t.take(
+        pc.sort_indices(
+            t, sort_keys=[("left", "ascending"), ("right", "ascending")]
+        )
+    )
+
+
+SQL_PREFIX_JACCARD_PAIRS = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents),
+sh AS (SELECT DISTINCT t0.doc_id,
+         t0.tok || ' ' || t1.tok || ' ' || t2.tok AS shingle
+       FROM toks t0
+       JOIN toks t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+       JOIN toks t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS c
+          FROM sh a JOIN sh b ON a.shingle = b.shingle
+            AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT l AS "left", r AS "right",
+       CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = inter.l
+JOIN sizes sb ON sb.doc_id = inter.r
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+ORDER BY 1, 2
+"""
+
+
+EXT_QUERIES.update({"q_prefix_jaccard_pairs": q_prefix_jaccard_pairs})
+EXT_ORACLE_SQL.update({"q_prefix_jaccard_pairs": SQL_PREFIX_JACCARD_PAIRS})

@@ -584,6 +584,46 @@ def ngram_jaccard(tokens_a: list[str], tokens_b: list[str], k: int = 3) -> float
     return len(sa & sb) / len(sa | sb)
 
 
+def _shingle_extract_fn(k: int, id_col: str, tokens_col: str):
+    """Vectorized per-block DISTINCT k-shingle extractor (shingle = the
+    space-joined k-gram string, same windowing as the miner):
+    Table(doc_id, tokens) → Table(doc_id, shingle). Block-local distinct
+    is global distinct because one doc never splits across blocks."""
+
+    def shingles(batch: pa.Table) -> pa.Table:
+        tokens = batch[tokens_col].combine_chunks()
+        offsets = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        base = offsets[0]
+        offsets = offsets - base
+        flat = tokens.values.slice(base, int(offsets[-1]))
+        sizes = np.diff(offsets)
+        L = int(offsets[-1])
+        m = L - k + 1
+        doc_ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if m <= 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "shingle": pa.array([], pa.string()),
+                }
+            )
+        doc_index = np.repeat(np.arange(len(sizes)), sizes)
+        parts = [flat.slice(j, m) for j in range(k)]
+        joined = pc.binary_join_element_wise(*parts, " ")
+        valid = doc_index[:m] == doc_index[k - 1 :]
+        win_doc = doc_index[:m][valid]
+        joined = joined.filter(pa.array(valid))
+        t = pa.table(
+            {
+                "doc_id": pa.array(doc_ids[win_doc], pa.int64()),
+                "shingle": joined.cast(pa.string()),
+            }
+        )
+        return t.group_by(["doc_id", "shingle"]).aggregate([])
+
+    return shingles
+
+
 def _shingle_pair_with_sizes(
     ds,
     k: int = 3,
@@ -621,41 +661,9 @@ def _shingle_pair_with_sizes(
     num_partitions = default_partitions(num_partitions)
     import ray
 
-    def shingles(batch: pa.Table) -> pa.Table:
-        tokens = batch[tokens_col].combine_chunks()
-        offsets = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        base = offsets[0]
-        offsets = offsets - base
-        flat = tokens.values.slice(base, int(offsets[-1]))
-        sizes = np.diff(offsets)
-        L = int(offsets[-1])
-        m = L - k + 1
-        doc_ids = batch[id_col].to_numpy(zero_copy_only=False)
-        if m <= 0:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "shingle": pa.array([], pa.string()),
-                }
-            )
-        doc_index = np.repeat(np.arange(len(sizes)), sizes)
-        parts = [flat.slice(j, m) for j in range(k)]
-        joined = pc.binary_join_element_wise(*parts, " ")
-        valid = doc_index[:m] == doc_index[k - 1 :]
-        win_doc = doc_index[:m][valid]
-        joined = joined.filter(pa.array(valid))
-        t = pa.table(
-            {
-                "doc_id": pa.array(doc_ids[win_doc], pa.int64()),
-                "shingle": joined.cast(pa.string()),
-            }
-        )
-        # distinct within the block (cross-block dups are removed by the
-        # shingle groupby, which sees each (doc, shingle) at most once per
-        # block)
-        return t.group_by(["doc_id", "shingle"]).aggregate([])
-
-    sh = ds.map_batches(shingles, batch_format="pyarrow")
+    sh = ds.map_batches(
+        _shingle_extract_fn(k, id_col, tokens_col), batch_format="pyarrow"
+    )
     # docs never split across blocks upstream of here (one doc, one row),
     # so in-block distinct == global distinct. Per-doc shingle-set sizes
     # stay a DATASET (one row per doc) and are hash-joined onto the pair
@@ -668,6 +676,24 @@ def _shingle_pair_with_sizes(
     # co-locate equal shingles by hash partition; one vectorized UDF call
     # per PARTITION (not per shingle) finds equal-shingle runs and emits
     # all co-occurrence pairs
+    raw_pairs = _cooccurring_raw_pairs(sh, num_partitions, max_docs_per_shingle)
+    pair_counts = hash_aggregate(
+        raw_pairs, ["left", "right"], [("n", "sum")], num_partitions=num_partitions
+    )
+
+    # pairs ≪ corpus; materialize once so the pair pipeline runs a single
+    # time ahead of the two joins, and short-circuit the empty case
+    pair_counts = pair_counts.materialize()
+    if pair_counts.count() == 0:
+        return None
+    return _attach_pair_sizes(pair_counts, sizes, num_partitions)
+
+
+def _cooccurring_raw_pairs(sh, num_partitions: int, max_docs_per_shingle=None):
+    """Dataset(doc_id, shingle) → raw unordered co-occurrence pair rows
+    (left < right, n = 1) via ONE hash-partition-by-shingle shuffle and
+    one vectorized run-scan per partition (shared by the exact and the
+    prefix-filtered set-similarity joins)."""
     import zlib
 
     def add_part(batch: pa.Table) -> pa.Table:
@@ -716,7 +742,7 @@ def _shingle_pair_with_sizes(
             }
         )
 
-    raw_pairs = (
+    return (
         sh.map_batches(add_part, batch_format="pyarrow")
         .groupby("_part")
         .map_groups(
@@ -724,19 +750,13 @@ def _shingle_pair_with_sizes(
             batch_format="pyarrow",
         )
     )
-    pair_counts = hash_aggregate(
-        raw_pairs, ["left", "right"], [("n", "sum")], num_partitions=num_partitions
-    )
 
-    # distributed size lookup: two int-keyed lookup_join shuffles (left
-    # side, then right side) instead of a driver-built broadcast dict
+
+def _attach_pair_sizes(pair_counts, sizes, num_partitions: int):
+    """Join per-doc shingle-set sizes onto (left, right, n) pair counts:
+    two int-keyed lookup_join shuffles (left side, then right side)
+    instead of a driver-built broadcast dict."""
     from phrasekit_ray.stages.agg import lookup_join
-
-    # pairs ≪ corpus; materialize once so the pair pipeline runs a single
-    # time ahead of the two joins, and short-circuit the empty case
-    pair_counts = pair_counts.materialize()
-    if pair_counts.count() == 0:
-        return None
 
     def size_as(col: str):
         def fn(b: pa.Table) -> pa.Table:
@@ -756,7 +776,7 @@ def _shingle_pair_with_sizes(
         [("left", pa.int64()), ("right", pa.int64()), ("n", pa.int64()),
          ("n_left", pa.int64())]
     )
-    with_both = lookup_join(
+    return lookup_join(
         lookup_join(pair_counts, sizes_l, "left", "doc_id", num_partitions,
                     left_schema=pc_schema, right_schema=sl_schema),
         sizes_r,
@@ -766,8 +786,6 @@ def _shingle_pair_with_sizes(
         left_schema=j1_schema,
         right_schema=sr_schema,
     )
-
-    return with_both
 
 
 def jaccard_pairs(
@@ -1997,3 +2015,221 @@ def sorted_neighborhood_pairs(
         .groupby("_grp")
         .map_groups(pairs, batch_format="pyarrow")
     )
+
+
+def prefix_filter_jaccard_pairs(
+    ds,
+    k: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    num_partitions: int | None = None,
+):
+    """Prefix-filtered EXACT set-similarity join (Bayardo et al. 2007
+    AllPairs / Xiao et al. PPJoin family) — the web-scale path beside the
+    full inverted-index join ``jaccard_pairs``, with IDENTICAL output:
+    Dataset(doc_id, tokens) → Dataset(left, right, jaccard ≥ threshold).
+
+    Instead of emitting co-occurrence pairs from EVERY shingle posting
+    list (quadratic in the hottest list), each doc indexes only its
+    PREFIX under the canonical global order (df asc, shingle asc): the
+    first p = n − ⌈θ·n⌉ + 1 of its n distinct shingles. Lossless by the
+    standard prefix-filtering lemma: J(A,B) ≥ θ ⟹ |A∩B| ≥ ⌈θ·max(|A|,|B|)⌉
+    = α, and the α-th largest common element (canonical order) must sit
+    within the first |X| − α + 1 ≤ p_X positions of BOTH sets — so every
+    qualifying pair shares a prefix shingle. Rare-first ordering makes
+    prefixes maximally selective (the hot shingles land in suffixes and
+    never generate candidates).
+
+    Stages (all distributed, no driver state):
+      1. distinct shingles per doc (shared extractor);
+      2. global df attached in ONE shuffle (equal shingles co-located by
+         hash partition ⇒ in-partition run length == global df);
+      3. per-doc prefix via ONE doc-partitioned Arrow sort by
+         (doc, df, shingle) + a vectorized segment mask;
+      4. candidate pairs from PREFIX posting lists only (shared run-scan
+         kernel), deduped by a two-phase count;
+      5. exact verification: two native hash joins fetch each candidate
+         pair's true intersection count from the FULL shingle table
+         (left explode ⋈ packed right (doc, shingle) key), then the same
+         size join + Jaccard filter as ``jaccard_pairs``.
+    """
+    import ray
+    import zlib
+
+    from phrasekit_ray.stages.agg import (
+        default_partitions,
+        grouped_count,
+        hash_aggregate,
+        join_partitions,
+    )
+
+    num_partitions = default_partitions(num_partitions)
+    sh = ds.map_batches(
+        _shingle_extract_fn(k, id_col, tokens_col), batch_format="pyarrow"
+    ).materialize()
+    sizes = grouped_count(sh, "doc_id", count_col="n_shingles").materialize()
+
+    empty = pa.table(
+        {
+            "left": pa.array([], pa.int64()),
+            "right": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+
+    def add_spart(batch: pa.Table) -> pa.Table:
+        p = np.fromiter(
+            (zlib.crc32(s.encode()) for s in batch["shingle"].to_pylist()),
+            dtype=np.uint32,
+            count=batch.num_rows,
+        )
+        return batch.append_column(
+            "_part", pa.array((p % np.uint32(num_partitions)).astype(np.int32))
+        )
+
+    def attach_df(group: pa.Table) -> pa.Table:
+        enc = group["shingle"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        df = np.bincount(codes, minlength=len(enc.dictionary)) if len(codes) else np.zeros(0, np.int64)
+        return pa.table(
+            {
+                "doc_id": group["doc_id"],
+                "shingle": group["shingle"],
+                "df": pa.array(df[codes].astype(np.int64) if len(codes) else np.zeros(0, np.int64), pa.int64()),
+            }
+        )
+
+    with_df = (
+        sh.map_batches(add_spart, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(
+            lambda g: attach_df(g.drop_columns(["_part"])),
+            batch_format="pyarrow",
+        )
+    )
+
+    def add_dpart(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].combine_chunks().cast(pa.int64()).to_numpy()
+        return batch.append_column(
+            "_part", pa.array((ids % num_partitions).astype(np.int32))
+        )
+
+    def take_prefix(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "shingle": pa.array([], pa.string()),
+                }
+            )
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[
+                ("doc_id", "ascending"),
+                ("df", "ascending"),
+                ("shingle", "ascending"),
+            ],
+        )
+        g = group.take(idx)
+        ids = g["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        m = len(ids)
+        new_seg = np.concatenate(([True], ids[1:] != ids[:-1]))
+        seg_start = np.flatnonzero(new_seg)
+        seg_sizes = np.diff(np.concatenate((seg_start, [m])))
+        seg_id = np.cumsum(new_seg) - 1
+        pos = np.arange(m, dtype=np.int64) - seg_start[seg_id]
+        n = seg_sizes[seg_id]
+        p = n - np.ceil(threshold * n).astype(np.int64) + 1
+        keep = pa.array(pos < p)
+        return pa.table(
+            {
+                "doc_id": g["doc_id"].combine_chunks().filter(keep),
+                "shingle": g["shingle"].combine_chunks().filter(keep),
+            }
+        )
+
+    prefix = (
+        with_df.map_batches(add_dpart, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(
+            lambda g: take_prefix(g.drop_columns(["_part"])),
+            batch_format="pyarrow",
+        )
+    )
+
+    cand = hash_aggregate(
+        _cooccurring_raw_pairs(prefix, num_partitions),
+        ["left", "right"],
+        [("n", "sum")],
+        num_partitions=num_partitions,
+    ).materialize()
+    if cand.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    cand_pairs = cand.map_batches(
+        lambda b: b.select(["left", "right"]), batch_format="pyarrow"
+    )
+
+    # exact verification: explode each candidate's LEFT set with one
+    # native hash join, then probe the packed (doc, shingle) key of the
+    # RIGHT set — matches are exactly the pair's intersection elements
+    jp = join_partitions(num_partitions)
+    j1 = cand_pairs.join(
+        sh,
+        join_type="inner",
+        num_partitions=jp,
+        on=("left",),
+        right_on=("doc_id",),
+    )
+
+    def pack_probe(b: pa.Table) -> pa.Table:
+        key2 = pc.binary_join_element_wise(
+            pc.cast(b["right"].combine_chunks(), pa.string()),
+            b["shingle"].combine_chunks().cast(pa.string()),
+            "\x1f",
+        )
+        return pa.table(
+            {"left": b["left"], "right": b["right"], "key2": key2}
+        )
+
+    def pack_side(b: pa.Table) -> pa.Table:
+        key2 = pc.binary_join_element_wise(
+            pc.cast(b["doc_id"].combine_chunks().cast(pa.int64()), pa.string()),
+            b["shingle"].combine_chunks().cast(pa.string()),
+            "\x1f",
+        )
+        return pa.table({"key2": key2})
+
+    probes = j1.map_batches(pack_probe, batch_format="pyarrow")
+    targets = sh.map_batches(pack_side, batch_format="pyarrow")
+    j2 = probes.join(
+        targets, join_type="inner", num_partitions=jp, on=("key2",)
+    )
+    inter = grouped_count(
+        j2.map_batches(
+            lambda b: b.select(["left", "right"]), batch_format="pyarrow"
+        ),
+        ["left", "right"],
+        count_col="n",
+        num_partitions=num_partitions,
+    ).materialize()
+    if inter.count() == 0:
+        return ray.data.from_arrow(empty)
+    with_both = _attach_pair_sizes(inter, sizes, num_partitions)
+
+    def jaccard_filter(batch: pa.Table) -> pa.Table:
+        inter_n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = batch["n_left"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = batch["n_right"].to_numpy(zero_copy_only=False).astype(np.float64)
+        j = inter_n / (na + nb - inter_n)
+        keep = j >= threshold
+        return pa.table(
+            {
+                "left": batch["left"].cast(pa.int64()),
+                "right": batch["right"].cast(pa.int64()),
+                "jaccard": pa.array(j, pa.float64()),
+            }
+        ).filter(pa.array(keep))
+
+    return with_both.map_batches(jaccard_filter, batch_format="pyarrow")

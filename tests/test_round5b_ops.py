@@ -25,7 +25,7 @@ def _docs_ds(rows):
 
 
 class TestContainmentPairs:
-    def test_subset_scores_full_containment_one_way(self):
+    def test_subset_scores_full_containment_one_way(self, ray_session):
         from phrasekit_ray.stages.dedup import containment_pairs
 
         small = ["a", "b", "c", "d"]  # 2 distinct 3-shingles
@@ -40,7 +40,7 @@ class TestContainmentPairs:
         # 2/8 = 0.25 and must NOT pass the 0.9 bound
         assert rows == {(1, 2): 1_000_000}
 
-    def test_directions_independent_thresholds(self):
+    def test_directions_independent_thresholds(self, ray_session):
         from phrasekit_ray.stages.dedup import containment_pairs
 
         a = ["x", "y", "z", "w"]        # shingles: xyz, yzw
@@ -53,7 +53,7 @@ class TestContainmentPairs:
         assert rows[(2, 1)]["cont_micro"] == 500_000
         assert rows[(1, 2)]["n_inter"] == 1 and rows[(1, 2)]["n_src"] == 2
 
-    def test_empty_input_schema(self):
+    def test_empty_input_schema(self, ray_session):
         from phrasekit_ray.stages.dedup import containment_pairs
 
         ds = _docs_ds([])
@@ -65,7 +65,7 @@ class TestContainmentPairs:
 
 
 class TestCcnetBuckets:
-    def test_terciles_partition_each_lang(self, sf_dir):
+    def test_terciles_partition_each_lang(self, ray_session, sf_dir):
         from phrasekit_ray.pipelines.queries import QUERIES
 
         t = QUERIES["q_ccnet_buckets"](sf_dir)
@@ -83,3 +83,64 @@ class TestCcnetBuckets:
             assert v[b == 0].max() <= v[b == 2].min()
             assert v[b == 0].max() <= v[b == 1].min()
             assert v[b == 1].max() <= v[b == 2].min()
+
+
+class TestPrefixFilterJaccard:
+    def _rand_docs(self, seed=7, n_docs=60, vocab=30, lo=5, hi=18):
+        rng = np.random.RandomState(seed)
+        rows = []
+        for i in range(n_docs):
+            L = rng.randint(lo, hi)
+            toks = [f"t{rng.randint(vocab)}" for _ in range(L)]
+            rows.append((i, toks))
+        # inject near-duplicates so pairs exist at high thresholds
+        for i in range(0, 20, 2):
+            base = list(rows[i][1])
+            base[0] = "zz"
+            rows.append((1000 + i, base))
+        return _docs_ds(rows)
+
+    @pytest.mark.parametrize("threshold", [0.5, 0.8])
+    def test_identical_to_exact_join(self, ray_session, threshold):
+        from phrasekit_ray.stages.dedup import (
+            jaccard_pairs,
+            prefix_filter_jaccard_pairs,
+        )
+
+        ds = self._rand_docs().materialize()
+        want = sorted(
+            (r["left"], r["right"], round(r["jaccard"], 12))
+            for r in jaccard_pairs(ds, k=3, threshold=threshold).take_all()
+        )
+        got = sorted(
+            (r["left"], r["right"], round(r["jaccard"], 12))
+            for r in prefix_filter_jaccard_pairs(
+                ds, k=3, threshold=threshold
+            ).take_all()
+        )
+        assert got == want
+        assert len(want) > 0  # the fixture must actually exercise pairs
+
+    def test_partition_invariance(self, ray_session):
+        from phrasekit_ray.stages.dedup import prefix_filter_jaccard_pairs
+
+        ds = self._rand_docs(seed=11).materialize()
+        a = sorted(
+            (r["left"], r["right"], round(r["jaccard"], 12))
+            for r in prefix_filter_jaccard_pairs(
+                ds, k=3, threshold=0.6, num_partitions=3
+            ).take_all()
+        )
+        b = sorted(
+            (r["left"], r["right"], round(r["jaccard"], 12))
+            for r in prefix_filter_jaccard_pairs(
+                ds, k=3, threshold=0.6, num_partitions=7
+            ).take_all()
+        )
+        assert a == b
+
+    def test_empty_input(self, ray_session):
+        from phrasekit_ray.stages.dedup import prefix_filter_jaccard_pairs
+
+        t = prefix_filter_jaccard_pairs(_docs_ds([]), k=3)
+        assert t.count() == 0
