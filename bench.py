@@ -240,6 +240,7 @@ BENCH_QUERY_NAMES = [
         "q_ccnet_buckets",
         "q_containment_pairs",
         "q_prefix_jaccard_pairs",
+        "q_mutual_nn",
 ]
 
 

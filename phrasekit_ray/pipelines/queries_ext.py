@@ -8652,3 +8652,44 @@ ORDER BY 1, 2
 
 EXT_QUERIES.update({"q_prefix_jaccard_pairs": q_prefix_jaccard_pairs})
 EXT_ORACLE_SQL.update({"q_prefix_jaccard_pairs": SQL_PREFIX_JACCARD_PAIRS})
+
+
+def q_mutual_nn(sf_dir: str):
+    """Mutual-nearest-neighbor embedding alignment (X185, the
+    bitext-mining / cross-crawl doc-alignment criterion of Artetxe &
+    Schwenk 2019): split the embedding table by id parity (the
+    two-snapshot stand-in), keep (a, b) pairs where b is a's best cosine
+    match AND a is b's — ties to the smaller id; cos_micro in
+    round-half-away int64 micro-units
+    (stages/similarity.mutual_nn_pairs)."""
+    from phrasekit_ray.pipelines.queries import _embeddings
+    from phrasekit_ray.stages.similarity import mutual_nn_pairs
+
+    return mutual_nn_pairs(_embeddings(sf_dir))
+
+
+SQL_MUTUAL_NN = """
+WITH a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE vec_id % 2 = 0),
+b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id % 2 = 1),
+ab AS (SELECT a.vec_id AS sa, b.vec_id AS sb,
+              list_cosine_similarity(a.e, b.e) AS cos
+       FROM a CROSS JOIN b),
+best_ab AS (SELECT sa, sb, cos FROM (
+  SELECT sa, sb, cos,
+         row_number() OVER (PARTITION BY sa ORDER BY cos DESC, sb ASC) AS rn
+  FROM ab) WHERE rn = 1),
+best_ba AS (SELECT sa, sb FROM (
+  SELECT sa, sb,
+         row_number() OVER (PARTITION BY sb ORDER BY cos DESC, sa ASC) AS rn
+  FROM ab) WHERE rn = 1)
+SELECT x.sa AS src, x.sb AS dst,
+       CAST(round(x.cos * 1000000.0) AS BIGINT) AS cos_micro
+FROM best_ab x JOIN best_ba y ON y.sa = x.sa AND y.sb = x.sb
+ORDER BY src
+"""
+
+
+EXT_QUERIES.update({"q_mutual_nn": q_mutual_nn})
+EXT_ORACLE_SQL.update({"q_mutual_nn": SQL_MUTUAL_NN})

@@ -13,6 +13,7 @@ import heapq
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _matrix(emb_col: pa.ListArray) -> np.ndarray:
@@ -730,5 +731,155 @@ def hamming_topk(
             id_col: pa.array(out_v, pa.int64()),
             "hamming": pa.array(out_d, pa.int64()),
             "rank": pa.array(out_r, pa.int32()),
+        }
+    )
+
+
+def mutual_nn_pairs(
+    ds,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_fn=None,
+):
+    """Mutual-nearest-neighbor embedding alignment (the bitext-mining /
+    cross-crawl doc-alignment primitive, Artetxe & Schwenk 2019 shape):
+    split the table into groups A / B (default: id parity, the two-crawl
+    stand-in), find each A-vector's best B match and vice versa by
+    float64 cosine (ties to the smaller id), and keep the pairs that are
+    best BOTH ways — the high-precision alignment criterion.
+
+    Returns pa.Table(src, dst, cos_micro) with src ∈ A, dst ∈ B, sorted
+    by src; cos_micro = round-half-away(10⁶·cosine) in int64.
+
+    Scale contract (the exact_near_dup_pairs convention): group A is
+    collected and broadcast once (ray.put) and B STREAMS through
+    map_batches — one (|A|×dim) broadcast, per-batch float64 matmul,
+    driver merge traffic O(batches·|A|), never |B|. This is the exact
+    oracle/verification variant for a bounded side; at corpus scale seed
+    candidates with the ANN stages (lsh_topk / ivf_topk) and verify the
+    mutual-best property on the candidate set the same way.
+    """
+    import ray
+
+    from phrasekit_ray.stages.agg import round_away
+
+    if group_fn is None:
+        def group_fn(ids):
+            return ids % 2 == 0
+
+    a_ids_l, a_rows = [], []
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        ids = np.asarray(b[id_col].to_pylist(), dtype=np.int64)
+        in_a = group_fn(ids)
+        if in_a.any():
+            a_ids_l.append(ids[in_a])
+            a_rows.append(
+                _matrix(b[vec_col].combine_chunks()).astype(np.float64)[in_a]
+            )
+    empty = pa.table(
+        {
+            "src": pa.array([], pa.int64()),
+            "dst": pa.array([], pa.int64()),
+            "cos_micro": pa.array([], pa.int64()),
+        }
+    )
+    if not a_ids_l:
+        return empty
+    a_ids = np.concatenate(a_ids_l)
+    amat = np.vstack(a_rows)
+    order = np.argsort(a_ids)
+    a_ids, amat = a_ids[order], amat[order]
+    anorm = np.linalg.norm(amat, axis=1)
+    ref = ray.put((a_ids, amat, anorm))
+    gfn = group_fn
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from phrasekit_ray.stages.score import _get_broadcast
+
+        aid, am, an = _get_broadcast(ref)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        in_b = ~gfn(ids)
+        if not in_b.any():
+            return pa.table(
+                {
+                    "a_idx": pa.array([], pa.int64()),
+                    "b_id": pa.array([], pa.int64()),
+                    "cos": pa.array([], pa.float64()),
+                    "kind": pa.array([], pa.int8()),
+                }
+            )
+        bm = _matrix(batch[vec_col].combine_chunks()).astype(np.float64)[in_b]
+        b_ids = ids[in_b]
+        bn = np.linalg.norm(bm, axis=1)
+        sims = (am @ bm.T) / np.maximum(an[:, None] * bn[None, :], 1e-300)
+        big = np.iinfo(np.int64).max
+        # per-B exact best A (kind=1): max cos, ties to the smaller a_id
+        mx_b = sims.max(axis=0)
+        best_a = np.where(sims == mx_b[None, :], aid[:, None], big).min(axis=0)
+        # per-A best B within this batch (kind=0): partial, merged driver-side
+        mx_a = sims.max(axis=1)
+        best_b = np.where(sims == mx_a[:, None], b_ids[None, :], big).min(axis=1)
+        return pa.table(
+            {
+                "a_idx": pa.array(
+                    np.concatenate(
+                        (np.arange(len(aid), dtype=np.int64), best_a)
+                    ),
+                    pa.int64(),
+                ),
+                "b_id": pa.array(np.concatenate((best_b, b_ids)), pa.int64()),
+                "cos": pa.array(np.concatenate((mx_a, mx_b)), pa.float64()),
+                "kind": pa.array(
+                    np.concatenate(
+                        (
+                            np.zeros(len(aid), np.int8),
+                            np.ones(len(b_ids), np.int8),
+                        )
+                    ),
+                    pa.int8(),
+                ),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    batches = list(parts.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return empty
+    rows = pa.concat_tables(batches)
+    kind = rows["kind"].to_numpy(zero_copy_only=False)
+    # exact best-A-per-B rows (kind=1): a_idx column holds the A ID
+    ba_b = rows["b_id"].to_numpy(zero_copy_only=False)[kind == 1]
+    ba_a = rows["a_idx"].to_numpy(zero_copy_only=False)[kind == 1]
+    # merge per-batch best-B-per-A partials (kind=0)
+    pa_idx = rows["a_idx"].to_numpy(zero_copy_only=False)[kind == 0]
+    pa_bid = rows["b_id"].to_numpy(zero_copy_only=False)[kind == 0]
+    pa_cos = rows["cos"].to_numpy(zero_copy_only=False)[kind == 0]
+    if len(ba_b) == 0 or len(pa_idx) == 0:
+        return empty
+    na = len(a_ids)
+    best_cos = np.full(na, -np.inf)
+    np.maximum.at(best_cos, pa_idx, pa_cos)
+    big = np.iinfo(np.int64).max
+    best_bid = np.full(na, big, dtype=np.int64)
+    at_max = pa_cos == best_cos[pa_idx]
+    np.minimum.at(best_bid, pa_idx[at_max], pa_bid[at_max])
+    valid = best_bid != big
+    ab_pairs = {
+        (int(a_ids[i]), int(best_bid[i])): float(best_cos[i])
+        for i in np.flatnonzero(valid)
+    }
+    ba_set = set(zip(ba_b.tolist(), ba_a.tolist()))  # (b_id, best a_id)
+    mutual = sorted(
+        (a, b, c) for (a, b), c in ab_pairs.items() if (b, a) in ba_set
+    )
+    cm = pc.cast(
+        round_away(pa.array([c * 1e6 for _, _, c in mutual], pa.float64())),
+        pa.int64(),
+    )
+    return pa.table(
+        {
+            "src": pa.array([a for a, _, _ in mutual], pa.int64()),
+            "dst": pa.array([b for _, b, _ in mutual], pa.int64()),
+            "cos_micro": cm,
         }
     )

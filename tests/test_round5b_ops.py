@@ -144,3 +144,59 @@ class TestPrefixFilterJaccard:
 
         t = prefix_filter_jaccard_pairs(_docs_ds([]), k=3)
         assert t.count() == 0
+
+
+class TestMutualNN:
+    def _emb_ds(self, rows):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "embedding": pa.array(
+                        [r[1] for r in rows], pa.list_(pa.float32())
+                    ),
+                }
+            )
+        )
+
+    def test_mutual_and_one_way(self, ray_session):
+        from phrasekit_ray.stages.similarity import mutual_nn_pairs
+
+        # A = even ids, B = odd ids.
+        # a0 <-> b1 mutual (identical); a2 -> b3 but b3's best is a0.
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.6, 0.8, 0.0]),
+            (3, [0.9, 0.1, 0.0]),
+        ]
+        t = mutual_nn_pairs(self._emb_ds(rows))
+        got = {(r["src"], r["dst"]) for r in
+               pa.Table.to_pylist(t)}
+        # b3's best A: cos(a0,b3) vs cos(a2,b3): a0 wins -> (2,3) not mutual
+        assert (0, 1) in got and (2, 3) not in got
+        # a0's best B: b1 (cos 1) -> mutual with b3? b3 best is a0 but a0
+        # best is b1, so (0,3) must not appear either
+        assert all(s == 0 or s == 2 for s, _ in got)
+        one = t.filter(pa.compute.equal(t["src"], 0))
+        assert one["cos_micro"][0].as_py() == 1_000_000
+
+    def test_tie_breaks_to_smaller_id(self, ray_session):
+        from phrasekit_ray.stages.similarity import mutual_nn_pairs
+
+        # b1 and b3 identical: a0's best must be the SMALLER id b1
+        rows = [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.0]),
+            (3, [1.0, 0.0]),
+        ]
+        t = mutual_nn_pairs(self._emb_ds(rows))
+        got = {(r["src"], r["dst"]) for r in pa.Table.to_pylist(t)}
+        assert got == {(0, 1)}
+
+    def test_empty_and_single_group(self, ray_session):
+        from phrasekit_ray.stages.similarity import mutual_nn_pairs
+
+        assert mutual_nn_pairs(self._emb_ds([])).num_rows == 0
+        only_a = self._emb_ds([(0, [1.0, 0.0]), (2, [0.0, 1.0])])
+        assert mutual_nn_pairs(only_a).num_rows == 0
