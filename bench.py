@@ -241,6 +241,7 @@ BENCH_QUERY_NAMES = [
         "q_containment_pairs",
         "q_prefix_jaccard_pairs",
         "q_mutual_nn",
+        "q_alias_clusters",
 ]
 
 

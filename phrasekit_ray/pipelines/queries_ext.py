@@ -8693,3 +8693,106 @@ ORDER BY src
 
 EXT_QUERIES.update({"q_mutual_nn": q_mutual_nn})
 EXT_ORACLE_SQL.update({"q_mutual_nn": SQL_MUTUAL_NN})
+
+
+def q_alias_clusters(sf_dir: str):
+    """Record-linkage merge/purge composite (X186, the Hernández–Stolfo
+    pipeline shape end-to-end): distinct part-name tokens → edit-
+    distance-≤1 fuzzy self-join (X78's SymSpell deletion-neighborhood
+    blocking + exact verify) → distributed hash-min connected components
+    (X21) → per-cluster canonical alias = the lexicographically smallest
+    member. Ids come from the sorted X19 enumeration so component-min
+    id IS the lexicographic-min token; every stage (pair generation, id
+    mapping joins, label propagation, label→token joins) is distributed.
+    Output: (alias, canon) for every token in a ≥2 cluster."""
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_count, join_partitions, lookup_join
+    from phrasekit_ray.stages.dedup import fuzzy_token_pairs
+    from phrasekit_ray.stages.kg import connected_components_distributed
+    from phrasekit_ray.state.rowindex import with_row_index
+
+    parts = ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["p_name"].combine_chunks(), " ")
+        off = toks.offsets.to_numpy(zero_copy_only=False)
+        return pa.table({"tok": toks.values.slice(off[0], int(off[-1] - off[0]))})
+
+    toks = parts.map_batches(explode, batch_format="pyarrow")
+    pairs = fuzzy_token_pairs(toks, min_len=3).materialize()
+
+    def kept(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.greater_equal(pc.utf8_length(b["tok"].combine_chunks()), 3)
+        )
+
+    rank = with_row_index(
+        grouped_count(toks.map_batches(kept, batch_format="pyarrow"), "tok")
+        .map_batches(lambda b: b.select(["tok"]), batch_format="pyarrow")
+        .sort("tok"),
+        col="tid",
+    ).map_batches(
+        lambda b: pa.table(
+            {"tok": b["tok"], "tid": b["tid"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    jp = join_partitions(8)
+    rank2 = rank.map_batches(
+        lambda b: pa.table({"tok2": b["tok"], "tid2": b["tid"]}),
+        batch_format="pyarrow",
+    )
+    e1 = pairs.join(
+        rank, join_type="inner", num_partitions=jp,
+        on=("left_tok",), right_on=("tok",),
+    )
+    e2 = e1.join(
+        rank2, join_type="inner", num_partitions=jp,
+        on=("right_tok",), right_on=("tok2",),
+    )
+    edges = e2.map_batches(
+        lambda b: pa.table({"src": b["tid"], "dst": b["tid2"]}),
+        batch_format="pyarrow",
+    )
+    cc = connected_components_distributed(edges).materialize()
+
+    alias_t = lookup_join(cc, rank.map_batches(
+        lambda b: pa.table({"tid": b["tid"], "alias": b["tok"]}),
+        batch_format="pyarrow",
+    ), "node", "tid")
+    canon_t = lookup_join(alias_t, rank.map_batches(
+        lambda b: pa.table({"tid": b["tid"], "canon": b["tok"]}),
+        batch_format="pyarrow",
+    ), "label", "tid")
+    t = _collect(
+        canon_t.map_batches(
+            lambda b: b.select(["alias", "canon"]), batch_format="pyarrow"
+        )
+    )
+    return t.take(pc.sort_indices(t, sort_keys=[("alias", "ascending")]))
+
+
+SQL_ALIAS_CLUSTERS = """
+WITH RECURSIVE t AS (SELECT unnest(string_split(p_name, ' ')) AS tok
+                     FROM part),
+c AS (SELECT DISTINCT tok FROM t WHERE length(tok) >= 3),
+e AS MATERIALIZED (SELECT a.tok AS u, b.tok AS v
+  FROM c a JOIN c b
+    ON a.tok < b.tok
+   AND abs(length(a.tok) - length(b.tok)) <= 1
+   AND levenshtein(a.tok, b.tok) <= 1),
+ee AS (SELECT DISTINCT u, v FROM
+  (SELECT u, v FROM e UNION ALL SELECT v, u FROM e)),
+reach(a, b) AS (
+  SELECT u, v FROM ee
+  UNION
+  SELECT r.a, ee.v FROM reach r JOIN ee ON r.b = ee.u)
+SELECT a AS alias, least(a, min(b)) AS canon
+FROM reach GROUP BY a ORDER BY alias
+"""
+
+
+EXT_QUERIES.update({"q_alias_clusters": q_alias_clusters})
+EXT_ORACLE_SQL.update({"q_alias_clusters": SQL_ALIAS_CLUSTERS})

@@ -200,3 +200,19 @@ class TestMutualNN:
         assert mutual_nn_pairs(self._emb_ds([])).num_rows == 0
         only_a = self._emb_ds([(0, [1.0, 0.0]), (2, [0.0, 1.0])])
         assert mutual_nn_pairs(only_a).num_rows == 0
+
+
+class TestAliasClusters:
+    def test_cluster_properties(self, ray_session, sf_dir):
+        from phrasekit_ray.pipelines.queries import QUERIES
+
+        t = QUERIES["q_alias_clusters"](sf_dir)
+        alias = t["alias"].to_pylist()
+        canon = t["canon"].to_pylist()
+        assert len(alias) == len(set(alias))  # one row per alias
+        by = {}
+        for a, c in zip(alias, canon):
+            by.setdefault(c, []).append(a)
+        for c, members in by.items():
+            assert c == min(members)  # canonical = lexicographic min
+            assert len(members) >= 2  # only mergeable clusters emitted
