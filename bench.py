@@ -242,6 +242,7 @@ BENCH_QUERY_NAMES = [
         "q_prefix_jaccard_pairs",
         "q_mutual_nn",
         "q_alias_clusters",
+        "q_winnow_fingerprints",
 ]
 
 

@@ -8796,3 +8796,52 @@ FROM reach GROUP BY a ORDER BY alias
 
 EXT_QUERIES.update({"q_alias_clusters": q_alias_clusters})
 EXT_ORACLE_SQL.update({"q_alias_clusters": SQL_ALIAS_CLUSTERS})
+
+
+def q_winnow_fingerprints(sf_dir: str):
+    """Winnowing fingerprint index (X188, Schleimer–Wilkerson–Aiken MOSS
+    selector): per-doc sliding-window minimum of token-3-gram md5 hashes
+    (window 4, ties to the rightmost) — position-aware fingerprints with
+    the shared-substring guarantee (any common run of ≥ 6 tokens shares
+    a fingerprint) that sampling-free MinHash can't give
+    (stages/textstats.winnowed_fingerprints)."""
+    from phrasekit_ray.stages.textstats import winnowed_fingerprints
+
+    t = _collect(winnowed_fingerprints(_docs(sf_dir), k=3, window=4))
+    return t.take(
+        pc.sort_indices(
+            t, sort_keys=[("doc_id", "ascending"), ("pos", "ascending")]
+        )
+    )
+
+
+SQL_WINNOW_FINGERPRINTS = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents),
+kg AS (SELECT t0.doc_id, t0.pos,
+              md5_number_upper(t0.tok || ' ' || t1.tok || ' ' || t2.tok) AS h
+       FROM toks t0
+       JOIN toks t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+       JOIN toks t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2),
+m AS (SELECT doc_id, count(*) AS m FROM kg GROUP BY 1),
+-- kg pos is contiguous 1..m, so window starts enumerate from kg itself
+-- (DuckDB 1.0 generate_series rejects lateral column bounds)
+starts AS (SELECT k.doc_id, k.pos AS s
+           FROM kg k JOIN m ON m.doc_id = k.doc_id
+           WHERE k.pos <= GREATEST(m.m - 3, 1)),
+win AS (SELECT s.doc_id, s.s, k.pos, k.h
+        FROM starts s JOIN kg k
+          ON k.doc_id = s.doc_id AND k.pos BETWEEN s.s AND s.s + 3),
+sel AS (SELECT doc_id, s, pos, h,
+          row_number() OVER (PARTITION BY doc_id, s
+                             ORDER BY h ASC, pos DESC) AS rn
+        FROM win)
+SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id, CAST(pos AS BIGINT) AS pos,
+       CAST(h % 4611686018427387904 AS BIGINT) AS h62
+FROM sel WHERE rn = 1 ORDER BY doc_id, pos
+"""
+
+
+EXT_QUERIES.update({"q_winnow_fingerprints": q_winnow_fingerprints})
+EXT_ORACLE_SQL.update({"q_winnow_fingerprints": SQL_WINNOW_FINGERPRINTS})

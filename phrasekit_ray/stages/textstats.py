@@ -713,3 +713,110 @@ def ngram_novelty(
         nov.union(zeros), ["doc_id"], [("new_ngrams", "sum")],
         num_partitions=num_partitions,
     )
+
+
+def winnowed_fingerprints(
+    ds,
+    k: int = 3,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS plagiarism-detection selector): hash every
+    token k-gram (engine-wide md5-lower-8-bytes-LE convention ==
+    DuckDB ``md5_number_upper``), slide a ``window``-wide window over
+    each doc's k-gram hash sequence and keep the window MINIMUM, ties to
+    the RIGHTMOST position; the selected (doc, pos, hash) set is the
+    fingerprint index. Guarantee: any shared substring of at least
+    window + k − 1 tokens yields a shared fingerprint — position-aware
+    coverage MinHash (X2) cannot promise. Docs with fewer than
+    ``window`` k-grams contribute their single whole-doc minimum.
+
+    Fully vectorized per batch: per-UNIQUE-k-gram md5, one
+    sliding_window_view min with a reversed-argmin rightmost-tie pick,
+    reduceat for the short-doc path; no per-row Python. Returns
+    Dataset(doc_id, pos, h62) with 1-based k-gram positions and
+    h62 = hash mod 2⁶² (int64-safe, same modulo in the SQL twin).
+    """
+    import hashlib
+
+    if k < 1 or window < 1:
+        raise ValueError("winnowed_fingerprints: k and window must be >= 1")
+    w = int(window)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "h62": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        toks = pc.split_pattern(batch[text_col].combine_chunks(), " ")
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = offsets - offsets[0]
+        flat = toks.values.slice(offsets[0], int(off[-1]))
+        sizes = np.diff(off)
+        L = int(off[-1])
+        m = L - k + 1
+        if m <= 0:
+            return empty
+        doc_ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        doc_index = np.repeat(np.arange(len(sizes)), sizes)
+        parts = [flat.slice(j, m) for j in range(k)]
+        joined = pc.binary_join_element_wise(*parts, " ")
+        valid = doc_index[:m] == doc_index[k - 1 :]
+        if not valid.any():
+            return empty
+        joined = joined.filter(pa.array(valid))
+        D = doc_index[:m][valid]
+        enc = pc.dictionary_encode(joined)
+        uniq = enc.dictionary.to_pylist()
+        hu = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+                for s in uniq
+            ),
+            dtype=np.uint64,
+            count=len(uniq),
+        )
+        H = hu[enc.indices.to_numpy(zero_copy_only=False)]
+        M = len(H)
+        seg_start_mask = np.concatenate(([True], D[1:] != D[:-1]))
+        seg_starts = np.flatnonzero(seg_start_mask)
+        seg_id = np.cumsum(seg_start_mask) - 1
+        P = np.arange(M, dtype=np.int64) - seg_starts[seg_id]  # 0-based
+
+        picks = []
+        if M >= w:
+            hv = np.lib.stride_tricks.sliding_window_view(H, w)
+            ok = D[: M - w + 1] == D[w - 1 :]
+            if ok.any():
+                arg = (w - 1) - np.argmin(hv[ok][:, ::-1], axis=1)
+                picks.append(np.flatnonzero(ok) + arg)
+        # short docs (fewer than w k-grams): single whole-doc window
+        seg_sizes = np.diff(np.concatenate((seg_starts, [M])))
+        short = seg_sizes < w
+        if short.any():
+            mins = np.minimum.reduceat(H, seg_starts)
+            at_min = H == mins[seg_id]
+            pos_or = np.where(at_min, np.arange(M, dtype=np.int64), -1)
+            rmost = np.maximum.reduceat(pos_or, seg_starts)
+            picks.append(rmost[short])
+        if not picks:
+            return empty
+        sel = np.unique(np.concatenate(picks))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[D[sel]], pa.int64()),
+                "pos": pa.array(P[sel] + 1, pa.int64()),
+                "h62": pa.array(
+                    (H[sel] % np.uint64(1 << 62)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -216,3 +216,53 @@ class TestAliasClusters:
         for c, members in by.items():
             assert c == min(members)  # canonical = lexicographic min
             assert len(members) >= 2  # only mergeable clusters emitted
+
+
+class TestWinnowing:
+    def _ds(self, rows):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            )
+        )
+
+    def test_shared_substring_guarantee(self, ray_session):
+        from phrasekit_ray.stages.textstats import winnowed_fingerprints
+
+        # docs share a run of window + k - 1 = 6 tokens -> must share >=1
+        # fingerprint hash (the winnowing coverage guarantee)
+        shared = "alpha beta gamma delta epsilon zeta"
+        rows = [
+            (1, f"x1 y1 {shared} z1"),
+            (2, f"p2 q2 r2 s2 {shared}"),
+        ]
+        t = winnowed_fingerprints(self._ds(rows), k=3, window=4)
+        by = {}
+        for r in t.take_all():
+            by.setdefault(r["doc_id"], set()).add(r["h62"])
+        assert by[1] & by[2]
+
+    def test_window_coverage_density(self, ray_session):
+        from phrasekit_ray.stages.textstats import winnowed_fingerprints
+
+        rng = np.random.RandomState(3)
+        text = " ".join(f"w{rng.randint(50)}" for _ in range(200))
+        t = winnowed_fingerprints(self._ds([(7, text)]), k=3, window=4)
+        pos = sorted(r["pos"] for r in t.take_all())
+        # every window of 4 consecutive k-grams contains a selection:
+        # consecutive picks can never be more than `window` apart
+        assert pos[0] <= 4
+        assert max(np.diff(pos)) <= 4
+
+    def test_short_doc_single_fingerprint(self, ray_session):
+        from phrasekit_ray.stages.textstats import winnowed_fingerprints
+
+        # 4 tokens -> 2 k-grams (< window) -> exactly one fingerprint
+        t = winnowed_fingerprints(
+            self._ds([(1, "a b c d"), (2, "a b")]), k=3, window=4
+        )
+        rows = t.take_all()
+        assert len(rows) == 1 and rows[0]["doc_id"] == 1
