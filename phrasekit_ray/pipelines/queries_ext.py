@@ -8799,7 +8799,7 @@ EXT_ORACLE_SQL.update({"q_alias_clusters": SQL_ALIAS_CLUSTERS})
 
 
 def q_winnow_fingerprints(sf_dir: str):
-    """Winnowing fingerprint index (X188, Schleimer–Wilkerson–Aiken MOSS
+    """Winnowing fingerprint index (X187, Schleimer–Wilkerson–Aiken MOSS
     selector): per-doc sliding-window minimum of token-3-gram md5 hashes
     (window 4, ties to the rightmost) — position-aware fingerprints with
     the shared-substring guarantee (any common run of ≥ 6 tokens shares
