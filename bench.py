@@ -243,6 +243,8 @@ BENCH_QUERY_NAMES = [
         "q_mutual_nn",
         "q_alias_clusters",
         "q_winnow_fingerprints",
+        "q_syndication_matrix",
+        "q_event_bursts",
 ]
 
 

@@ -8845,3 +8845,177 @@ FROM sel WHERE rn = 1 ORDER BY doc_id, pos
 
 EXT_QUERIES.update({"q_winnow_fingerprints": q_winnow_fingerprints})
 EXT_ORACLE_SQL.update({"q_winnow_fingerprints": SQL_WINNOW_FINGERPRINTS})
+
+
+def q_syndication_matrix(sf_dir: str):
+    """Cross-source syndication matrix (X188): the X183 directed
+    containment join (C(A→B) = |A∩B|/|A| ≥ 0.8 over 3-shingles) lifted
+    to source level — n_pairs of (contained doc, containing doc) per
+    (src_source, dst_source) — the "who syndicates whom" flow a crawl
+    curator reads before weighting sources. Two int-keyed lookup_joins
+    attach each side's source, ONE two-phase pair count."""
+    import ray
+
+    from phrasekit_ray.pipelines.queries import tokenize_documents
+    from phrasekit_ray.stages.agg import grouped_count, lookup_join
+    from phrasekit_ray.stages.dedup import containment_pairs
+
+    docs = tokenize_documents(_docs(sf_dir))
+    pairs = containment_pairs(
+        docs, k=3, min_containment_micro=800_000
+    ).materialize()
+    srcs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    a = lookup_join(
+        pairs.map_batches(
+            lambda b: b.select(["src", "dst"]), batch_format="pyarrow"
+        ),
+        srcs.map_batches(
+            lambda b: pa.table(
+                {"doc_id": b["doc_id"], "src_source": b["source"]}
+            ),
+            batch_format="pyarrow",
+        ),
+        "src",
+        "doc_id",
+    )
+    b = lookup_join(
+        a,
+        srcs.map_batches(
+            lambda t: pa.table(
+                {"doc_id": t["doc_id"], "dst_source": t["source"]}
+            ),
+            batch_format="pyarrow",
+        ),
+        "dst",
+        "doc_id",
+    )
+    t = _collect(
+        grouped_count(
+            b.map_batches(
+                lambda x: x.select(["src_source", "dst_source"]),
+                batch_format="pyarrow",
+            ),
+            ["src_source", "dst_source"],
+            count_col="n_pairs",
+        )
+    )
+    return t.take(
+        pc.sort_indices(
+            t,
+            sort_keys=[
+                ("src_source", "ascending"),
+                ("dst_source", "ascending"),
+            ],
+        )
+    )
+
+
+SQL_SYNDICATION_MATRIX = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents),
+sh AS (SELECT DISTINCT t0.doc_id,
+         t0.tok || ' ' || t1.tok || ' ' || t2.tok AS shingle
+       FROM toks t0
+       JOIN toks t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+       JOIN toks t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS src, b.doc_id AS dst,
+                 CAST(count(*) AS BIGINT) AS n_inter
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2),
+cp AS (SELECT i.src, i.dst FROM inter i JOIN sizes s ON s.doc_id = i.src
+       WHERE 1000000 * i.n_inter // GREATEST(s.n, 1) >= 800000)
+SELECT da.source AS src_source, db.source AS dst_source,
+       count(*) AS n_pairs
+FROM cp JOIN documents da ON da.doc_id = cp.src
+        JOIN documents db ON db.doc_id = cp.dst
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+EXT_QUERIES.update({"q_syndication_matrix": q_syndication_matrix})
+EXT_ORACLE_SQL.update({"q_syndication_matrix": SQL_SYNDICATION_MATRIX})
+
+
+_BURST_DAY_US = 86_400_000_000
+
+
+def q_event_bursts(sf_dir: str):
+    """Per-type daily burst detection (X189): day buckets per event_type,
+    trailing 7-CALENDAR-day baseline (RANGE frame, days can be sparse),
+    burst when 7·cnt ≥ 3·trail7 with a warm baseline (trail7 > 0) — the
+    integer-exact anomaly flag a crawl/event monitor runs. Daily counts
+    are ONE two-phase distributed aggregate; the (type, day) table is
+    calendar-bounded (days × types), so the trailing scan is one
+    vectorized searchsorted pass over the collected counts — model-sized
+    by construction, never corpus-sized."""
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_count
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def day_of(b: pa.Table) -> pa.Table:
+        d = pc.divide(b["ts"].combine_chunks().cast(pa.int64()),
+                      pa.scalar(_BURST_DAY_US, pa.int64()))
+        return pa.table({"event_type": b["event_type"], "day": d})
+
+    counts = _collect(
+        grouped_count(
+            ev.map_batches(day_of, batch_format="pyarrow"),
+            ["event_type", "day"],
+            count_col="cnt",
+        )
+    )
+    et = np.asarray(counts["event_type"].to_pylist(), dtype=object)
+    day = counts["day"].to_numpy()
+    cnt = counts["cnt"].to_numpy().astype(np.int64)
+    order = np.lexsort((day, et))
+    et, day, cnt = et[order], day[order], cnt[order]
+    trail = np.zeros(len(et), np.int64)
+    starts = np.flatnonzero(
+        np.concatenate(([True], et[1:] != et[:-1]))
+    )
+    bounds = np.concatenate((starts, [len(et)]))
+    for a, b in zip(bounds[:-1], bounds[1:]):  # one slice per TYPE (bounded)
+        d, c = day[a:b], cnt[a:b]
+        csum = np.concatenate(([0], np.cumsum(c)))
+        lo = np.searchsorted(d, d - 7, side="left")
+        hi = np.searchsorted(d, d - 1, side="right")
+        trail[a:b] = csum[hi] - csum[lo]
+    burst = (trail > 0) & (7 * cnt >= 3 * trail)
+    return pa.table(
+        {
+            "event_type": pa.array(list(et), pa.string()),
+            "day": pa.array(day, pa.int64()),
+            "cnt": pa.array(cnt, pa.int64()),
+            "trail7": pa.array(trail, pa.int64()),
+            "is_burst": pa.array(burst.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+SQL_EVENT_BURSTS = """
+WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day
+           FROM events),
+c AS (SELECT event_type, day, count(*) AS cnt FROM d GROUP BY 1, 2),
+w AS (SELECT event_type, day, cnt,
+        CAST(COALESCE(sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+          RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS trail7
+      FROM c)
+SELECT event_type, CAST(day AS BIGINT) AS day, CAST(cnt AS BIGINT) AS cnt,
+       trail7,
+       CAST(CASE WHEN trail7 > 0 AND 7 * cnt >= 3 * trail7
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_burst
+FROM w ORDER BY event_type, day
+"""
+
+
+EXT_QUERIES.update({"q_event_bursts": q_event_bursts})
+EXT_ORACLE_SQL.update({"q_event_bursts": SQL_EVENT_BURSTS})

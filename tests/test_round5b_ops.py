@@ -266,3 +266,41 @@ class TestWinnowing:
         )
         rows = t.take_all()
         assert len(rows) == 1 and rows[0]["doc_id"] == 1
+
+
+class TestEventBursts:
+    def test_hand_case(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        day = 86_400_000_000
+        # type A: 7 quiet days of 1 event, then a 10-event spike (burst);
+        # type B: flat (never bursts); day-0 rows have no baseline
+        rows = []
+        eid = 0
+        for d in range(7):
+            rows.append(("A", d * day + 1))
+            rows.append(("B", d * day + 2))
+        for _ in range(10):
+            rows.append(("A", 7 * day + 3))
+        rows.append(("B", 7 * day + 4))
+        t = pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array([r[0] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(t, tmp_path / "events.parquet")
+        from phrasekit_ray.pipelines.queries import QUERIES
+
+        out = QUERIES["q_event_bursts"](str(tmp_path))
+        m = {
+            (r["event_type"], r["day"]): r for r in out.to_pylist()
+        }
+        assert m[("A", 7)]["is_burst"] == 1  # 7*10 >= 3*7 with warm base
+        assert m[("B", 7)]["is_burst"] == 0  # flat
+        assert m[("A", 0)]["is_burst"] == 0  # no baseline -> never burst
+        assert m[("A", 7)]["trail7"] == 7
