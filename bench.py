@@ -245,6 +245,8 @@ BENCH_QUERY_NAMES = [
         "q_winnow_fingerprints",
         "q_syndication_matrix",
         "q_event_bursts",
+        "q_source_top_bigrams",
+        "q_incremental_dedup_index",
 ]
 
 

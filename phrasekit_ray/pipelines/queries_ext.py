@@ -9019,3 +9019,155 @@ FROM w ORDER BY event_type, day
 
 EXT_QUERIES.update({"q_event_bursts": q_event_bursts})
 EXT_ORACLE_SQL.update({"q_event_bursts": SQL_EVENT_BURSTS})
+
+
+def q_source_top_bigrams(sf_dir: str):
+    """Per-source top-5 bigrams (X190): the boilerplate-phrase scan a
+    curator runs per host/source — ONE vectorized bigram explode, ONE
+    two-phase (source, bigram) count, then the lossless two-phase
+    grouped top-k primitive (X177's grouped_topk: per-block partial
+    top-k, only survivors shuffle) under the total order
+    (count desc, bigram asc)."""
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_count, grouped_topk
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"].combine_chunks(), " ")
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = offsets - offsets[0]
+        flat = toks.values.slice(offsets[0], int(off[-1]))
+        n = int(off[-1])
+        if n < 2:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "bigram": pa.array([], pa.string()),
+                }
+            )
+        sizes = np.diff(off)
+        doc_index = np.repeat(np.arange(len(sizes)), sizes)
+        keep = doc_index[: n - 1] == doc_index[1:]
+        w1 = flat.slice(0, n - 1).filter(pa.array(keep))
+        w2 = flat.slice(1, n - 1).filter(pa.array(keep))
+        src = b["source"].combine_chunks().take(
+            pa.array(doc_index[: n - 1][keep])
+        )
+        return pa.table(
+            {
+                "source": src,
+                "bigram": pc.binary_join_element_wise(w1, w2, " "),
+            }
+        )
+
+    counts = grouped_count(
+        docs.map_batches(explode, batch_format="pyarrow"),
+        ["source", "bigram"],
+    )
+    t = _collect(
+        grouped_topk(
+            counts,
+            "source",
+            [("count", "descending"), ("bigram", "ascending")],
+            k=5,
+        )
+    )
+    t = _i64(t, "count")
+    return t.take(
+        pc.sort_indices(
+            t,
+            sort_keys=[
+                ("source", "ascending"),
+                ("count", "descending"),
+                ("bigram", "ascending"),
+            ],
+        )
+    )
+
+
+SQL_SOURCE_TOP_BIGRAMS = """
+WITH toks AS (SELECT doc_id, source,
+                     unnest(string_split(text, ' ')) AS tok,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents),
+bg AS (SELECT t0.source, t0.tok || ' ' || t1.tok AS bigram
+       FROM toks t0
+       JOIN toks t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1),
+c AS (SELECT source, bigram, count(*) AS count FROM bg GROUP BY 1, 2)
+SELECT source, bigram, CAST(count AS BIGINT) AS count
+FROM c
+QUALIFY row_number() OVER (PARTITION BY source
+                           ORDER BY count DESC, bigram ASC) <= 5
+ORDER BY source, count DESC, bigram
+"""
+
+
+EXT_QUERIES.update({"q_source_top_bigrams": q_source_top_bigrams})
+EXT_ORACLE_SQL.update({"q_source_top_bigrams": SQL_SOURCE_TOP_BIGRAMS})
+
+
+def q_incremental_dedup_index(sf_dir: str):
+    """Persistent incremental MinHash-index maintenance (X191): docs
+    split by id parity into two 'crawl snapshots', each appended to an
+    on-disk LSH band-row index (resumable lineage writer, parameter-
+    fingerprint-gated); candidate pairs come from the STORED rows of
+    both snapshots. Rows-only for the driver, with the invariant
+    IN-BAND (the r3 item-6 pattern): ``invariant_mismatches`` counts
+    the symmetric difference vs a full one-shot recompute over the
+    union corpus — 0 by construction (same band-row multiset ⇒
+    byte-identical pairs)."""
+    import shutil
+    import tempfile
+
+    from phrasekit_ray.pipelines.queries import tokenize_documents
+    from phrasekit_ray.stages.dedup import (
+        index_candidate_pairs,
+        minhash_candidate_pairs,
+        write_minhash_index,
+    )
+
+    docs = tokenize_documents(_docs(sf_dir)).materialize()
+
+    def half(parity: int):
+        return docs.map_batches(
+            lambda b, p=parity: b.filter(
+                pc.equal(
+                    pc.bit_wise_and(b["doc_id"].combine_chunks().cast(pa.int64()),
+                                    pa.scalar(1, pa.int64())),
+                    pa.scalar(p, pa.int64()),
+                )
+            ),
+            batch_format="pyarrow",
+        )
+
+    idx = tempfile.mkdtemp(prefix="pk_mh_index_", dir="/tmp")
+    try:
+        write_minhash_index(half(0), idx, "snap_even")
+        write_minhash_index(half(1), idx, "snap_odd")
+        inc = sorted(
+            (r["left"], r["right"])
+            for r in index_candidate_pairs(idx).take_all()
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    full = sorted(
+        (r["left"], r["right"])
+        for r in minhash_candidate_pairs(docs).take_all()
+    )
+    mismatches = len(set(inc) ^ set(full))
+    return pa.table(
+        {
+            "left": pa.array([p[0] for p in inc], pa.int64()),
+            "right": pa.array([p[1] for p in inc], pa.int64()),
+            "invariant_mismatches": pa.array(
+                [mismatches] * len(inc), pa.int64()
+            ),
+        }
+    )
+
+
+EXT_QUERIES.update({"q_incremental_dedup_index": q_incremental_dedup_index})

@@ -213,7 +213,20 @@ def minhash_candidate_pairs(
     num_partitions = default_partitions(num_partitions)
 
     def fn(batch: pa.Table) -> pa.Table:
-        t = minhash_band_rows(batch, id_col, tokens_col, num_perm, bands, shingle_k)
+        return minhash_band_rows(
+            batch, id_col, tokens_col, num_perm, bands, shingle_k
+        )
+
+    rows = ds.map_batches(fn, batch_format="pyarrow")
+    return _band_pairs_from_rows(rows, id_col, num_partitions)
+
+
+def _band_pairs_from_rows(rows_ds, id_col: str, num_partitions: int):
+    """LSH pair emission over a (band, digest, id) row Dataset — shared
+    by the one-shot candidate path and the persistent incremental index
+    (same band-row multiset in ⇒ byte-identical pairs out)."""
+
+    def add_part(t: pa.Table) -> pa.Table:
         dig = t["digest"].to_numpy(zero_copy_only=False)
         band = t["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
         h = (dig ^ (band * np.uint64(0x9E3779B97F4A7C15))) * np.uint64(
@@ -222,7 +235,7 @@ def minhash_candidate_pairs(
         part = ((h >> np.uint64(33)) % np.uint64(num_partitions)).astype(np.int32)
         return t.append_column("_part", pa.array(part, pa.int32()))
 
-    rows = ds.map_batches(fn, batch_format="pyarrow")
+    rows = rows_ds.map_batches(add_part, batch_format="pyarrow")
 
     def partition_pairs(group: pa.Table) -> pa.Table:
         band = group["band"].to_numpy(zero_copy_only=False)
@@ -2233,3 +2246,106 @@ def prefix_filter_jaccard_pairs(
         ).filter(pa.array(keep))
 
     return with_both.map_batches(jaccard_filter, batch_format="pyarrow")
+
+
+def write_minhash_index(
+    ds,
+    index_dir: str,
+    snapshot: str,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    num_partitions: int = 16,
+) -> dict:
+    """Append one crawl snapshot's LSH band rows to a PERSISTENT on-disk
+    MinHash index (X191) — production near-dedup is incremental: each new
+    crawl hashes only ITS documents (the expensive shingling + minhash
+    work) and appends (band, digest, doc_id) rows; the stored rows of
+    prior snapshots are reused verbatim. Written via the resumable
+    lineage writer, so a crashed append resumes per partition.
+
+    The index manifest pins the hash parameters (num_perm, bands,
+    shingle_k, seed) — an append with different parameters is REJECTED,
+    not silently mixed (the ADVICE-r4 stale-checkpoint lesson: state
+    reuse must be fingerprint-gated). Re-appending an existing snapshot
+    name is a no-op resume, never a duplicate."""
+    import json
+    import os
+
+    from phrasekit_ray.state import lineage
+
+    params = {
+        "op": "minhash_index",
+        "num_perm": num_perm,
+        "bands": bands,
+        "shingle_k": shingle_k,
+        "seed": 7,
+        "id_col": id_col,
+    }
+    os.makedirs(index_dir, exist_ok=True)
+    mpath = os.path.join(index_dir, "minhash_index.json")
+    manifest = {"params": params, "snapshots": []}
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            manifest = json.load(f)
+        if manifest["params"] != params:
+            raise ValueError(
+                "write_minhash_index: index at "
+                f"{index_dir} was built with {manifest['params']}, "
+                f"refusing to append rows hashed with {params}"
+            )
+
+    rows = ds.map_batches(
+        lambda b: minhash_band_rows(
+            b, id_col, tokens_col, num_perm, bands, shingle_k
+        ),
+        batch_format="pyarrow",
+    )
+    summary = lineage.write_dataset_resumable(
+        rows,
+        index_dir,
+        stage=f"bands_{snapshot}",
+        config_desc=params,
+        partition_col=id_col,
+        num_partitions=num_partitions,
+    )
+    if snapshot not in manifest["snapshots"]:
+        manifest["snapshots"].append(snapshot)
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+    return summary
+
+
+def index_candidate_pairs(
+    index_dir: str,
+    num_partitions: int | None = None,
+):
+    """Candidate near-dup pairs over EVERY snapshot in a persistent
+    MinHash index (X191): union the stored band rows of all appends and
+    run the same pair-emission kernel as the one-shot path — the band-row
+    multiset equals a full recompute over the union corpus, so the pair
+    output is byte-identical to ``minhash_candidate_pairs`` on the
+    concatenated snapshots (the invariant the tests pin). Only new
+    snapshots ever pay hashing; pair emission is one shuffle over stored
+    8-byte digests."""
+    import json
+    import os
+
+    from phrasekit_ray.stages.agg import default_partitions
+    from phrasekit_ray.state import lineage
+
+    num_partitions = default_partitions(num_partitions)
+    mpath = os.path.join(index_dir, "minhash_index.json")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    id_col = manifest["params"]["id_col"]
+    parts = [
+        lineage.read_partitioned(index_dir, f"bands_{s}")
+        for s in manifest["snapshots"]
+    ]
+    rows = parts[0]
+    for p in parts[1:]:
+        rows = rows.union(p)
+    return _band_pairs_from_rows(rows, id_col, num_partitions)

@@ -304,3 +304,73 @@ class TestEventBursts:
         assert m[("B", 7)]["is_burst"] == 0  # flat
         assert m[("A", 0)]["is_burst"] == 0  # no baseline -> never burst
         assert m[("A", 7)]["trail7"] == 7
+
+
+class TestIncrementalMinhashIndex:
+    def _toks(self, seed, ids):
+        rng = np.random.RandomState(seed)
+        rows = []
+        for i in ids:
+            L = rng.randint(6, 20)
+            rows.append((i, [f"t{rng.randint(25)}" for _ in range(L)]))
+        return rows
+
+    def test_incremental_equals_full_recompute(self, ray_session, tmp_path):
+        from phrasekit_ray.stages.dedup import (
+            index_candidate_pairs,
+            minhash_candidate_pairs,
+            write_minhash_index,
+        )
+
+        snap1 = self._toks(1, range(0, 40))
+        snap2 = self._toks(2, range(100, 140))
+        # duplicate docs across snapshots so cross-snapshot pairs exist
+        snap2 += [(200 + i, toks) for i, toks in
+                  [(i, t) for i, t in snap1[:6]]]
+        idx = str(tmp_path / "mh_index")
+        write_minhash_index(_docs_ds(snap1), idx, "crawl1")
+        write_minhash_index(_docs_ds(snap2), idx, "crawl2")
+        inc = sorted(
+            (r["left"], r["right"])
+            for r in index_candidate_pairs(idx).take_all()
+        )
+        full = sorted(
+            (r["left"], r["right"])
+            for r in minhash_candidate_pairs(
+                _docs_ds(snap1 + snap2)
+            ).take_all()
+        )
+        assert inc == full
+        assert len(full) > 0  # the cross-snapshot dups must surface
+
+    def test_param_mismatch_rejected(self, ray_session, tmp_path):
+        from phrasekit_ray.stages.dedup import write_minhash_index
+
+        idx = str(tmp_path / "mh_index2")
+        write_minhash_index(_docs_ds(self._toks(3, range(5))), idx, "a")
+        with pytest.raises(ValueError, match="refusing to append"):
+            write_minhash_index(
+                _docs_ds(self._toks(3, range(5, 10))), idx, "b", bands=8
+            )
+
+    def test_reappend_is_resume_not_duplicate(self, ray_session, tmp_path):
+        from phrasekit_ray.stages.dedup import (
+            index_candidate_pairs,
+            write_minhash_index,
+        )
+
+        idx = str(tmp_path / "mh_index3")
+        docs = self._toks(4, range(30))
+        docs += [(100, docs[0][1])]  # one duplicate -> at least one pair
+        write_minhash_index(_docs_ds(docs), idx, "a")
+        before = sorted(
+            (r["left"], r["right"])
+            for r in index_candidate_pairs(idx).take_all()
+        )
+        s = write_minhash_index(_docs_ds(docs), idx, "a")  # same snapshot
+        assert s["written"] == 0  # fully resumed, nothing rewritten
+        after = sorted(
+            (r["left"], r["right"])
+            for r in index_candidate_pairs(idx).take_all()
+        )
+        assert before == after and len(before) > 0
