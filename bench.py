@@ -247,6 +247,7 @@ BENCH_QUERY_NAMES = [
         "q_event_bursts",
         "q_source_top_bigrams",
         "q_incremental_dedup_index",
+        "q_phrase_context_entropy",
 ]
 
 

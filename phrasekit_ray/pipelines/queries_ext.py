@@ -9171,3 +9171,240 @@ def q_incremental_dedup_index(sf_dir: str):
 
 
 EXT_QUERIES.update({"q_incremental_dedup_index": q_incremental_dedup_index})
+
+
+def q_phrase_context_entropy(sf_dir: str):
+    """Phrase-context (branching) entropy termhood (X192) — the classic
+    accessor-variety signal the miner's raw counts miss: a true phrase
+    occurs in MANY left/right contexts (high entropy), a fragment of a
+    longer template in few. For the top-20 corpus bigrams by (count
+    desc, bigram asc): distinct left/right context types and the exact
+    integer-micro-nat context entropies, doc-boundary contexts as
+    '<s>'/'</s>' sentinels.
+
+    Exactness (the X168 ln protocol): per (bigram, ctx) the term
+    round((ln N − ln c)·c·10⁶) is an integer function of two
+    integer-valued doubles with identical expression order both sides;
+    terms SUM as int64 (order-free) and H_micro = Σterm // N. Scale
+    shape: one context-explode pass filtered by the broadcast top-20
+    set, ONE two-phase (bigram, side, ctx) count, per-block partial
+    top-20 + one bounded merge for the target set — never a full-vocab
+    sort."""
+    import ray
+
+    from phrasekit_ray.stages.agg import grouped_count, hash_aggregate
+
+    docs = _docs(sf_dir)
+
+    def bigram_counts(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b["text"].combine_chunks(), " ")
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = offsets - offsets[0]
+        flat = toks.values.slice(offsets[0], int(off[-1]))
+        n = int(off[-1])
+        if n < 2:
+            return pa.table({"bigram": pa.array([], pa.string())})
+        sizes = np.diff(off)
+        di = np.repeat(np.arange(len(sizes)), sizes)
+        keep = di[: n - 1] == di[1:]
+        w1 = flat.slice(0, n - 1).filter(pa.array(keep))
+        w2 = flat.slice(1, n - 1).filter(pa.array(keep))
+        return pa.table({"bigram": pc.binary_join_element_wise(w1, w2, " ")})
+
+    counts = grouped_count(
+        docs.map_batches(bigram_counts, batch_format="pyarrow"), "bigram"
+    )
+
+    def local_top(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            b,
+            sort_keys=[("count", "descending"), ("bigram", "ascending")],
+        )
+        return b.take(idx[: min(20, b.num_rows)])
+
+    cand = _collect(counts.map_batches(local_top, batch_format="pyarrow"))
+    cand = cand.take(
+        pc.sort_indices(
+            cand,
+            sort_keys=[("count", "descending"), ("bigram", "ascending")],
+        )
+    )[:20] if cand.num_rows else cand
+    cand = cand.slice(0, min(20, cand.num_rows))
+    top = dict(zip(cand["bigram"].to_pylist(),
+                   [int(c) for c in cand["count"].to_pylist()]))
+    top_arr = pa.array(sorted(top), pa.string())
+    top_ref = ray.put(top_arr)
+
+    def contexts(b: pa.Table) -> pa.Table:
+        from phrasekit_ray.stages.score import _get_broadcast
+
+        tset = _get_broadcast(top_ref)
+        toks = pc.split_pattern(b["text"].combine_chunks(), " ")
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = offsets - offsets[0]
+        flat = toks.values.slice(offsets[0], int(off[-1]))
+        n = int(off[-1])
+        empty = pa.table(
+            {
+                "bigram": pa.array([], pa.string()),
+                "side": pa.array([], pa.string()),
+                "ctx": pa.array([], pa.string()),
+            }
+        )
+        if n < 2:
+            return empty
+        sizes = np.diff(off)
+        di = np.repeat(np.arange(len(sizes)), sizes)
+        m = n - 1
+        valid = di[:m] == di[1:]
+        bg = pc.binary_join_element_wise(
+            flat.slice(0, m), flat.slice(1, m), " "
+        )
+        hit = pc.is_in(bg, value_set=tset).to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(valid & hit)
+        if not len(sel):
+            return empty
+        bg_sel = bg.take(pa.array(sel))
+        bounds = np.concatenate(([0], np.cumsum(sizes)))
+        doc_of = di[sel]
+        # vectorized sentinel-padded context gather: clamp the index for
+        # the take, then if_else the boundary rows to the sentinel
+        lpos = sel - 1
+        l_ok = lpos >= bounds[:-1][doc_of]
+        lctx = pc.if_else(
+            pa.array(l_ok),
+            flat.take(pa.array(np.where(l_ok, lpos, 0))),
+            pa.scalar("<s>"),
+        )
+        rpos = sel + 2
+        r_ok = rpos < bounds[1:][doc_of]
+        rctx = pc.if_else(
+            pa.array(r_ok),
+            flat.take(pa.array(np.where(r_ok, rpos, 0))),
+            pa.scalar("</s>"),
+        )
+        k = len(sel)
+        return pa.table(
+            {
+                "bigram": pa.chunked_array([bg_sel, bg_sel]).combine_chunks(),
+                "side": pa.array(["L"] * k + ["R"] * k, pa.string()),
+                "ctx": pa.chunked_array([lctx, rctx]).combine_chunks(),
+            }
+        )
+
+    ctx_counts = grouped_count(
+        docs.map_batches(contexts, batch_format="pyarrow"),
+        ["bigram", "side", "ctx"],
+        count_col="c",
+    )
+    top_counts_ref = ray.put(top)
+
+    def terms(b: pa.Table) -> pa.Table:
+        from phrasekit_ray.stages.score import _get_broadcast
+
+        tmap = _get_broadcast(top_counts_ref)
+        enc = pc.dictionary_encode(b["bigram"].combine_chunks())
+        tc = np.array(
+            [tmap[s] for s in enc.dictionary.to_pylist()], np.float64
+        )[enc.indices.to_numpy(zero_copy_only=False)] if b.num_rows else np.zeros(0)
+        cv = b["c"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        term = (np.log(tc) - np.log(cv)) * cv * 1e6
+        term_i = np.where(
+            term >= 0, np.floor(term + 0.5), np.ceil(term - 0.5)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "bigram": b["bigram"],
+                "side": b["side"],
+                "term": pa.array(term_i, pa.int64()),
+                "one": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+
+    # distributed per-(bigram, side) reduce: only 40 rows reach the driver
+    agg = _collect(
+        hash_aggregate(
+            ctx_counts.map_batches(terms, batch_format="pyarrow"),
+            ["bigram", "side"],
+            [("term", "sum"), ("one", "sum")],
+        )
+    )
+    out = {}
+    for b2, s2, tsum, ntypes in zip(
+        agg["bigram"].to_pylist(),
+        agg["side"].to_pylist(),
+        agg["term"].to_pylist(),
+        agg["one"].to_pylist(),
+    ):
+        out.setdefault(b2, {"L": [0, 0], "R": [0, 0]})[s2] = [
+            int(tsum), int(ntypes)
+        ]
+    rows = []
+    for b2, cnt2 in sorted(top.items(), key=lambda kv: (-kv[1], kv[0])):
+        d = out.get(b2, {"L": [0, 0], "R": [0, 0]})
+        rows.append(
+            (
+                b2,
+                cnt2,
+                d["L"][1],
+                d["R"][1],
+                d["L"][0] // cnt2,
+                d["R"][0] // cnt2,
+            )
+        )
+    return pa.table(
+        {
+            "bigram": pa.array([r[0] for r in rows], pa.string()),
+            "count": pa.array([r[1] for r in rows], pa.int64()),
+            "n_left_types": pa.array([r[2] for r in rows], pa.int64()),
+            "n_right_types": pa.array([r[3] for r in rows], pa.int64()),
+            "h_left_micro": pa.array([r[4] for r in rows], pa.int64()),
+            "h_right_micro": pa.array([r[5] for r in rows], pa.int64()),
+        }
+    )
+
+
+SQL_PHRASE_CONTEXT_ENTROPY = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents),
+bg AS (SELECT t0.doc_id, t0.pos, t0.tok || ' ' || t1.tok AS bigram
+       FROM toks t0
+       JOIN toks t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1),
+top AS MATERIALIZED (SELECT bigram, CAST(count(*) AS BIGINT) AS tc
+       FROM bg GROUP BY 1 ORDER BY tc DESC, bigram ASC LIMIT 20),
+occ AS (SELECT b.doc_id, b.pos, b.bigram, t.tc
+        FROM bg b JOIN top t USING (bigram)),
+ctxs AS (
+  SELECT o.bigram, o.tc, 'L' AS side, COALESCE(l.tok, '<s>') AS ctx
+  FROM occ o LEFT JOIN toks l
+    ON l.doc_id = o.doc_id AND l.pos = o.pos - 1
+  UNION ALL
+  SELECT o.bigram, o.tc, 'R' AS side, COALESCE(r.tok, '</s>') AS ctx
+  FROM occ o LEFT JOIN toks r
+    ON r.doc_id = o.doc_id AND r.pos = o.pos + 2),
+cc AS (SELECT bigram, tc, side, ctx, CAST(count(*) AS BIGINT) AS c
+       FROM ctxs GROUP BY 1, 2, 3, 4),
+terms AS (SELECT bigram, tc, side,
+            CAST(round((ln(CAST(tc AS DOUBLE)) - ln(CAST(c AS DOUBLE)))
+                       * c * 1000000.0) AS BIGINT) AS term,
+            1 AS one
+          FROM cc),
+agg AS (SELECT bigram, tc,
+          CAST(SUM(CASE WHEN side = 'L' THEN one ELSE 0 END) AS BIGINT)
+            AS n_left_types,
+          CAST(SUM(CASE WHEN side = 'R' THEN one ELSE 0 END) AS BIGINT)
+            AS n_right_types,
+          CAST(SUM(CASE WHEN side = 'L' THEN term ELSE 0 END) // tc
+            AS BIGINT) AS h_left_micro,
+          CAST(SUM(CASE WHEN side = 'R' THEN term ELSE 0 END) // tc
+            AS BIGINT) AS h_right_micro
+        FROM terms GROUP BY 1, 2)
+SELECT bigram, tc AS count, n_left_types, n_right_types,
+       h_left_micro, h_right_micro
+FROM agg ORDER BY count DESC, bigram ASC
+"""
+
+
+EXT_QUERIES.update({"q_phrase_context_entropy": q_phrase_context_entropy})
+EXT_ORACLE_SQL.update({"q_phrase_context_entropy": SQL_PHRASE_CONTEXT_ENTROPY})
