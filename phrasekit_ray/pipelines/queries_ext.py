@@ -8617,7 +8617,7 @@ def q_prefix_jaccard_pairs(sf_dir: str):
     from phrasekit_ray.stages.dedup import prefix_filter_jaccard_pairs
 
     docs = tokenize_documents(_docs(sf_dir))
-    t = _collect(prefix_filter_jaccard_pairs(docs, k=3, threshold=0.5))
+    t = _collect(prefix_filter_jaccard_pairs(docs, k=3, threshold=0.8))
     t = _i64(t, "left", "right")
     return t.take(
         pc.sort_indices(
@@ -8645,7 +8645,7 @@ SELECT l AS "left", r AS "right",
 FROM inter
 JOIN sizes sa ON sa.doc_id = inter.l
 JOIN sizes sb ON sb.doc_id = inter.r
-WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
 ORDER BY 1, 2
 """
 

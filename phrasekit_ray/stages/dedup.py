@@ -2184,9 +2184,15 @@ def prefix_filter_jaccard_pairs(
         lambda b: b.select(["left", "right"]), batch_format="pyarrow"
     )
 
-    # exact verification: explode each candidate's LEFT set with one
-    # native hash join, then probe the packed (doc, shingle) key of the
-    # RIGHT set — matches are exactly the pair's intersection elements
+    # exact verification: explode each candidate's LEFT set with ONE
+    # native hash join (materialized so the join never chains into the
+    # downstream shuffle — Ray 2.49 native joins are fragile when
+    # chained, see lookup_join's docstring), then an exact in-partition
+    # STRING semi-match of the packed (right, shingle) key against the
+    # full shingle table — survivors are exactly the pair's intersection
+    # elements. No second native join, no hashing of the match key: the
+    # partition trick is crc32 co-location + one dictionary_encode
+    # equality per partition.
     jp = join_partitions(num_partitions)
     j1 = cand_pairs.join(
         sh,
@@ -2194,7 +2200,7 @@ def prefix_filter_jaccard_pairs(
         num_partitions=jp,
         on=("left",),
         right_on=("doc_id",),
-    )
+    ).materialize()
 
     def pack_probe(b: pa.Table) -> pa.Table:
         key2 = pc.binary_join_element_wise(
@@ -2203,26 +2209,62 @@ def prefix_filter_jaccard_pairs(
             "\x1f",
         )
         return pa.table(
-            {"left": b["left"], "right": b["right"], "key2": key2}
+            {"left": b["left"], "right": b["right"], "key2": key2,
+             "_side": pa.array(np.zeros(b.num_rows, np.int8))}
         )
 
-    def pack_side(b: pa.Table) -> pa.Table:
+    def pack_target(b: pa.Table) -> pa.Table:
         key2 = pc.binary_join_element_wise(
             pc.cast(b["doc_id"].combine_chunks().cast(pa.int64()), pa.string()),
             b["shingle"].combine_chunks().cast(pa.string()),
             "\x1f",
         )
-        return pa.table({"key2": key2})
+        z = np.zeros(b.num_rows, np.int64)
+        return pa.table(
+            {"left": pa.array(z), "right": pa.array(z), "key2": key2,
+             "_side": pa.array(np.ones(b.num_rows, np.int8))}
+        )
+
+    import zlib as _zlib
+
+    def add_kpart(b: pa.Table) -> pa.Table:
+        p = np.fromiter(
+            (_zlib.crc32(s.encode()) for s in b["key2"].to_pylist()),
+            dtype=np.uint32,
+            count=b.num_rows,
+        )
+        return b.append_column(
+            "_part", pa.array((p % np.uint32(num_partitions)).astype(np.int32))
+        )
+
+    def semi_match(group: pa.Table) -> pa.Table:
+        side = group["_side"].to_numpy(zero_copy_only=False)
+        enc = group["key2"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        in_target = np.zeros(len(enc.dictionary), dtype=bool)
+        tmask = side == 1
+        in_target[codes[tmask]] = True
+        keep = (~tmask) & in_target[codes]
+        return pa.table(
+            {
+                "left": group["left"].combine_chunks().filter(pa.array(keep)),
+                "right": group["right"].combine_chunks().filter(pa.array(keep)),
+            }
+        )
 
     probes = j1.map_batches(pack_probe, batch_format="pyarrow")
-    targets = sh.map_batches(pack_side, batch_format="pyarrow")
-    j2 = probes.join(
-        targets, join_type="inner", num_partitions=jp, on=("key2",)
+    targets = sh.map_batches(pack_target, batch_format="pyarrow")
+    matched = (
+        probes.union(targets)
+        .map_batches(add_kpart, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(
+            lambda g: semi_match(g.drop_columns(["_part"])),
+            batch_format="pyarrow",
+        )
     )
     inter = grouped_count(
-        j2.map_batches(
-            lambda b: b.select(["left", "right"]), batch_format="pyarrow"
-        ),
+        matched,
         ["left", "right"],
         count_col="n",
         num_partitions=num_partitions,
