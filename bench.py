@@ -248,6 +248,7 @@ BENCH_QUERY_NAMES = [
         "q_source_top_bigrams",
         "q_incremental_dedup_index",
         "q_phrase_context_entropy",
+        "q_tag_vote",
 ]
 
 

@@ -9408,3 +9408,56 @@ FROM agg ORDER BY count DESC, bigram ASC
 
 EXT_QUERIES.update({"q_phrase_context_entropy": q_phrase_context_entropy})
 EXT_ORACLE_SQL.update({"q_phrase_context_entropy": SQL_PHRASE_CONTEXT_ENTROPY})
+
+
+def q_tag_vote(sf_dir: str):
+    """Weak-supervision majority-vote label resolution (X193, the
+    Snorkel ensemble shape over the engine's OWN labeling functions):
+    the three overlap-resolution policies (leftmost_longest,
+    leftmost_first, salience_max) act as three LFs emitting spans from
+    the same artifact; a span survives when ≥2 LFs agree on the exact
+    (doc, start, end, phrase). On a bigram artifact leftmost_longest ==
+    leftmost_first, so the vote separates greedy-consensus spans
+    (n_votes 2) from full-agreement spans salience_max also keeps
+    (n_votes 3) — the confidence tier a downstream weak-supervision
+    trainer weights by. Reuses the tagged per-policy span table and the
+    policy SQL twin verbatim; the vote is one grouped count."""
+    from phrasekit_ray.pipelines.queries import QUERIES as _Q
+
+    t = _Q["q_tag_policies"](sf_dir)
+    lf = t.filter(pc.not_equal(t["policy"], "all"))
+    g = lf.group_by(["doc_id", "start", "end", "phrase_id"]).aggregate(
+        [("policy", "count")]
+    ).rename_columns(["doc_id", "start", "end", "phrase_id", "n_votes"])
+    g = g.filter(pc.greater_equal(g["n_votes"], 2))
+    g = _i64(g, "doc_id", "start", "end", "phrase_id", "n_votes")
+    return g.take(
+        pc.sort_indices(
+            g,
+            sort_keys=[
+                ("doc_id", "ascending"),
+                ("start", "ascending"),
+                ("end", "ascending"),
+            ],
+        )
+    )
+
+
+def _sql_tag_vote() -> str:
+    from phrasekit_ray.pipelines.queries import _sql_tag_policies
+
+    return f"""
+WITH base AS MATERIALIZED (
+{_sql_tag_policies()}
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(start AS BIGINT) AS start,
+       CAST("end" AS BIGINT) AS "end", CAST(phrase_id AS BIGINT) AS phrase_id,
+       count(*) AS n_votes
+FROM base WHERE policy <> 'all'
+GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2
+ORDER BY doc_id, start, "end"
+"""
+
+
+EXT_QUERIES.update({"q_tag_vote": q_tag_vote})
+EXT_ORACLE_SQL.update({"q_tag_vote": _sql_tag_vote()})

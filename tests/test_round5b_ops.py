@@ -374,3 +374,24 @@ class TestIncrementalMinhashIndex:
             for r in index_candidate_pairs(idx).take_all()
         )
         assert before == after and len(before) > 0
+
+
+class TestTagVote:
+    def test_vote_tiers(self, ray_session, sf_dir):
+        from phrasekit_ray.pipelines.queries import QUERIES
+
+        votes = QUERIES["q_tag_vote"](sf_dir)
+        all_spans = QUERIES["q_tag_policies"](sf_dir)
+        assert votes.num_rows > 0
+        assert set(votes["n_votes"].to_pylist()) <= {2, 3}
+        # every surviving span exists in the greedy LF output (2 of the
+        # 3 LFs are the greedy pair on a bigram artifact, so a majority
+        # necessarily includes it)
+        greedy = {
+            (r["doc_id"], r["start"], r["end"], r["phrase_id"])
+            for r in all_spans.filter(
+                pa.compute.equal(all_spans["policy"], "leftmost_longest")
+            ).to_pylist()
+        }
+        for r in votes.to_pylist():
+            assert (r["doc_id"], r["start"], r["end"], r["phrase_id"]) in greedy
