@@ -249,6 +249,7 @@ BENCH_QUERY_NAMES = [
         "q_incremental_dedup_index",
         "q_phrase_context_entropy",
         "q_tag_vote",
+        "q_compact_snapshots",
 ]
 
 

@@ -9461,3 +9461,68 @@ ORDER BY doc_id, start, "end"
 
 EXT_QUERIES.update({"q_tag_vote": q_tag_vote})
 EXT_ORACLE_SQL.update({"q_tag_vote": _sql_tag_vote()})
+
+
+def q_compact_snapshots(sf_dir: str):
+    """Zonemap compaction (X194): documents split by doc_id parity into
+    two OVERLAPPING zonemapped snapshot layouts by n_chars (each sorted
+    internally — the shape successive crawl appends leave), compacted
+    into one layout (state/lineage.compact_zonemapped), then the X144
+    [200, 400] range read runs against the COMPACTED layout. The SQL
+    twin is the plain BETWEEN over the source table, so hash equality
+    certifies union + merge + zone-pruned read end to end; the pruning
+    improvement itself (scanned_after <= sum of per-snapshot scans) is
+    pinned in pytest on the real manifests."""
+    import tempfile
+
+    import ray
+
+    from phrasekit_ray.state.lineage import (
+        compact_zonemapped,
+        read_zonemapped,
+        write_zonemapped,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def parity(p: int):
+        return docs.map_batches(
+            lambda b, pp=p: b.filter(
+                pc.equal(
+                    pc.bit_wise_and(
+                        b["doc_id"].combine_chunks().cast(pa.int64()),
+                        pa.scalar(1, pa.int64()),
+                    ),
+                    pa.scalar(pp, pa.int64()),
+                )
+            ),
+            batch_format="pyarrow",
+        )
+
+    with tempfile.TemporaryDirectory(prefix="compact_") as root:
+        write_zonemapped(parity(0), root, "snap_even", "n_chars", 8,
+                         config_desc=sf_dir)
+        write_zonemapped(parity(1), root, "snap_odd", "n_chars", 8,
+                         config_desc=sf_dir)
+        compact_zonemapped(root, ["snap_even", "snap_odd"],
+                           "compacted", "n_chars", 16)
+        out, _scanned, _total = read_zonemapped(
+            root, "compacted", "n_chars", 200, 400
+        )
+        t = _collect(out.map_batches(
+            lambda b: b.select(["doc_id", "n_chars"]),
+            batch_format="pyarrow",
+        ))
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
+SQL_COMPACT_SNAPSHOTS = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents WHERE n_chars BETWEEN 200 AND 400 ORDER BY doc_id
+"""
+
+
+EXT_QUERIES.update({"q_compact_snapshots": q_compact_snapshots})
+EXT_ORACLE_SQL.update({"q_compact_snapshots": SQL_COMPACT_SNAPSHOTS})

@@ -404,3 +404,33 @@ def read_zonemapped(root: str, stage: str, zone_col: str, lo, hi):
         batch_format="pyarrow",
     )
     return out, len(paths), total
+
+
+def compact_zonemapped(
+    root: str,
+    stages: list[str],
+    out_stage: str,
+    zone_col: str,
+    num_partitions: int = 16,
+    config_desc: Any = None,
+) -> dict:
+    """LSM-style compaction of zonemapped layouts (X194): union N
+    range-partitioned snapshot layouts (each internally sorted but
+    OVERLAPPING each other — the state appended crawls leave behind)
+    into ONE fresh :func:`write_zonemapped` layout. Reads go through
+    the stored partitions (no re-derivation from source), the merge is
+    write_zonemapped's single sort shuffle, and the output inherits its
+    crash-resumable manifest-last contract.
+
+    The maintenance win is pruning selectivity: a range query over K
+    overlapping snapshots must open matching zones in EVERY snapshot;
+    after compaction the same query opens only the compacted layout's
+    overlapping slice (tests assert scanned_after <= scanned_before on
+    real manifests, not just equal answers)."""
+    ds = read_partitioned(root, stages[0])
+    for s in stages[1:]:
+        ds = ds.union(read_partitioned(root, s))
+    return write_zonemapped(
+        ds, root, out_stage, zone_col, num_partitions,
+        config_desc={"compact_of": list(stages), "desc": config_desc},
+    )

@@ -395,3 +395,69 @@ class TestTagVote:
         }
         for r in votes.to_pylist():
             assert (r["doc_id"], r["start"], r["end"], r["phrase_id"]) in greedy
+
+
+class TestCompactZonemapped:
+    def test_pruning_improves_and_rows_identical(self, ray_session, tmp_path):
+        from phrasekit_ray.state.lineage import (
+            compact_zonemapped,
+            read_zonemapped,
+            write_zonemapped,
+        )
+
+        rng = np.random.RandomState(5)
+        def snap(ids):
+            vals = rng.randint(0, 1000, len(ids))
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "doc_id": pa.array(ids, pa.int64()),
+                        "v": pa.array(vals, pa.int64()),
+                    }
+                )
+            )
+
+        root = str(tmp_path)
+        write_zonemapped(snap(range(0, 400)), root, "s1", "v", 8)
+        write_zonemapped(snap(range(400, 800)), root, "s2", "v", 8)
+        # before: the [100, 180] range must open zones in BOTH snapshots
+        o1, sc1, _ = read_zonemapped(root, "s1", "v", 100, 180)
+        o2, sc2, _ = read_zonemapped(root, "s2", "v", 100, 180)
+        before_rows = sorted(
+            (r["doc_id"], r["v"]) for r in o1.take_all() + o2.take_all()
+        )
+        assert sc1 > 0 and sc2 > 0
+
+        compact_zonemapped(root, ["s1", "s2"], "c", "v", 16)
+        oc, scc, tot = read_zonemapped(root, "c", "v", 100, 180)
+        after_rows = sorted((r["doc_id"], r["v"]) for r in oc.take_all())
+        assert after_rows == before_rows and len(after_rows) > 0
+        # real pruning: compacted layout scans fewer files than the two
+        # snapshot layouts combined, and prunes most of its own zones
+        assert scc <= sc1 + sc2
+        assert scc < tot
+
+    def test_full_readback_equals_union(self, ray_session, tmp_path):
+        from phrasekit_ray.state.lineage import (
+            compact_zonemapped,
+            read_partitioned,
+            write_zonemapped,
+        )
+
+        a = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "v": pa.array([10, 20], pa.int64())})
+        )
+        b = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([3], pa.int64()),
+                      "v": pa.array([15], pa.int64())})
+        )
+        root = str(tmp_path)
+        write_zonemapped(a, root, "s1", "v", 4)
+        write_zonemapped(b, root, "s2", "v", 4)
+        compact_zonemapped(root, ["s1", "s2"], "c", "v", 4)
+        rows = sorted(
+            (r["doc_id"], r["v"])
+            for r in read_partitioned(root, "c").take_all()
+        )
+        assert rows == [(1, 10), (2, 20), (3, 15)]
