@@ -479,6 +479,96 @@ def cmd_chunk(args) -> int:
     return 0
 
 
+def cmd_ssjoin(args) -> int:
+    import ray
+
+    from phrasekit_ray.stages.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+    from phrasekit_ray.stages.extract import tokenize_documents
+
+    _init_ray()
+    docs = tokenize_documents(
+        ray.data.read_parquet(args.input),
+        text_col=args.text_col,
+        id_col=args.id_col,
+    )
+    if args.method == "exact":
+        out = jaccard_pairs(docs, k=args.k, threshold=args.threshold)
+    elif args.method == "prefix":
+        out = prefix_filter_jaccard_pairs(
+            docs, k=args.k, threshold=args.threshold
+        )
+    else:
+        out = containment_pairs(
+            docs, k=args.k,
+            min_containment_micro=int(round(args.threshold * 1_000_000)),
+        )
+    out.write_parquet(args.output)
+    print(json.dumps({"stage": "ssjoin", "method": args.method,
+                      "k": args.k, "threshold": args.threshold}))
+    return 0
+
+
+def cmd_mh_index(args) -> int:
+    import ray
+
+    from phrasekit_ray.stages.dedup import (
+        index_candidate_pairs,
+        write_minhash_index,
+    )
+    from phrasekit_ray.stages.extract import tokenize_documents
+
+    _init_ray()
+    summary = {}
+    if args.append:
+        if not args.snapshot:
+            print("mh-index: --append requires --snapshot", flush=True)
+            return 2
+        docs = tokenize_documents(
+            ray.data.read_parquet(args.append),
+            text_col=args.text_col,
+            id_col=args.id_col,
+        )
+        summary = write_minhash_index(
+            docs, args.index_dir, args.snapshot, id_col="doc_id"
+        )
+    if args.pairs_output:
+        index_candidate_pairs(args.index_dir).write_parquet(args.pairs_output)
+    print(json.dumps({"stage": "mh-index", **summary}))
+    return 0
+
+
+def cmd_compact(args) -> int:
+    from phrasekit_ray.state.lineage import compact_zonemapped
+
+    _init_ray()
+    summary = compact_zonemapped(
+        args.root, args.stages, args.out_stage, args.zone_col,
+        args.num_partitions,
+    )
+    print(json.dumps({"stage": "compact", **{
+        k: v for k, v in summary.items() if k != "zones"}}))
+    return 0
+
+
+def cmd_winnow(args) -> int:
+    import ray
+
+    from phrasekit_ray.stages.textstats import winnowed_fingerprints
+
+    _init_ray()
+    ds = ray.data.read_parquet(args.input)
+    winnowed_fingerprints(
+        ds, k=args.k, window=args.window,
+        text_col=args.text_col, id_col=args.id_col,
+    ).write_parquet(args.output)
+    print(json.dumps({"stage": "winnow", "k": args.k, "window": args.window}))
+    return 0
+
+
 def cmd_zscore(args) -> int:
     import ray
 
@@ -719,6 +809,60 @@ def main(argv=None) -> int:
     wp.add_argument("--output", required=True)
     wp.add_argument("--strict", action="store_true")
     wp.set_defaults(fn=cmd_warc_to_parquet)
+
+    sj = sub.add_parser(
+        "ssjoin",
+        help="set-similarity self-join: exact inverted-index, "
+        "prefix-filtered (AllPairs), or directed containment",
+    )
+    sj.add_argument("--input", required=True)
+    sj.add_argument("--output", required=True)
+    sj.add_argument(
+        "--method",
+        choices=["exact", "prefix", "containment"],
+        default="prefix",
+    )
+    sj.add_argument("--k", type=int, default=3)
+    sj.add_argument("--threshold", type=float, default=0.8)
+    sj.add_argument("--text-col", default="text")
+    sj.add_argument("--id-col", default="doc_id")
+    sj.set_defaults(fn=cmd_ssjoin)
+
+    mi = sub.add_parser(
+        "mh-index",
+        help="persistent incremental MinHash-LSH index: append a "
+        "snapshot and/or emit candidate pairs over all snapshots",
+    )
+    mi.add_argument("--index-dir", required=True)
+    mi.add_argument("--append", help="parquet corpus to append as a snapshot")
+    mi.add_argument("--snapshot", help="snapshot name for --append")
+    mi.add_argument("--pairs-output", help="write candidate pairs parquet")
+    mi.add_argument("--text-col", default="text")
+    mi.add_argument("--id-col", default="doc_id")
+    mi.set_defaults(fn=cmd_mh_index)
+
+    cp = sub.add_parser(
+        "compact",
+        help="LSM-style compaction of zonemapped snapshot layouts",
+    )
+    cp.add_argument("--root", required=True)
+    cp.add_argument("--stages", required=True, nargs="+")
+    cp.add_argument("--out-stage", required=True)
+    cp.add_argument("--zone-col", required=True)
+    cp.add_argument("--num-partitions", type=int, default=16)
+    cp.set_defaults(fn=cmd_compact)
+
+    wn = sub.add_parser(
+        "winnow",
+        help="winnowing fingerprint index (MOSS window-min selector)",
+    )
+    wn.add_argument("--input", required=True)
+    wn.add_argument("--output", required=True)
+    wn.add_argument("--k", type=int, default=3)
+    wn.add_argument("--window", type=int, default=4)
+    wn.add_argument("--text-col", default="text")
+    wn.add_argument("--id-col", default="doc_id")
+    wn.set_defaults(fn=cmd_winnow)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -431,3 +431,63 @@ def test_cli_warc_to_parquet(ray_session, tmp_path):
     t = pq.read_table(glob.glob(f"{out}/*.parquet"))
     assert t.num_rows == 6
     assert set(t.column_names) >= {"url", "warc_ts", "html", "http_status"}
+
+
+def test_cli_ssjoin_prefix_matches_exact(ray_session, tmp_path, sf_dir):
+    from phrasekit_ray.cli import main
+
+    assert main([
+        "ssjoin", "--input", f"{sf_dir}/documents.parquet",
+        "--output", str(tmp_path / "p"), "--method", "prefix",
+        "--threshold", "0.8",
+    ]) == 0
+    assert main([
+        "ssjoin", "--input", f"{sf_dir}/documents.parquet",
+        "--output", str(tmp_path / "e"), "--method", "exact",
+        "--threshold", "0.8",
+    ]) == 0
+    a = pq.read_table(str(tmp_path / "p")).sort_by(
+        [("left", "ascending"), ("right", "ascending")]
+    )
+    b = pq.read_table(str(tmp_path / "e")).sort_by(
+        [("left", "ascending"), ("right", "ascending")]
+    )
+    assert a.equals(b)
+
+
+def test_cli_mh_index_and_winnow(ray_session, tmp_path, sf_dir):
+    from phrasekit_ray.cli import main
+
+    assert main([
+        "mh-index", "--index-dir", str(tmp_path / "idx"),
+        "--append", f"{sf_dir}/documents.parquet", "--snapshot", "a",
+        "--pairs-output", str(tmp_path / "pairs"),
+    ]) == 0
+    assert pq.read_table(str(tmp_path / "pairs")).num_rows >= 0
+    assert main([
+        "winnow", "--input", f"{sf_dir}/documents.parquet",
+        "--output", str(tmp_path / "wn"),
+    ]) == 0
+    wn = pq.read_table(str(tmp_path / "wn"))
+    assert set(wn.column_names) == {"doc_id", "pos", "h62"}
+    assert wn.num_rows > 0
+
+
+def test_cli_compact(ray_session, tmp_path, sf_dir):
+    import ray
+
+    from phrasekit_ray.cli import main
+    from phrasekit_ray.state.lineage import read_partitioned, write_zonemapped
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    root = str(tmp_path / "zm")
+    write_zonemapped(docs, root, "s1", "n_chars", 4)
+    write_zonemapped(docs, root, "s2", "n_chars", 4)
+    assert main([
+        "compact", "--root", root, "--stages", "s1", "s2",
+        "--out-stage", "c", "--zone-col", "n_chars",
+        "--num-partitions", "8",
+    ]) == 0
+    assert read_partitioned(root, "c").count() == 2 * docs.count()
