@@ -250,6 +250,7 @@ BENCH_QUERY_NAMES = [
         "q_phrase_context_entropy",
         "q_tag_vote",
         "q_compact_snapshots",
+        "q_kg_trust",
 ]
 
 

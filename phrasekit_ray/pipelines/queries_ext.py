@@ -9526,3 +9526,89 @@ FROM documents WHERE n_chars BETWEEN 200 AND 400 ORDER BY doc_id
 
 EXT_QUERIES.update({"q_compact_snapshots": q_compact_snapshots})
 EXT_ORACLE_SQL.update({"q_compact_snapshots": SQL_COMPACT_SNAPSHOTS})
+
+
+def q_kg_trust(sf_dir: str):
+    """Provenance-trust-weighted KG edges (X195, the TrustRank-shaped
+    composition the north star's entity-link scoring feeds on): each
+    assertion of a distinct (subj, obj) edge contributes its asserting
+    page's HOST authority — the exact-integer Katz centrality (X156)
+    of '{source}.example.org' over the synthesized host link graph —
+    so an edge asserted once by a well-linked hub can outrank one
+    spammed from link-isolated hosts. Hosts absent from the link graph
+    contribute Katz's base score 10⁶ (every node's floor), mirrored by
+    COALESCE in the twin. One vectorized source-extract + broadcast
+    host-score map + ONE two-phase (subj, obj) sum — the host table is
+    model-sized, the triple stream never collects."""
+    import ray
+
+    from phrasekit_ray.stages.agg import hash_aggregate
+
+    triples = _flagship_triples(sf_dir)
+    kt = q_katz_hosts(sf_dir)
+    scores = dict(
+        zip(kt["host"].to_pylist(),
+            [int(v) for v in kt["katz_micro"].to_pylist()])
+    )
+    ref = ray.put(scores)
+
+    def weigh(b: pa.Table) -> pa.Table:
+        from phrasekit_ray.stages.score import _get_broadcast
+
+        smap = _get_broadcast(ref)
+        src = pc.replace_substring_regex(
+            pc.replace_substring_regex(
+                b["doc_id"].combine_chunks().cast(pa.string()),
+                r"/[^/]*$", "",
+            ),
+            r"^.*/", "",
+        )
+        enc = pc.dictionary_encode(src)
+        uniq = [
+            smap.get(f"{s}.example.org", 10**6)
+            for s in enc.dictionary.to_pylist()
+        ]
+        w = np.asarray(uniq, np.int64)[
+            enc.indices.to_numpy(zero_copy_only=False)
+        ] if b.num_rows else np.zeros(0, np.int64)
+        return pa.table(
+            {
+                "subj": b["subj"].combine_chunks().cast(pa.int64()),
+                "obj": b["obj"].combine_chunks().cast(pa.int64()),
+                "trust_micro": pa.array(w, pa.int64()),
+                "n_assert": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        triples.map_batches(weigh, batch_format="pyarrow"),
+        ["subj", "obj"],
+        [("trust_micro", "sum"), ("n_assert", "sum")],
+    )
+    t = _i64(_collect(agg), "subj", "obj", "trust_micro", "n_assert")
+    return t.take(
+        pc.sort_indices(
+            t, sort_keys=[("subj", "ascending"), ("obj", "ascending")]
+        )
+    )
+
+
+def _sql_kg_trust() -> str:
+    from phrasekit_ray.pipelines.queries import _sql_flagship
+
+    return f"""
+WITH trip AS MATERIALIZED ({_sql_flagship()}),
+katz AS MATERIALIZED ({_sql_katz_hosts(4, 10**6, 1, 5)})
+SELECT t.subj, t.obj,
+       CAST(SUM(COALESCE(k.katz_micro, 1000000)) AS BIGINT) AS trust_micro,
+       count(*) AS n_assert
+FROM trip t
+LEFT JOIN katz k
+  ON k.host = regexp_extract(t.doc_id, '/([^/]+)/[^/]+$', 1)
+              || '.example.org'
+GROUP BY 1, 2 ORDER BY subj, obj
+"""
+
+
+EXT_QUERIES.update({"q_kg_trust": q_kg_trust})
+EXT_ORACLE_SQL.update({"q_kg_trust": _sql_kg_trust()})
